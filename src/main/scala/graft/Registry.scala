@@ -1,0 +1,8 @@
+package graft
+
+/** All verifiable engine capabilities, one [[Qry]] each. Order is the
+  * SURVEY.md §2.B build order. */
+object Registry {
+  def all: Seq[Qry] =
+    queries.Relational.all
+}

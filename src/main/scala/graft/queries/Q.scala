@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for oracle-deterministic query results.
+  *
+  * The driver hash-compares Spark output against DuckDB running the
+  * oracle SQL, so every value must be bit-identical across engines:
+  *
+  *  - Money/double sums: `round()` each term to its true decimal scale
+  *    (products of 2-decimal values have an exact 4- or 6-decimal
+  *    representation, and the double error of 1-2 multiplies is far
+  *    below the rounding half-ulp), then sum as DECIMAL (exact in both
+  *    engines), then cast back to double. Plain double SUM would differ
+  *    by association order between engines.
+  *  - Timestamps rendered as strings (`date_format` vs `strftime`).
+  *  - Every query ends in an ORDER BY over a unique key; Spark asc
+  *    sorts nulls first but DuckDB sorts nulls last, so sort keys are
+  *    never nullable (coalesce first when they could be).
+  */
+object Q {
+  /** Exact cross-engine sum of a fixed-scale numeric term. */
+  def dsum(c: Column, scale: Int): Column =
+    sum(round(c, scale).cast(s"decimal(27,$scale)")).cast("double")
+
+  /** DuckDB rendering of [[dsum]]. */
+  def dsumSql(expr: String, scale: Int): String =
+    s"CAST(SUM(CAST(ROUND($expr, $scale) AS DECIMAL(27,$scale))) AS DOUBLE)"
+
+  /** Exact cross-engine average: decimal sum divided by count, both
+    * cast to double before the (deterministic) division. */
+  def davg(c: Column, scale: Int): Column =
+    dsum(c, scale) / count(lit(1)).cast("double")
+
+  def davgSql(expr: String, scale: Int): String =
+    s"${dsumSql(expr, scale)} / CAST(COUNT(*) AS DOUBLE)"
+}
