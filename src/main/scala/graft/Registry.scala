@@ -4,5 +4,5 @@ package graft
   * SURVEY.md §2.B build order. */
 object Registry {
   def all: Seq[Qry] =
-    queries.Relational.all
+    queries.Relational.all ++ queries.Joins.all
 }

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Qry, Tables}
+import graft.operators.AsOfJoin
+import Q._
+
+/** Join surface (SURVEY.md §2.B G2-G4): broadcast hash join of small
+  * dims, shuffled sort-merge join fact⋈fact, outer joins with
+  * null-handling, semi/anti existence joins, non-equi range join
+  * against a broadcast interval table, and an as-of temporal join.
+  *
+  * Scale notes per query are on each Qry; the common rule: dims
+  * (region/nation/part/supplier bands) are broadcast — no shuffle of
+  * the fact side; fact⋈fact shuffles both sides on the join key once
+  * and AQE handles skew/coalescing.
+  */
+object Joins {
+
+  /** Star join: fact lineitem ⋈ broadcast dims part+supplier+nation.
+    * At 100 TB the fact table never shuffles — all three dims ride
+    * along as broadcast hash maps (G2). */
+  val q12 = Qry(
+    "q12_join_broadcast_star",
+    (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"), col("p_brand"))
+    },
+    Some(s"""
+      SELECT n_name, p_brand,
+             ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name, p_brand
+      ORDER BY n_name, p_brand"""))
+
+  /** Fact⋈fact: orders ⋈ lineitem on orderkey — too big to broadcast
+    * either side at scale, so both shuffle on l_orderkey/o_orderkey and
+    * sort-merge (G3). Aggregation keeps the verified output small. */
+  val q13 = Qry(
+    "q13_join_sortmerge_facts",
+    (s: SparkSession, d: String) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("o_orderpriority"), col("l_returnflag")),
+    Some(s"""
+      SELECT o_orderpriority, l_returnflag,
+             COUNT(*) AS n_items,
+             COUNT(DISTINCT o_orderkey) AS n_orders,
+             ${dsumSql("l_quantity", 2)} AS sum_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority, l_returnflag
+      ORDER BY o_orderpriority, l_returnflag"""))
+
+  /** Left outer join + null-aware aggregates: every customer, even
+    * order-less ones (count=0). Aggregate-then-join keeps the outer
+    * side skinny; the order-count agg is partial+final (G2/G5). */
+  val q14 = Qry(
+    "q14_join_left_outer",
+    (s: SparkSession, d: String) => {
+      val perCust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("spend"))
+      Tables.customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(when(col("n_orders").isNull, 1).otherwise(0))
+            .as("n_inactive"),
+          dsum(coalesce(col("spend"), lit(0d)), 2).as("segment_spend"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""
+      WITH per_cust AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ${dsumSql("o_totalprice", 2)} AS spend
+        FROM orders GROUP BY o_custkey)
+      SELECT c_mktsegment,
+             COUNT(*) AS n_customers,
+             SUM(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END) AS n_inactive,
+             ${dsumSql("COALESCE(spend, 0)", 2)} AS segment_spend
+      FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Existence joins: left-semi (customers WITH an urgent order) and
+    * left-anti (customers WITHOUT), tagged and unioned. Semi/anti
+    * shuffle only distinct keys of the probe side (G2). */
+  val q15 = Qry(
+    "q15_join_semi_anti",
+    (s: SparkSession, d: String) => {
+      val c = Tables.customer(s, d)
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val withU = c.join(urgent, col("c_custkey") === col("o_custkey"),
+        "left_semi").withColumn("tag", lit("has_urgent"))
+      val without = c.join(urgent, col("c_custkey") === col("o_custkey"),
+        "left_anti").withColumn("tag", lit("no_urgent"))
+      withU.unionByName(without)
+        .groupBy(col("tag"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 2).as("bal"))
+        .orderBy(col("tag"), col("c_mktsegment"))
+    },
+    Some(s"""
+      WITH urgent AS (SELECT o_custkey FROM orders
+                      WHERE o_orderpriority = '1-URGENT')
+      SELECT tag, c_mktsegment, COUNT(*) AS n,
+             ${dsumSql("c_acctbal", 2)} AS bal
+      FROM (
+        SELECT 'has_urgent' AS tag, c_mktsegment, c_acctbal FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM urgent)
+        UNION ALL
+        SELECT 'no_urgent' AS tag, c_mktsegment, c_acctbal FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM urgent)) t
+      GROUP BY tag, c_mktsegment ORDER BY tag, c_mktsegment"""))
+
+  /** Non-equi range join (G4): orders banded by a tiny interval table
+    * of price tiers. The tier table is broadcast, so the theta join is
+    * a broadcast-nested-loop over 4 rows — constant work per fact row,
+    * no shuffle of the fact side at any scale. */
+  val q16 = Qry(
+    "q16_join_range_bands",
+    (s: SparkSession, d: String) => {
+      val bands = s.createDataFrame(
+        java.util.Arrays.asList(
+          Row("T1_small", 0d, 50000d),
+          Row("T2_mid", 50000d, 150000d),
+          Row("T3_large", 150000d, 300000d),
+          Row("T4_huge", 300000d, 1e9)),
+        StructType(Seq(
+          StructField("tier", StringType, nullable = false),
+          StructField("lo", DoubleType, nullable = false),
+          StructField("hi", DoubleType, nullable = false))))
+      Tables.orders(s, d)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("tier_total"))
+        .orderBy(col("tier"))
+    },
+    Some(s"""
+      WITH bands(tier, lo, hi) AS (VALUES
+        ('T1_small', 0.0, 50000.0), ('T2_mid', 50000.0, 150000.0),
+        ('T3_large', 150000.0, 300000.0), ('T4_huge', 300000.0, 1e9))
+      SELECT tier, COUNT(*) AS n_orders,
+             ${dsumSql("o_totalprice", 2)} AS tier_total
+      FROM orders JOIN bands
+        ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY tier ORDER BY tier"""))
+
+  /** As-of temporal join (G4, operator the reference lacks): for each
+    * purchase event, the most recent signup at-or-before it by the
+    * same user. Uses [[graft.operators.AsOfJoin]] — union + one
+    * window shuffle, never a nested-loop theta join. Oracle is
+    * DuckDB's native ASOF JOIN. */
+  val q17 = Qry(
+    "q17_join_asof",
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("signup_event_id"))
+      AsOfJoin.asOf(purchases, signups, key = "user_id", ts = "ts",
+          payload = Seq("signup_event_id"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("value"),
+          coalesce(col("signup_event_id"), lit(-1L)).as("signup_event_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'),
+      signups AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_id AS signup_event_id
+        FROM events WHERE event_type = 'signup')
+      SELECT p.event_id, p.user_id,
+             STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+             p.value,
+             COALESCE(s.signup_event_id, -1) AS signup_event_id
+      FROM purchases p
+      ASOF LEFT JOIN signups s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id"""))
+
+  val all: Seq[Qry] = Seq(q12, q13, q14, q15, q16, q17)
+}
