@@ -4,5 +4,6 @@ package graft
   * SURVEY.md §2.B build order. */
 object Registry {
   def all: Seq[Qry] =
-    queries.Relational.all ++ queries.Joins.all
+    queries.Relational.all ++ queries.Joins.all ++
+      queries.SemiStructured.all
 }

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Qry, Tables}
+import Q._
+
+/** Semi-structured surface (SURVEY.md §2.B G11): JSON extraction with
+  * a declared schema, generator/explode paths, higher-order array
+  * functions, and map construction/decoding — generalizing the
+  * reference's nested-struct handling (task.ts:59-82), the entity
+  * explode (task.ts:194), and the occupancy decode table
+  * (task.ts:266-275).
+  *
+  * All of these stay inside whole-stage codegen (no UDFs): from_json,
+  * explode and the array lambdas are Catalyst expressions, so the
+  * 100 TB plan is scan → generate/project → partial agg → final agg
+  * with exactly one shuffle.
+  */
+object SemiStructured {
+
+  /** JSON parse with declared schema (from_json, like the reference's
+    * TypeBox-validated parse task.ts:167,174) + extraction + agg over
+    * the parsed field. */
+  val q18 = Qry(
+    "q18_json_extract",
+    (s: SparkSession, d: String) =>
+      Tables.events(s, d)
+        .withColumn("props_s",
+          from_json(col("props"),
+            StructType(Seq(StructField("k", LongType)))))
+        .withColumn("k", col("props_s.k"))
+        .groupBy((col("k") / 10).cast("long").as("k_decile"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value"), 2).as("sum_value"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("k_decile")),
+    Some(s"""
+      SELECT CAST(json_extract(props, '$$.k') AS BIGINT) // 10
+               AS k_decile,
+             COUNT(*) AS n,
+             ${dsumSql("value", 2)} AS sum_value,
+             MIN(CAST(json_extract(props, '$$.k') AS BIGINT)) AS min_k,
+             MAX(CAST(json_extract(props, '$$.k') AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY 1 ORDER BY k_decile"""))
+
+  /** Generator path: explode(split(text)) token stream → global token
+    * frequency (the engine's word-count; G11+G15). explode is a
+    * Generate node feeding a partial+final hash agg — the classic
+    * two-shuffle-free word count (one shuffle, on the token). */
+  val q19 = Qry(
+    "q19_explode_tokens",
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(30),
+    Some("""
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 30"""))
+
+  /** Higher-order array functions over per-customer collected order
+    * prices: array_sort → transform → filter → aggregate (fold), plus
+    * size/element_at. Lambdas fold sequentially in both engines so
+    * double results are bit-identical. */
+  val q20 = Qry(
+    "q20_array_hof",
+    (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(round(col("o_totalprice"), 2)))
+          .as("prices"))
+        .select(
+          col("o_custkey"),
+          size(col("prices")).as("n_orders"),
+          element_at(col("prices"), 1).as("cheapest"),
+          element_at(col("prices"), -1).as("dearest"),
+          round(aggregate(col("prices"), lit(0d), (acc, x) => acc + x), 2)
+            .as("total"),
+          round(aggregate(
+            filter(col("prices"), x => x > 100000d),
+            lit(0d), (acc, x) => acc + x * 0.9), 2).as("big_discounted"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      WITH per_cust AS (
+        SELECT o_custkey,
+               list_sort(list(ROUND(o_totalprice, 2))) AS prices
+        FROM orders WHERE o_custkey < 100 GROUP BY o_custkey)
+      SELECT o_custkey,
+             len(prices) AS n_orders,
+             prices[1] AS cheapest,
+             prices[-1] AS dearest,
+             ROUND(list_reduce(list_prepend(0.0::DOUBLE, prices),
+                               (acc, x) -> acc + x), 2) AS total,
+             ROUND(list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list_filter(prices, x -> x > 100000)),
+               (acc, x) -> acc + x * 0.9), 2) AS big_discounted
+      FROM per_cust ORDER BY o_custkey"""))
+
+  /** Map construction + decode: map literal as a lookup table
+    * (element_at + coalesce fallback) — the relational form of the
+    * reference's occupancy decode (task.ts:266-275 'Unknown'
+    * fallback). */
+  val q21 = Qry(
+    "q21_map_decode",
+    (s: SparkSession, d: String) => {
+      val decode = typedLit(Map(
+        "signup" -> "Acquisition", "purchase" -> "Revenue",
+        "click" -> "Engagement", "view" -> "Engagement"))
+      Tables.events(s, d)
+        .select(coalesce(element_at(decode, col("event_type")),
+          lit("Unknown")).as("category"), col("value"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        .orderBy(col("category"))
+    },
+    Some(s"""
+      SELECT COALESCE(
+               (MAP(['signup','purchase','click','view'],
+                    ['Acquisition','Revenue','Engagement','Engagement'])
+                  [event_type])[1],
+               'Unknown') AS category,
+             COUNT(*) AS n,
+             ${dsumSql("value", 2)} AS sum_value
+      FROM events GROUP BY category ORDER BY category"""))
+
+  /** Positional explode: posexplode with the position carried through
+    * (G11) — early tokens weighted by 1/(pos+1); position comes from
+    * the generator, not a window. */
+  val q22 = Qry(
+    "q22_posexplode",
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"),
+          round(dsum(lit(1d) / (col("pos") + 1), 8), 6).as("pos_weight"),
+          min(col("pos")).as("first_pos"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_zip(string_split(text, ' '),
+                               range(0, len(string_split(text, ' '))))) AS z
+        FROM documents WHERE doc_id < 100)
+      SELECT z[1] AS tok, COUNT(*) AS n,
+             ROUND(${dsumSql("1.0 / (z[2] + 1)", 8)}, 6) AS pos_weight,
+             MIN(z[2]) AS first_pos
+      FROM toks WHERE z[1] <> ''
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""))
+
+  /** JSON re-serialization: to_json(struct(...)) round-trip — schema
+    * key order makes output deterministic (task.ts:314-320 feature
+    * assembly analogue). */
+  val q23 = Qry(
+    "q23_to_json",
+    (s: SparkSession, d: String) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 100)
+        .select(col("event_id"),
+          to_json(struct(
+            col("event_type").as("t"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            round(col("value"), 2).as("v"))).as("payload"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             to_json(struct_pack(
+               t := event_type,
+               k := CAST(json_extract(props, '$.k') AS BIGINT),
+               v := ROUND(value, 2))) AS payload
+      FROM events WHERE event_id < 100 ORDER BY event_id"""))
+
+  val all: Seq[Qry] = Seq(q18, q19, q20, q21, q22, q23)
+}
