@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Qry, Tables}
+import graft.operators.TextOps
+import Q._
+
+/** Text-analysis + exact-dedup queries over `documents` (SURVEY.md
+  * §2.B G13/G15) built on [[graft.operators.TextOps]] column
+  * expressions. Per-document metrics are shuffle-free; corpus stats
+  * shuffle once on the token; dedup shuffles once on the content
+  * hash — all linear-scaling plans.
+  */
+object Text {
+
+  private val stop = Seq("the", "a")
+  private val stopSql = "['the', 'a']"
+
+  /** Per-document quality metrics + composite score (G15). */
+  val q24 = Qry(
+    "q24_text_quality",
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(
+          col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          round(TextOps.uniqueTokenRatio(col("text")), 6).as("uniq_ratio"),
+          round(TextOps.stopwordRatio(col("text"), stop), 6)
+            .as("stop_ratio"),
+          round(TextOps.meanTokenLength(col("text")), 6).as("mean_tok_len"),
+          TextOps.qualityScore(col("text"), stop).as("quality"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                 AS toks
+        FROM documents WHERE doc_id < 300)
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6)
+               AS uniq_ratio,
+             ROUND(len(list_filter(toks, x -> list_contains($stopSql, x)))
+                 * 1.0 / len(toks), 6) AS stop_ratio,
+             ROUND(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+               (a, b) -> a + b) * 1.0 / len(toks), 6) AS mean_tok_len,
+             ROUND(len(list_distinct(toks)) * 1.0 / len(toks) * 0.4
+               + (1.0 - len(list_filter(toks,
+                   x -> list_contains($stopSql, x))) * 1.0 / len(toks)) * 0.3
+               + LEAST(len(toks) / 100.0, 1.0) * 0.3, 6) AS quality
+      FROM t ORDER BY doc_id"""))
+
+  /** Corpus term statistics: document frequency, collection frequency,
+    * rational idf (no float logs → bit-stable across engines). */
+  val q25 = Qry(
+    "q25_term_stats",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("cf"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok"), col("df"), col("cf"),
+          round(col("n_docs") / col("df").cast("double"), 6)
+            .as("idf_rational"))
+        .orderBy(col("df").desc, col("tok"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+                 string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        FROM documents),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+      SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf,
+             ROUND(MAX(n_docs) * 1.0 / COUNT(DISTINCT doc_id), 6)
+               AS idf_rational
+      FROM toks, n
+      GROUP BY tok ORDER BY df DESC, tok"""))
+
+  /** Document fingerprints: order-sensitive rolling hash + md5
+    * content hash (G13 exact/near-exact building block). */
+  val q26 = Qry(
+    "q26_fingerprint",
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextOps.rollingFingerprint(col("text")).as("rolling_fp"),
+          TextOps.contentHash(col("text")).as("content_md5"),
+          TextOps.tokenCountBpeIsh(col("text")).as("bpeish_tokens"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                 AS toks, text
+        FROM documents WHERE doc_id < 200)
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks,
+                   x -> CAST(length(x) AS BIGINT) * 1000 + unicode(x))),
+               (a, b) -> (a * 131 + b) % 1000000007) AS rolling_fp,
+             md5(text) AS content_md5,
+             len(toks) + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks,
+                   x -> GREATEST(CAST(0 AS BIGINT),
+                        CAST((length(x) - 1) // 4 AS BIGINT)))),
+               (a, b) -> a + b) AS bpeish_tokens
+      FROM t ORDER BY doc_id"""))
+
+  /** Exact dedup by content hash (G13): the corpus unioned with a
+    * shifted copy of itself (guaranteed duplicates), deduped by
+    * md5(text) keeping the smallest doc_id — one shuffle on the
+    * hash; verified by per-source survivor counts. */
+  val q27 = Qry(
+    "q27_dedup_exact",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      doubled
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("n_copies")).as("n_total"),
+          sum(col("n_copies") - 1).as("n_removed"),
+          max(col("keep_id")).as("max_keep_id"))
+    },
+    Some("""
+      WITH doubled AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents),
+      grouped AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM doubled GROUP BY h)
+      SELECT COUNT(*) AS n_unique,
+             CAST(SUM(n_copies) AS BIGINT) AS n_total,
+             CAST(SUM(n_copies - 1) AS BIGINT) AS n_removed,
+             MAX(keep_id) AS max_keep_id
+      FROM grouped"""))
+
+  val all: Seq[Qry] = Seq(q24, q25, q26, q27)
+}
