@@ -5,5 +5,6 @@ package graft
 object Registry {
   def all: Seq[Qry] =
     queries.Relational.all ++ queries.Joins.all ++
-      queries.SemiStructured.all ++ queries.Text.all
+      queries.SemiStructured.all ++ queries.Text.all ++
+      queries.DedupQ.all
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for LLM training-data pipelines
+  * (SURVEY.md §2.B G13): word-shingle sets, MinHash signatures,
+  * LSH banding, SimHash, and set-Jaccard verification.
+  *
+  * All hashing stays in md5-hex-string space (lexicographic MIN over
+  * uniformly-distributed hex strings is a valid minhash), so every
+  * step is reproducible in ANSI-ish SQL for the DuckDB oracle — and
+  * every step is a codegen'd Column expression, no UDFs.
+  *
+  * Scale shape: per-doc signature computation is shuffle-free map
+  * work; LSH banding shuffles (band_idx, band_key) once; only
+  * same-bucket docs are ever paired — the quadratic all-pairs join
+  * (see [[shingleJaccard]] brute force) is replaced by
+  * O(candidates). Bucket skew (a band key shared by thousands of
+  * docs at 100 TB) is bounded because identical band keys imply
+  * near-identical docs; AQE skew-join handles the residue.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of `text`. */
+  def shingleSet(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** MinHash signature: element s is MIN over shingles of
+    * md5("s#" + shingle) — k independent permutation approximations. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(s =>
+      array_min(transform(shingles,
+        g => md5(concat(lit(s + "#"), g))))): _*)
+
+  /** LSH band keys: the signature cut into `bands` groups of
+    * `rows` = k/bands elements, each group hashed to one key. The
+    * band index is folded into the key so keys from different bands
+    * can never collide and a single-column join suffices. Docs
+    * sharing ANY band key become candidate pairs. */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(j =>
+      md5(concat_ws("|",
+        lit(j.toString) +: (0 until rows).map(r =>
+          sig.getItem(j * rows + r)): _*))): _*)
+
+  /** Exact set Jaccard |A∩B| / |A∪B| (0 for two empty sets). */
+  def setJaccard(a: Column, b: Column): Column = {
+    val union = size(array_distinct(concat(a, b)))
+    when(union === 0, lit(0d))
+      .otherwise(size(array_intersect(a, b)) / union.cast("double"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: docs(idCol, textCol) →
+    * candidate pairs (a < b) sharing ≥1 band key, verified with exact
+    * shingle Jaccard. One shuffle on band key, one on the pair. */
+  def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, minJaccard: Double): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sh = docs.select(
+      col(idCol).as("id"),
+      shingleSet(col(textCol), n).as("shingles"))
+    val banded = sh.select(col("id"), col("shingles"),
+        explode(bandKeys(minhashSignature(col("shingles"), k),
+          bands, rows)).as("band_key"))
+    val l = banded.select(col("band_key"),
+      col("id").as("a"), col("shingles").as("sh_a"))
+    val r = banded.select(col("band_key"),
+      col("id").as("b"), col("shingles").as("sh_b"))
+    l.join(r, Seq("band_key"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
+      .select(col("a"), col("b"),
+        round(setJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Brute-force all-pairs shingle Jaccard (the quadratic baseline
+    * LSH replaces; only for bounded subsets / verification). */
+  def shingleJaccard(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingleSet(col(textCol), n).as("shingles"))
+    val l = sh.select(col("id").as("a"), col("shingles").as("sh_a"))
+    val r = sh.select(col("id").as("b"), col("shingles").as("sh_b"))
+    l.crossJoin(r).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(setJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 16-bit SimHash over the token multiset: bit b of the hash is set
+    * when the sum over tokens of ±1 (per bit b of md5(token)) is
+    * positive. Near-dup docs differ in few bits (small Hamming
+    * distance); identical docs collide exactly. */
+  def simhash16(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    (0 until 16).map { b =>
+      val weight = aggregate(toks, lit(0),
+        (acc, t) => acc + (shiftright(
+          instr(lit("0123456789abcdef"),
+            substring(md5(t), b / 4 + 1, 1)) - 1, b % 4)
+          .bitwiseAND(1) * 2 - 1))
+      when(weight > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+}

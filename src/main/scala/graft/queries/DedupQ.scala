@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Qry, Tables}
+import graft.operators.Dedup
+import Q._
+
+/** Near-dup detection queries (SURVEY.md §2.B G13) over `documents`,
+  * driving [[graft.operators.Dedup]]. The corpus is unioned with a
+  * shifted copy of itself so genuine duplicates exist to find.
+  * The SQL oracles re-derive MinHash/SimHash with the same md5-hex
+  * scheme — generated from the same (n, k, bands) parameters so the
+  * two engines can't drift.
+  */
+object DedupQ {
+
+  private val N = 3       // shingle n-gram size
+  private val K = 6       // minhash signature length
+  private val BANDS = 3   // LSH bands (K/BANDS rows each)
+
+  private val toksSql =
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  /** DuckDB shingle set (distinct word n-grams). */
+  private def shinglesSql(n: Int): String =
+    s"""CASE WHEN len($toksSql) < $n THEN []::VARCHAR[]
+        ELSE list_distinct(list_transform(
+          range(0, len($toksSql) - $n + 1),
+          i -> array_to_string(list_slice($toksSql, i + 1, i + $n), ' ')))
+        END"""
+
+  private def minhashSql(k: Int): String =
+    "[" + (0 until k).map(s =>
+      s"list_min(list_transform(shingles, g -> md5('$s#' || g)))")
+      .mkString(", ") + "]"
+
+  private def bandKeysSql(bands: Int, rows: Int): String =
+    "[" + (0 until bands).map { j =>
+      val parts = ("'" + j + "'") +: (1 to rows).map(r =>
+        s"sig[${j * rows + r}]")
+      s"md5(${parts.mkString(" || '|' || ")})"
+    }.mkString(", ") + "]"
+
+  private val jaccardSql =
+    """CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
+       ELSE len(list_intersect(sh_a, sh_b)) * 1.0
+            / len(list_distinct(list_concat(sh_a, sh_b))) END"""
+
+  /** MinHash-LSH near-dup pairs on the doubled corpus: every doc and
+    * its shifted twin must surface with jaccard 1.0; band-collision
+    * candidates are verified exactly. */
+  val q28 = Qry(
+    "q28_minhash_lsh",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.lshNearDupPairs(doubled, "doc_id", "text",
+          n = N, k = K, bands = BANDS, minJaccard = 0.9)
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100),
+      sh AS (
+        SELECT doc_id AS id, ${shinglesSql(N)} AS shingles FROM docs),
+      sigs AS (
+        SELECT id, shingles, ${minhashSql(K)} AS sig FROM sh),
+      banded AS (
+        SELECT id, shingles,
+               unnest(${bandKeysSql(BANDS, K / BANDS)}) AS band_key
+        FROM sigs),
+      pairs AS (
+        SELECT l.id AS a, r.id AS b,
+               FIRST(l.shingles) AS sh_a, FIRST(r.shingles) AS sh_b
+        FROM banded l JOIN banded r
+          ON l.band_key = r.band_key
+        WHERE l.id < r.id
+        GROUP BY l.id, r.id)
+      SELECT a, b, ROUND($jaccardSql, 6) AS jaccard
+      FROM pairs
+      WHERE ROUND($jaccardSql, 6) >= 0.9
+      ORDER BY a, b"""))
+
+  /** Per-doc 16-bit SimHash (G13): identical docs collide; the
+    * doubled corpus groups by hash and reports collision sizes. */
+  val q29 = Qry(
+    "q29_simhash",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      docs.select(col("doc_id"),
+          Dedup.simhash16(col("text")).as("simhash"))
+        .groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("simhash"))
+    }, {
+      val bitSql = (0 until 16).map { b =>
+        val weight = s"""list_reduce(list_prepend(0,
+          list_transform($toksSql, t ->
+            ((strpos('0123456789abcdef',
+                substr(md5(t), ${b / 4 + 1}, 1)) - 1 >> ${b % 4}) & 1)
+              * 2 - 1)), (a, x) -> a + x)"""
+        s"CASE WHEN $weight > 0 THEN ${1 << b} ELSE 0 END"
+      }.mkString(" + ")
+      Some(s"""
+      WITH h AS (
+        SELECT doc_id, $bitSql AS simhash
+        FROM documents WHERE doc_id < 200)
+      SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+             MAX(doc_id) AS max_doc
+      FROM h GROUP BY simhash ORDER BY simhash""")
+    })
+
+  /** Brute-force n-gram Jaccard over a bounded subset — the exact
+    * quadratic baseline that q28's LSH approximates (kept small on
+    * purpose; the scaladoc on [[Dedup.shingleJaccard]] spells out why
+    * this shape must never run at corpus scale). */
+  val q30 = Qry(
+    "q30_ngram_jaccard",
+    (s: SparkSession, d: String) =>
+      Dedup.shingleJaccard(
+          Tables.documents(s, d).filter(col("doc_id") < 60),
+          "doc_id", "text", n = 2, minJaccard = 0.05)
+        .orderBy(col("a"), col("b")),
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id AS id, ${shinglesSql(2)} AS shingles
+        FROM documents WHERE doc_id < 60),
+      pairs AS (
+        SELECT l.id AS a, r.id AS b, l.shingles AS sh_a,
+               r.shingles AS sh_b
+        FROM sh l CROSS JOIN sh r WHERE l.id < r.id)
+      SELECT a, b, ROUND($jaccardSql, 6) AS jaccard
+      FROM pairs WHERE ROUND($jaccardSql, 6) >= 0.05
+      ORDER BY a, b"""))
+
+  val all: Seq[Qry] = Seq(q28, q29, q30)
+}
