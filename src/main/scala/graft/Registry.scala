@@ -6,5 +6,5 @@ object Registry {
   def all: Seq[Qry] =
     queries.Relational.all ++ queries.Joins.all ++
       queries.SemiStructured.all ++ queries.Text.all ++
-      queries.DedupQ.all
+      queries.DedupQ.all ++ queries.SimilarityQ.all
 }
