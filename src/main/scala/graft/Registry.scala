@@ -6,5 +6,6 @@ object Registry {
   def all: Seq[Qry] =
     queries.Relational.all ++ queries.Joins.all ++
       queries.SemiStructured.all ++ queries.Text.all ++
-      queries.DedupQ.all ++ queries.SimilarityQ.all
+      queries.DedupQ.all ++ queries.SimilarityQ.all ++
+      queries.EventsQ.all
 }

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Qry, Tables}
+import graft.operators.Sessionize
+import Q._
+
+/** Event-time windowing in batch form (SURVEY.md §2.B G12): tumbling
+  * and sliding windows, gap-based sessionization, and keyed
+  * window-scoped dedup. These share semantics with the Structured
+  * Streaming surface in [[graft.streaming.StreamOps]] (same window
+  * assignment, same session gap rule); the streaming side is
+  * verified by ScalaTest with MemoryStream since DuckDB can't run a
+  * state store, these batch twins ARE DuckDB-verified.
+  */
+object EventsQ {
+
+  /** Tumbling 1-day event-time windows × event type (G12):
+    * window(ts, '1 day') assigns each event to exactly one bucket —
+    * partial agg before the single shuffle. */
+  val q35 = Qry(
+    "q35_window_tumbling",
+    (s: SparkSession, d: String) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("day"), col("event_type")),
+    Some(s"""
+      SELECT STRFTIME(date_trunc('day', CAST(ts AS TIMESTAMP)),
+               '%Y-%m-%d') AS day,
+             event_type, COUNT(*) AS n,
+             ${dsumSql("value", 2)} AS sum_value
+      FROM events
+      GROUP BY 1, 2 ORDER BY day, event_type"""))
+
+  /** Sliding 1-hour windows every 30 minutes (G12): each event lands
+    * in exactly 2 windows; the oracle reproduces Spark's window
+    * assignment arithmetic from epoch seconds. */
+  val q36 = Qry(
+    "q36_window_sliding",
+    (s: SparkSession, d: String) =>
+      Tables.events(s, d)
+        .filter(col("user_id") < 3)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+          col("n"), col("sum_value"))
+        .orderBy(col("w_start")),
+    Some(s"""
+      WITH assigned AS (
+        SELECT make_timestamp(
+                 ((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+                   // 1800 * 1800 - off) * 1000000) AS w_start,
+               value
+        FROM events, unnest([0, 1800]) AS t(off)
+        WHERE user_id < 3)
+      SELECT STRFTIME(w_start, '%Y-%m-%d %H:%M') AS w_start,
+             COUNT(*) AS n, ${dsumSql("value", 2)} AS sum_value
+      FROM assigned
+      GROUP BY 1 ORDER BY w_start"""))
+
+  /** Gap-based sessionization (G12 batch form) via
+    * [[graft.operators.Sessionize]]: 6-hour inactivity gap, per-user
+    * 0-based session ids, session duration + event count. */
+  val q37 = Qry(
+    "q37_sessionize",
+    (s: SparkSession, d: String) =>
+      Sessionize.sessionStats(
+          Tables.events(s, d).select(col("user_id"), col("ts")),
+          "user_id", "ts", gapSec = 21600L)
+        .select(col("user_id"), col("session_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("start_s"),
+          col("duration_sec"), col("n_events"))
+        .orderBy(col("user_id"), col("session_id")),
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                      - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id ORDER BY
+                              CAST(ts AS TIMESTAMP))
+                      > CAST(21600 AS BIGINT) * 1000000 THEN 1
+                    WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id ORDER BY
+                              CAST(ts AS TIMESTAMP)) IS NULL THEN 1
+                    ELSE 0 END AS new_session
+        FROM events),
+      sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM flagged)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+               AS duration_sec,
+             COUNT(*) AS n_events
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
+  /** Keyed window-scoped dedup (G12/A1): first event per
+    * (user, event_type, 1-day window) — the batch twin of streaming
+    * `dropDuplicatesWithinWatermark`. */
+  val q38 = Qry(
+    "q38_window_dedup",
+    (s: SparkSession, d: String) => {
+      val w = Window
+        .partitionBy(col("user_id"), col("event_type"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_first_events"),
+          dsum(col("value"), 2).as("sum_first_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type,
+                              date_trunc('day', CAST(ts AS TIMESTAMP))
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events)
+      SELECT event_type, COUNT(*) AS n_first_events,
+             ${dsumSql("value", 2)} AS sum_first_value
+      FROM ranked WHERE rn = 1
+      GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Qry] = Seq(q35, q36, q37, q38)
+}
