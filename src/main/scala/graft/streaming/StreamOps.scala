@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+import org.apache.spark.sql.types.StructType
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2.B G12): the streaming
+  * twins of the batch window/sessionize/dedup operators, plus the
+  * scheduled-micro-batch ingest pattern that mirrors the reference's
+  * `InvocationType.Schedule` loop (task.ts:121-122,147) — each
+  * trigger processes one snapshot, exactly like one Lambda run.
+  *
+  * All aggregations here are watermark-bounded so state is evicted
+  * and the queries run forever at 100 TB/day: no unbounded state,
+  * no driver-side collection. Use `Trigger.AvailableNow()` for the
+  * reference's batch-like semantics or `Trigger.ProcessingTime` for
+  * a standing stream.
+  */
+object StreamOps {
+
+  /** File-drop JSON source with declared schema — the streaming
+    * ingest boundary for HTTP-fetched snapshots (a fetcher drops
+    * each response into `dir`; S1/E1 parity without a custom
+    * source). */
+  def readJsonStream(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(dir)
+
+  /** Tumbling event-time counts with watermark-driven late-data
+    * drop: the streaming twin of q35. */
+  def tumblingAgg(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+
+  /** Sliding event-time windows (twin of q36). */
+  def slidingAgg(events: DataFrame, tsCol: String, windowLen: String,
+      slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide))
+      .agg(count(lit(1)).as("n"))
+
+  /** Built-in session windows with gap timeout (twin of q37). */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Streaming keyed dedup bounded by watermark — state for a key is
+    * dropped once the watermark passes it (twin of q38; the
+    * scalable form of the reference's per-batch `ids` Map,
+    * task.ts:191). */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Running per-key state via mapGroupsWithState: arbitrary
+    * cross-batch state the reference lacks entirely (its state dies
+    * with each invocation). Tracks per-key event count and last-seen
+    * time; NoTimeout keeps the example deterministic. */
+  final case class KeyCount(key: Long, n: Long, lastTs: Timestamp)
+
+  def runningCounts(events: Dataset[(Long, Timestamp)])
+      : Dataset[KeyCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[KeyCount, KeyCount](
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Timestamp)],
+         state: GroupState[KeyCount]) =>
+          val batch = rows.toSeq
+          val prev = state.getOption
+            .getOrElse(KeyCount(key, 0L, new Timestamp(0L)))
+          val maxTs = (prev.lastTs +: batch.map(_._2))
+            .maxBy(_.getTime)
+          val next = KeyCount(key, prev.n + batch.size, maxTs)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Custom gap-sessionizer over flatMapGroupsWithState with
+    * event-time timeout: emits a session row once the watermark
+    * passes start-of-gap — arbitrary stateful logic beyond
+    * session_window's fixed semantics. */
+  final case class Session(key: Long, start: Timestamp, end: Timestamp,
+      nEvents: Long)
+  final case class SessState(start: Long, end: Long, n: Long)
+
+  def sessionizeWithState(events: Dataset[(Long, Timestamp)],
+      gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .toDF("key", "ts")
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Timestamp)],
+         state: GroupState[SessState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed: close and emit the session
+            val s = state.get
+            state.remove()
+            Iterator(Session(key, new Timestamp(s.start),
+              new Timestamp(s.end), s.n))
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq.sorted
+            val closed = scala.collection.mutable.Buffer[Session]()
+            var cur = state.getOption.orNull
+            ts.foreach { t =>
+              cur match {
+                case null => cur = SessState(t, t, 1L)
+                case s if t - s.end <= gapMs =>
+                  cur = SessState(s.start, math.max(s.end, t), s.n + 1)
+                case s =>
+                  closed += Session(key, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n)
+                  cur = SessState(t, t, 1L)
+              }
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.end + gapMs)
+            closed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+
+/** Structured Streaming semantics (G12) under MemoryStream: window
+  * aggregation across micro-batches, watermark late-data drop,
+  * watermark-bounded dedup, and arbitrary keyed state.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def processAll(q: org.apache.spark.sql.streaming
+      .StreamingQuery): Unit = {
+    q.processAllAvailable()
+  }
+
+  test("tumbling agg with watermark drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "key", "value")
+    val out = StreamOps.tumblingAgg(events, "ts", "key",
+      "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("tumble")
+      .outputMode("update").start()
+
+    in.addData((ts("2024-01-01 00:01:00"), 1L, 1.0),
+      (ts("2024-01-01 00:04:00"), 1L, 2.0))
+    processAll(q)
+    // advance watermark far past the first window…
+    in.addData((ts("2024-01-01 01:00:00"), 1L, 5.0))
+    processAll(q)
+    // …then a late event for the closed 00:00 window: dropped
+    in.addData((ts("2024-01-01 00:02:00"), 1L, 100.0))
+    processAll(q)
+    q.stop()
+
+    val rows = spark.table("tumble")
+      .select(date_format($"window.start", "HH:mm").as("w"), $"n",
+        $"sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows.contains(("00:00", 2L, 3.0))) // late 100.0 not added
+    assert(!rows.exists(r => r._1 == "00:00" && r._3 > 3.0))
+    assert(rows.contains(("01:00", 1L, 5.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses dups inside the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val out = StreamOps.dedupWithinWatermark(
+      in.toDF().toDF("ts", "k"), "ts", "10 minutes", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    in.addData((ts("2024-01-01 00:00:00"), "a"),
+      (ts("2024-01-01 00:01:00"), "a"),
+      (ts("2024-01-01 00:02:00"), "b"))
+    processAll(q)
+    in.addData((ts("2024-01-01 00:03:00"), "a")) // still within watermark
+    processAll(q)
+    q.stop()
+    val ks = spark.table("dedup").select($"k").as[String].collect()
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(ks == Map("a" -> 1, "b" -> 1))
+  }
+
+  test("session_window groups by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val out = StreamOps.sessionAgg(events, "ts", "user_id",
+      "5 minutes", "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    in.addData(
+      (ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (ts("2024-01-01 00:03:00"), 1L, 1.0), // same session (3m gap)
+      (ts("2024-01-01 00:20:00"), 1L, 1.0)) // new session
+    processAll(q)
+    // push watermark forward so sessions finalize (append mode)
+    in.addData((ts("2024-01-01 02:00:00"), 9L, 0.0))
+    processAll(q)
+    q.stop()
+    val sessions = spark.table("sess")
+      .filter($"user_id" === 1L)
+      .select($"n_events".as[Long]).collect().sorted.toSeq
+    assert(sessions == Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = StreamOps.runningCounts(in.toDS())
+    val q = out.writeStream.format("memory").queryName("counts")
+      .outputMode("update").start()
+    in.addData((1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:01:00")), (2L, ts("2024-01-01 00:00:30")))
+    processAll(q)
+    in.addData((1L, ts("2024-01-01 00:05:00")))
+    processAll(q)
+    q.stop()
+    val last = spark.table("counts")
+      .groupBy($"key").agg(max($"n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(last == Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = StreamOps.sessionizeWithState(in.toDS(),
+      gapMs = 5 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("fsess")
+      .outputMode("append").start()
+    in.addData((1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:02:00")))
+    processAll(q)
+    // jump event time far forward → watermark passes, session times out
+    in.addData((1L, ts("2024-01-01 03:00:00")))
+    processAll(q)
+    in.addData((1L, ts("2024-01-01 06:00:00")))
+    processAll(q)
+    q.stop()
+    val done = spark.table("fsess")
+      .select($"nEvents".as[Long]).collect().toSeq
+    assert(done.contains(2L)) // first session (2 events) closed
+  }
+}
