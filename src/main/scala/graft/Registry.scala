@@ -7,5 +7,6 @@ object Registry {
     queries.Relational.all ++ queries.Joins.all ++
       queries.SemiStructured.all ++ queries.Text.all ++
       queries.DedupQ.all ++ queries.SimilarityQ.all ++
-      queries.EventsQ.all ++ queries.Parity.all
+      queries.EventsQ.all ++ queries.Parity.all ++
+      queries.MultimodalQ.all
 }
