@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression,
+  ExpressionInfo}
+
+import graft.functions.{VecDot, VectorizeDotProduct}
+
+/** Engine extension point (SparkSessionExtensions): registers the
+  * native [[graft.functions.VecDot]] kernel as SQL function
+  * `vec_dot(a, b)` and installs the
+  * [[graft.functions.VectorizeDotProduct]] optimizer rule that
+  * auto-rewrites HOF dot products into it.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done
+  * by [[Tables.configure]]) or `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"vec_dot expects 2 arguments, got ${children.size}")
+        VecDot(children.head, children(1))
+      }))
+    ext.injectOptimizerRule(_ => VectorizeDotProduct)
+  }
+}

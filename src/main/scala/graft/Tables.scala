@@ -24,6 +24,7 @@ object Tables {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
