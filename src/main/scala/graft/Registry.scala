@@ -8,5 +8,6 @@ object Registry {
       queries.SemiStructured.all ++ queries.Text.all ++
       queries.DedupQ.all ++ queries.SimilarityQ.all ++
       queries.EventsQ.all ++ queries.Parity.all ++
-      queries.MultimodalQ.all ++ queries.Udaf.all
+      queries.MultimodalQ.all ++ queries.Udaf.all ++
+      queries.SqlSurface.all
 }

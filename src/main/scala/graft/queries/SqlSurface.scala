@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{Model, Qry}
+
+/** SQL front-end surface: the engine's tables exposed as views and
+  * queried through `spark.sql`, proving the declarative path
+  * (including the extension-registered `vec_dot`) end-to-end. The
+  * oracle is the very same SQL minus Spark-isms — dialect parity.
+  */
+object SqlSurface {
+
+  /** Star join + agg written purely in SQL, executed by Catalyst —
+    * same plan class as the DataFrame twin (q12). */
+  val q45 = Qry(
+    "q45_sql_frontend",
+    (s: SparkSession, d: String) => {
+      Model.registerViews(s, d)
+      s.sql(s"""
+        SELECT n_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice, 2)
+                 AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY n_name
+        ORDER BY n_name""")
+    },
+    Some("""
+      SELECT n_name,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice, 2)
+               AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderstatus = 'O'
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
+  /** `vec_dot` through the SQL front-end: self-similarity norms —
+    * the custom expression behind plain SQL, oracled by the
+    * list_reduce fold. */
+  val q46 = Qry(
+    "q46_sql_vec_dot",
+    (s: SparkSession, d: String) => {
+      Model.registerViews(s, d)
+      s.sql("""
+        SELECT vec_id,
+               ROUND(vec_dot(embedding, embedding), 6) AS norm_sq
+        FROM embeddings
+        WHERE vec_id < 50
+        ORDER BY vec_id""")
+    },
+    Some("""
+      SELECT vec_id,
+             ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(list_zip(embedding, embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+               (acc, x) -> acc + x), 6) AS norm_sq
+      FROM embeddings WHERE vec_id < 50
+      ORDER BY vec_id"""))
+
+  val all: Seq[Qry] = Seq(q45, q46)
+}
