@@ -9,5 +9,5 @@ object Registry {
       queries.DedupQ.all ++ queries.SimilarityQ.all ++
       queries.EventsQ.all ++ queries.Parity.all ++
       queries.MultimodalQ.all ++ queries.Udaf.all ++
-      queries.SqlSurface.all
+      queries.SqlSurface.all ++ queries.Scale.all
 }

@@ -67,17 +67,24 @@ object Dedup {
     val sh = docs.select(
       col(idCol).as("id"),
       shingleSet(col(textCol), n).as("shingles"))
-    val banded = sh.select(col("id"), col("shingles"),
-        explode(bandKeys(minhashSignature(col("shingles"), k),
-          bands, rows)).as("band_key"))
-    val l = banded.select(col("band_key"),
-      col("id").as("a"), col("shingles").as("sh_a"))
-    val r = banded.select(col("band_key"),
-      col("id").as("b"), col("shingles").as("sh_b"))
-    l.join(r, Seq("band_key"))
+    // Only (band_key, id) goes through the band shuffle — the
+    // shingle arrays (the heavy payload at corpus scale) are joined
+    // back onto the DEDUPED candidate pairs afterwards, so each
+    // array crosses the wire once per surviving pair side, not once
+    // per band per candidate.
+    val banded = sh.select(col("id"),
+      explode(bandKeys(minhashSignature(col("shingles"), k),
+        bands, rows)).as("band_key"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"), Seq("band_key"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("id").as("a"), col("shingles").as("sh_a")),
+        Seq("a"))
+      .join(sh.select(col("id").as("b"), col("shingles").as("sh_b")),
+        Seq("b"))
       .select(col("a"), col("b"),
         round(setJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)

@@ -46,7 +46,7 @@ object Similarity {
       col(embCol).as("n_emb"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
-    q.crossJoin(c)
+    broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         cosine(col("q_emb"), col("n_emb")).as("cos"))

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Qry, Tables}
+import graft.operators.Skew
+import Q._
+
+/** Scale-technique queries: salted aggregation (skew spreading) and
+  * sketch aggregates. The salted plan must produce EXACTLY the plain
+  * groupBy's numbers — that equivalence is what the oracle checks.
+  */
+object Scale {
+
+  /** Salted two-phase aggregation over a deliberately skewed key
+    * (event_type: 5 values for every row — the pathological
+    * all-hot-keys case). Oracle = the plain one-phase SQL. */
+  val q47 = Qry(
+    "q47_salted_agg",
+    (s: SparkSession, d: String) =>
+      Skew.saltedSumCount(
+          Tables.events(s, d), "event_type", "value",
+          saltSource = "event_id", salts = 16)
+        .orderBy(col("event_type")),
+    Some(s"""
+      SELECT event_type,
+             ${dsumSql("value", 2)} AS sum_value,
+             COUNT(*) AS n,
+             MIN(value) AS min_value,
+             MAX(value) AS max_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** HLL sketch cardinality (G5 approx path): no cross-engine hash
+    * contract is possible for sketches, so the driver records the
+    * weaker rows-only check (oracle=None); the exact/approx agreement
+    * is asserted in ScalaTest instead. */
+  val q48 = Qry(
+    "q48_approx_distinct",
+    (s: SparkSession, d: String) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02)
+            .as("approx_users"))
+        .orderBy(col("event_type")),
+    None)
+
+  val all: Seq[Qry] = Seq(q47, q48)
+}
