@@ -86,9 +86,12 @@ object SemiStructured {
           element_at(col("prices"), -1).as("dearest"),
           round(aggregate(col("prices"), lit(0d), (acc, x) => acc + x), 2)
             .as("total"),
+          // round to the exact 3-decimal grid of the 0.9-scaled terms
+          // (a 2-decimal round can land on a .005 tie where Java
+          // HALF_UP and C round-to-binary disagree)
           round(aggregate(
             filter(col("prices"), x => x > 100000d),
-            lit(0d), (acc, x) => acc + x * 0.9), 2).as("big_discounted"))
+            lit(0d), (acc, x) => acc + x * 0.9), 3).as("big_discounted"))
         .orderBy(col("o_custkey"))
     },
     Some("""
@@ -105,7 +108,7 @@ object SemiStructured {
              ROUND(list_reduce(
                list_prepend(0.0::DOUBLE,
                  list_filter(prices, x -> x > 100000)),
-               (acc, x) -> acc + x * 0.9), 2) AS big_discounted
+               (acc, x) -> acc + x * 0.9), 3) AS big_discounted
       FROM per_cust ORDER BY o_custkey"""))
 
   /** Map construction + decode: map literal as a lookup table
