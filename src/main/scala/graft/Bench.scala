@@ -22,7 +22,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .limit(1000).write.format("noop").mode("overwrite").save()
+      .limit(5000)
+      .selectExpr("l_returnflag",
+        "cast(round(l_quantity, 2) as decimal(18,2)) q")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("q"))
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions._
   *    never nullable (coalesce first when they could be).
   */
 object Q {
-  /** Exact cross-engine sum of a fixed-scale numeric term. */
+  /** Exact cross-engine sum of a fixed-scale numeric term.
+    * decimal(18,s) per-term keeps the value Long-backed (fast path);
+    * both engines widen the SUM accumulator (Spark → precision+10,
+    * DuckDB → 38) so the running total can't overflow. */
   def dsum(c: Column, scale: Int): Column =
-    sum(round(c, scale).cast(s"decimal(27,$scale)")).cast("double")
+    sum(round(c, scale).cast(s"decimal(18,$scale)")).cast("double")
 
   /** DuckDB rendering of [[dsum]]. */
   def dsumSql(expr: String, scale: Int): String =
-    s"CAST(SUM(CAST(ROUND($expr, $scale) AS DECIMAL(27,$scale))) AS DOUBLE)"
+    s"CAST(SUM(CAST(ROUND($expr, $scale) AS DECIMAL(18,$scale))) AS DOUBLE)"
 
   /** Exact cross-engine average: decimal sum divided by count, both
     * cast to double before the (deterministic) division. */
