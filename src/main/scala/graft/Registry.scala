@@ -9,5 +9,6 @@ object Registry {
       queries.DedupQ.all ++ queries.SimilarityQ.all ++
       queries.EventsQ.all ++ queries.Parity.all ++
       queries.MultimodalQ.all ++ queries.Udaf.all ++
-      queries.SqlSurface.all ++ queries.Scale.all
+      queries.SqlSurface.all ++ queries.Scale.all ++
+      queries.Extras.all
 }
