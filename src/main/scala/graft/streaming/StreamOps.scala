@@ -66,6 +66,20 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join: each left event joined to right
+    * events of the same key within `[l.ts - window, l.ts]`. Both
+    * sides watermarked so join state is bounded and evicted — the
+    * only join shape that runs forever on two infinite inputs. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, watermark: String, window: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND " +
+        s"l.$tsCol >= r.$tsCol AND " +
+        s"l.$tsCol <= r.$tsCol + interval $window"))
+  }
+
   /** Running per-key state via mapGroupsWithState: arbitrary
     * cross-batch state the reference lacks entirely (its state dies
     * with each invocation). Tracks per-key event count and last-seen
