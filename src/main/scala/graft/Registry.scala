@@ -10,5 +10,6 @@ object Registry {
       queries.EventsQ.all ++ queries.Parity.all ++
       queries.MultimodalQ.all ++ queries.Udaf.all ++
       queries.SqlSurface.all ++ queries.Scale.all ++
-      queries.Extras.all ++ queries.Subqueries.all
+      queries.Extras.all ++ queries.Subqueries.all ++
+      queries.CurateQ.all
 }

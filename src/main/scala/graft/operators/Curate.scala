@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation (the composed LLM-training-data
+  * pipeline the build brief asks for): normalize → quality filter →
+  * exact dedup → near-dup removal, all from the verified operator
+  * library. One call takes a raw document table to a training-ready
+  * corpus.
+  *
+  * Scale shape: normalization/quality are shuffle-free map work;
+  * exact dedup shuffles once on the content hash; near-dup is the
+  * LSH path (band shuffle on ids only). Nothing quadratic, nothing
+  * driver-side.
+  *
+  * Near-dup policy: greedy keep-earliest — any doc appearing as the
+  * LATER member (`b`) of a confirmed near-dup pair (a < b) is
+  * dropped. Deterministic and single-pass; full
+  * connected-components clustering (a GraphX/iterative step) is the
+  * documented upgrade path when transitive chains matter.
+  */
+object Curate {
+
+  /** Whitespace/digit/case normalization (the q56 cleaning pass). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[0-9]+", ""), "\\s+", " "))
+
+  /** @param docs         (idCol, textCol) document table
+    * @param stopwords    quality-scoring stop list
+    * @param minQuality   drop docs scoring below this
+    * @param n            shingle size for near-dup
+    * @param k            minhash signature length
+    * @param bands        LSH bands (k % bands == 0)
+    * @param minJaccard   near-dup confirmation threshold
+    * @return surviving docs: (id, clean, quality)
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a"),
+      minQuality: Double = 0.5, n: Int = 3, k: Int = 6,
+      bands: Int = 3, minJaccard: Double = 0.9): DataFrame = {
+    val cleaned = docs.select(col(idCol).as("id"),
+        normalize(col(textCol)).as("clean"))
+      .withColumn("quality", TextOps.qualityScore(col("clean"),
+        stopwords))
+      .filter(col("quality") >= minQuality)
+    // exact dedup: keep the smallest id per identical clean text
+    val exact = cleaned
+      .withColumn("__h", md5(col("clean")))
+      .withColumn("__keep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+      .filter(col("id") === col("__keep"))
+      .drop("__h", "__keep")
+    // near-dup: drop the later member of every confirmed pair
+    val pairs = Dedup.lshNearDupPairs(exact, "id", "clean",
+      n = n, k = k, bands = bands, minJaccard = minJaccard)
+    val dropIds = pairs.select(col("b").as("id")).distinct()
+    exact.join(dropIds, Seq("id"), "left_anti")
+  }
+}

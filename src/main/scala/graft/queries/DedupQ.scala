@@ -20,30 +20,30 @@ object DedupQ {
   private val K = 6       // minhash signature length
   private val BANDS = 3   // LSH bands (K/BANDS rows each)
 
-  private val toksSql =
+  private[queries] val toksSql =
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   /** DuckDB shingle set (distinct word n-grams). */
-  private def shinglesSql(n: Int): String =
+  private[queries] def shinglesSql(n: Int): String =
     s"""CASE WHEN len($toksSql) < $n THEN []::VARCHAR[]
         ELSE list_distinct(list_transform(
           range(0, len($toksSql) - $n + 1),
           i -> array_to_string(list_slice($toksSql, i + 1, i + $n), ' ')))
         END"""
 
-  private def minhashSql(k: Int): String =
+  private[queries] def minhashSql(k: Int): String =
     "[" + (0 until k).map(s =>
       s"list_min(list_transform(shingles, g -> md5('$s#' || g)))")
       .mkString(", ") + "]"
 
-  private def bandKeysSql(bands: Int, rows: Int): String =
+  private[queries] def bandKeysSql(bands: Int, rows: Int): String =
     "[" + (0 until bands).map { j =>
       val parts = ("'" + j + "'") +: (1 to rows).map(r =>
         s"sig[${j * rows + r}]")
       s"md5(${parts.mkString(" || '|' || ")})"
     }.mkString(", ") + "]"
 
-  private val jaccardSql =
+  private[queries] val jaccardSql =
     """CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
        ELSE len(list_intersect(sh_a, sh_b)) * 1.0
             / len(list_distinct(list_concat(sh_a, sh_b))) END"""
