@@ -43,13 +43,21 @@ case class VecDot(left: Expression, right: Expression)
 
   override def prettyName: String = "vec_dot"
 
+  // HOF-equivalence contract (the rewrite rule depends on it):
+  // zip_with pads the shorter array with nulls and a null product
+  // poisons the fold to NULL — so unequal lengths or any null
+  // element must yield NULL here too.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0d
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -63,10 +71,18 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
         double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) {
+              ${ev.isNull} = true;
+              break;
+            }
+            $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+          }
         }
         ${ev.value} = $acc;
       """

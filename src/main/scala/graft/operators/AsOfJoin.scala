@@ -35,6 +35,12 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(payload.forall(right.columns.contains),
+      s"payload columns ${payload.filterNot(right.columns.contains)} " +
+        "missing from right side")
+    require(payload.forall(!leftCols.contains(_)),
+      s"payload columns ${payload.filter(leftCols.contains)} collide " +
+        "with left-side columns — alias them first")
     // tag 0 = right/build, 1 = left/probe; right wins ties at equal ts.
     val taggedRight = right.select(
       col(key) +: col(ts) +: lit(0).as("__side") +:

@@ -65,8 +65,12 @@ object Dedup {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     val sh = docs.select(
-      col(idCol).as("id"),
-      shingleSet(col(textCol), n).as("shingles"))
+        col(idCol).as("id"),
+        shingleSet(col(textCol), n).as("shingles"))
+      // docs shorter than one shingle all hash to the SAME (null)
+      // signature — without this filter they form one giant LSH
+      // bucket and the candidate join goes quadratic at scale
+      .filter(size(col("shingles")) > 0)
     // Only (band_key, id) goes through the band shuffle — the
     // shingle arrays (the heavy payload at corpus scale) are joined
     // back onto the DEDUPED candidate pairs afterwards, so each

@@ -36,6 +36,25 @@ class VecDotSpec extends SparkSpec {
     }
   }
 
+  test("VecDot matches HOF on unequal lengths and null elements") {
+    // zip_with pads + null-poisons the fold → NULL; VecDot must agree
+    val rows = spark.sql(
+      """SELECT
+           vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+                   array(CAST(1 AS FLOAT))) AS unequal,
+           vec_dot(array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)),
+                   array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)))
+             AS withnull""").collect()(0)
+    assert(rows.isNullAt(0) && rows.isNullAt(1))
+    val hof = spark.sql(
+      """SELECT aggregate(zip_with(
+           array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+           array(CAST(1 AS FLOAT)),
+           (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").collect()(0)
+    assert(hof.isNullAt(0)) // confirms the contract we mirror
+  }
+
   test("VecDot null semantics: null array → null result") {
     val out = spark.sql(
       "SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), " +
