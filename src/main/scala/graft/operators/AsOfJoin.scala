@@ -35,31 +35,47 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(payload.forall(right.columns.contains),
-      s"payload columns ${payload.filterNot(right.columns.contains)} " +
+    // Spark resolves column names case-insensitively by default, so
+    // the guards must too; duplicates would alias-collide later.
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val rightLc = right.columns.map(lc).toSet
+    val leftLc = leftCols.map(lc).toSet
+    require(payload.map(lc).distinct.size == payload.size,
+      s"duplicate payload columns in $payload")
+    require(payload.forall(c => rightLc.contains(lc(c))),
+      s"payload columns ${payload.filterNot(c => rightLc.contains(lc(c)))} " +
         "missing from right side")
-    require(payload.forall(!leftCols.contains(_)),
-      s"payload columns ${payload.filter(leftCols.contains)} collide " +
-        "with left-side columns — alias them first")
+    require(payload.forall(c => !leftLc.contains(lc(c))),
+      s"payload columns ${payload.filter(c => leftLc.contains(lc(c)))} " +
+        "collide with left-side columns — alias them first")
+    // The whole right-row payload travels as ONE struct: right rows
+    // carry a non-null struct (even if every field in it is null),
+    // left rows carry a null struct. last(_, ignoreNulls) then picks
+    // the latest right ROW atomically — a null field in the true
+    // as-of row is preserved (never replaced by a stale older row),
+    // and multiple payload columns can never tear across rows.
+    val payloadStruct = struct(payload.map(col): _*)
+    val payloadType = {
+      val r = right.select(payloadStruct.as("__p"))
+      r.schema("__p").dataType
+    }
     // tag 0 = right/build, 1 = left/probe; right wins ties at equal ts.
     val taggedRight = right.select(
       col(key) +: col(ts) +: lit(0).as("__side") +:
         leftCols.filterNot(c => c == key || c == ts)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        payload.map(c => col(c).as(s"__p_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("__p"): _*)
     val taggedLeft = left.select(
       col(key) +: col(ts) +: lit(1).as("__side") +:
-        leftCols.filterNot(c => c == key || c == ts).map(col) ++:
-        payload.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"__p_$c")): _*)
+        leftCols.filterNot(c => c == key || c == ts).map(col) :+
+        lit(null).cast(payloadType).as("__p"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
-      .select((leftCols.map(col) ++ payload.map(c =>
-        last(col(s"__p_$c"), ignoreNulls = true).over(w).as(c)) :+
-        col("__side")): _*)
+      .withColumn("__pLast", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__pLast.$c").as(c)): _*)
   }
 }

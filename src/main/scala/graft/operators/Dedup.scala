@@ -95,11 +95,16 @@ object Dedup {
   }
 
   /** Brute-force all-pairs shingle Jaccard (the quadratic baseline
-    * LSH replaces; only for bounded subsets / verification). */
+    * LSH replaces; only for bounded subsets / verification).
+    * Contract note (shared with [[lshNearDupPairs]]): documents
+    * shorter than one shingle have NO shingle set and are excluded
+    * from pairing entirely — they are not "near" anything, and at
+    * scale they would otherwise all collide into one LSH bucket. */
   def shingleJaccard(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      shingleSet(col(textCol), n).as("shingles"))
+        shingleSet(col(textCol), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
     val l = sh.select(col("id").as("a"), col("shingles").as("sh_a"))
     val r = sh.select(col("id").as("b"), col("shingles").as("sh_b"))
     l.crossJoin(r).filter(col("a") < col("b"))

@@ -27,6 +27,30 @@ class OperatorSpec extends SparkSpec {
     assert(out("p3") == null)   // no right row at-or-before
   }
 
+  test("asof: NULL payload on the true as-of row is preserved, not stale-filled") {
+    val left = Seq((1L, 3L, "probe")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 1L, Some("x"), Some(10L)),
+      (1L, 2L, None, Some(20L)))
+      .toDF("k", "ts", "p", "q")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("p", "q"))
+      .select($"p", $"q").as[(Option[String], Option[Long])].head()
+    // the ts=2 row is the as-of match: its NULL p must win (no
+    // stale 'x' from ts=1), and q must come from the SAME row (20)
+    assert(out == ((None, Some(20L))))
+  }
+
+  test("asof: payload guards are case-insensitive and reject dups") {
+    val left = Seq((1L, 1L, "v")).toDF("k", "ts", "value")
+    val right = Seq((1L, 1L, "w")).toDF("k", "ts", "Value")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "k", "ts", Seq("Value"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right.withColumnRenamed("Value", "w"),
+        "k", "ts", Seq("w", "w"))
+    }
+  }
+
   // ---- Dedup ------------------------------------------------------
 
   test("minhash: identical texts → identical signatures; jaccard 1") {
