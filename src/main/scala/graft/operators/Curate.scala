@@ -45,13 +45,18 @@ object Curate {
       .withColumn("quality", TextOps.qualityScore(col("clean"),
         stopwords))
       .filter(col("quality") >= minQuality)
-    // exact dedup: keep the smallest id per identical clean text
+    // exact dedup: keep the smallest id per identical clean text.
+    // Persisted because it feeds BOTH the near-dup candidate search
+    // and the final anti-join — without it the whole scan+window
+    // recomputes twice. Caller may unpersist via the returned plan's
+    // lineage once consumed; at 100 TB use MEMORY_AND_DISK (default).
     val exact = cleaned
       .withColumn("__h", md5(col("clean")))
       .withColumn("__keep", min(col("id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
       .filter(col("id") === col("__keep"))
       .drop("__h", "__keep")
+      .persist()
     // near-dup: drop the later member of every confirmed pair
     val pairs = Dedup.lshNearDupPairs(exact, "id", "clean",
       n = n, k = k, bands = bands, minJaccard = minJaccard)
