@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Qry, Tables}
+import Q._
+
+/** Window-function completion (G7 frames + rank family) and the
+  * datetime scalar sweep (G10 date side).
+  */
+object Windows2 {
+
+  /** RANGE frames (value-based, not row-based): per-customer sum of
+    * orders within ±30 days of each order, plus frame-positional
+    * nth_value / first / last over explicit ROWS frames. */
+  val q58 = Qry(
+    "q58_window_frames",
+    (s: SparkSession, d: String) => {
+      val byDay = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day_num"))
+        .rangeBetween(-30, 30)
+      val rows3 = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 40)
+        .withColumn("day_num",
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          col("day_num"),
+          dsumW(col("o_totalprice"), 2, byDay).as("near_spend"),
+          count(lit(1)).over(byDay).as("near_orders"),
+          first(col("o_orderkey")).over(rows3).as("first_key"),
+          nth_value(col("o_orderkey"), 2).over(rows3).as("second_key"))
+        .na.fill(-1L, Seq("second_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some(s"""
+      SELECT o_custkey, o_orderkey, day_num,
+             CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+               OVER near AS DOUBLE) AS near_spend,
+             COUNT(*) OVER near AS near_orders,
+             FIRST_VALUE(o_orderkey) OVER seq AS first_key,
+             COALESCE(NTH_VALUE(o_orderkey, 2) OVER seq, -1)
+               AS second_key
+      FROM (SELECT *, DATE_DIFF('day', DATE '1992-01-01',
+              CAST(o_orderdate AS DATE)) AS day_num
+            FROM orders WHERE o_custkey < 40)
+      WINDOW near AS (PARTITION BY o_custkey ORDER BY day_num
+               RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING),
+             seq AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  private def dsumW(c: org.apache.spark.sql.Column, scale: Int,
+      w: org.apache.spark.sql.expressions.WindowSpec) =
+    sum(round(c, scale).cast(s"decimal(18,$scale)")).over(w)
+      .cast("double")
+
+  /** Rank family: ntile, percent_rank, cume_dist + bool aggregates
+    * (every/any) per group. */
+  val q59 = Qry(
+    "q59_rank_family",
+    (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 60)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          (col("o_totalprice") > 100000).as("big"))
+        .groupBy(col("o_orderstatus"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("pct_rank")), 6).as("min_pr"),
+          round(max(col("cume")), 6).as("max_cd"),
+          bool_and(col("big")).as("all_big"),
+          bool_or(col("big")).as("any_big"))
+        .orderBy(col("o_orderstatus"), col("quartile"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT o_orderstatus, o_orderkey,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume,
+               o_totalprice > 100000 AS big
+        FROM orders WHERE o_custkey < 60
+        WINDOW w AS (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice, o_orderkey))
+      SELECT o_orderstatus, quartile, COUNT(*) AS n,
+             ROUND(MIN(pct_rank), 6) AS min_pr,
+             ROUND(MAX(cume), 6) AS max_cd,
+             BOOL_AND(big) AS all_big,
+             BOOL_OR(big) AS any_big
+      FROM ranked
+      GROUP BY o_orderstatus, quartile
+      ORDER BY o_orderstatus, quartile"""))
+
+  /** Datetime scalar sweep (G10): trunc, extract, diff, add/sub,
+    * last_day, day-of-week arithmetic — all on event timestamps. */
+  val q60 = Qry(
+    "q60_datetime_sweep",
+    (s: SparkSession, d: String) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 200)
+        .select(col("event_id"),
+          date_format(date_trunc("week", col("ts")),
+            "yyyy-MM-dd").as("week_start"),
+          year(col("ts")).as("y"),
+          month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("dom"),
+          dayofweek(col("ts")).as("dow"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("mi"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).as("days_since"),
+          date_format(add_months(col("ts").cast("date"), 2),
+            "yyyy-MM-dd").as("plus2mo"),
+          date_format(last_day(col("ts").cast("date")),
+            "yyyy-MM-dd").as("month_end"),
+          unix_micros(col("ts")).as("epoch_us"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             STRFTIME(date_trunc('week', CAST(ts AS TIMESTAMP)),
+               '%Y-%m-%d') AS week_start,
+             EXTRACT(year FROM ts) AS y,
+             EXTRACT(month FROM ts) AS m,
+             EXTRACT(day FROM ts) AS dom,
+             EXTRACT(dow FROM ts) + 1 AS dow,
+             EXTRACT(hour FROM ts) AS h,
+             EXTRACT(minute FROM ts) AS mi,
+             DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS days_since,
+             STRFTIME(CAST(ts AS DATE) + INTERVAL 2 MONTH,
+               '%Y-%m-%d') AS plus2mo,
+             STRFTIME(last_day(CAST(ts AS DATE)), '%Y-%m-%d')
+               AS month_end,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS epoch_us
+      FROM events WHERE event_id < 200
+      ORDER BY event_id"""))
+
+  val all: Seq[Qry] = Seq(q58, q59, q60)
+}

@@ -18,7 +18,9 @@ class RegistrySpec extends SparkSpec {
       "part", "orders", "lineitem", "events", "documents",
       "embeddings")
     Registry.all.flatMap(q => q.oracle.map(q.name -> _)).foreach {
-      case (name, sql) =>
+      case (name, sql0) =>
+        // EXTRACT(unit FROM expr) is not a relation reference
+        val sql = sql0.replaceAll("(?i)EXTRACT\\s*\\([^)]*\\)", "")
         val froms = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         val cteNames =
