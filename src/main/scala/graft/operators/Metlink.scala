@@ -108,6 +108,20 @@ object Metlink {
   def falsyToNaN(c: Column): Column =
     when(c.isNull || c === 0d, lit(Double.NaN)).otherwise(c)
 
+  /** JS-exact `toFixed(1)` (task.ts:280): ECMA toFixed rounds the
+    * EXACT binary expansion of the double to 1 decimal, ties toward
+    * +∞. Java's `%.1f` differs (it HALF_UPs the SHORTEST decimal
+    * repr: 6.55 → "6.6", where JS gives "6.5" because the exact
+    * binary value is 6.5499…), and `floor(x*10+0.5)` is corrupted
+    * by the ×10 multiply itself rounding. Only
+    * `new java.math.BigDecimal(x)` preserves the exact expansion,
+    * so this one formatting step is a (documented) UDF — confined
+    * to the remarks string, off every numeric path. */
+  val jsToFixed1 = udf { (x: Double) =>
+    new java.math.BigDecimal(x)
+      .setScale(1, java.math.RoundingMode.HALF_UP).toPlainString
+  }
+
   /** P5+P6 (task.ts:254-286): ordered "Key: Value" remarks block —
     * 6 fixed lines, Occupancy only when occupancy_status is present,
     * Speed (toFixed(1) m/s) only when speed is present (0 included:
@@ -127,8 +141,7 @@ object Metlink {
       when(occupancyStatus.isNotNull,
         concat(lit("Occupancy: "), decodeOccupancy(occupancyStatus))),
       when(speed.isNotNull,
-        concat(lit("Speed: "), format_string("%.1f", speed),
-          lit(" m/s"))))
+        concat(lit("Speed: "), jsToFixed1(speed), lit(" m/s"))))
 
   /** The full per-entity transform (task.ts:194-321) over an
     * already-exploded entity frame. `seq` is the arrival-order

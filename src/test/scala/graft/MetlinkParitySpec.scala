@@ -131,6 +131,16 @@ class MetlinkParitySpec extends SparkSpec {
     assert(remarks.contains("Occupancy: Not accepting passengers"))
   }
 
+  test("jsToFixed1 matches ECMA toFixed on binary-tie values") {
+    val cases = Seq(
+      6.55 -> "6.5",   // binary 6.5499… → JS "6.5" (Java %.1f: "6.6")
+      6.25 -> "6.3",   // exact binary tie → JS picks larger
+      0.0 -> "0.0", 12.34 -> "12.3", 25.0 -> "25.0", 0.05 -> "0.1")
+    val got = cases.map(_._1).toDF("x")
+      .select(Metlink.jsToFixed1($"x")).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("geometry is GeoJSON [lon, lat] order (task.ts:201)") {
     val coords = features.filter($"id" === "WLG-MetlinkShip-s2")
       .select($"geometry.coordinates").as[Seq[Double]].head()
