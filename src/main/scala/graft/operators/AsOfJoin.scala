@@ -30,10 +30,16 @@ object AsOfJoin {
     * @param key       equi-join key column name (present on both sides)
     * @param ts        event-time column name (present on both sides)
     * @param payload   right-side columns to carry to matched left rows
+    * @param tiebreak  right-side columns ordering ties at equal
+    *                  (key, ts): the row greatest under this order
+    *                  wins. Empty = caller asserts (key, ts) is
+    *                  unique on the right; with duplicates and no
+    *                  tiebreak the attached payload is
+    *                  nondeterministic across runs/retries.
     * @return left columns + payload columns (null when no prior right row)
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-           payload: Seq[String]): DataFrame = {
+           payload: Seq[String], tiebreak: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     // Spark resolves column names case-insensitively by default, so
     // the guards must too; duplicates would alias-collide later.
@@ -59,18 +65,30 @@ object AsOfJoin {
       val r = right.select(payloadStruct.as("__p"))
       r.schema("__p").dataType
     }
+    require(tiebreak.forall(c => rightLc.contains(lc(c))),
+      s"tiebreak columns ${tiebreak.filterNot(c => rightLc.contains(lc(c)))} " +
+        "missing from right side")
+    val tieNames = tiebreak.indices.map(i => s"__tie$i")
+    val tieTypes = tiebreak.map(c =>
+      right.schema(right.schema.fieldIndex(c)).dataType)
     // tag 0 = right/build, 1 = left/probe; right wins ties at equal ts.
     val taggedRight = right.select(
-      col(key) +: col(ts) +: lit(0).as("__side") +:
+      (Seq(col(key), col(ts), lit(0).as("__side")) ++
         leftCols.filterNot(c => c == key || c == ts)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        payloadStruct.as("__p"): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        tiebreak.zip(tieNames).map { case (c, t) => col(c).as(t) } ++
+        Seq(payloadStruct.as("__p"))): _*)
     val taggedLeft = left.select(
-      col(key) +: col(ts) +: lit(1).as("__side") +:
-        leftCols.filterNot(c => c == key || c == ts).map(col) :+
-        lit(null).cast(payloadType).as("__p"): _*)
+      (Seq(col(key), col(ts), lit(1).as("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        tieNames.zip(tieTypes).map { case (t, dt) =>
+          lit(null).cast(dt).as(t) } ++
+        Seq(lit(null).cast(payloadType).as("__p"))): _*)
+    // Tie columns order right rows deterministically within equal
+    // (key, ts); __side still sorts every right row before any left
+    // row at the same ts, so inclusivity is unchanged.
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts) +: col("__side") +: tieNames.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
       .withColumn("__pLast", last(col("__p"), ignoreNulls = true).over(w))

@@ -118,8 +118,17 @@ object Metlink {
     * so this one formatting step is a (documented) UDF — confined
     * to the remarks string, off every numeric path. */
   val jsToFixed1 = udf { (x: Double) =>
-    new java.math.BigDecimal(x)
-      .setScale(1, java.math.RoundingMode.HALF_UP).toPlainString
+    if (x.isNaN) "NaN"
+    else if (x.isInfinite) { if (x > 0) "Infinity" else "-Infinity" }
+    else {
+      // ECMA resolves exact ties by the LARGER n (toward +∞):
+      // HALF_UP (away from zero) for x >= 0, HALF_DOWN (toward
+      // zero) for x < 0 — e.g. (-0.25).toFixed(1) === "-0.2".
+      val mode =
+        if (x >= 0) java.math.RoundingMode.HALF_UP
+        else java.math.RoundingMode.HALF_DOWN
+      new java.math.BigDecimal(x).setScale(1, mode).toPlainString
+    }
   }
 
   /** P5+P6 (task.ts:254-286): ordered "Key: Value" remarks block —
@@ -132,12 +141,16 @@ object Metlink {
       speed: Column): Column =
     concat_ws("\n",
       concat(lit("Vehicle Type: "), vehicleType),
-      concat(lit("Vehicle ID: "), vehicleId),
+      // JS template interpolation renders absent fields as the
+      // literal "undefined" (task.ts:257,261,283-285) — only
+      // Direction gets the `?? 'Unknown'` guard (task.ts:260).
+      concat(lit("Vehicle ID: "), coalesce(vehicleId, lit("undefined"))),
       concat(lit("Route ID: "), routeId),
       concat(lit("Trip ID: "), tripId),
       concat(lit("Direction: "),
         coalesce(directionId.cast("string"), lit("Unknown"))),
-      concat(lit("Start Time: "), startTime),
+      concat(lit("Start Time: "),
+        coalesce(startTime, lit("undefined"))),
       when(occupancyStatus.isNotNull,
         concat(lit("Occupancy: "), decodeOccupancy(occupancyStatus))),
       when(speed.isNotNull,

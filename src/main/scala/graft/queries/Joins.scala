@@ -102,7 +102,8 @@ object Joins {
         FROM orders GROUP BY o_custkey)
       SELECT c_mktsegment,
              COUNT(*) AS n_customers,
-             SUM(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END) AS n_inactive,
+             CAST(SUM(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_inactive,
              ${dsumSql("COALESCE(spend, 0)", 2)} AS segment_spend
       FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
@@ -190,7 +191,8 @@ object Joins {
         .select(col("user_id"), col("ts"),
           col("event_id").as("signup_event_id"))
       AsOfJoin.asOf(purchases, signups, key = "user_id", ts = "ts",
-          payload = Seq("signup_event_id"))
+          payload = Seq("signup_event_id"),
+          tiebreak = Seq("signup_event_id"))
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
           col("value"),

@@ -31,10 +31,12 @@ object Scale {
              MAX(value) AS max_value
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  /** HLL sketch cardinality (G5 approx path): no cross-engine hash
-    * contract is possible for sketches, so the driver records the
-    * weaker rows-only check (oracle=None); the exact/approx agreement
-    * is asserted in ScalaTest instead. */
+  /** HLL sketch cardinality (G5 approx path). Sketch estimates are
+    * engine-specific, so the hashable contract is: each engine runs
+    * ITS OWN sketch and asserts it lands within 5% of the exact
+    * count — the hashed projection is (exact count, within-tolerance
+    * boolean), both deterministic on both engines. The raw estimate
+    * accuracy bound is additionally asserted in ScalaTest. */
   val q48 = Qry(
     "q48_approx_distinct",
     (s: SparkSession, d: String) =>
@@ -43,9 +45,18 @@ object Scale {
         .agg(
           countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.02)
-            .as("approx_users"))
+            .as("__approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users")) <=
+            lit(0.05) * col("exact_users")).as("approx_ok"))
         .orderBy(col("event_type")),
-    None)
+    Some("""
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS exact_users,
+             (ABS(approx_count_distinct(user_id)
+                  - COUNT(DISTINCT user_id))
+               <= 0.05 * COUNT(DISTINCT user_id)) AS approx_ok
+      FROM events GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Qry] = Seq(q47, q48)
 }
