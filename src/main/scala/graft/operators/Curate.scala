@@ -46,17 +46,23 @@ object Curate {
         stopwords))
       .filter(col("quality") >= minQuality)
     // exact dedup: keep the smallest id per identical clean text.
-    // Persisted because it feeds BOTH the near-dup candidate search
-    // and the final anti-join — without it the whole scan+window
-    // recomputes twice. Caller may unpersist via the returned plan's
-    // lineage once consumed; at 100 TB use MEMORY_AND_DISK (default).
+    // The frame feeds THREE consumers (band keys, shingle join-back,
+    // final anti-join); a lazy .persist() lets parallel stages of the
+    // single downstream action race to populate the cache and
+    // re-evaluate the scan+window per consumer. Eager localCheckpoint
+    // materializes it exactly once, truncates the lineage (the
+    // downstream plan reads blocks, never the scan), and is reclaimed
+    // by the ContextCleaner when unreferenced — no unpersist
+    // obligation on the caller. At cluster scale prefer a reliable
+    // checkpoint dir (localCheckpoint blocks are executor-local and
+    // non-replicated, so an executor loss kills the job).
     val exact = cleaned
       .withColumn("__h", md5(col("clean")))
       .withColumn("__keep", min(col("id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
       .filter(col("id") === col("__keep"))
       .drop("__h", "__keep")
-      .persist()
+      .localCheckpoint(true)
     // near-dup: drop the later member of every confirmed pair
     val pairs = Dedup.lshNearDupPairs(exact, "id", "clean",
       n = n, k = k, bands = bands, minJaccard = minJaccard)
