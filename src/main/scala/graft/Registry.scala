@@ -11,5 +11,6 @@ object Registry {
       queries.MultimodalQ.all ++ queries.Udaf.all ++
       queries.SqlSurface.all ++ queries.Scale.all ++
       queries.Extras.all ++ queries.Subqueries.all ++
-      queries.CurateQ.all ++ queries.Windows2.all
+      queries.CurateQ.all ++ queries.Windows2.all ++
+      queries.ComponentsQ.all
 }

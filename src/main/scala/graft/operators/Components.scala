@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected pair graph by iterative
+  * min-label propagation — the transitive-closure upgrade to
+  * [[Curate]]'s greedy pairwise near-dup policy: chains A≈B≈C with
+  * A≉C land in ONE cluster, so dedup keeps exactly one doc per
+  * cluster instead of over-/under-dropping by id order.
+  *
+  * Algorithm: every node starts labeled with its own id; each round
+  * every node takes the min label among itself and its neighbors;
+  * fixpoint = each component uniformly labeled with its min node id.
+  * Rounds needed = graph diameter, and near-dup graphs are shallow
+  * (long chains of pairwise-similar-but-transitively-different docs
+  * are rare), so convergence is a handful of rounds.
+  *
+  * Scale shape: one round = one shuffle of |nodes| + |edges| rows
+  * (groupBy id) — no per-node state on the driver, no adjacency
+  * materialization. Each round's result is eagerly
+  * `localCheckpoint`ed: the loop would otherwise stack lineage into
+  * an exponentially re-evaluated plan. The alternating
+  * large-star/small-star algorithm (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond") converges in O(log²) rounds
+  * on adversarially deep graphs — the documented upgrade if cluster
+  * diameters ever grow past tens of hops.
+  */
+object Components {
+
+  /** @param nodes    frame containing every vertex (isolated vertices
+    *                 become singleton components)
+    * @param idCol    vertex id column in `nodes`
+    * @param edges    undirected edges as (aCol, bCol) pairs
+    * @param maxIters hard round bound (diameter cap); propagation
+    *                 stops early at fixpoint
+    * @return (id, component) — component = min vertex id reachable
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol).as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
+        .select(col("src").as("id"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      // Labels only ever decrease, so "no label changed" is the
+      // fixpoint test; isEmpty short-circuits on the first change.
+      converged = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    labels
+  }
+}

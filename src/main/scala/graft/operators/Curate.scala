@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * LSH path (band shuffle on ids only). Nothing quadratic, nothing
   * driver-side.
   *
-  * Near-dup policy: greedy keep-earliest — any doc appearing as the
-  * LATER member (`b`) of a confirmed near-dup pair (a < b) is
-  * dropped. Deterministic and single-pass; full
-  * connected-components clustering (a GraphX/iterative step) is the
-  * documented upgrade path when transitive chains matter.
+  * Near-dup policy (two selectable):
+  *  - greedy keep-earliest (default): any doc appearing as the LATER
+  *    member (`b`) of a confirmed near-dup pair (a < b) is dropped.
+  *    Deterministic and single-pass.
+  *  - transitive (`transitive = true`): [[Components]] closes the
+  *    pair graph and exactly one doc (the min id) survives per
+  *    near-dup CLUSTER — chains A≈B≈C with A≉C collapse to A, where
+  *    greedy would also drop C only via the B pair it shares.
   */
 object Curate {
 
@@ -34,12 +37,16 @@ object Curate {
     * @param k            minhash signature length
     * @param bands        LSH bands (k % bands == 0)
     * @param minJaccard   near-dup confirmation threshold
+    * @param transitive   near-dup policy: false = greedy pairwise
+    *                     keep-earliest, true = connected-components
+    *                     clustering (one survivor per cluster)
     * @return surviving docs: (id, clean, quality)
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = Seq("the", "a"),
       minQuality: Double = 0.5, n: Int = 3, k: Int = 6,
-      bands: Int = 3, minJaccard: Double = 0.9): DataFrame = {
+      bands: Int = 3, minJaccard: Double = 0.9,
+      transitive: Boolean = false): DataFrame = {
     val cleaned = docs.select(col(idCol).as("id"),
         normalize(col(textCol)).as("clean"))
       .withColumn("quality", TextOps.qualityScore(col("clean"),
@@ -63,10 +70,17 @@ object Curate {
       .filter(col("id") === col("__keep"))
       .drop("__h", "__keep")
       .localCheckpoint(true)
-    // near-dup: drop the later member of every confirmed pair
     val pairs = Dedup.lshNearDupPairs(exact, "id", "clean",
       n = n, k = k, bands = bands, minJaccard = minJaccard)
-    val dropIds = pairs.select(col("b").as("id")).distinct()
+    val dropIds =
+      if (transitive)
+        // one survivor (the min id = the component label) per cluster
+        Components.connectedComponents(exact, "id", pairs, "a", "b")
+          .filter(col("id") =!= col("component"))
+          .select(col("id"))
+      else
+        // greedy: drop the later member of every confirmed pair
+        pairs.select(col("b").as("id")).distinct()
     exact.join(dropIds, Seq("id"), "left_anti")
   }
 }

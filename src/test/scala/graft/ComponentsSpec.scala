@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Components, AsOfJoin}
+
+/** Unit tests for connected-components label propagation: transitive
+  * chains, isolated vertices, multiple components, convergence, and
+  * the as-of tiebreak determinism added alongside it.
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val n = nodes.toDF("id")
+    val e = edges.toDF("a", "b")
+    Components.connectedComponents(n, "id", e, "a", "b")
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("chain A-B-C clusters transitively even without an A-C edge") {
+    val got = cc(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("isolated vertices are singleton components") {
+    val got = cc(Seq(1L, 2L, 3L, 9L), Seq((1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 9L -> 9L))
+  }
+
+  test("two components stay separate; label = min id per component") {
+    val got = cc(Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      Seq((5L, 2L), (2L, 1L), (4L, 6L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L,
+      4L -> 4L, 6L -> 4L, 3L -> 3L))
+  }
+
+  test("long path converges within the diameter bound") {
+    // path 10-9-8-...-1: min label must walk 9 hops
+    val nodes = (1L to 10L)
+    val edges = (1L until 10L).map(i => (i, i + 1))
+    val got = cc(nodes, edges)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("edge direction and duplicates don't matter") {
+    val got = cc(Seq(1L, 2L, 3L),
+      Seq((2L, 1L), (1L, 2L), (3L, 2L), (3L, 2L)))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("curate transitive policy keeps one doc per near-dup cluster") {
+    // 20-token base doc: chain copies at +1/+2 tokens, J(A,B)=18/19,
+    // J(B,C)=19/20 >= 0.93 but J(A,C)=18/20 < 0.93 — a true chain.
+    // letters only: Curate.normalize strips digits, which would
+    // collapse tok1/tok2/... into identical tokens
+    val base = ('a' to 't').map(c => s"tok$c").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " xa"), (3L, base + " xa xb"),
+      (50L, ('a' to 'z').map(c => s"other$c$c").mkString(" "))
+    ).toDF("doc_id", "text")
+    val greedy = operators.Curate.curate(docs, "doc_id", "text",
+        minQuality = 0.0, minJaccard = 0.93)
+      .select($"id").as[Long].collect().toSet
+    val trans = operators.Curate.curate(docs, "doc_id", "text",
+        minQuality = 0.0, minJaccard = 0.93, transitive = true)
+      .select($"id").as[Long].collect().toSet
+    // both policies collapse the chain to doc 1 here (2 and 3 each
+    // appear as the later member of some pair), and keep 50
+    assert(trans == Set(1L, 50L))
+    assert(greedy == Set(1L, 50L))
+  }
+
+  test("asof tiebreak: duplicate right (key, ts) rows attach the greatest tiebreak payload") {
+    val left = Seq((1L, 100L, "p")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 9L), (1L, 100L, 8L))
+      .toDF("k", "ts", "sid")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("sid"),
+        tiebreak = Seq("sid"))
+      .select($"sid").as[Long].collect()
+    assert(out.toSeq == Seq(9L))
+  }
+}
