@@ -250,13 +250,28 @@ object Metlink {
   }
 
   /** K1 (task.ts:324-341): wrap all features into one
-    * FeatureCollection JSON document (at 100 TB this becomes a
-    * partitioned JSON write; the single-document wrap is the
-    * reference's wire format). */
+    * FeatureCollection JSON document — the reference's exact wire
+    * format. `collect_list` funnels every feature through one row,
+    * so this sink is for the reference's snapshot sizes (O(1000)
+    * vehicles); at scale use [[featureCollectionPartitioned]]. */
   def featureCollection(features: DataFrame): DataFrame =
     features
       .agg(collect_list(struct(col("id"), col("type"),
         col("properties"), col("geometry"))).as("features"))
       .select(to_json(struct(lit("FeatureCollection").as("type"),
         col("features"))).as("fc"))
+
+  /** K1 at scale: the SAME features as [[featureCollection]], written
+    * as partitioned newline-delimited GeoJSON — one Feature document
+    * per line, one file per partition, nothing ever collected to a
+    * single row/executor. A downstream consumer re-wraps lines into
+    * a FeatureCollection trivially; the feature documents themselves
+    * are byte-identical to the single-document wrap's array entries
+    * (same struct schema → same JSON field order). */
+  def featureCollectionPartitioned(features: DataFrame,
+      path: String): Unit =
+    graft.sources.Sources.writeJson(
+      features.select(col("id"), col("type"), col("properties"),
+        col("geometry")),
+      path)
 }
