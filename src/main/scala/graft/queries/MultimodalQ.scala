@@ -7,11 +7,14 @@ import graft.{Qry, Tables}
 import graft.operators.Multimodal
 import Q._
 
-/** Multimodal-plumbing queries: documents.text cast to binary stands
-  * in for media payloads (deterministic, driver-sanctioned input).
-  * The decode itself is the documented stub; what these verify is
-  * the PLUMBING — binary schema flow, per-partition batch decode,
-  * payload-pruned metadata paths.
+/** Multimodal queries. q41: metadata-only envelope stats over binary
+  * payloads (payload-pruned scan path). q42: encode→probe
+  * differential — REAL PNG/WAV containers are synthesized per doc
+  * with parameters derived from doc_id, then [[Multimodal.probe]]
+  * parses the actual container bytes back; the oracle recomputes the
+  * generation parameters directly, so any header-parse defect breaks
+  * the match. (Full pixel decode via the JDK ImageIO codec is
+  * spec-verified in MediaSpec — not SQL-expressible.)
   */
 object MultimodalQ {
 
@@ -37,37 +40,68 @@ object MultimodalQ {
       FROM documents WHERE doc_id < 300
       GROUP BY lang ORDER BY lang"""))
 
-  /** Per-partition batched decode through the typed Dataset path:
-    * the stub features are byte arithmetic, so DuckDB re-derives
-    * them from the text (ASCII corpus → bytes == codepoints). */
+  /** Encode→probe differential: per-partition batched HEADER PARSE
+    * of real container bytes (PNG signature+IHDR big-endian fields,
+    * WAV RIFF chunk walk little-endian fields), checked against the
+    * oracle's direct recomputation of the generation parameters. */
   val q42 = Qry(
     "q42_media_decode",
     (s: SparkSession, d: String) => {
       val session = s
       import session.implicits._
-      val media = Multimodal.asMedia(
-        Tables.documents(s, d)
-          .filter(col("doc_id") < 200)
-          .withColumn("payload", col("text").cast("binary"))
-          .withColumn("kind",
-            element_at(typedLit(Seq("image", "audio", "video")),
-              (col("doc_id") % 3 + 1).cast("int"))),
-        "doc_id", "payload", "kind", "source")
-      Multimodal.decodeFeatures(media).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("first_byte"), col("last_byte"),
-          col("fake_width"), col("fake_height"))
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val payload =
+            if (id % 2 == 0)
+              Multimodal.synthPng(
+                width = ((id * 7) % 640 + 1).toInt,
+                height = ((id * 5) % 480 + 1).toInt,
+                bitDepth = 8,
+                colorType = if (id % 4 == 0) 2 else 0)
+            else
+              Multimodal.synthWav(
+                sampleRate = (8000 * (1 + id % 3)).toInt,
+                channels = ((id / 2) % 2 + 1).toInt,
+                bitsPerSample = 16,
+                nSamples = ((id % 50) + 1).toInt * 100)
+          Multimodal.MediaRecord(id,
+            if (id % 2 == 0) "image" else "audio", payload, "synth")
+        }
+      Multimodal.probe(media).toDF()
+        .select(col("media_id"), col("format"), col("n_bytes"),
+          col("width"), col("height"), col("bit_depth"),
+          col("color_type"), col("channels"), col("sample_rate"),
+          col("bits_per_sample"), col("duration_ms"))
         .orderBy(col("media_id"))
     },
     Some("""
       SELECT doc_id AS media_id,
-             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-               ELSE 'video' END AS kind,
-             CAST(length(text) AS BIGINT) AS n_bytes,
-             unicode(left(text, 1)) AS first_byte,
-             unicode(right(text, 1)) AS last_byte,
-             (unicode(left(text, 1)) * 7) % 640 + 1 AS fake_width,
-             (unicode(right(text, 1)) * 5) % 480 + 1 AS fake_height
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 45
+                  ELSE 44 + ((doc_id % 50) + 1) * 100
+                       * (((doc_id // 2) % 2) + 1) * 2 END
+               AS BIGINT) AS n_bytes,
+             CASE WHEN doc_id % 2 = 0
+               THEN CAST((doc_id * 7) % 640 + 1 AS INTEGER) END AS width,
+             CASE WHEN doc_id % 2 = 0
+               THEN CAST((doc_id * 5) % 480 + 1 AS INTEGER) END AS height,
+             CASE WHEN doc_id % 2 = 0
+               THEN CAST(8 AS INTEGER) END AS bit_depth,
+             CASE WHEN doc_id % 2 = 0
+               THEN CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END
+                 AS INTEGER) END AS color_type,
+             CASE WHEN doc_id % 2 = 1
+               THEN CAST(((doc_id // 2) % 2) + 1 AS INTEGER) END AS channels,
+             CASE WHEN doc_id % 2 = 1
+               THEN CAST(8000 * (1 + doc_id % 3) AS INTEGER)
+               END AS sample_rate,
+             CASE WHEN doc_id % 2 = 1
+               THEN CAST(16 AS INTEGER) END AS bits_per_sample,
+             CASE WHEN doc_id % 2 = 1
+               THEN CAST((((doc_id % 50) + 1) * 100 * 1000)
+                 // (8000 * (1 + doc_id % 3)) AS BIGINT) END AS duration_ms
       FROM documents WHERE doc_id < 200
       ORDER BY media_id"""))
 

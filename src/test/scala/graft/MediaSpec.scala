@@ -1,0 +1,99 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRecord
+
+/** Real-codec multimodal tests: the header probe against PNGs/WAVs
+  * produced by INDEPENDENT encoders (the JDK's ImageIO and
+  * AudioSystem, not our own synth), plus full pixel decode with
+  * known ground truth.
+  */
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A genuine PNG from the JDK encoder, solid-filled. */
+  private def realPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** A genuine WAV from the JDK sound stack. */
+  private def realWav(rate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val fmt = new AudioFormat(rate, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private def probeOne(payload: Array[Byte]) =
+    Multimodal.probe(Seq(MediaRecord(1L, "x", payload, "t")).toDS())
+      .collect().head
+
+  test("probe parses a JDK-encoded real PNG's dimensions") {
+    val p = probeOne(realPng(17, 9, 0xff0000))
+    assert(p.format == "png")
+    assert(p.width.contains(17) && p.height.contains(9))
+    assert(p.bit_depth.contains(8))
+    assert(p.channels.isEmpty && p.sample_rate.isEmpty)
+  }
+
+  test("probe parses a JDK-encoded real WAV's format and duration") {
+    // 8000 frames at 16 kHz stereo = exactly 500 ms
+    val p = probeOne(realWav(16000f, 2, 8000))
+    assert(p.format == "wav")
+    assert(p.channels.contains(2))
+    assert(p.sample_rate.contains(16000))
+    assert(p.bits_per_sample.contains(16))
+    assert(p.duration_ms.contains(500L))
+    assert(p.width.isEmpty)
+  }
+
+  test("probe round-trips our own synth containers") {
+    val png = probeOne(Multimodal.synthPng(640, 360, 8, 2))
+    assert(png.format == "png" && png.width.contains(640) &&
+      png.height.contains(360) && png.color_type.contains(2))
+    val wav = probeOne(Multimodal.synthWav(44100, 1, 16, 44100))
+    assert(wav.format == "wav" && wav.sample_rate.contains(44100) &&
+      wav.duration_ms.contains(1000L))
+  }
+
+  test("probe marks non-media bytes unknown") {
+    val p = probeOne("just some text".getBytes("UTF-8"))
+    assert(p.format == "unknown")
+    assert(p.width.isEmpty && p.sample_rate.isEmpty)
+    assert(p.n_bytes == 14L)
+  }
+
+  test("decodeImages fully decodes pixels via ImageIO with exact luma") {
+    // solid gray 100: luma = 0.299*100 + 0.587*100 + 0.114*100 = 100
+    val media = Seq(
+      MediaRecord(1L, "image", realPng(10, 4, 0x646464), "t"),
+      MediaRecord(2L, "image", "garbage".getBytes("UTF-8"), "t"))
+      .toDS()
+    val feats = Multimodal.decodeImages(media).collect()
+    assert(feats.length == 1) // undecodable row dropped
+    val f = feats.head
+    assert(f.media_id == 1L && f.width == 10 && f.height == 4 &&
+      f.n_pixels == 40L)
+    assert(math.abs(f.mean_luma - 100.0) < 1e-9)
+  }
+
+  test("JDK PNG encoder output is parsed identically by probe and full decode") {
+    val bytes = realPng(33, 21, 0x123456)
+    val viaProbe = probeOne(bytes)
+    val viaDecode = Multimodal.decodeImages(
+      Seq(MediaRecord(1L, "image", bytes, "t")).toDS()).collect().head
+    assert(viaProbe.width.contains(viaDecode.width))
+    assert(viaProbe.height.contains(viaDecode.height))
+  }
+}
