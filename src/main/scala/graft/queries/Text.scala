@@ -150,5 +150,73 @@ object Text {
              MAX(keep_id) AS max_keep_id
       FROM grouped"""))
 
-  val all: Seq[Qry] = Seq(q24, q25, q26, q27)
+  // ---- language ID (G15) -------------------------------------------
+
+  /** The driver corpus shares one vocabulary across its `lang`
+    * labels, so no query on `documents` can demonstrate real
+    * language separation (SURVEY.md §2.D note). This fixture is a
+    * 12-sentence literal multilingual corpus — the same
+    * literal-table pattern as q16's price bands — shared verbatim
+    * between the Spark side and the generated oracle SQL. */
+  private val langCorpus: Seq[(Int, String, String)] = Seq(
+    (1, "en", "the quick brown fox is jumping over the lazy dog and singing"),
+    (2, "en", "a reaction of the nation to the motion was interesting and strong"),
+    (3, "en", "they were walking and talking about the information question"),
+    (4, "fr", "les enfants sont dans une grande maison et il est tard"),
+    (5, "fr", "elle veut voir une belle histoire qui est dans les livres"),
+    (6, "fr", "il faut avoir une raison et les bonnes choses pour ce soir"),
+    (7, "de", "ich gehe durch den wald und sehe schnell einen schoenen vogel"),
+    (8, "de", "der hund und die katze spielen schon in dem garten zusammen"),
+    (9, "de", "wir wischen den tisch und der richtige mensch lacht immer noch"),
+    (10, "es", "los ninos quieren que los libros sean buenos para el dinero"),
+    (11, "es", "la cancion que escucho es para los amigos del barrio"),
+    (12, "es", "cada palabra clara que dicen los viejos es dinero puro"))
+
+  /** Discriminative character-n-gram marker profiles per language. */
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("ich", "und", "sch", "der"),
+    "en" -> Seq("the", "ing", "and", "ion"),
+    "es" -> Seq("que", "los", "ero", "ara"),
+    "fr" -> Seq("les", "une", "est", "oir"))
+
+  /** Language ID by profile-trigram scoring: argmax language over
+    * marker-gram presence counts, ties lexicographic — the oracle
+    * re-derives the identical scoring in SQL. */
+  val q62 = Qry(
+    "q62_langid",
+    (s: SparkSession, d: String) => {
+      val session = s
+      import session.implicits._
+      langCorpus.toDF("id", "expected_lang", "text")
+        .select(col("id"), col("expected_lang"),
+          TextOps.langIdByProfiles(col("text"), langProfiles)
+            .as("detected_lang"))
+        .orderBy(col("id"))
+    }, {
+      val corpusVals = langCorpus.map { case (i, l, t) =>
+        s"($i, '$l', '$t')"
+      }.mkString(",\n        ")
+      val scoreSelects = langProfiles.toSeq.sortBy(_._1).map {
+        case (lang, grams) =>
+          val score = grams.map(g =>
+            s"(CASE WHEN strpos(lower(text), '$g') > 0 THEN 1 ELSE 0 END)")
+            .mkString(" + ")
+          s"SELECT id, '$lang' AS lang, $score AS score FROM corpus"
+      }.mkString("\n        UNION ALL ")
+      Some(s"""
+      WITH corpus(id, expected_lang, text) AS (VALUES
+        $corpusVals),
+      scores AS (
+        $scoreSelects),
+      best AS (
+        SELECT id, lang,
+               ROW_NUMBER() OVER (PARTITION BY id
+                 ORDER BY score DESC, lang) AS rn
+        FROM scores)
+      SELECT c.id, c.expected_lang, b.lang AS detected_lang
+      FROM corpus c JOIN best b ON b.id = c.id AND b.rn = 1
+      ORDER BY c.id""")
+    })
+
+  val all: Seq[Qry] = Seq(q24, q25, q26, q27, q62)
 }

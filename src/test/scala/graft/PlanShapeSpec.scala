@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression tests: lock in the scale-critical physical
+  * plan properties so a future change that silently regresses one
+  * (lost pushdown, un-broadcast dim, a surprise cartesian product,
+  * the VecDot rewrite not firing) fails the build instead of only
+  * showing up at 100 TB. Complements ScaleSpec's bucketed-join
+  * no-Exchange assertion.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf())
+      .queryExecution.explainString(FormattedMode)
+
+  /** Build the plan with size-based auto-broadcast OFF — the sf0.001
+    * test tables all fit under the broadcast threshold, which would
+    * make every join a broadcast join and hide the plan shape the
+    * same query takes on 100 TB fact tables. Explicit broadcast()
+    * hints are unaffected (that is exactly their at-scale contract). */
+  private def planAtScaleStats(name: String): String = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try plan(name) finally spark.conf.set(key, prev)
+  }
+
+  test("q02: predicates reach the parquet scan as PushedFilters") {
+    val p = plan("q02_scan_filter")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(p)
+      .map(_.group(1).trim).toList
+    assert(pushed.nonEmpty, s"no PushedFilters section in:\n$p")
+    assert(pushed.exists(_.nonEmpty),
+      s"PushedFilters empty in every scan:\n$p")
+  }
+
+  test("q02: scan reads only the projected columns (pruned ReadSchema)") {
+    val p = plan("q02_scan_filter")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+    assert(read.isDefined, s"no ReadSchema in:\n$p")
+    val cols = read.get.group(1).split(",").length
+    // lineitem has 16 columns; the query touches a handful
+    assert(cols <= 8, s"scan reads $cols columns — pruning regressed:\n$p")
+  }
+
+  test("q12: all three dims join as explicit BroadcastHashJoin even with at-scale stats") {
+    val p = planAtScaleStats("q12_join_broadcast_star")
+    // count tree-form occurrences ("BroadcastHashJoin Inner"), not
+    // the duplicate detail-section headers
+    val n = "BroadcastHashJoin Inner".r.findAllIn(p).length
+    assert(n == 3, s"expected 3 broadcast joins, got $n:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("q13: fact-to-fact join is sort-merge under at-scale stats") {
+    val p = planAtScaleStats("q13_join_sortmerge_facts")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+  }
+
+  test("q01: aggregation is partial+final (map-side combine present)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert("partial_".r.findFirstIn(p).isDefined,
+      s"no partial aggregation — all rows shuffle to the reducers:\n$p")
+  }
+
+  test("vec_dot kernel present post-rule in the similarity queries") {
+    Seq("q31_cosine_topk", "q46_sql_vec_dot").foreach { q =>
+      val p = plan(q)
+      assert(p.toLowerCase.contains("vec_dot"),
+        s"$q: VectorizeDotProduct rule did not fire:\n$p")
+    }
+  }
+
+  test("q09: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q09_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("no unexpected cartesian products across the whole query surface") {
+    // Deliberate bounded cross joins (documented quadratic baselines
+    // over bounded subsets): q30 brute-force Jaccard, q34 embedding
+    // near-dup verification.
+    val bounded = Set("q30_ngram_jaccard", "q34_embed_neardup")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(bounded)
+      .filter { q =>
+        plan(q).contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty,
+      s"unexpected CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+}
