@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting — the reproducible train/val/test
+  * assignment a training-data pipeline needs at corpus scale. The
+  * split is a pure function of the row's id (first 16 bits of
+  * md5(id) → bucket 0-99), so it is:
+  *  - stable across runs, partitionings, and cluster sizes (unlike
+  *    `randomSplit`, which depends on partition layout and seed),
+  *  - shuffle-free (map-side expression, rides whole-stage codegen),
+  *  - exactly reproducible by any engine with md5 (oracle-checkable).
+  */
+object Splits {
+
+  private val HexDict = "0123456789abcdef"
+
+  /** Value of hex nibble `i` (1-based) of `h`. */
+  private def nibble(h: Column, i: Int): Column =
+    instr(lit(HexDict), substring(h, i, 1)) - 1
+
+  /** Percent bucket 0-99 from the first 16 bits of md5(id). */
+  def hashBucket(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    ((nibble(h, 1) * 4096 + nibble(h, 2) * 256 +
+      nibble(h, 3) * 16 + nibble(h, 4)) % 100).cast("int")
+  }
+
+  /** Split assignment from cumulative percent cutoffs, e.g.
+    * `Seq("train" -> 80, "val" -> 90, "test" -> 100)`:
+    * bucket < 80 → train, < 90 → val, else test. */
+  def splitAssign(id: Column, cutoffs: Seq[(String, Int)]): Column = {
+    require(cutoffs.nonEmpty && cutoffs.last._2 == 100,
+      "cutoffs must be cumulative and end at 100")
+    val b = hashBucket(id)
+    cutoffs.init.foldRight(lit(cutoffs.last._1): Column) {
+      case ((name, cut), rest) => when(b < cut, name).otherwise(rest)
+    }
+  }
+
+  /** Deterministic p-percent sample: keep rows whose bucket < p —
+    * repeatable, engine-independent, and consistent between runs
+    * over growing data (a row's membership never changes). */
+  def hashSample(id: Column, percent: Int): Column =
+    hashBucket(id) < percent
+}

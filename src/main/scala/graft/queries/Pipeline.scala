@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Qry, Tables}
+import graft.operators.{Quantize, Splits}
+import Q._
+
+/** Training-data pipeline operators beyond dedup/similarity:
+  * deterministic dataset splits, embedding quantization, and per-doc
+  * keyword extraction (tf-idf argmax). All map-side or single-shuffle
+  * plans — the shapes that survive 100 TB.
+  */
+object Pipeline {
+
+  /** Deterministic train/val/test split by hashed id: assignment is
+    * a pure function of doc_id (stable across runs/partitionings,
+    * unlike randomSplit), verified by DuckDB re-deriving the same
+    * md5-bucket arithmetic. */
+  val q63 = Qry(
+    "q63_hash_split",
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Splits.splitAssign(col("doc_id"),
+            Seq("train" -> 80, "val" -> 90, "test" -> 100)).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("split")),
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               ((strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))
+               % 100 AS bucket
+        FROM documents)
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+             MAX(doc_id) AS max_id,
+             CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      FROM b GROUP BY 1 ORDER BY 1"""))
+
+  /** int8 absmax quantization roundtrip over the embeddings table:
+    * per-vector scale, integer code checksum, and max reconstruction
+    * error — DuckDB recomputes the identical floor-based arithmetic
+    * element-wise. */
+  val q64 = Qry(
+    "q64_embed_quantize",
+    (s: SparkSession, d: String) => {
+      val v = col("embedding")
+      val scale = Quantize.absmaxScale(v)
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 500)
+        .withColumn("__scale", scale)
+        .withColumn("__q", Quantize.int8Codes(v, col("__scale")))
+        .select(col("vec_id"),
+          size(col("__q")).as("n_dims"),
+          aggregate(col("__q"), lit(0L), (a, x) => a + x)
+            .as("code_sum"),
+          round(col("__scale"), 6).as("scale_r"),
+          round(Quantize.maxAbsError(v, col("__q"), col("__scale")), 6)
+            .as("max_err_r"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale,
+               embedding
+        FROM embeddings WHERE vec_id < 500),
+      codes AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0 THEN
+                 list_transform(embedding, x -> 0)
+               ELSE
+                 list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5)
+                     AS INTEGER))
+               END AS qc,
+               embedding
+        FROM q)
+      SELECT vec_id,
+             CAST(len(qc) AS INTEGER) AS n_dims,
+             CAST(list_sum(qc) AS BIGINT) AS code_sum,
+             ROUND(scale, 6) AS scale_r,
+             ROUND(COALESCE(list_max(list_transform(
+               range(1, len(qc) + 1),
+               i -> abs(CAST(qc[i] AS DOUBLE) * scale / 127
+                    - CAST(embedding[i] AS DOUBLE)))), 0), 6)
+               AS max_err_r
+      FROM codes ORDER BY vec_id"""))
+
+  /** Per-document keyword extraction: the token maximizing
+    * tf · (N/df) (rational idf — no cross-engine log), ties broken
+    * lexicographically. One explode shuffle for tf, one for df, a
+    * broadcastable corpus-size scalar, and a per-doc window top-1 —
+    * the classic two-aggregation + window shape. */
+  val q65 = Qry(
+    "q65_doc_keywords",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val toks = docs.select(col("doc_id"),
+        explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(df, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * col("n_docs") / col("df").cast("double"), 6))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("tok").as("keyword"), col("score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 300),
+      toks AS (
+        SELECT doc_id, unnest(list_filter(
+                 string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        FROM docs),
+      tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, tok),
+      df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM docs),
+      scored AS (
+        SELECT tf.doc_id, tf.tok,
+               ROUND(tf.tf * n.n_docs / (df.df * 1.0), 6) AS score
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, tok, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, tok) AS rn
+        FROM scored)
+      SELECT doc_id, tok AS keyword, score
+      FROM ranked WHERE rn = 1 ORDER BY doc_id"""))
+
+  val all: Seq[Qry] = Seq(q63, q64, q65)
+}
