@@ -47,6 +47,15 @@ object Components {
     var labels = nodes.select(col(idCol).as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // Per-node labels only ever DECREASE, so the label sum strictly
+    // decreases until fixpoint — an unchanged sum IS convergence.
+    // This replaces a join-based changed-row check with one cheap
+    // aggregate over the (already checkpointed) label frame.
+    // decimal(38,0) so huge id spaces can't overflow-collide.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
@@ -56,11 +65,9 @@ object Components {
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      // Labels only ever decrease, so "no label changed" is the
-      // fixpoint test; isEmpty short-circuits on the first change.
-      converged = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       it += 1
     }

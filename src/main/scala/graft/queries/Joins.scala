@@ -53,18 +53,34 @@ object Joins {
 
   /** Fact⋈fact: orders ⋈ lineitem on orderkey — too big to broadcast
     * either side at scale, so both shuffle on l_orderkey/o_orderkey and
-    * sort-merge (G3). Aggregation keeps the verified output small. */
+    * sort-merge (G3). The distinct-order count is computed as a
+    * TWO-PHASE re-aggregation instead of `countDistinct`: first group
+    * by (priority, flag, orderkey) — satisfied WITHOUT a shuffle
+    * because the join output is already hash-partitioned by orderkey
+    * (a superset-clustering Catalyst recognizes) — then re-aggregate
+    * the small per-order rows. This removes the Expand operator the
+    * distinct-aggregate rewrite would inject (which triples the rows
+    * entering the wide shuffle) — the standard at-scale pattern for
+    * mixed distinct/plain aggregates. */
   val q13 = Qry(
     "q13_join_sortmerge_facts",
     (s: SparkSession, d: String) =>
       Tables.orders(s, d)
         .join(Tables.lineitem(s, d),
           col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"),
+          col("o_orderkey"))
+        .agg(
+          count(lit(1)).as("__n"),
+          // partial stays DECIMAL (exact) — only the final sum casts
+          // to double, keeping the cross-engine dsum contract
+          sum(round(col("l_quantity"), 2).cast("decimal(18,2)"))
+            .as("__q"))
         .groupBy(col("o_orderpriority"), col("l_returnflag"))
         .agg(
-          count(lit(1)).as("n_items"),
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          dsum(col("l_quantity"), 2).as("sum_qty"))
+          sum(col("__n")).as("n_items"),
+          count(lit(1)).as("n_orders"),
+          sum(col("__q")).cast("double").as("sum_qty"))
         .orderBy(col("o_orderpriority"), col("l_returnflag")),
     Some(s"""
       SELECT o_orderpriority, l_returnflag,

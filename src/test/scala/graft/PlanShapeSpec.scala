@@ -57,6 +57,13 @@ class PlanShapeSpec extends SparkSpec {
   test("q13: fact-to-fact join is sort-merge under at-scale stats") {
     val p = planAtScaleStats("q13_join_sortmerge_facts")
     assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    // the two-phase distinct rewrite must keep the Expand operator
+    // (which triples shuffled rows under countDistinct) out, and the
+    // per-order phase must reuse the join's orderkey partitioning:
+    // exchanges = 2 join inputs + 1 final (priority, flag) + 1 sort
+    assert(!p.contains("Expand"), s"Expand re-appeared:\n$p")
+    val n = "\\+- Exchange|:- Exchange".r.findAllIn(p).length
+    assert(n <= 4, s"expected <=4 shuffles, got $n:\n$p")
   }
 
   test("q01: aggregation is partial+final (map-side combine present)") {
