@@ -58,5 +58,42 @@ object Scale {
                <= 0.05 * COUNT(DISTINCT user_id)) AS approx_ok
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Qry] = Seq(q47, q48)
+  /** Approximate-quantile sketch (G5 approx family, the q48 contract
+    * applied to quantiles): each engine runs ITS OWN sketch (Spark
+    * percentile_approx / DuckDB approx_quantile — different
+    * algorithms, different estimates) and asserts the estimate lands
+    * inside the exact [p-2%, p+2%] RANK band — which is precisely
+    * the guarantee a rank-error sketch makes. Hashed output = exact
+    * quantiles (rounded) + the within-band booleans. */
+  val q66 = Qry(
+    "q66_approx_quantiles",
+    (s: SparkSession, d: String) => {
+      def band(p: Double, name: String) = Seq(
+        round(expr(s"percentile(o_totalprice, $p)"), 4).as(name),
+        expr(s"approx_percentile(o_totalprice, $p, 10000)")
+          .between(
+            expr(s"percentile(o_totalprice, ${p - 0.02})"),
+            expr(s"percentile(o_totalprice, ${p + 0.02})"))
+          .as(s"${name}_ok"))
+      val cols = band(0.5, "p50") ++ band(0.9, "p90") ++ band(0.97, "p97")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(cols.head, cols.tail: _*)
+        .orderBy(col("o_orderstatus"))
+    }, {
+      def bandSql(p: Double, name: String) = Seq(
+        s"ROUND(quantile_cont(o_totalprice, $p), 4) AS $name",
+        s"""(approx_quantile(o_totalprice, $p)
+            BETWEEN quantile_cont(o_totalprice, ${p - 0.02})
+                AND quantile_cont(o_totalprice, ${p + 0.02}))
+           AS ${name}_ok""")
+      val cols = (bandSql(0.5, "p50") ++ bandSql(0.9, "p90") ++
+        bandSql(0.97, "p97")).mkString(",\n             ")
+      Some(s"""
+      SELECT o_orderstatus,
+             $cols
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
+  val all: Seq[Qry] = Seq(q47, q48, q66)
 }

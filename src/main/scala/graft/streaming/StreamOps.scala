@@ -80,6 +80,28 @@ object StreamOps {
         s"l.$tsCol <= r.$tsCol + interval $window"))
   }
 
+  /** Stream-static enrichment join: every micro-batch joins against
+    * a static dimension table — the streaming twin of the q12
+    * broadcast star (and of the reference's P4 dictionary decode
+    * done relationally). Stateless: nothing is buffered across
+    * batches, and the broadcast hint keeps the stream side
+    * shuffle-free at any rate. The static side is re-planned per
+    * batch, so a dimension refresh (new files under its path) is
+    * picked up without restarting the query. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming-safe telemetry (A2 at scale): named `observe()`
+    * metrics ride the existing job — no separate count() action,
+    * valid in batch (via `Observation`) AND streaming (via
+    * `StreamingQueryProgress.observedMetrics`), unlike the
+    * reference's log-line counters (task.ts:176,332). */
+  def withTelemetry(df: DataFrame, name: String,
+      valueCol: String): DataFrame =
+    df.observe(name, count(lit(1)).as("n_rows"),
+      sum(col(valueCol)).as("sum_value"))
+
   /** Running per-key state via mapGroupsWithState: arbitrary
     * cross-batch state the reference lacks entirely (its state dies
     * with each invocation). Tracks per-key event count and last-seen
