@@ -36,4 +36,22 @@ object Skew {
         sum(col("__pcnt")).as("n"),
         min(col("__pmin")).as("min_value"),
         max(col("__pmax")).as("max_value"))
+
+  /** Salted equi-join for a skewed fact key against a small-but-not-
+    * broadcastable build side: the fact side gets a deterministic
+    * salt in [0, salts), the build side is replicated once per salt
+    * value, and the join key becomes (key, salt) — each hot key's
+    * rows spread over `salts` reducers instead of funneling into
+    * one. Result == the plain join. (AQE's skew-join split handles
+    * sort-merge skew automatically; explicit salting is the portable
+    * form, and the only one available inside a single stage at
+    * 100 TB when a hot key exceeds one executor's memory.) */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+      saltSource: String, salts: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(col(saltSource)), lit(salts.toLong)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

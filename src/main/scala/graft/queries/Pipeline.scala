@@ -156,5 +156,88 @@ object Pipeline {
       SELECT doc_id, tok AS keyword, score
       FROM ranked WHERE rn = 1 ORDER BY doc_id"""))
 
-  val all: Seq[Qry] = Seq(q63, q64, q65)
+  /** Salted skew join (completing q47's salted-aggregation story):
+    * events' 5-value event_type key — the pathological all-hot-keys
+    * case — joined to a derived type-dimension through
+    * [[graft.operators.Skew.saltedJoin]], then aggregated. The
+    * oracle is the PLAIN join: equivalence is the contract. A
+    * shuffle_hash hint keeps the build side off the broadcast path
+    * so the salt actually exercises the shuffled-join shape. */
+  val q67 = Qry(
+    "q67_salted_join",
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_code",
+          substring(md5(col("event_type")), 1, 8))
+      graft.operators.Skew.saltedJoin(
+          ev, dim.hint("shuffle_hash"), "event_type",
+          saltSource = "event_id", salts = 16)
+        .groupBy(col("type_code"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value"), 2).as("sum_value"))
+        .orderBy(col("type_code"))
+    },
+    Some(s"""
+      WITH dim AS (
+        SELECT DISTINCT event_type,
+               substr(md5(event_type), 1, 8) AS type_code
+        FROM events)
+      SELECT type_code, COUNT(*) AS n,
+             ${dsumSql("value", 2)} AS sum_value
+      FROM events JOIN dim USING (event_type)
+      GROUP BY type_code ORDER BY type_code"""))
+
+  /** Snapshot diff (incremental-ingestion primitive): FULL OUTER
+    * join of yesterday's corpus against today's on id, rows classed
+    * added / deleted / changed / unchanged by content-hash compare.
+    * Today's snapshot is manufactured deterministically from the
+    * same table (mod-13 ids added, mod-17 deleted, mod-10 edited). */
+  val q68 = Qry(
+    "q68_snapshot_diff",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val today = docs
+        .filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      val o = docs.select(col("doc_id").as("id"), md5(col("text")).as("oh"))
+      val n = today.select(col("doc_id").as("id"), md5(col("text")).as("nh"))
+      o.join(n, Seq("id"), "full_outer")
+        .select(col("id"),
+          when(col("oh").isNull, "added")
+            .when(col("nh").isNull, "deleted")
+            .when(col("oh") =!= col("nh"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH docs AS (SELECT doc_id, text FROM documents),
+      today AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN text || ' edited'
+                    ELSE text END AS text
+        FROM docs WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id + 5000000, text FROM docs WHERE doc_id % 13 = 0),
+      o AS (SELECT doc_id AS id, md5(text) AS oh FROM docs),
+      n AS (SELECT doc_id AS id, md5(text) AS nh FROM today),
+      diff AS (
+        SELECT COALESCE(o.id, n.id) AS id,
+               CASE WHEN o.id IS NULL THEN 'added'
+                    WHEN n.id IS NULL THEN 'deleted'
+                    WHEN oh <> nh THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.id = n.id)
+      SELECT status, COUNT(*) AS n_docs,
+             MIN(id) AS min_id, MAX(id) AS max_id
+      FROM diff GROUP BY status ORDER BY status"""))
+
+  val all: Seq[Qry] = Seq(q63, q64, q65, q67, q68)
 }

@@ -9,6 +9,21 @@ import graft.operators.Skew
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("salted join equals plain join exactly (row multiset)") {
+    val ev = Tables.events(spark, sf()).select($"event_id",
+      $"event_type", $"value")
+    val dim = ev.select($"event_type").distinct()
+      .withColumn("code", substring(md5($"event_type"), 1, 8))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"code")
+        .as[(Long, String)].collect().sortBy(identity).toSeq
+    val plain = sorted(ev.join(dim, Seq("event_type")))
+    val salted = sorted(Skew.saltedJoin(ev, dim, "event_type",
+      "event_id", 8))
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("salted aggregation equals plain groupBy exactly") {
     val ev = Tables.events(spark, sf())
     val salted = Skew.saltedSumCount(ev, "event_type", "value",
