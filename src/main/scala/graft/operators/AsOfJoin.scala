@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   *
   * Right rows sort before left rows at equal (key, ts) so the join is
   * inclusive (a right row exactly at `l.ts` is visible to it).
+  *
+  * `direction` and `tolerance` give pandas-merge_asof parity:
+  * backward (default) matches the latest right row at-or-before the
+  * left ts; forward matches the EARLIEST right row at-or-after it
+  * (same algorithm over the reversed sort); `tolerance` nulls the
+  * payload when the matched row's ts is farther from the left ts
+  * than the caller's predicate allows.
   */
 object AsOfJoin {
 
@@ -36,10 +43,21 @@ object AsOfJoin {
     *                  unique on the right; with duplicates and no
     *                  tiebreak the attached payload is
     *                  nondeterministic across runs/retries.
-    * @return left columns + payload columns (null when no prior right row)
+    * @param direction "backward" (latest right at-or-before) or
+    *                  "forward" (earliest right at-or-after)
+    * @param tolerance optional (leftTs, matchedRightTs) => boolean
+    *                  predicate; a match failing it is nulled out —
+    *                  e.g. `(l, r) => l - r <= lit(300)` for numeric
+    *                  seconds, or interval arithmetic for timestamps
+    * @return left columns + payload columns (null when no match)
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-           payload: Seq[String], tiebreak: Seq[String] = Nil): DataFrame = {
+           payload: Seq[String], tiebreak: Seq[String] = Nil,
+           direction: String = "backward",
+           tolerance: Option[(Column, Column) => Column] = None)
+      : DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     // Spark resolves column names case-insensitively by default, so
     // the guards must too; duplicates would alias-collide later.
@@ -60,7 +78,9 @@ object AsOfJoin {
     // the latest right ROW atomically — a null field in the true
     // as-of row is preserved (never replaced by a stale older row),
     // and multiple payload columns can never tear across rows.
-    val payloadStruct = struct(payload.map(col): _*)
+    // the matched right row's ts rides inside the struct so the
+    // tolerance check can compare against it after the window
+    val payloadStruct = struct(col(ts).as("__rts") +: payload.map(col): _*)
     val payloadType = {
       val r = right.select(payloadStruct.as("__p"))
       r.schema("__p").dataType
@@ -86,14 +106,25 @@ object AsOfJoin {
         Seq(lit(null).cast(payloadType).as("__p"))): _*)
     // Tie columns order right rows deterministically within equal
     // (key, ts); __side still sorts every right row before any left
-    // row at the same ts, so inclusivity is unchanged.
+    // row at the same ts, so inclusivity is unchanged. For the
+    // forward direction the ts sort is simply reversed: "the last
+    // right row seen walking down from +∞" IS the earliest row
+    // at-or-after the current one. Equal-ts tie ordering stays
+    // ascending so the greatest tiebreak wins in both directions.
+    val tsOrder =
+      if (direction == "backward") col(ts).asc else col(ts).desc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts) +: col("__side") +: tieNames.map(col): _*)
+      .orderBy(tsOrder +: col("__side").asc +:
+        tieNames.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tolOk: Column = tolerance
+      .map(f => f(col(ts), col("__pLast.__rts")))
+      .getOrElse(lit(true))
     taggedRight.unionByName(taggedLeft)
       .withColumn("__pLast", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(c => col(s"__pLast.$c").as(c)): _*)
+        payload.map(c =>
+          when(tolOk, col(s"__pLast.$c")).otherwise(lit(null)).as(c)): _*)
   }
 }

@@ -79,4 +79,28 @@ class ComponentsSpec extends SparkSpec {
       .select($"sid").as[Long].collect()
     assert(out.toSeq == Seq(9L))
   }
+
+  test("asof forward direction picks the earliest right row at-or-after") {
+    val left = Seq((1L, 100L, "a"), (1L, 250L, "b"), (1L, 400L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, "r100"), (1L, 300L, "r300"))
+      .toDF("k", "ts", "payload")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("payload"),
+        direction = "forward")
+      .select($"tag", $"payload").as[(String, String)].collect().toMap
+    assert(out("a") == "r100") // inclusive at equal ts
+    assert(out("b") == "r300")
+    assert(out("c") == null)   // nothing after 400
+  }
+
+  test("asof tolerance nulls matches farther than the allowed gap") {
+    val left = Seq((1L, 100L, "near"), (1L, 900L, "far"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 80L, "r80")).toDF("k", "ts", "payload")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("payload"),
+        tolerance = Some((l, r) => l - r <= lit(50L)))
+      .select($"tag", $"payload").as[(String, String)].collect().toMap
+    assert(out("near") == "r80")  // gap 20 <= 50
+    assert(out("far") == null)    // gap 820 > 50: match suppressed
+  }
 }
