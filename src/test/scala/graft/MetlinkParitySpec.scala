@@ -141,6 +141,35 @@ class MetlinkParitySpec extends SparkSpec {
     assert(got == cases.map(_._2))
   }
 
+  test("jsToFixed1 negative exact ties resolve toward +Infinity (ECMA)") {
+    // ECMA picks the LARGER n on exact ties: (-0.25).toFixed(1) is
+    // "-0.2", (-1.75) → "-1.7"; non-ties round normally.
+    val cases = Seq(
+      -0.25 -> "-0.2", -1.75 -> "-1.7", 0.25 -> "0.3",
+      -6.55 -> "-6.5", // binary -6.5499… → "-6.5" either way
+      -0.26 -> "-0.3", -0.24 -> "-0.2")
+    val got = cases.map(_._1).toDF("x")
+      .select(Metlink.jsToFixed1($"x")).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("absent start_time renders the JS-template literal 'undefined'") {
+    val rows = Seq(
+      """{"header": {}, "entity": [
+        {"id": "u1", "vehicle": {
+          "trip": {"trip_id": "23__u"},
+          "position": {"latitude": -41.1, "longitude": 174.8,
+            "bearing": 5.0},
+          "timestamp": 1700000000, "vehicle": {"id": "vu"}}}
+      ]}""")
+    val feed = spark.read.schema(Metlink.vehicleSchema).json(rows.toDS)
+    val remarks = Metlink.pipeline(feed)
+      .select($"properties.remarks").as[String].head()
+    assert(remarks.contains("Start Time: undefined"))
+    // Direction keeps its ?? 'Unknown' guard (task.ts:260)
+    assert(remarks.contains("Direction: Unknown"))
+  }
+
   test("geometry is GeoJSON [lon, lat] order (task.ts:201)") {
     val coords = features.filter($"id" === "WLG-MetlinkShip-s2")
       .select($"geometry.coordinates").as[Seq[Double]].head()
