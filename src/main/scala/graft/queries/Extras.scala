@@ -200,5 +200,58 @@ object Extras {
       WHERE levenshtein(l.c_name, r.c_name) <= 2
       ORDER BY a, b"""))
 
-  val all: Seq[Qry] = Seq(q49, q50, q51, q52, q53, q54)
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the one
+    * join comparator where NULL keys MATCH each other instead of
+    * silently dropping — required for joining on nullable dimension
+    * keys. The testdata has no nulls, so a NULL key group is
+    * manufactured deterministically with nullif; a plain equi-join
+    * would lose that group entirely. */
+  val q69 = Qry(
+    "q69_nullsafe_join",
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .withColumn("k", nullif(col("event_type"), lit("click")))
+      val a = ev.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_events"))
+      val b = ev.groupBy(col("k"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      a.join(b, a("k") <=> b("k"))
+        .select(coalesce(a("k"), lit("NULL")).as("key"),
+          col("n_events"), col("n_users"))
+        .orderBy(col("key"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT nullif(event_type, 'click') AS k, user_id FROM events),
+      a AS (SELECT k, COUNT(*) AS n_events FROM ev GROUP BY k),
+      b AS (SELECT k, COUNT(DISTINCT user_id) AS n_users
+            FROM ev GROUP BY k)
+      SELECT COALESCE(a.k, 'NULL') AS key, n_events, n_users
+      FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      ORDER BY key"""))
+
+  /** Ordered string aggregation (LISTAGG/string_agg): collect_list
+    * has no deterministic order in a distributed engine, so the
+    * engine-portable form is sort-then-join — identical to DuckDB's
+    * string_agg(... ORDER BY). */
+  val q70 = Qry(
+    "q70_string_agg",
+    (s: SparkSession, d: String) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations_csv"),
+          count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name")),
+    Some("""
+      SELECT r_name,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+             COUNT(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  val all: Seq[Qry] = Seq(q49, q50, q51, q52, q53, q54, q69, q70)
 }
