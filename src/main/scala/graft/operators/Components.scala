@@ -33,7 +33,10 @@ object Components {
     * @param idCol    vertex id column in `nodes`
     * @param edges    undirected edges as (aCol, bCol) pairs
     * @param maxIters hard round bound (diameter cap); propagation
-    *                 stops early at fixpoint
+    *                 stops early at fixpoint and THROWS if the bound
+    *                 is hit before convergence — a silently
+    *                 part-propagated labeling is a wrong answer, not
+    *                 a degraded one
     * @return (id, component) — component = min vertex id reachable
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
@@ -71,6 +74,12 @@ object Components {
       labels = next
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds " +
+          "— the graph's diameter exceeds the bound; raise maxIters " +
+          "(or switch to a large-star/small-star variant, O(log²) " +
+          "rounds on adversarially deep graphs)")
     labels
   }
 }

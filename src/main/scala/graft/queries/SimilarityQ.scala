@@ -88,11 +88,13 @@ object SimilarityQ {
     })
 
   /** IVF-style coarse search: per-label centroids (element-wise
-    * decimal-exact means), each query probes only its nearest
-    * centroid's partition — |corpus|/|partitions| of the work of
-    * brute force. */
-  val q33 = Qry(
-    "q33_ann_ivf",
+    * decimal-exact means), each query probes only its `nprobe`
+    * nearest centroids' partitions — nprobe/|partitions| of the work
+    * of brute force. nprobe > 1 is the standard recall/cost dial:
+    * neighbors just across a partition boundary are found at the
+    * price of scanning one more partition. */
+  private def ivfQry(name: String, nprobe: Int): Qry = Qry(
+    name,
     (s: SparkSession, d: String) => {
       val e = Tables.embeddings(s, d)
       val cent = Similarity.centroids(e, "label", "embedding", DIM)
@@ -104,7 +106,7 @@ object SimilarityQ {
         .select(col("q_id"), col("q_emb"), col("part"),
           Similarity.cosine(col("q_emb"), col("centroid")).as("c_cos"))
         .withColumn("rn", row_number().over(wCent))
-        .filter(col("rn") === 1)
+        .filter(col("rn") <= nprobe)
         .select(col("q_id"), col("q_emb"), col("part"))
       val wTop = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id"))
@@ -142,7 +144,7 @@ object SimilarityQ {
                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
                    ${cosSql("q_emb", "centroid")} DESC, part) AS rn
           FROM q CROSS JOIN cent) t
-        WHERE rn = 1),
+        WHERE rn <= $nprobe),
       scored AS (
         SELECT q_id, part, vec_id AS n_id,
                ${cosSql("q_emb", "embedding")} AS cos
@@ -155,6 +157,12 @@ object SimilarityQ {
         FROM scored)
       SELECT q_id, part, rank, n_id, ROUND(cos, 6) AS cos
       FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  val q33 = ivfQry("q33_ann_ivf", nprobe = 1)
+
+  /** Multi-probe IVF (nprobe = 2): same plan, one more partition
+    * scanned per query, strictly-no-worse recall. */
+  val q71 = ivfQry("q71_ann_ivf_multiprobe", nprobe = 2)
 
   /** Embedding-cosine near-dup pairs (G13's vector-space variant):
     * all pairs in a bounded subset with cosine above threshold. */
@@ -179,5 +187,5 @@ object SimilarityQ {
       WHERE ROUND(${cosSql("l.embedding", "r.embedding")}, 6) >= 0.3
       ORDER BY a, b"""))
 
-  val all: Seq[Qry] = Seq(q31, q32, q33, q34)
+  val all: Seq[Qry] = Seq(q31, q32, q33, q34, q71)
 }
