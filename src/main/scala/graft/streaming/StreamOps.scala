@@ -102,6 +102,50 @@ object StreamOps {
     df.observe(name, count(lit(1)).as("n_rows"),
       sum(col(valueCol)).as("sum_value"))
 
+  /** Spark 4's transformWithState — the current-generation arbitrary
+    * state API (typed state primitives, timers, TTL; successor to
+    * mapGroupsWithState, and the one that composes with the RocksDB
+    * store + changelog checkpointing at scale). Running per-key
+    * count via a ValueState, emitted per input batch. */
+  final class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Timestamp), KeyCount] {
+    @transient private var count: org.apache.spark.sql.streaming
+      .ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Timestamp)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[KeyCount] = {
+      var n = if (count.exists()) count.get() else 0L
+      var last: Timestamp = null
+      rows.foreach { r =>
+        n += 1
+        if (last == null || r._2.after(last)) last = r._2
+      }
+      count.update(n)
+      Iterator.single(KeyCount(key, n, last))
+    }
+  }
+
+  /** Running per-key counts through transformWithState (requires the
+    * RocksDB state store provider — set
+    * spark.sql.streaming.stateStore.providerClass accordingly). */
+  def runningCountsTws(events: Dataset[(Long, Timestamp)])
+      : Dataset[KeyCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Running per-key state via mapGroupsWithState: arbitrary
     * cross-batch state the reference lacks entirely (its state dies
     * with each invocation). Tracks per-key event count and last-seen

@@ -61,6 +61,39 @@ class StreamEnrichSpec extends SparkSpec {
     assert(seen.contains((1L, 4.0)))
   }
 
+  test("transformWithState keeps running per-key counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, java.sql.Timestamp)]
+      val out = StreamOps.runningCountsTws(in.toDS())
+      val q = out.writeStream.format("memory").queryName("tws")
+        .outputMode("update").start()
+      in.addData((1L, ts("2024-01-01 00:00:01")),
+        (1L, ts("2024-01-01 00:00:02")), (2L, ts("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 00:00:09")))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws")
+        .select($"key", $"n").as[(Long, Long)].collect().toSet
+      assert(rows.contains((1L, 2L))) // batch 1: two events for key 1
+      assert(rows.contains((2L, 1L)))
+      assert(rows.contains((1L, 3L))) // batch 2: state carried over
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("observe() works identically on the batch path via Observation") {
     val obs = Observation("batch_obs")
     val df = Seq((1L, 2.0), (2L, 3.0), (3L, 5.0)).toDF("key", "value")
