@@ -109,10 +109,14 @@ object Extras {
     (s: SparkSession, d: String) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        // one array-percentile aggregate = one value buffer per
+        // group, vs three separate buffering instances
+        .agg(expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+          .as("__p"))
+        .select(col("o_orderstatus"),
+          round(col("__p").getItem(0), 4).as("p50"),
+          round(col("__p").getItem(1), 4).as("p90"),
+          round(col("__p").getItem(2), 4).as("p99"))
         .orderBy(col("o_orderstatus")),
     Some("""
       SELECT o_orderstatus,

@@ -68,17 +68,25 @@ object Scale {
   val q66 = Qry(
     "q66_approx_quantiles",
     (s: SparkSession, d: String) => {
-      def band(p: Double, name: String) = Seq(
-        round(expr(s"percentile(o_totalprice, $p)"), 4).as(name),
-        expr(s"approx_percentile(o_totalprice, $p, 10000)")
-          .between(
-            expr(s"percentile(o_totalprice, ${p - 0.02})"),
-            expr(s"percentile(o_totalprice, ${p + 0.02})"))
+      // ONE exact-percentile aggregate computing all nine points and
+      // ONE sketch for the three targets: each percentile()/
+      // approx_percentile() instance buffers the column separately,
+      // so the naive 12-aggregate form holds 12 copies per group —
+      // the array forms hold one each (12 buffers → 2).
+      val ps = Seq(0.48, 0.5, 0.52, 0.88, 0.9, 0.92, 0.95, 0.97, 0.99)
+      val ex = expr(s"percentile(o_totalprice, array(${ps.mkString(",")}))")
+      val ap = expr(
+        "approx_percentile(o_totalprice, array(0.5, 0.9, 0.97), 10000)")
+      def out(i: Int, name: String) = Seq(
+        round(col("__ex").getItem(3 * i + 1), 4).as(name),
+        col("__ap").getItem(i).between(
+          col("__ex").getItem(3 * i), col("__ex").getItem(3 * i + 2))
           .as(s"${name}_ok"))
-      val cols = band(0.5, "p50") ++ band(0.9, "p90") ++ band(0.97, "p97")
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
-        .agg(cols.head, cols.tail: _*)
+        .agg(ex.as("__ex"), ap.as("__ap"))
+        .select(col("o_orderstatus") +:
+          (out(0, "p50") ++ out(1, "p90") ++ out(2, "p97")): _*)
         .orderBy(col("o_orderstatus"))
     }, {
       def bandSql(p: Double, name: String) = Seq(
