@@ -137,5 +137,62 @@ object EventsQ {
       FROM ranked WHERE rn = 1
       GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Qry] = Seq(q35, q36, q37, q38)
+  /** Time-series gap-fill + forward-fill (the resampling operator
+    * every metrics pipeline needs): per user, an hourly spine is
+    * generated between the user's first and last event hour
+    * (`sequence` + explode — distributed, no driver loop), actuals
+    * left-joined on, and missing hours carry the last seen value
+    * forward via last(_, ignoreNulls) over an unbounded-preceding
+    * frame. One shuffle for the per-hour agg, one window pass. */
+  val q72 = Qry(
+    "q72_gap_fill",
+    (s: SparkSession, d: String) => {
+      val hourly = Tables.events(s, d)
+        .filter(col("user_id") < 4)
+        .groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+      val spine = hourly.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+        .select(col("user_id"),
+          explode(expr("sequence(mn, mx, interval 1 hour)")).as("bucket"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:00").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("sum_value"), ignoreNulls = true).over(w)
+            .as("filled_value"),
+          col("n").isNull.as("is_gap"))
+        .orderBy(col("user_id"), col("hour"))
+    },
+    Some(s"""
+      WITH hourly AS (
+        SELECT user_id,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               COUNT(*) AS n, ${dsumSql("value", 2)} AS sum_value
+        FROM events WHERE user_id < 4
+        GROUP BY user_id, bucket),
+      spine AS (
+        SELECT user_id, unnest(generate_series(mn, mx,
+                 INTERVAL 1 HOUR)) AS bucket
+        FROM (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+              FROM hourly GROUP BY user_id)),
+      joined AS (
+        SELECT s.user_id, s.bucket, h.n, h.sum_value
+        FROM spine s LEFT JOIN hourly h
+          ON s.user_id = h.user_id AND s.bucket = h.bucket)
+      SELECT user_id,
+             strftime(bucket, '%Y-%m-%d %H:00') AS hour,
+             COALESCE(n, 0) AS n_events,
+             last_value(sum_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value,
+             (n IS NULL) AS is_gap
+      FROM joined
+      ORDER BY user_id, hour"""))
+
+  val all: Seq[Qry] = Seq(q35, q36, q37, q38, q72)
 }
