@@ -64,5 +64,35 @@ object SqlSurface {
       FROM embeddings WHERE vec_id < 50
       ORDER BY vec_id"""))
 
-  val all: Seq[Qry] = Seq(q45, q46)
+  /** Recursive CTE — new in Spark 4: BOTH engines run a native
+    * WITH RECURSIVE (no iterative-DataFrame emulation on the Spark
+    * side). The hierarchy is derived deterministically from the data
+    * (parent(k) = k div 10 — a forest over custkeys, depth ≤ ~5);
+    * the walk climbs each customer to the root and aggregates per
+    * depth. Only dialect difference: integer division (DIV vs //). */
+  val q73 = Qry(
+    "q73_recursive_cte",
+    (s: SparkSession, d: String) => {
+      Model.registerViews(s, d)
+      s.sql("""
+        WITH RECURSIVE up(id, cur, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer
+          UNION ALL
+          SELECT id, cur DIV 10, depth + 1 FROM up WHERE cur > 0)
+        SELECT depth, COUNT(*) AS n,
+               CAST(SUM(id) AS BIGINT) AS id_sum,
+               MIN(cur) AS min_cur, MAX(cur) AS max_cur
+        FROM up GROUP BY depth ORDER BY depth""")
+    },
+    Some("""
+      WITH RECURSIVE up(id, cur, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer
+        UNION ALL
+        SELECT id, cur // 10, depth + 1 FROM up WHERE cur > 0)
+      SELECT depth, COUNT(*) AS n,
+             CAST(SUM(id) AS BIGINT) AS id_sum,
+             MIN(cur) AS min_cur, MAX(cur) AS max_cur
+      FROM up GROUP BY depth ORDER BY depth"""))
+
+  val all: Seq[Qry] = Seq(q45, q46, q73)
 }
