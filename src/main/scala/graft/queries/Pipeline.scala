@@ -239,5 +239,34 @@ object Pipeline {
              MIN(id) AS min_id, MAX(id) AS max_id
       FROM diff GROUP BY status ORDER BY status"""))
 
-  val all: Seq[Qry] = Seq(q63, q64, q65, q67, q68)
+  /** Deterministic anonymization (the privacy pass of a
+    * training-data pipeline): keyed pseudonyms via salted SHA-256,
+    * pattern masking of identifier digits, and numeric
+    * generalization into bands (k-anonymity-style coarsening). All
+    * map-side column expressions — shuffle-free at any scale, and
+    * reproducible across engines (same salt → same pseudonyms). */
+  val q74 = Qry(
+    "q74_anonymize",
+    (s: SparkSession, d: String) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 300)
+        .select(
+          col("c_custkey"),
+          sha2(concat(lit("pepper|"), col("c_name")), 256)
+            .as("pseudonym"),
+          regexp_replace(col("c_name"), "[0-9]", "x").as("masked_name"),
+          (floor(col("c_acctbal") / 100d) * 100)
+            .cast("long").as("bal_band"),
+          col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey,
+             sha256('pepper|' || c_name) AS pseudonym,
+             regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked_name,
+             CAST(FLOOR(c_acctbal / 100) * 100 AS BIGINT) AS bal_band,
+             c_mktsegment
+      FROM customer WHERE c_custkey < 300
+      ORDER BY c_custkey"""))
+
+  val all: Seq[Qry] = Seq(q63, q64, q65, q67, q68, q74)
 }
