@@ -268,5 +268,82 @@ object Pipeline {
       FROM customer WHERE c_custkey < 300
       ORDER BY c_custkey"""))
 
-  val all: Seq[Qry] = Seq(q63, q64, q65, q67, q68, q74)
+  /** Data-quality gate over the star schema: five row-level
+    * constraints compiled into one conditional-aggregation scan of
+    * orders, plus a key-uniqueness check and a lineitem→orders
+    * referential-orphan check. The violation counts are all zero on
+    * this (clean) data AND one manufactured-dirty union branch
+    * proves the checks actually fire. */
+  val q75 = Qry(
+    "q75_data_quality",
+    (s: SparkSession, d: String) => {
+      import graft.operators.Quality
+      val orders = Tables.orders(s, d)
+      // manufacture known-dirty rows so nonzero counts are exercised:
+      // two duplicated orderkeys and one negative price
+      val dirty = orders.filter(col("o_orderkey") < 2)
+        .withColumn("o_totalprice", lit(-1d))
+      val checked = orders.unionByName(dirty)
+      Quality.report(
+        checked,
+        Seq(
+          Quality.Check("nonpositive_price", col("o_totalprice") <= 0),
+          Quality.Check("null_orderkey", col("o_orderkey").isNull),
+          Quality.Check("null_custkey", col("o_custkey").isNull),
+          Quality.Check("bad_status",
+            !col("o_orderstatus").isin("O", "F", "P")),
+          Quality.Check("date_out_of_range",
+            col("o_orderdate") < to_timestamp(lit("1990-01-01")) ||
+              col("o_orderdate") >= to_timestamp(lit("2030-01-01")))),
+        extra = Seq(
+          Quality.uniquenessCheck(checked, Seq("o_orderkey"),
+            "duplicate_orderkey"),
+          Quality.referentialCheck(
+            Tables.lineitem(s, d), "l_orderkey",
+            orders, "o_orderkey", "orphan_lineitem")))
+        .orderBy(col("check_name"))
+    },
+    Some("""
+      WITH checked AS (
+        SELECT * FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               -1.0 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey < 2),
+      rowchecks AS (
+        SELECT 'nonpositive_price' AS check_name,
+               CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_violations FROM checked
+        UNION ALL
+        SELECT 'null_orderkey',
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM checked
+        UNION ALL
+        SELECT 'null_custkey',
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM checked
+        UNION ALL
+        SELECT 'bad_status',
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                 THEN 1 ELSE 0 END) AS BIGINT) FROM checked
+        UNION ALL
+        SELECT 'date_out_of_range',
+               CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                 OR o_orderdate >= TIMESTAMP '2030-01-01'
+                 THEN 1 ELSE 0 END) AS BIGINT) FROM checked),
+      uniq AS (
+        SELECT 'duplicate_orderkey' AS check_name,
+               COUNT(*) AS n_violations
+        FROM (SELECT o_orderkey FROM checked
+              GROUP BY o_orderkey HAVING COUNT(*) > 1)),
+      orphans AS (
+        SELECT 'orphan_lineitem' AS check_name, COUNT(*) AS n_violations
+        FROM lineitem WHERE l_orderkey NOT IN
+          (SELECT o_orderkey FROM orders))
+      SELECT * FROM rowchecks
+      UNION ALL SELECT * FROM uniq
+      UNION ALL SELECT * FROM orphans
+      ORDER BY check_name"""))
+
+  val all: Seq[Qry] = Seq(q63, q64, q65, q67, q68, q74, q75)
 }
