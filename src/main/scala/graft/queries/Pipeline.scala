@@ -345,5 +345,75 @@ object Pipeline {
       UNION ALL SELECT * FROM orphans
       ORDER BY check_name"""))
 
-  val all: Seq[Qry] = Seq(q63, q64, q65, q67, q68, q74, q75)
+  /** SCD2 merge (slowly-changing-dimension history): the effective-
+    * dated upsert built from the same full-outer snapshot diff as
+    * q68 — unchanged rows keep their open version, changed rows
+    * close v1 and open v2, deletions close v1, additions open v2.
+    * Emitted per-row via a CASE-built array of version structs
+    * exploded in place (one pass over the diff, no re-join). */
+  val q76 = Qry(
+    "q76_scd2_merge",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val today = docs
+        .filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      val o = docs.select(col("doc_id").as("id"), md5(col("text")).as("oh"))
+      val n = today.select(col("doc_id").as("id"), md5(col("text")).as("nh"))
+      def ver(h: org.apache.spark.sql.Column, from: Int,
+          to: Option[Int]) = struct(
+        h.as("h"), lit(from).as("valid_from"),
+        to.map(t => lit(t)).getOrElse(lit(null)).cast("int")
+          .as("valid_to"))
+      o.join(n, Seq("id"), "full_outer")
+        .select(col("id"), explode(
+          when(col("oh").isNull, array(ver(col("nh"), 2, None)))
+            .when(col("nh").isNull, array(ver(col("oh"), 1, Some(2))))
+            .when(col("oh") === col("nh"),
+              array(ver(col("oh"), 1, None)))
+            .otherwise(array(ver(col("oh"), 1, Some(2)),
+              ver(col("nh"), 2, None)))).as("v"))
+        .select(col("id"), col("v.h").as("content_hash"),
+          col("v.valid_from"), col("v.valid_to"),
+          col("v.valid_to").isNull.as("is_current"))
+        .orderBy(col("id"), col("valid_from"))
+    },
+    Some("""
+      WITH docs AS (SELECT doc_id, text FROM documents),
+      today AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN text || ' edited'
+                    ELSE text END AS text
+        FROM docs WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id + 5000000, text FROM docs WHERE doc_id % 13 = 0),
+      o AS (SELECT doc_id AS id, md5(text) AS oh FROM docs),
+      n AS (SELECT doc_id AS id, md5(text) AS nh FROM today),
+      diff AS (
+        SELECT COALESCE(o.id, n.id) AS id, oh, nh
+        FROM o FULL OUTER JOIN n ON o.id = n.id),
+      hist AS (
+        SELECT id, nh AS content_hash, 2 AS valid_from,
+               CAST(NULL AS INTEGER) AS valid_to
+        FROM diff WHERE oh IS NULL
+        UNION ALL
+        SELECT id, oh, 1, 2 FROM diff WHERE nh IS NULL
+        UNION ALL
+        SELECT id, oh, 1, NULL FROM diff
+        WHERE oh IS NOT NULL AND nh IS NOT NULL AND oh = nh
+        UNION ALL
+        SELECT id, oh, 1, 2 FROM diff
+        WHERE oh IS NOT NULL AND nh IS NOT NULL AND oh <> nh
+        UNION ALL
+        SELECT id, nh, 2, NULL FROM diff
+        WHERE oh IS NOT NULL AND nh IS NOT NULL AND oh <> nh)
+      SELECT id, content_hash, valid_from, valid_to,
+             (valid_to IS NULL) AS is_current
+      FROM hist ORDER BY id, valid_from"""))
+
+  val all: Seq[Qry] = Seq(q63, q64, q65, q67, q68, q74, q75, q76)
 }
