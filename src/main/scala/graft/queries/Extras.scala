@@ -257,5 +257,27 @@ object Extras {
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name"""))
 
-  val all: Seq[Qry] = Seq(q49, q50, q51, q52, q53, q54, q69, q70)
+  /** Equi-width histogram: integer bucket arithmetic (no float
+    * boundary ambiguity — bucket edges land on exact multiples),
+    * overflow clamped into the last bucket. The shape every
+    * profiling/monitoring pipeline computes per column. */
+  val q77 = Qry(
+    "q77_histogram",
+    (s: SparkSession, d: String) =>
+      Tables.orders(s, d)
+        .select(least(floor(col("o_totalprice") / 50000d), lit(7d))
+          .cast("int").as("bucket"), col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bucket")),
+    Some("""
+      SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 7) AS INTEGER)
+               AS bucket,
+             COUNT(*) AS n,
+             MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Qry] = Seq(q49, q50, q51, q52, q53, q54, q69, q70, q77)
 }

@@ -146,5 +146,37 @@ object Windows2 {
       FROM events WHERE event_id < 200
       ORDER BY event_id"""))
 
-  val all: Seq[Qry] = Seq(q58, q59, q60)
+  /** Time-interval RANGE frames: per-user rolling 1-hour event count
+    * and decimal-exact rolling value sum, ordered by real timestamps
+    * (RANGE BETWEEN INTERVAL ... PRECEDING — the time-based frame
+    * q58's numeric ranges don't cover). Expressed through the SQL
+    * front-end on both engines; the frame spec is identical. */
+  val q78 = Qry(
+    "q78_time_range_frames",
+    (s: SparkSession, d: String) => {
+      graft.Model.registerViews(s, d)
+      s.sql("""
+        SELECT user_id,
+               date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_s,
+               COUNT(*) OVER w AS n_last_hour,
+               CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
+                 OVER w AS DOUBLE) AS sum_last_hour
+        FROM events WHERE user_id < 3
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts_s""")
+    },
+    Some("""
+      SELECT user_id,
+             strftime(CAST(ts AS TIMESTAMP),
+               '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+             COUNT(*) OVER w AS n_last_hour,
+             CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
+               OVER w AS DOUBLE) AS sum_last_hour
+      FROM events WHERE user_id < 3
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_s"""))
+
+  val all: Seq[Qry] = Seq(q58, q59, q60, q78)
 }
