@@ -178,5 +178,119 @@ object Windows2 {
         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
       ORDER BY user_id, ts_s"""))
 
-  val all: Seq[Qry] = Seq(q58, q59, q60, q78)
+  /** Ratio-to-report (percent-of-total) windows: each nation's
+    * revenue as a share of its region and of the grand total —
+    * window sums OVER the aggregated rows (25 rows), so the
+    * expensive work is one ordinary aggregation and the shares are
+    * free. Exact decimal revenue; the share division happens on
+    * identical operands in both engines. */
+  val q79 = Qry(
+    "q79_ratio_to_report",
+    (s: SparkSession, d: String) => {
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("o_totalprice"), 2).as("revenue"))
+      val wRegion = Window.partitionBy(col("r_name"))
+      val wAll = Window.partitionBy()
+      rev.select(col("r_name"), col("n_name"), col("revenue"),
+          round(col("revenue") / sum(col("revenue")).over(wRegion), 6)
+            .as("region_share"),
+          round(col("revenue") / sum(col("revenue")).over(wAll), 6)
+            .as("total_share"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT r_name, n_name,
+               ${dsumSql("o_totalprice", 2)} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+      SELECT r_name, n_name, revenue,
+             ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name), 6)
+               AS region_share,
+             ROUND(revenue / SUM(revenue) OVER (), 6) AS total_share
+      FROM rev ORDER BY r_name, n_name"""))
+
+  /** Conversion funnel (ordered-sequence analytics): per user the
+    * first signup, the first view AFTER that signup, and the first
+    * purchase AFTER that view — conditional min-over-filter steps,
+    * one aggregation per stage, no self-join explosion. Output is
+    * the stage-reach histogram. */
+  val q80 = Qry(
+    "q80_funnel",
+    (s: SparkSession, d: String) => {
+      // day-one window: over the full month every user completes the
+      // funnel (degenerate one-bucket histogram); the bounded window
+      // yields a real stage distribution
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < to_timestamp(lit("2024-01-02")))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      val view = ev.filter(col("event_type") === "view")
+        .join(signup, Seq("user_id"))
+        .filter(col("ts") >= col("t_signup"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val purchase = ev.filter(col("event_type") === "purchase")
+        .join(view, Seq("user_id"))
+        .filter(col("ts") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      val stages = ev.select(col("user_id")).distinct()
+        .join(signup.select(col("user_id"), lit(1).as("s1")),
+          Seq("user_id"), "left")
+        .join(view.select(col("user_id"), lit(1).as("s2")),
+          Seq("user_id"), "left")
+        .join(purchase.select(col("user_id"), lit(1).as("s3")),
+          Seq("user_id"), "left")
+        .select(col("user_id"),
+          (coalesce(col("s1"), lit(0)) + coalesce(col("s2"), lit(0)) +
+            coalesce(col("s3"), lit(0))).as("stage"))
+      stages.groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("user_id")).as("min_user"),
+          max(col("user_id")).as("max_user"))
+        .orderBy(col("stage"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-02'),
+      signup AS (
+        SELECT user_id, MIN(ts) AS t_signup FROM ev
+        WHERE event_type = 'signup' GROUP BY user_id),
+      v AS (
+        SELECT e.user_id, MIN(e.ts) AS t_view
+        FROM ev e JOIN signup s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view' AND e.ts >= s.t_signup
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM ev e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+        GROUP BY e.user_id),
+      stages AS (
+        SELECT u.user_id,
+               (CASE WHEN s.user_id IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)
+                 AS stage
+        FROM (SELECT DISTINCT user_id FROM ev) u
+        LEFT JOIN signup s ON u.user_id = s.user_id
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN p ON u.user_id = p.user_id)
+      SELECT stage, COUNT(*) AS n_users,
+             MIN(user_id) AS min_user, MAX(user_id) AS max_user
+      FROM stages GROUP BY stage ORDER BY stage"""))
+
+  val all: Seq[Qry] = Seq(q58, q59, q60, q78, q79, q80)
 }
