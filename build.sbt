@@ -23,14 +23,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 80+ queries × (warmup + timed reps) compile a lot of generated code
+// and pin checkpoint blocks; the JDK's 240 MB code-cache and a small
+// heap degrade the tail of the run (JIT fallback + GC thrash). But a
+// fixed 24g default breaks `sbt test` on small dev machines, so the
+// default is derived from physical RAM (¼ of it, clamped to [4g,24g]
+// — 24g on the 128 GiB bench box, 4g on a 16 GiB laptop);
+// SPARK_DRIVER_MEM still overrides explicitly.
+val physMemGb: Int = java.lang.management.ManagementFactory
+  .getOperatingSystemMXBean match {
+    case b: com.sun.management.OperatingSystemMXBean =>
+      (b.getTotalMemorySize >> 30).toInt
+    case _ => 16
+  }
+val defaultHeap = s"${math.max(4, math.min(24, physMemGb / 4))}g"
+val codeCache = if (physMemGb >= 64) "1g" else "384m"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 73 queries × (warmup + timed reps) compile a lot of generated
-  // code and pin checkpoint blocks; the JDK's 240 MB code-cache and
-  // an 8g heap degrade the tail of the run (JIT fallback + GC
-  // thrash) on this 128 GiB box.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  "-XX:ReservedCodeCacheSize=1g",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
+  s"-XX:ReservedCodeCacheSize=${
+    sys.env.getOrElse("SPARK_CODE_CACHE", codeCache)}",
   "-XX:+UseCodeCacheFlushing",
 )

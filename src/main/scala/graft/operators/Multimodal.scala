@@ -93,22 +93,30 @@ object Multimodal {
 
   /** WAV/RIFF: "RIFF" size "WAVE", then a chunk walk for "fmt "
     * (channels, sample rate, bits/sample) and "data" (payload size →
-    * duration = dataBytes / byteRate). */
+    * duration = dataBytes / byteRate). probe() sees arbitrary
+    * payloads, so the walk must be hostile-input-safe: chunk sizes
+    * are RIFF u32 — read UNSIGNED into a Long offset (a signed read
+    * of 0xFFFFFFF8 is -8, turning the stride into a zero/negative
+    * increment = infinite loop or backwards walk), and bail unless
+    * the offset strictly advances. */
   def probeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
       return None
-    var i = 12
+    var i = 12L
     var fmt: Option[(Int, Int, Int)] = None
     var dataBytes = -1L
-    while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
-      val id = tag(b, i)
-      val size = le32(b, i + 4)
-      if (id == "fmt " && i + 24 <= b.length)
-        fmt = Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
+    var ok = true
+    while (ok && i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+      val p = i.toInt
+      val id = tag(b, p)
+      val size = le32(b, p + 4) & 0xFFFFFFFFL
+      if (id == "fmt " && p + 24 <= b.length)
+        fmt = Some((le16(b, p + 10), le32(b, p + 12), le16(b, p + 22)))
       else if (id == "data")
-        dataBytes = size.toLong
+        dataBytes = size
       // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size + (size & 1)
+      val next = i + 8L + size + (size & 1L)
+      if (next <= i) ok = false else i = next
     }
     fmt.collect { case (ch, rate, bits) if dataBytes >= 0 &&
         ch > 0 && rate > 0 && bits > 0 =>
@@ -174,7 +182,9 @@ object Multimodal {
             Some(ImageFeatures(r.media_id, w, h, w.toLong * h,
               sum / (w.toLong * h)))
           }
-        } catch { case _: Throwable => None }
+          // NonFatal only: a decompression-bomb OOM or a task-kill
+        // interrupt must fail the task, not vanish as "undecodable"
+      } catch { case scala.util.control.NonFatal(_) => None }
       }
     }
   }

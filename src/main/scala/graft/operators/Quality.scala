@@ -17,11 +17,14 @@ object Quality {
   final case class Check(name: String, violation: Column)
 
   /** All row-level checks in one scan: conditional sums, then melted
-    * to (check, n_violations) rows. */
+    * to (check, n_violations) rows. Sums are coalesced to 0 so an
+    * EMPTY input reports zero violations per check, not NULLs (SUM
+    * over zero rows is NULL). */
   def rowChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty)
     val aggs = checks.map(c =>
-      sum(when(c.violation, 1L).otherwise(0L)).as(c.name))
+      coalesce(sum(when(c.violation, 1L).otherwise(0L)), lit(0L))
+        .as(c.name))
     df.agg(aggs.head, aggs.tail: _*)
       .unpivot(Array.empty[Column],
         checks.map(c => col(c.name)).toArray,

@@ -33,10 +33,14 @@ object Scale {
 
   /** HLL sketch cardinality (G5 approx path). Sketch estimates are
     * engine-specific, so the hashable contract is: each engine runs
-    * ITS OWN sketch and asserts it lands within 5% of the exact
-    * count — the hashed projection is (exact count, within-tolerance
-    * boolean), both deterministic on both engines. The raw estimate
-    * accuracy bound is additionally asserted in ScalaTest. */
+    * ITS OWN sketch and asserts it lands inside a tolerance band of
+    * the exact count — the hashed projection is (exact count,
+    * within-band boolean), both deterministic on both engines. The
+    * band is 15%: ≥7σ for Spark's rsd=0.02 sketch and ≈9σ for
+    * DuckDB's default HLL (~1.6% typical error), so it cannot flip
+    * on a different SF or distribution, while still catching a
+    * broken sketch outright. The production 5-10% accuracy claim is
+    * asserted in ScalaTest (ScaleSpec), not in the hash. */
   val q48 = Qry(
     "q48_approx_distinct",
     (s: SparkSession, d: String) =>
@@ -48,23 +52,27 @@ object Scale {
             .as("__approx"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("__approx") - col("exact_users")) <=
-            lit(0.05) * col("exact_users")).as("approx_ok"))
+            lit(0.15) * col("exact_users")).as("approx_ok"))
         .orderBy(col("event_type")),
     Some("""
       SELECT event_type,
              COUNT(DISTINCT user_id) AS exact_users,
              (ABS(approx_count_distinct(user_id)
                   - COUNT(DISTINCT user_id))
-               <= 0.05 * COUNT(DISTINCT user_id)) AS approx_ok
+               <= 0.15 * COUNT(DISTINCT user_id)) AS approx_ok
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** Approximate-quantile sketch (G5 approx family, the q48 contract
     * applied to quantiles): each engine runs ITS OWN sketch (Spark
     * percentile_approx / DuckDB approx_quantile — different
     * algorithms, different estimates) and asserts the estimate lands
-    * inside the exact [p-2%, p+2%] RANK band — which is precisely
-    * the guarantee a rank-error sketch makes. Hashed output = exact
-    * quantiles (rounded) + the within-band booleans. */
+    * inside the exact [p-5%, p+5%] RANK band. Spark's sketch at
+    * accuracy=10000 GUARANTEES rank error ≤ 1/10000 — 500× inside
+    * the band; DuckDB's t-digest has no hard bound (hence the wide
+    * band: it cannot flip on a different SF or distribution). The
+    * tight ±2%-rank accuracy claim lives in ScalaTest (ScaleSpec),
+    * not in the hash. Hashed output = exact quantiles (rounded) +
+    * the within-band booleans. */
   val q66 = Qry(
     "q66_approx_quantiles",
     (s: SparkSession, d: String) => {
@@ -73,7 +81,8 @@ object Scale {
       // approx_percentile() instance buffers the column separately,
       // so the naive 12-aggregate form holds 12 copies per group —
       // the array forms hold one each (12 buffers → 2).
-      val ps = Seq(0.48, 0.5, 0.52, 0.88, 0.9, 0.92, 0.95, 0.97, 0.99)
+      // Triples are (p-0.05, p, min(p+0.05, 1)) per target point.
+      val ps = Seq(0.45, 0.5, 0.55, 0.85, 0.9, 0.95, 0.92, 0.97, 1.0)
       val ex = expr(s"percentile(o_totalprice, array(${ps.mkString(",")}))")
       val ap = expr(
         "approx_percentile(o_totalprice, array(0.5, 0.9, 0.97), 10000)")
@@ -92,8 +101,8 @@ object Scale {
       def bandSql(p: Double, name: String) = Seq(
         s"ROUND(quantile_cont(o_totalprice, $p), 4) AS $name",
         s"""(approx_quantile(o_totalprice, $p)
-            BETWEEN quantile_cont(o_totalprice, ${p - 0.02})
-                AND quantile_cont(o_totalprice, ${p + 0.02}))
+            BETWEEN quantile_cont(o_totalprice, ${p - 0.05})
+                AND quantile_cont(o_totalprice, ${math.min(p + 0.05, 1.0)}))
            AS ${name}_ok""")
       val cols = (bandSql(0.5, "p50") ++ bandSql(0.9, "p90") ++
         bandSql(0.97, "p97")).mkString(",\n             ")

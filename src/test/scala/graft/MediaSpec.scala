@@ -74,6 +74,60 @@ class MediaSpec extends SparkSpec {
     assert(p.n_bytes == 14L)
   }
 
+  /** Hand-build a RIFF/WAVE container with an arbitrary chunk list:
+    * each chunk is (tag, declaredSize, actualBodyBytes). */
+  private def riff(chunks: (String, Long, Int)*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def asc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def w32(v: Long): Unit = out.write(Array(
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte))
+    asc("RIFF"); w32(1000L); asc("WAVE")
+    chunks.foreach { case (tag, declared, actual) =>
+      asc(tag); w32(declared); out.write(new Array[Byte](actual))
+    }
+    // pad to the 44-byte minimum the probe gate requires
+    while (out.size() < 44) out.write(0)
+    out.toByteArray
+  }
+
+  test("probeWav survives a hostile chunk size that reads as -8 signed") {
+    // 0xFFFFFFF8 signed is -8: a signed walk would stride by ZERO
+    // (8 + size + pad = 0) and loop forever on this payload
+    val b = riff(("junk", 0xFFFFFFF8L, 8))
+    assert(Multimodal.probeWav(b).isEmpty) // terminates, no data chunk
+  }
+
+  test("probeWav survives negative-stride chunk sizes without walking backwards") {
+    // 0xFFFFFFE0 signed is -32: offset would move BACKWARDS forever
+    val b = riff(("junk", 0xFFFFFFE0L, 16), ("fmt ", 16L, 16))
+    assert(Multimodal.probeWav(b).isEmpty) // unsigned read: walks off the end
+  }
+
+  test("probeWav still parses valid chunks before a hostile one") {
+    // fmt and data first, then a huge-size trailer: both fields are
+    // found before the walk hits the oversized chunk and exits
+    val fmtBody = {
+      val o = new ByteArrayOutputStream()
+      def w16(v: Int) = o.write(Array(v.toByte, (v >>> 8).toByte))
+      def w32(v: Int) = o.write(Array(v.toByte, (v >>> 8).toByte,
+        (v >>> 16).toByte, (v >>> 24).toByte))
+      w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+      o.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(Array[Byte](0, 4, 0, 0))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    out.write(Array[Byte](16, 0, 0, 0)); out.write(fmtBody)
+    out.write("data".getBytes("US-ASCII"))
+    out.write(Array[Byte](16, 0, 0, 0)); out.write(new Array[Byte](16))
+    out.write("junk".getBytes("US-ASCII"))
+    out.write(Array[Byte](-1, -1, -1, -1)) // size 0xFFFFFFFF
+    val p = Multimodal.probeWav(out.toByteArray)
+    assert(p.contains((1, 8000, 16, 1L))) // 16 bytes / 16000 B/s = 1 ms
+  }
+
   test("decodeImages fully decodes pixels via ImageIO with exact luma") {
     // solid gray 100: luma = 0.299*100 + 0.587*100 + 0.114*100 = 100
     val media = Seq(

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quality
+
+/** Quality-gate edge cases beyond the q75 oracle: empty inputs must
+  * report ZERO violations (not NULL — SUM over zero rows is NULL
+  * unless coalesced), and the single-scan shape must hold.
+  */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val checks = Seq(
+    Quality.Check("neg", col("v") < 0),
+    Quality.Check("null_k", col("k").isNull))
+
+  test("rowChecks on an empty frame reports 0 violations per check") {
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val rows = Quality.rowChecks(empty, checks)
+      .as[(String, Long)].collect().toMap
+    assert(rows == Map("neg" -> 0L, "null_k" -> 0L))
+  }
+
+  test("rowChecks counts violations on non-empty input") {
+    val df = Seq((1L, -1.0), (2L, 3.0), (3L, -2.0)).toDF("k", "v")
+    val rows = Quality.rowChecks(df, checks)
+      .as[(String, Long)].collect().toMap
+    assert(rows == Map("neg" -> 2L, "null_k" -> 0L))
+  }
+
+  test("report unions row checks with empty-input extra checks cleanly") {
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val rep = Quality.report(empty, checks,
+      extra = Seq(Quality.uniquenessCheck(empty, Seq("k"), "dup_k")))
+      .as[(String, Long)].collect().toMap
+    assert(rep == Map("neg" -> 0L, "null_k" -> 0L, "dup_k" -> 0L))
+  }
+
+  test("rowChecks compiles all checks into one scan (single aggregate)") {
+    val df = Seq((1L, -1.0)).toDF("k", "v")
+    val plan = Quality.rowChecks(df, checks)
+      .queryExecution.executedPlan.toString
+    // adding a check adds an aggregate column, never another scan
+    assert(!plan.contains("Union"))
+  }
+}

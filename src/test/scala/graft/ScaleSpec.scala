@@ -51,6 +51,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within the ±2% exact rank band") {
+    // the tight accuracy claim lives HERE, not in the q66 hash (the
+    // hashed band is the flip-proof ±5%); accuracy=10000 guarantees
+    // rank error ≤ 1e-4, so this is 200× slack even at sf0.001
+    val rows = Tables.orders(spark, sf())
+      .groupBy($"o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, array(0.48,0.52,0.88,0.92,0.95,0.99))")
+          .as("ex"),
+        expr("approx_percentile(o_totalprice, array(0.5,0.9,0.97), 10000)")
+          .as("ap"))
+      .as[(String, Seq[Double], Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, ex, ap) =>
+      assert(ap(0) >= ex(0) && ap(0) <= ex(1))
+      assert(ap(1) >= ex(2) && ap(1) <= ex(3))
+      assert(ap(2) >= ex(4) && ap(2) <= ex(5))
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
