@@ -12,5 +12,6 @@ object Registry {
       queries.SqlSurface.all ++ queries.Scale.all ++
       queries.Extras.all ++ queries.Subqueries.all ++
       queries.CurateQ.all ++ queries.Windows2.all ++
-      queries.ComponentsQ.all ++ queries.Pipeline.all
+      queries.ComponentsQ.all ++ queries.Pipeline.all ++
+      queries.CorpusQ.all
 }

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{SparkSession, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Qry, Tables}
+import graft.operators.{Corpus, Splits, TextOps}
+import Q._
+
+/** Corpus-curation queries (the cross-document LLM-pipeline passes
+  * in [[graft.operators.Corpus]]): boilerplate detection,
+  * train/test contamination, stratified sampling, within-document
+  * repetition, Zipf statistics, source-mix rebalancing, and
+  * sequence-packing stats. Every fraction goes through [[Q.r6]]
+  * (floor-based rounding — engine round() half-tie modes differ).
+  */
+object CorpusQ {
+
+  /** q63's md5 percent-bucket arithmetic, as a DuckDB fragment. */
+  private def bucketSql(id: String): String = {
+    def nib(i: Int) =
+      s"""(strpos('0123456789abcdef',
+          substr(md5(CAST($id AS VARCHAR)), $i, 1)) - 1)"""
+    s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 100)"
+  }
+
+  /** DuckDB word-3-gram shingle list of a token-list column `t`
+    * (mirrors [[graft.operators.Dedup.shingleSet]] n=3: empty below
+    * 3 tokens — range(1, len-1) is already empty there). */
+  private val Sh3 =
+    "list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))"
+
+  private val Toks =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** Boilerplate n-grams, C4-style: 3-gram shingles appearing in ≥5
+    * distinct documents are template text; each document reports the
+    * fraction of its shingles that are boilerplate (a quality-gate
+    * input). df is computed over the FULL corpus, the per-doc report
+    * is then cut to a bounded id range. */
+  val q81 = Qry(
+    "q81_boilerplate_ngrams",
+    (s: SparkSession, d: String) =>
+      Corpus.boilerplateFraction(
+          Tables.documents(s, d), "doc_id", "text", n = 3, minDf = 5L)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          r6(col("n_boiler").cast("double") / col("n_shingles"))
+            .as("boiler_frac"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, $Toks AS t FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct($Sh3)) AS g FROM toks),
+      boiler AS (
+        SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 5),
+      flagged AS (
+        SELECT sh.doc_id,
+               CASE WHEN b.g IS NULL THEN 0 ELSE 1 END AS isb
+        FROM sh LEFT JOIN boiler b ON sh.g = b.g)
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(isb) AS BIGINT) AS n_boiler,
+             ${r6Sql("CAST(SUM(isb) AS DOUBLE) / COUNT(*)")} AS boiler_frac
+      FROM flagged WHERE doc_id < 200
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Train/test contamination (benchmark decontamination pass): the
+    * corpus is hash-split 90/10 (q63's deterministic buckets), and
+    * each held-out document reports the fraction of its 3-gram
+    * shingles that occur anywhere in the train split. One distinct
+    * over train shingles + one equi-join — the exact formulation;
+    * at 100 TB the join key compacts to xxhash64 or a bloom
+    * broadcast (Corpus scaladoc). */
+  val q82 = Qry(
+    "q82_contamination",
+    (s: SparkSession, d: String) =>
+      Corpus.contamination(
+          Tables.documents(s, d), "doc_id", "text",
+          when(Splits.hashBucket(col("doc_id")) < 90, "train")
+            .otherwise("test"), n = 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          r6(col("n_contaminated").cast("double") / col("n_shingles"))
+            .as("contam_frac"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH split AS (
+        SELECT doc_id, text,
+               CASE WHEN ${bucketSql("doc_id")} < 90
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents),
+      toks AS (SELECT doc_id, split, $Toks AS t FROM split),
+      sh AS (
+        SELECT doc_id, split, unnest(list_distinct($Sh3)) AS g
+        FROM toks),
+      train AS (SELECT DISTINCT g FROM sh WHERE split = 'train'),
+      flagged AS (
+        SELECT sh.doc_id,
+               CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END AS hit
+        FROM sh LEFT JOIN train tr ON sh.g = tr.g
+        WHERE sh.split = 'test')
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(hit) AS BIGINT) AS n_contaminated,
+             ${r6Sql("CAST(SUM(hit) AS DOUBLE) / COUNT(*)")} AS contam_frac
+      FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Deterministic stratified sampling: per-language keep rates
+    * applied through the same md5 percent-buckets (a row's
+    * membership is a pure function of its id — stable across runs,
+    * partitionings, and engines). The checksum pins exactly WHICH
+    * rows were kept, not just how many. */
+  val q83 = Qry(
+    "q83_stratified_sample",
+    (s: SparkSession, d: String) => {
+      val rates = Seq("en" -> 40, "de" -> 60, "es" -> 80,
+        "fr" -> 90, "zh" -> 100)
+      val rate = rates.foldLeft(lit(0): Column) {
+        case (acc, (l, r)) => when(col("lang") === l, r).otherwise(acc)
+      }
+      val kept = Splits.hashBucket(col("doc_id")) < rate
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(kept, col("doc_id"))).as("id_checksum"))
+        .select(col("lang"), col("n_total"), col("n_kept"),
+          r6(col("n_kept").cast("double") / col("n_total"))
+            .as("keep_frac"),
+          col("id_checksum"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH flagged AS (
+        SELECT lang, doc_id,
+               CASE WHEN ${bucketSql("doc_id")} <
+                 CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 60
+                           WHEN 'es' THEN 80 WHEN 'fr' THEN 90
+                           WHEN 'zh' THEN 100 ELSE 0 END
+               THEN 1 ELSE 0 END AS kept
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_total,
+             CAST(SUM(kept) AS BIGINT) AS n_kept,
+             ${r6Sql("CAST(SUM(kept) AS DOUBLE) / COUNT(*)")} AS keep_frac,
+             CAST(SUM(CASE WHEN kept = 1 THEN doc_id END) AS BIGINT)
+               AS id_checksum
+      FROM flagged GROUP BY lang ORDER BY lang"""))
+
+  /** Within-document repetition ratio (the Gopher repetition quality
+    * signal): 1 − distinct/total over the doc's 3-gram multiset.
+    * Pure map-side column expressions — no shuffle at any scale. */
+  val q84 = Qry(
+    "q84_repetition_ratio",
+    (s: SparkSession, d: String) => {
+      val grams = Corpus.shingleList(col("text"), 3)
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          size(grams).cast("long").as("n_grams"),
+          size(array_distinct(grams)).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          when(col("n_grams") === 0L, lit(0d))
+            .otherwise(r6(lit(1.0) -
+              col("n_distinct").cast("double") / col("n_grams"))))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, $Toks AS t FROM documents WHERE doc_id < 300),
+      g AS (
+        SELECT doc_id,
+               len($Sh3) AS n_grams,
+               len(list_distinct($Sh3)) AS n_distinct
+        FROM toks)
+      SELECT doc_id, n_grams, n_distinct,
+             CASE WHEN n_grams = 0 THEN 0.0
+                  ELSE ${r6Sql(
+                    "1.0 - CAST(n_distinct AS DOUBLE) / n_grams")}
+             END AS rep_ratio
+      FROM g ORDER BY doc_id"""))
+
+  /** Zipf rank-frequency statistics over the whole corpus: top-30
+    * tokens with rank and cumulative share. One explode→groupBy
+    * shuffle; the rank window runs on the tiny post-aggregation
+    * frequency table (vocabulary-sized, not corpus-sized). */
+  val q85 = Qry(
+    "q85_zipf_stats",
+    (s: SparkSession, d: String) => {
+      val freq = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(col("freq").desc, col("tok"))
+      freq
+        .crossJoin(broadcast(freq.agg(sum(col("freq")).as("__total"))))
+        .withColumn("tok_rank", row_number().over(w))
+        .withColumn("__cum", sum(col("freq")).over(w))
+        .filter(col("tok_rank") <= 30)
+        .select(col("tok_rank"), col("tok"), col("freq"),
+          r6(col("__cum").cast("double") / col("__total"))
+            .as("cum_share"))
+        .orderBy(col("tok_rank"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT unnest($Toks) AS tok FROM documents),
+      freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+      t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freq),
+      ranked AS (
+        SELECT tok, freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS tok_rank,
+               SUM(freq) OVER (ORDER BY freq DESC, tok) AS cum
+        FROM freq)
+      SELECT tok_rank, tok, freq,
+             ${r6Sql("CAST(cum AS DOUBLE) / total")} AS cum_share
+      FROM ranked, t WHERE tok_rank <= 30 ORDER BY tok_rank"""))
+
+  /** Source-mix rebalancing: per-source share of the corpus and the
+    * sampling weight that would equalize sources (target uniform
+    * mix). The shape behind domain-mixture reweighting: one groupBy
+    * plus a broadcast scalar of corpus totals. */
+  val q86 = Qry(
+    "q86_source_mix",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val tot = docs.agg(count(lit(1)).as("__total"),
+        countDistinct(col("source")).as("__ns"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("chars_sum"),
+          r6(col("n_docs").cast("double") / col("__total")).as("share"),
+          r6(col("__total").cast("double") /
+            (col("__ns") * col("n_docs"))).as("weight"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH agg AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        FROM documents GROUP BY source),
+      t AS (SELECT COUNT(*) AS total, COUNT(DISTINCT source) AS ns
+            FROM documents)
+      SELECT source, n_docs, chars_sum,
+             ${r6Sql("CAST(n_docs AS DOUBLE) / total")} AS share,
+             ${r6Sql("CAST(total AS DOUBLE) / (ns * n_docs)")} AS weight
+      FROM agg, t ORDER BY source"""))
+
+  /** Greedy sequence-packing stats: documents concatenated per
+    * language in doc_id order and chunked into 512-token windows
+    * (pretraining batch packing); reports bins used and mean fill.
+    * One window shuffle partitioned by language. */
+  val q87 = Qry(
+    "q87_pack_bins",
+    (s: SparkSession, d: String) =>
+      Corpus.packBins(
+          Tables.documents(s, d).select(
+            col("doc_id"), col("lang"), col("text")),
+          "lang", "doc_id", TextOps.tokenCount(col("text")), 512)
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("bin")).as("n_bins"),
+          count(lit(1)).as("n_docs"),
+          sum(col("__ntok")).as("total_tokens"))
+        .select(col("lang"), col("n_bins"), col("n_docs"),
+          col("total_tokens"),
+          r6(col("total_tokens").cast("double") /
+            (col("n_bins") * lit(512))).as("avg_fill"))
+        .orderBy(col("lang")),
+    Some(s"""
+      WITH tc AS (
+        SELECT doc_id, lang, len($Toks) AS ntok
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id, ntok,
+               SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id)
+                 AS cum
+        FROM tc),
+      b AS (
+        SELECT lang, ntok,
+               CAST(FLOOR(CAST(cum - ntok AS DOUBLE) / 512) AS BIGINT)
+                 AS bin
+        FROM c)
+      SELECT lang, COUNT(DISTINCT bin) AS n_bins, COUNT(*) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+             ${r6Sql(
+               "CAST(SUM(ntok) AS DOUBLE) / (COUNT(DISTINCT bin) * 512)")}
+               AS avg_fill
+      FROM b GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Qry] = Seq(q81, q82, q83, q84, q85, q86, q87)
+}

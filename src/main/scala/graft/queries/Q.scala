@@ -38,4 +38,13 @@ object Q {
 
   def davgSql(expr: String, scale: Int): String =
     s"${dsumSql(expr, scale)} / CAST(COUNT(*) AS DOUBLE)"
+
+  /** Tie-proof 6-decimal rounding of a non-negative double:
+    * floor(x·1e6 + 0.5)/1e6 is the same IEEE op sequence on both
+    * engines, so exact half-ties (k/128 etc.) can't diverge the way
+    * engine round() half-tie modes can. */
+  def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / 1e6
+
+  /** DuckDB rendering of [[r6]]. */
+  def r6Sql(expr: String): String = s"FLOOR(($expr) * 1e6 + 0.5) / 1e6"
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup}
+
+/** Unit-level checks of the corpus-curation operators feeding
+  * q81/q82/q87 — tiny hand corpora with worked-out expectations. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingleList keeps the multiset where shingleSet distincts") {
+    val df = Seq(("a b a b a")).toDF("text")
+    val both = df.select(
+      Corpus.shingleList(col("text"), 2).as("list"),
+      Dedup.shingleSet(col("text"), 2).as("set"))
+      .as[(Seq[String], Seq[String])].collect().head
+    assert(both._1 == Seq("a b", "b a", "a b", "b a"))
+    assert(both._2.sorted == Seq("a b", "b a"))
+  }
+
+  test("shingleList is empty below n tokens") {
+    val r = Seq("one two", "").toDF("text")
+      .select(Corpus.shingleList(col("text"), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(r.forall(_.isEmpty))
+  }
+
+  test("boilerplateShingles finds shingles shared by >= minDf docs") {
+    // "x y z" occurs in docs 1,2,3; "p q r" only in doc 4
+    val docs = Seq(
+      (1L, "x y z a"), (2L, "b x y z"), (3L, "x y z"),
+      (4L, "p q r")).toDF("doc_id", "text")
+    val boiler = Corpus.boilerplateShingles(docs, "doc_id", "text",
+      n = 3, minDf = 3L).as[(String, Long)].collect().toMap
+    assert(boiler == Map("x y z" -> 3L))
+  }
+
+  test("boilerplateFraction reports per-doc share of boilerplate shingles") {
+    val docs = Seq(
+      (1L, "x y z a"), (2L, "b x y z"), (3L, "x y z"),
+      (4L, "p q r")).toDF("doc_id", "text")
+    val frac = Corpus.boilerplateFraction(docs, "doc_id", "text", 3, 3L)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, b) => id -> ((n, b)) }.toMap
+    // doc 1: shingles {x y z, y z a} -> 1 of 2 boiler
+    assert(frac(1L) == ((2L, 1L)))
+    assert(frac(3L) == ((1L, 1L)))
+    assert(frac(4L) == ((1L, 0L)))
+  }
+
+  test("contamination measures test-shingle leakage from train") {
+    val docs = Seq(
+      (1L, "train", "a b c d"),   // train shingles: {a b c, b c d}
+      (2L, "test", "a b c x y"),  // {a b c, b c x, c x y} -> 1/3 hit
+      (3L, "test", "p q r s"))    // no overlap -> 0/2
+      .toDF("doc_id", "split", "text")
+    val r = Corpus.contamination(docs, "doc_id", "text",
+      col("split"), n = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, c) => id -> ((n, c)) }.toMap
+    assert(r == Map(2L -> ((3L, 1L)), 3L -> ((2L, 0L))))
+  }
+
+  test("packBins assigns documents to fixed token windows greedily") {
+    // tokens: 300, 300, 300 -> cumsum 300, 600, 900
+    // start offsets 0, 300, 600 -> bins 0, 0, 1 at window=512
+    val docs = Seq((1L, "g", 300), (2L, "g", 300), (3L, "g", 300))
+      .toDF("doc_id", "grp", "ntok")
+    val bins = Corpus.packBins(docs, "grp", "doc_id", col("ntok"), 512)
+      .select(col("doc_id"), col("bin"))
+      .as[(Long, Long)].collect().toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("packBins streams are independent per group") {
+    val docs = Seq((1L, "a", 600), (2L, "b", 600), (3L, "a", 100))
+      .toDF("doc_id", "grp", "ntok")
+    val bins = Corpus.packBins(docs, "grp", "doc_id", col("ntok"), 512)
+      .select(col("doc_id"), col("bin"))
+      .as[(Long, Long)].collect().toMap
+    // group a: starts 0, 600 -> bins 0, 1; group b: start 0 -> bin 0
+    assert(bins == Map(1L -> 0L, 3L -> 1L, 2L -> 0L))
+  }
+}
