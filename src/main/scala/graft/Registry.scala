@@ -13,5 +13,5 @@ object Registry {
       queries.Extras.all ++ queries.Subqueries.all ++
       queries.CurateQ.all ++ queries.Windows2.all ++
       queries.ComponentsQ.all ++ queries.Pipeline.all ++
-      queries.CorpusQ.all
+      queries.CorpusQ.all ++ queries.Stats.all
 }

@@ -17,14 +17,6 @@ import Q._
   */
 object CorpusQ {
 
-  /** q63's md5 percent-bucket arithmetic, as a DuckDB fragment. */
-  private def bucketSql(id: String): String = {
-    def nib(i: Int) =
-      s"""(strpos('0123456789abcdef',
-          substr(md5(CAST($id AS VARCHAR)), $i, 1)) - 1)"""
-    s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 100)"
-  }
-
   /** DuckDB word-3-gram shingle list of a token-list column `t`
     * (mirrors [[graft.operators.Dedup.shingleSet]] n=3: empty below
     * 3 tokens — range(1, len-1) is already empty there). */

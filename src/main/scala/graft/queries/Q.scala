@@ -47,4 +47,15 @@ object Q {
 
   /** DuckDB rendering of [[r6]]. */
   def r6Sql(expr: String): String = s"FLOOR(($expr) * 1e6 + 0.5) / 1e6"
+
+  /** DuckDB rendering of [[graft.operators.Splits.hashBucket]]: the
+    * md5 percent-bucket (first 16 bits → 0-99) that q63's split,
+    * q82's contamination split, q83's strata, and q89's event
+    * sampling all share. */
+  def bucketSql(id: String): String = {
+    def nib(i: Int) =
+      s"""(strpos('0123456789abcdef',
+          substr(md5(CAST($id AS VARCHAR)), $i, 1)) - 1)"""
+    s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 100)"
+  }
 }

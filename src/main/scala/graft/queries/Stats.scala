@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+import graft.{Qry, Tables}
+import Q._
+
+/** Statistical / product-analytics queries: exact-moment correlation
+  * and regression, weekly retention cohorts, and co-occurrence
+  * (market-basket) pairs.
+  *
+  * The correlation trick is the cross-engine determinism key: naive
+  * corr()/regr_slope() accumulate doubles in engine-specific order
+  * and never hash-match. Instead BOTH engines compute the five raw
+  * moments EXACTLY (decimal sums via [[Q.dsum]] — associativity-
+  * free), then derive corr/slope/intercept with an identical IEEE
+  * double expression. Exact in, deterministic out.
+  */
+object Stats {
+
+  /** Pearson correlation + least-squares fit of extendedprice on
+    * quantity per returnflag, from exact decimal moments. Single
+    * hash-aggregate scan — the moments are one pass, the derived
+    * statistics are per-group scalar math. */
+  val q88 = Qry(
+    "q88_corr_regression",
+    (s: SparkSession, d: String) => {
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dsum(x, 2).as("sx"), dsum(y, 2).as("sy"),
+          dsum(x * y, 4).as("sxy"),
+          dsum(x * x, 4).as("sxx"),
+          dsum(y * y, 4).as("syy"))
+      val nn = col("n").cast("double")
+      val cov = nn * col("sxy") - col("sx") * col("sy")
+      val vx = nn * col("sxx") - col("sx") * col("sx")
+      val vy = nn * col("syy") - col("sy") * col("sy")
+      val slope = cov / vx
+      m.select(col("l_returnflag"), col("n"),
+          r6(cov / sqrt(vx * vy)).as("corr_qty_price"),
+          r6(slope).as("slope"),
+          r6((col("sy") - slope * col("sx")) / nn).as("intercept"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               ${dsumSql("l_quantity", 2)} AS sx,
+               ${dsumSql("l_extendedprice", 2)} AS sy,
+               ${dsumSql("l_quantity * l_extendedprice", 4)} AS sxy,
+               ${dsumSql("l_quantity * l_quantity", 4)} AS sxx,
+               ${dsumSql("l_extendedprice * l_extendedprice", 4)} AS syy
+        FROM lineitem GROUP BY l_returnflag),
+      dm AS (
+        SELECT l_returnflag, n,
+               CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+               CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+               CAST(n AS DOUBLE) * syy - sy * sy AS vy,
+               sx, sy
+        FROM m)
+      SELECT l_returnflag, n,
+             ${r6Sql("cov / sqrt(vx * vy)")} AS corr_qty_price,
+             ${r6Sql("cov / vx")} AS slope,
+             ${r6Sql("(sy - (cov / vx) * sx) / CAST(n AS DOUBLE)")}
+               AS intercept
+      FROM dm ORDER BY l_returnflag"""))
+
+  /** Weekly retention cohorts (product-analytics staple): users
+    * cohorted by first-event week (week index from the corpus epoch
+    * 2024-01-01, a Monday — pure day arithmetic, no engine calendar
+    * semantics), counted if active k weeks later. The stream is
+    * first thinned to a deterministic 2% md5-bucket sample of
+    * events — the dense fixture has every user active from day one,
+    * which degenerates to a single cohort (and sampled-cohort
+    * analysis is itself the realistic shape over a full event
+    * firehose). Two shuffles: first-event per user, then the cohort
+    * rollup of the distinct (user, week) activity grid. */
+  val q89 = Qry(
+    "q89_retention_cohorts",
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .filter(graft.operators.Splits.hashBucket(col("event_id")) < 2)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("d")).as("fd"))
+      val grid = ev.join(first, Seq("user_id"))
+        .select(col("user_id"),
+          floor(datediff(col("d"), col("fd")) / 7).cast("int").as("wk"),
+          floor(datediff(col("fd"), lit("2024-01-01").cast("date")) / 7)
+            .cast("int").as("cohort"))
+        .distinct()
+      def active(k: Int) =
+        countDistinct(when(col("wk") === k, col("user_id")))
+          .as(s"w$k")
+      grid.groupBy(col("cohort"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          active(1), active(2), active(3))
+        .orderBy(col("cohort"))
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        WHERE ${bucketSql("event_id")} < 2),
+      f AS (SELECT user_id, MIN(d) AS fd FROM ev GROUP BY user_id),
+      grid AS (
+        SELECT DISTINCT ev.user_id,
+               CAST(FLOOR(date_diff('day', fd, d) / 7.0) AS INTEGER)
+                 AS wk,
+               CAST(FLOOR(date_diff('day', DATE '2024-01-01', fd) / 7.0)
+                 AS INTEGER) AS cohort
+        FROM ev JOIN f ON ev.user_id = f.user_id)
+      SELECT cohort,
+             COUNT(DISTINCT user_id) AS n_users,
+             COUNT(DISTINCT CASE WHEN wk = 1 THEN user_id END) AS w1,
+             COUNT(DISTINCT CASE WHEN wk = 2 THEN user_id END) AS w2,
+             COUNT(DISTINCT CASE WHEN wk = 3 THEN user_id END) AS w3
+      FROM grid GROUP BY cohort ORDER BY cohort"""))
+
+  /** Co-purchase pairs (market-basket co-occurrence): top-20 part
+    * pairs by number of orders containing both. The classic
+    * frequent-itemset first pass: distinct (order, part), self-join
+    * on the order key with p1 < p2 (each pair once), count, top-k
+    * with a full deterministic tiebreak. The self-join shuffles on
+    * the order key once — both sides share the partitioning. */
+  val q90 = Qry(
+    "q90_copurchase_pairs",
+    (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem),
+      p AS (
+        SELECT a.pk AS p1, b.pk AS p2
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk)
+      SELECT p1, p2, COUNT(*) AS n_orders
+      FROM p GROUP BY p1, p2
+      ORDER BY n_orders DESC, p1, p2 LIMIT 20"""))
+
+  val all: Seq[Qry] = Seq(q88, q89, q90)
+}
