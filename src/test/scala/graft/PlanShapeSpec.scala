@@ -86,6 +86,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q84: repetition ratio stays map-side (no agg, no join, only the sort exchange)") {
+    val p = plan("q84_repetition_ratio")
+    assert(!p.contains("Join"), s"map-side query grew a join:\n$p")
+    assert(!p.contains("HashAggregate"), s"map-side query grew an agg:\n$p")
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n <= 2, s"expected only the final sort exchange, got $n:\n$p")
+  }
+
+  test("q87: packing is one window shuffle per stream, no join") {
+    val p = plan("q87_pack_bins")
+    assert(!p.contains("Join"), s"packing grew a join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q82: contamination membership join is a shuffled join at scale, not broadcast") {
+    val p = planAtScaleStats("q82_contamination")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a shuffled equi-join on the shingle:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q88: exact-moment stats are one partial+final aggregate, no Expand") {
+    val p = plan("q88_corr_regression")
+    assert("partial_".r.findFirstIn(p).isDefined,
+      s"no map-side combine:\n$p")
+    assert(!p.contains("Expand"),
+      s"moments should be plain aggregates, not countDistinct Expand:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q90: co-purchase self-join shuffles on the order key at scale") {
+    val p = planAtScaleStats("q90_copurchase_pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected shuffled self-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 should not be a full global sort:\n$p")
+  }
+
+  test("q85/q86: corpus-total scalars ride a broadcast, never a cartesian") {
+    Seq("q85_zipf_stats", "q86_source_mix").foreach { q =>
+      val p = planAtScaleStats(q)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q: scalar crossJoin lost its broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("no unexpected cartesian products across the whole query surface") {
     // Deliberate bounded cross joins (documented quadratic baselines
     // over bounded subsets): q30 brute-force Jaccard, q34 embedding
