@@ -38,11 +38,24 @@ object Corpus {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Decouple CPU parallelism from scan splits: shingle construction
+    * is per-row CPU-heavy (tokenize → per-position slice+concat —
+    * higher-order array expressions), so a NARROW source (a
+    * single-row-group parquet file reads as ONE task regardless of
+    * cores) serializes it. Fan such sources out to the session
+    * default parallelism first; identity when the input is already
+    * wide — which a 100 TB table always is (thousands of row-group
+    * splits), so at scale this never moves a byte of text. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** (doc_id, g) rows: each document's DISTINCT n-gram shingles,
     * exploded. The building block for document-frequency passes. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    fanOut(docs).select(col(idCol).as("doc_id"),
       explode(Dedup.shingleSet(col(textCol), n)).as("g"))
 
   /** Shingles appearing in ≥ minDf distinct documents — the
@@ -56,36 +69,51 @@ object Corpus {
       .filter(col("df") >= minDf)
 
   /** Per-document boilerplate fraction: share of the doc's distinct
-    * shingles that are in the corpus boilerplate set. Left join on
-    * the shingle (hit flag), then one per-doc aggregation. */
+    * shingles that are in the corpus boilerplate set. Implemented as
+    * df-count-over-window on the shingle partition: ONE explode and
+    * one shuffle by shingle (the same volume the df groupBy would
+    * shuffle anyway), no second scan and no membership join. The
+    * alternative (df groupBy + broadcast the boilerplate set back
+    * onto a re-scan) wins only when re-scanning the corpus is
+    * cheaper than windowing the shingle rows — with a payload-
+    * pruned scan both shapes shuffle identically, and this one
+    * reads the data once. */
   def boilerplateFraction(docs: DataFrame, idCol: String,
       textCol: String, n: Int, minDf: Long): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n)
-    val boiler = boilerplateShingles(docs, idCol, textCol, n, minDf)
-      .select(col("g"), lit(1L).as("__hit"))
-    sh.join(boiler, Seq("g"), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"))
+    docShingles(docs, idCol, textCol, n)
+      .withColumn("__df", count(lit(1)).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_boiler"))
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L))
+          .as("n_boiler"))
   }
 
   /** Per-held-out-document contamination: the fraction of its
     * distinct n-gram shingles that also occur anywhere in the train
-    * split. `assignCol` must evaluate to 'train'/'test' per row. */
+    * split. `assignCol` must evaluate to 'train'/'test' per row.
+    *
+    * Shape: ONE explode, then leaked = max(is_train) over the
+    * shingle partition — a single shuffle by shingle touching each
+    * (doc, shingle) row once. The equi-join formulation shuffles
+    * the same test rows AND a corpus-sized distinct train set; the
+    * window does strictly less movement because the train set here
+    * is not small (it is most of the corpus). */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
       assignCol: Column, n: Int): DataFrame = {
-    val sh = docs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"))
+    fanOut(docs)
       .withColumn("__split", assignCol)
       .select(col(idCol).as("doc_id"), col("__split"),
         explode(Dedup.shingleSet(col(textCol), n)).as("g"))
-    val trainSet = sh.filter(col("__split") === "train")
-      .select(col("g")).distinct()
-      .withColumn("__hit", lit(1L))
-    sh.filter(col("__split") === "test")
-      .join(trainSet, Seq("g"), "left")
+      .withColumn("__hit",
+        max(when(col("__split") === "train", 1L).otherwise(0L)).over(w))
+      .filter(col("__split") === "test")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+        sum(col("__hit")).as("n_contaminated"))
   }
 
   /** Greedy concat-then-chunk sequence packing: documents ordered by

@@ -100,11 +100,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
-  test("q82: contamination membership join is a shuffled join at scale, not broadcast") {
-    val p = planAtScaleStats("q82_contamination")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-      s"expected a shuffled equi-join on the shingle:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+  test("q81/q82: shingle df/leak passes are single-scan windows, no membership join") {
+    Seq("q81_boilerplate_ngrams", "q82_contamination").foreach { q =>
+      val p = planAtScaleStats(q)
+      assert(!p.contains("Join"),
+        s"$q: single-scan window shape grew a join (double explode):\n$p")
+      assert(p.contains("Window"), s"$q:\n$p")
+    }
   }
 
   test("q88: exact-moment stats are one partial+final aggregate, no Expand") {
