@@ -279,5 +279,42 @@ object CorpusQ {
                AS avg_fill
       FROM b GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[Qry] = Seq(q81, q82, q83, q84, q85, q86, q87)
+  /** RAG-style document chunking: overlapping 64-token windows at
+    * stride 48 (16-token overlap), each chunk pinned by an md5 of
+    * its joined text. Pure map-side HOF + posexplode — chunking a
+    * 100 TB corpus is embarrassingly parallel (and rides
+    * [[graft.operators.Corpus.fanOut]]-style scan splits). */
+  val q91 = Qry(
+    "q91_chunk_overlap",
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          posexplode(
+            when(size(col("t")) === 0,
+              array().cast("array<int>"))
+              .otherwise(sequence(lit(0), size(col("t")) - 1, lit(48)))))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          slice(col("t"), col("col") + 1, lit(64)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, $Toks AS t FROM documents WHERE doc_id < 50),
+      offs AS (
+        SELECT doc_id, t, unnest(range(0, len(t), 48)) AS off
+        FROM toks),
+      chunks AS (
+        SELECT doc_id, CAST(off // 48 AS INTEGER) AS chunk_idx,
+               t[off + 1 : off + 64] AS chunk
+        FROM offs)
+      SELECT doc_id, chunk_idx,
+             CAST(len(chunk) AS BIGINT) AS n_tokens,
+             md5(array_to_string(chunk, ' ')) AS chunk_hash
+      FROM chunks ORDER BY doc_id, chunk_idx"""))
+
+  val all: Seq[Qry] = Seq(q81, q82, q83, q84, q85, q86, q87, q91)
 }

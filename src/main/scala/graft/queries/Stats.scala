@@ -151,5 +151,61 @@ object Stats {
       FROM p GROUP BY p1, p2
       ORDER BY n_orders DESC, p1, p2 LIMIT 20"""))
 
-  val all: Seq[Qry] = Seq(q88, q89, q90)
+  /** One k-means assignment step (E-step) over the embeddings: k=8
+    * fixed seed centroids (the first eight vectors), every vector
+    * assigned to its nearest centroid by squared L2, cluster sizes +
+    * inertia reported. Scale shape: centroids broadcast, distances
+    * map-side, argmin via partial-aggregable min(struct(dist, cid))
+    * — no window sort, one groupBy shuffle of N pre-combined rows.
+    * Determinism: per-element CAST-to-double-then-subtract identical
+    * on both engines (the SimilarityQ fold contract), inertia summed
+    * as fixed-scale decimal. */
+  val q92 = Qry(
+    "q92_kmeans_assign",
+    (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val c = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      def d2(a: Column, b: Column) = aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      e.crossJoin(broadcast(c))
+        .withColumn("dist", d2(col("embedding"), col("cemb")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.dist").as("dist"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(col("vec_id")).as("id_checksum"),
+          dsum(col("dist"), 6).as("inertia"))
+        .select(col("cid").as("cluster_id"), col("n_assigned"),
+          col("id_checksum"), col("inertia"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT vec_id AS cid, embedding AS cemb
+        FROM embeddings WHERE vec_id < 8),
+      d AS (
+        SELECT e.vec_id, c.cid,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(list_zip(e.embedding, c.cemb),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                 (acc, x) -> acc + x) AS dist
+        FROM embeddings e CROSS JOIN c),
+      a AS (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dist, cid) AS rn
+        FROM d)
+      SELECT cid AS cluster_id, COUNT(*) AS n_assigned,
+             CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+             ${dsumSql("dist", 6)} AS inertia
+      FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid"""))
+
+  val all: Seq[Qry] = Seq(q88, q89, q90, q92)
 }
