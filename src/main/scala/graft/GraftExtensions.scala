@@ -5,13 +5,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression,
   ExpressionInfo}
 
-import graft.functions.{VecDot, VectorizeDotProduct}
+import graft.functions.{ShingleNGrams, VecDot, VectorizeDotProduct}
 
 /** Engine extension point (SparkSessionExtensions): registers the
   * native [[graft.functions.VecDot]] kernel as SQL function
-  * `vec_dot(a, b)` and installs the
+  * `vec_dot(a, b)`, the [[graft.functions.ShingleNGrams]] kernel as
+  * `shingles(tokens, n, distinct)`, and installs the
   * [[graft.functions.VectorizeDotProduct]] optimizer rule that
-  * auto-rewrites HOF dot products into it.
+  * auto-rewrites HOF dot products into VecDot.
   *
   * Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done
@@ -26,6 +27,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"vec_dot expects 2 arguments, got ${children.size}")
         VecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShingleNGrams].getName, "shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"shingles expects (tokens, n, distinct), got ${children.size}")
+        ShingleNGrams(children.head,
+          children(1).eval().asInstanceOf[Int],
+          children(2).eval().asInstanceOf[Boolean])
       }))
     ext.injectOptimizerRule(_ => VectorizeDotProduct)
   }

@@ -29,14 +29,11 @@ object Corpus {
 
   /** Word n-gram shingles of `text`, one per position — duplicates
     * KEPT (cf. [[Dedup.shingleSet]] which distincts them): the
-    * within-document repetition signal needs the multiset. */
-  def shingleList(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+    * within-document repetition signal needs the multiset. Same
+    * native kernel as shingleSet ([[graft.functions.ShingleNGrams]])
+    * with distinct=false. */
+  def shingleList(text: Column, n: Int): Column =
+    call_function("shingles", TextOps.tokens(text), lit(n), lit(false))
 
   /** Decouple CPU parallelism from scan splits: shingle construction
     * is per-row CPU-heavy (tokenize → per-position slice+concat —

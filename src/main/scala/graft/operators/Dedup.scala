@@ -22,15 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of `text`. */
-  def shingleSet(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
-    array_distinct(
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Distinct word n-gram shingles of `text`, via the native
+    * [[graft.functions.ShingleNGrams]] kernel (bit-equivalent to the
+    * HOF formulation `array_distinct(transform(sequence(0, size-n),
+    * i -> concat_ws(' ', slice(toks, i+1, n))))`, but one codegen'd
+    * kernel call per row — the interpreted HOF chain dominated every
+    * shingle-based query's profile). */
+  def shingleSet(text: Column, n: Int): Column =
+    call_function("shingles", TextOps.tokens(text), lit(n), lit(true))
 
   /** MinHash signature: element s is MIN over shingles of
     * md5("s#" + shingle) — k independent permutation approximations. */
