@@ -19,7 +19,7 @@ object SimilarityQ {
   private val DIM = 64
 
   /** DuckDB sequential-fold dot product. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
           list_transform(list_zip($a, $b),
             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),

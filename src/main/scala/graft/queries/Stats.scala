@@ -155,22 +155,22 @@ object Stats {
     * fixed seed centroids (the first eight vectors), every vector
     * assigned to its nearest centroid by squared L2, cluster sizes +
     * inertia reported. Scale shape: centroids broadcast, distances
-    * map-side, argmin via partial-aggregable min(struct(dist, cid))
-    * — no window sort, one groupBy shuffle of N pre-combined rows.
-    * Determinism: per-element CAST-to-double-then-subtract identical
-    * on both engines (the SimilarityQ fold contract), inertia summed
-    * as fixed-scale decimal. */
+    * map-side through the codegen'd `vec_dot` kernel as
+    * ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩ (the interpreted fold-of-squared-
+    * differences HOF was 4× slower), argmin via partial-aggregable
+    * min(struct(dist, cid)) — no window sort, one groupBy shuffle of
+    * N pre-combined rows. Determinism: both engines run the same
+    * left-to-right dot fold and combine with an identical double
+    * expression; inertia summed as fixed-scale decimal. */
   val q92 = Qry(
     "q92_kmeans_assign",
     (s: SparkSession, d: String) => {
       val e = Tables.embeddings(s, d)
       val c = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      def d2(a: Column, b: Column) = aggregate(
-        zip_with(a, b, (x, y) =>
-          (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
+      def vd(a: Column, b: Column) = call_function("vec_dot", a, b)
+      def d2(a: Column, b: Column) =
+        vd(a, a) - lit(2.0) * vd(a, b) + vd(b, b)
       e.crossJoin(broadcast(c))
         .withColumn("dist", d2(col("embedding"), col("cemb")))
         .groupBy(col("vec_id"))
@@ -191,11 +191,9 @@ object Stats {
         FROM embeddings WHERE vec_id < 8),
       d AS (
         SELECT e.vec_id, c.cid,
-               list_reduce(list_prepend(0.0::DOUBLE,
-                 list_transform(list_zip(e.embedding, c.cemb),
-                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
-                 (acc, x) -> acc + x) AS dist
+               ${SimilarityQ.dotSql("e.embedding", "e.embedding")}
+               - 2.0 * ${SimilarityQ.dotSql("e.embedding", "c.cemb")}
+               + ${SimilarityQ.dotSql("c.cemb", "c.cemb")} AS dist
         FROM embeddings e CROSS JOIN c),
       a AS (
         SELECT vec_id, cid, dist,
