@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank in integer micro-units.
+  *
+  * Ranks are BIGINTs scaled by 1e6 (start = 1 000 000); one round is
+  *
+  *   r'(v) = 150000 + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100
+  *
+  * i.e. damping 0.85 with the classic 0.15 teleport term, but every
+  * operation is integer multiply/divide — the incoming-contribution
+  * Σ is associativity-free, so results are bit-identical across
+  * engines and partitionings with zero float ops (truncating and
+  * floor division agree because all ranks are positive).
+  *
+  * Scale shape: the edge+degree frame is built once and eagerly
+  * localCheckpointed (each round re-reads it — on a cluster this is
+  * the disk-persisted/bucketed edge table); one round = one
+  * shuffle-on-src join plus one groupBy(dst) partial-aggregated
+  * sum, the standard distributed PageRank step with no driver-side
+  * state. Fixed iteration count keeps lineage bounded (no
+  * convergence fixpoint; callers pick the round budget).
+  *
+  * Dangling nodes (out-degree 0) are out of scope: callers pass
+  * symmetric edge lists (co-occurrence graphs), where every node
+  * with an in-edge also has an out-edge, so no dangling-mass
+  * redistribution term is needed.
+  */
+object PageRank {
+
+  /** @param edges directed edge list with `srcCol`/`dstCol`; pass a
+    *              symmetrized list for undirected graphs
+    * @param iters number of damped rounds (≥ 1)
+    * @return (id, r) — final micro-unit rank per node that has at
+    *         least one outgoing edge
+    */
+  def integerRanks(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e2 = e.join(deg, "src").localCheckpoint(true)
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters)
+      ranks = e2.join(ranks, e2("src") === ranks("id"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("(85 * sc) div 100")).as("r"))
+    ranks
+  }
+}

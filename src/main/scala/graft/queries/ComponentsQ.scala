@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.{Qry, Tables}
-import graft.operators.{Components, Dedup}
+import graft.operators.{Components, Dedup, PageRank}
 
 /** Transitive near-dup clustering (the connected-components upgrade
   * to greedy pairwise dedup). The fixture manufactures genuine
@@ -83,5 +83,68 @@ object ComponentsQ {
       SELECT component, COUNT(*) AS n_docs, MAX(id) AS max_id
       FROM assign GROUP BY component ORDER BY component"""))
 
-  val all: Seq[Qry] = Seq(q61)
+  /** Fixed-iteration PageRank over the co-purchase graph (nodes =
+    * parts, undirected edges between parts sharing an order — the
+    * q90 self-join shape). Three damped iterations, top-20 ranks.
+    *
+    * Scale shape: the distinct edge list + out-degrees are built
+    * once and eagerly localCheckpointed (reused every round — at
+    * cluster scale this is a disk-persisted/bucketed edge table);
+    * each round is one shuffle-on-src join plus one groupBy(dst) —
+    * the standard distributed PageRank step, no driver-side state.
+    *
+    * Determinism: ranks live in integer MICRO-units (start 1e6).
+    * Every contribution is `rank div outdeg` and the damping step is
+    * `150000 + (85 · Σcontrib) div 100` — pure integer arithmetic,
+    * so the Σ is associativity-free and both engines agree bit-for-
+    * bit with zero float ops. The symmetric graph has no dangling
+    * nodes (every node with an out-edge has an in-edge), so no
+    * dangling-mass redistribution term is needed; isolated parts
+    * (never co-ordered) are out of scope by construction. */
+  val q94 = Qry(
+    "q94_pagerank",
+    (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      PageRank.integerRanks(edges, "src", "dst", iters = 3)
+        .select(col("id").as("part_id"), col("r").as("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("part_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+      i1 AS (
+        SELECT e.dst AS id,
+               CAST(150000 + (85 * SUM(r // outdeg)) // 100 AS BIGINT)
+                 AS r
+        FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src
+        GROUP BY e.dst),
+      i2 AS (
+        SELECT e.dst AS id,
+               CAST(150000 + (85 * SUM(r // outdeg)) // 100 AS BIGINT)
+                 AS r
+        FROM e JOIN deg USING (src) JOIN i1 ON i1.id = e.src
+        GROUP BY e.dst),
+      i3 AS (
+        SELECT e.dst AS id,
+               CAST(150000 + (85 * SUM(r // outdeg)) // 100 AS BIGINT)
+                 AS r
+        FROM e JOIN deg USING (src) JOIN i2 ON i2.id = e.src
+        GROUP BY e.dst)
+      SELECT id AS part_id, r AS rank_micro
+      FROM i3 ORDER BY r DESC, id LIMIT 20"""))
+
+  val all: Seq[Qry] = Seq(q61, q94)
 }

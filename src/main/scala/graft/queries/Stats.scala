@@ -205,5 +205,75 @@ object Stats {
              ${dsumSql("dist", 6)} AS inertia
       FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid"""))
 
-  val all: Seq[Qry] = Seq(q88, q89, q90, q92)
+  /** The k-means M-step completing [[q92]]'s Lloyd iteration: after
+    * assigning every vector to its nearest of the 8 seed centroids,
+    * recompute each centroid as the per-dimension mean of its
+    * members (8×64 rows out). Scale shape: the assignment is the
+    * q92 plan (broadcast centroids, map-side `vec_dot` distances,
+    * partial-aggregable argmin); the update posexplodes members
+    * map-side and partially aggregates per (cluster, dim) — the
+    * shuffle carries only k·dim pre-combined rows per partition,
+    * never raw vectors. Determinism: each element is snapped to
+    * integer micro-units (floor(x·1e6+0.5) — exact IEEE ops on the
+    * exactly-widened float) BEFORE summing, so the cross-engine sum
+    * is integer-exact and the mean is one identical double division
+    * chain. first(embedding) is safe: the group key is vec_id, so
+    * every row in the group carries the same embedding. */
+  val q93 = Qry(
+    "q93_kmeans_update",
+    (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val c = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      def vd(a: Column, b: Column) = call_function("vec_dot", a, b)
+      def d2(a: Column, b: Column) =
+        vd(a, a) - lit(2.0) * vd(a, b) + vd(b, b)
+      e.crossJoin(broadcast(c))
+        .withColumn("dist", d2(col("embedding"), col("cemb")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"),
+          first(col("embedding")).as("emb"))
+        .select(col("m.cid").as("cid"),
+          posexplode(col("emb")).as(Seq("i", "x")))
+        .select(col("cid"), (col("i") + 1).cast("long").as("dim"),
+          floor(col("x").cast("double") * lit(1e6) + lit(0.5)).as("xm"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n_members"), sum(col("xm")).as("sm"))
+        .select(col("cid").as("cluster_id"), col("dim"),
+          col("n_members"),
+          r6(col("sm").cast("double") / lit(1e6)
+            / col("n_members").cast("double")).as("c_new"))
+        .orderBy(col("cluster_id"), col("dim"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT vec_id AS cid, embedding AS cemb
+        FROM embeddings WHERE vec_id < 8),
+      d AS (
+        SELECT e.vec_id, c.cid, e.embedding,
+               ${SimilarityQ.dotSql("e.embedding", "e.embedding")}
+               - 2.0 * ${SimilarityQ.dotSql("e.embedding", "c.cemb")}
+               + ${SimilarityQ.dotSql("c.cemb", "c.cemb")} AS dist
+        FROM embeddings e CROSS JOIN c),
+      a AS (
+        SELECT vec_id, cid, embedding,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dist, cid) AS rn
+        FROM d),
+      m AS (
+        SELECT cid, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM a WHERE rn = 1),
+      mm AS (
+        SELECT cid, dim,
+               FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS xm
+        FROM m)
+      SELECT cid AS cluster_id, dim,
+             COUNT(*) AS n_members,
+             ${r6Sql(
+               "CAST(SUM(xm) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)")}
+               AS c_new
+      FROM mm GROUP BY cid, dim ORDER BY cid, dim"""))
+
+  val all: Seq[Qry] = Seq(q88, q89, q90, q92, q93)
 }

@@ -218,5 +218,93 @@ object Text {
       ORDER BY c.id""")
     })
 
-  val all: Seq[Qry] = Seq(q24, q25, q26, q27, q62)
+  /** BM25 retrieval: score every document against a fixed 3-term
+    * query, return the top-15. The scoring function is the log-free
+    * BM25 variant (idf = (N−df+0.5)/(df+0.5) — rational, so no
+    * cross-engine `ln` drift; k1=1.2, b=0.75 folded into literal
+    * constants). Scale shape: pass 1 aggregates the corpus stats
+    * (N, Σdl, per-term df) into ONE tiny row that is broadcast back;
+    * pass 2 computes per-doc tf entirely map-side with an array
+    * `filter`+`size` (no token explode — the per-doc token array
+    * never leaves its partition) and finishes with a top-k sort of
+    * scored docs. Determinism: tf/df/dl/N are integers; the score is
+    * one fixed-order chain of IEEE double ops written identically in
+    * both engines, and the Σ over query terms is an explicit
+    * three-operand addition, not an engine-ordered aggregate. */
+  val q95 = {
+    val terms = Seq("spark", "window", "merge")
+    Qry(
+      "q95_bm25_topk",
+      (s: SparkSession, d: String) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id") +: TextOps.tokens(col("text")).as("t") +: Nil: _*)
+          .select(
+            col("doc_id") ::
+              size(col("t")).cast("long").as("dl") ::
+              terms.zipWithIndex.map { case (t, i) =>
+                size(filter(col("t"), x => x === lit(t)))
+                  .cast("long").as(s"tf$i")
+              }.toList: _*)
+        val g = tf.agg(
+          count(lit(1)).as("nd"),
+          sum(col("dl")).as("sdl") +:
+            terms.indices.map(i =>
+              sum(when(col(s"tf$i") > 0, 1L).otherwise(0L))
+                .as(s"df$i")): _*)
+        val avgdl = col("sdl").cast("double") / col("nd").cast("double")
+        def contrib(i: Int) = {
+          val t = col(s"tf$i").cast("double")
+          val dfd = col(s"df$i").cast("double")
+          val idf = (col("nd").cast("double") - dfd + lit(0.5)) /
+            (dfd + lit(0.5))
+          idf * (t * lit(2.2)) /
+            (t + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+        }
+        tf.crossJoin(broadcast(g))
+          .filter(col("tf0") + col("tf1") + col("tf2") > 0)
+          .select(col("doc_id"), col("dl"),
+            col("tf0").as("tf_spark"), col("tf1").as("tf_window"),
+            col("tf2").as("tf_merge"),
+            r6(contrib(0) + contrib(1) + contrib(2)).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(15)
+      },
+      Some {
+        val toks = DedupQ.toksSql
+        def c(i: Int) = {
+          val idf = s"(CAST(nd AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)" +
+            s" / (CAST(df$i AS DOUBLE) + 0.5)"
+          s"""$idf * (CAST(tf$i AS DOUBLE) * 2.2)
+              / (CAST(tf$i AS DOUBLE) + 1.2
+                 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"""
+        }
+        s"""
+        WITH tf AS (
+          SELECT doc_id,
+                 CAST(len($toks) AS BIGINT) AS dl,
+                 ${terms.zipWithIndex.map { case (t, i) =>
+                   s"CAST(len(list_filter($toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+                 }.mkString(",\n                 ")}
+          FROM documents),
+        g AS (
+          SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS sdl,
+                 ${terms.indices.map(i =>
+                   s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+                 ).mkString(",\n                 ")}
+          FROM tf),
+        s AS (
+          SELECT doc_id, dl, tf0, tf1, tf2,
+                 CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE) AS avgdl,
+                 nd, df0, df1, df2
+          FROM tf CROSS JOIN g
+          WHERE tf0 + tf1 + tf2 > 0)
+        SELECT doc_id, dl,
+               tf0 AS tf_spark, tf1 AS tf_window, tf2 AS tf_merge,
+               ${r6Sql(s"${c(0)} + ${c(1)} + ${c(2)}")} AS bm25
+        FROM s ORDER BY bm25 DESC, doc_id LIMIT 15"""
+      })
+  }
+
+  val all: Seq[Qry] = Seq(q24, q25, q26, q27, q62, q95)
 }
