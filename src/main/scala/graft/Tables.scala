@@ -26,6 +26,20 @@ object Tables {
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.extensions", "graft.GraftExtensions")
 
+  /** Decouple CPU parallelism from scan splits: a NARROW source (a
+    * single-row-group parquet file reads as ONE task regardless of
+    * cores) serializes every per-row-expensive expression downstream
+    * of it — shingle construction, decimal-exact aggregation, vector
+    * math. Fan such sources out to the session default parallelism
+    * first; identity when the input is already wide — which a 100 TB
+    * table always is (thousands of row-group splits), so at scale
+    * this never moves a byte. Call it AFTER filter + projection so
+    * the local shuffle carries only the columns the consumer needs. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     name match {

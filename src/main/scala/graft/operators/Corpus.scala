@@ -35,24 +35,12 @@ object Corpus {
   def shingleList(text: Column, n: Int): Column =
     call_function("shingles", TextOps.tokens(text), lit(n), lit(false))
 
-  /** Decouple CPU parallelism from scan splits: shingle construction
-    * is per-row CPU-heavy (tokenize → per-position slice+concat —
-    * higher-order array expressions), so a NARROW source (a
-    * single-row-group parquet file reads as ONE task regardless of
-    * cores) serializes it. Fan such sources out to the session
-    * default parallelism first; identity when the input is already
-    * wide — which a 100 TB table always is (thousands of row-group
-    * splits), so at scale this never moves a byte of text. */
-  def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
 
   /** (doc_id, g) rows: each document's DISTINCT n-gram shingles,
     * exploded. The building block for document-frequency passes. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    fanOut(docs).select(col(idCol).as("doc_id"),
+    graft.Tables.fanOut(docs).select(col(idCol).as("doc_id"),
       explode(Dedup.shingleSet(col(textCol), n)).as("g"))
 
   /** Shingles appearing in ≥ minDf distinct documents — the
@@ -101,7 +89,7 @@ object Corpus {
       assignCol: Column, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g"))
-    fanOut(docs)
+    graft.Tables.fanOut(docs)
       .withColumn("__split", assignCol)
       .select(col(idCol).as("doc_id"), col("__split"),
         explode(Dedup.shingleSet(col(textCol), n)).as("g"))

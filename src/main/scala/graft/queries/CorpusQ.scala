@@ -283,7 +283,7 @@ object CorpusQ {
     * stride 48 (16-token overlap), each chunk pinned by an md5 of
     * its joined text. Pure map-side HOF + posexplode — chunking a
     * 100 TB corpus is embarrassingly parallel (and rides
-    * [[graft.operators.Corpus.fanOut]]-style scan splits). */
+    * [[graft.Tables.fanOut]]-style scan splits). */
   val q91 = Qry(
     "q91_chunk_overlap",
     (s: SparkSession, d: String) =>

@@ -133,7 +133,9 @@ object Extras {
     (s: SparkSession, d: String) => {
       val x = round(col("l_quantity"), 2).cast("decimal(18,2)")
       val y = round(col("l_extendedprice"), 2).cast("decimal(18,2)")
-      Tables.lineitem(s, d)
+      Tables.fanOut(Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice")))
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),

@@ -22,12 +22,18 @@ import Q._
 object Relational {
 
   /** TPC-H Q1-shaped pricing summary: full-scan agg with map-side
-    * partial aggregation; 6-group output. */
+    * partial aggregation; 6-group output. The projected agg inputs
+    * are [[Tables.fanOut]]-spread first: the decimal-exact partial
+    * aggregation is the CPU cost here, and a narrow local scan would
+    * otherwise run it on one core (identity at scale — see fanOut). */
   val q01 = Qry(
     "q01_pricing_summary",
     (s: SparkSession, d: String) => {
-      Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= lit("1999-12-01"))
+      Tables.fanOut(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1999-12-01"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity"), 2).as("sum_qty"),
@@ -123,7 +129,9 @@ object Relational {
   val q05 = Qry(
     "q05_rollup",
     (s: SparkSession, d: String) =>
-      Tables.lineitem(s, d)
+      Tables.fanOut(Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity")))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
         .select(

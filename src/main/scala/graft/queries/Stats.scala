@@ -20,14 +20,18 @@ import Q._
 object Stats {
 
   /** Pearson correlation + least-squares fit of extendedprice on
-    * quantity per returnflag, from exact decimal moments. Single
-    * hash-aggregate scan — the moments are one pass, the derived
-    * statistics are per-group scalar math. */
+    * quantity per returnflag, from exact decimal moments. One pass
+    * over the three projected columns, [[graft.Tables.fanOut]]-
+    * spread so the decimal moment math parallelizes off a narrow
+    * local scan (identity at scale); the derived statistics are
+    * per-group scalar math. */
   val q88 = Qry(
     "q88_corr_regression",
     (s: SparkSession, d: String) => {
       val x = col("l_quantity"); val y = col("l_extendedprice")
-      val m = Tables.lineitem(s, d)
+      val m = Tables.fanOut(Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice")))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           dsum(x, 2).as("sx"), dsum(y, 2).as("sy"),
