@@ -43,7 +43,15 @@ object PageRank {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e2 = e.join(deg, "src").localCheckpoint(true)
+    // Partition AND sort by src BEFORE the eager checkpoint:
+    // LogicalRDD keeps the materialized outputPartitioning/ordering,
+    // so every round's sort-merge join reuses it and only the small
+    // rank frame moves — without this, each round re-exchanges and
+    // re-sorts the full edge table (3× the whole-graph shuffle).
+    val e2 = e.join(deg, "src")
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
+      .localCheckpoint(true)
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters)
       ranks = e2.join(ranks, e2("src") === ranks("id"))
