@@ -14,16 +14,32 @@ import org.apache.spark.sql.functions._
   * LSH path (band shuffle on ids only). Nothing quadratic, nothing
   * driver-side.
   *
-  * Near-dup policy (two selectable):
+  * Near-dup policy (three selectable, [[Curate.NearDupPolicy]]):
   *  - greedy keep-earliest (default): any doc appearing as the LATER
   *    member (`b`) of a confirmed near-dup pair (a < b) is dropped.
   *    Deterministic and single-pass.
-  *  - transitive (`transitive = true`): [[Components]] closes the
-  *    pair graph and exactly one doc (the min id) survives per
-  *    near-dup CLUSTER — chains A≈B≈C with A≉C collapse to A, where
-  *    greedy would also drop C only via the B pair it shares.
+  *  - transitive min-id: [[Components]] closes the pair graph and
+  *    exactly one doc (the min id) survives per near-dup CLUSTER —
+  *    chains A≈B≈C with A≉C collapse to A, where greedy would also
+  *    drop C only via the B pair it shares.
+  *  - transitive best-quality: same clustering, but the survivor is
+  *    the highest-QUALITY member (ties broken by min id) — what
+  *    production curation actually wants: when a cluster holds a
+  *    clean original and a boilerplate-padded copy, keep the clean
+  *    one regardless of which id came first.
   */
 object Curate {
+
+  sealed trait NearDupPolicy
+  object NearDupPolicy {
+    /** Drop the later member of every confirmed pair (single-pass). */
+    case object Greedy extends NearDupPolicy
+    /** Connected components; the min-id member survives per cluster. */
+    case object TransitiveMinId extends NearDupPolicy
+    /** Connected components; the best-quality member (tie → min id)
+      * survives per cluster. */
+    case object TransitiveBestQuality extends NearDupPolicy
+  }
 
   /** Whitespace/digit/case normalization (the q56 cleaning pass). */
   def normalize(text: Column): Column =
@@ -37,16 +53,14 @@ object Curate {
     * @param k            minhash signature length
     * @param bands        LSH bands (k % bands == 0)
     * @param minJaccard   near-dup confirmation threshold
-    * @param transitive   near-dup policy: false = greedy pairwise
-    *                     keep-earliest, true = connected-components
-    *                     clustering (one survivor per cluster)
+    * @param policy       near-dup survivor policy (see object doc)
     * @return surviving docs: (id, clean, quality)
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = Seq("the", "a"),
       minQuality: Double = 0.5, n: Int = 3, k: Int = 6,
       bands: Int = 3, minJaccard: Double = 0.9,
-      transitive: Boolean = false): DataFrame = {
+      policy: NearDupPolicy = NearDupPolicy.Greedy): DataFrame = {
     val cleaned = docs.select(col(idCol).as("id"),
         normalize(col(textCol)).as("clean"))
       .withColumn("quality", TextOps.qualityScore(col("clean"),
@@ -72,15 +86,30 @@ object Curate {
       .localCheckpoint(true)
     val pairs = Dedup.lshNearDupPairs(exact, "id", "clean",
       n = n, k = k, bands = bands, minJaccard = minJaccard)
-    val dropIds =
-      if (transitive)
+    def components() =
+      Components.connectedComponents(exact, "id", pairs, "a", "b")
+    val dropIds = policy match {
+      case NearDupPolicy.Greedy =>
+        // drop the later member of every confirmed pair
+        pairs.select(col("b").as("id")).distinct()
+      case NearDupPolicy.TransitiveMinId =>
         // one survivor (the min id = the component label) per cluster
-        Components.connectedComponents(exact, "id", pairs, "a", "b")
+        components()
           .filter(col("id") =!= col("component"))
           .select(col("id"))
-      else
-        // greedy: drop the later member of every confirmed pair
-        pairs.select(col("b").as("id")).distinct()
+      case NearDupPolicy.TransitiveBestQuality =>
+        // one survivor per cluster: max quality, ties to min id.
+        // Window over the component label — the cluster cardinality
+        // is small (near-dup groups), so no skew concern; singleton
+        // components pass through rank 1 untouched.
+        exact.join(components(), Seq("id"))
+          .withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("component"))
+              .orderBy(col("quality").desc, col("id"))))
+          .filter(col("__rk") > 1)
+          .select(col("id"))
+    }
     exact.join(dropIds, Seq("id"), "left_anti")
   }
 }

@@ -62,12 +62,21 @@ class ComponentsSpec extends SparkSpec {
         minQuality = 0.0, minJaccard = 0.93)
       .select($"id").as[Long].collect().toSet
     val trans = operators.Curate.curate(docs, "doc_id", "text",
-        minQuality = 0.0, minJaccard = 0.93, transitive = true)
+        minQuality = 0.0, minJaccard = 0.93,
+        policy = operators.Curate.NearDupPolicy.TransitiveMinId)
       .select($"id").as[Long].collect().toSet
     // both policies collapse the chain to doc 1 here (2 and 3 each
     // appear as the later member of some pair), and keep 50
     assert(trans == Set(1L, 50L))
     assert(greedy == Set(1L, 50L))
+    // best-quality policy keeps the highest-quality chain member
+    // instead of the min id: doc 3 has two extra unique tokens, so
+    // its quality strictly exceeds docs 1 and 2
+    val best = operators.Curate.curate(docs, "doc_id", "text",
+        minQuality = 0.0, minJaccard = 0.93,
+        policy = operators.Curate.NearDupPolicy.TransitiveBestQuality)
+      .select($"id").as[Long].collect().toSet
+    assert(best == Set(3L, 50L), s"best-quality survivors: $best")
   }
 
   test("asof tiebreak: duplicate right (key, ts) rows attach the greatest tiebreak payload") {
