@@ -135,6 +135,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q92/q93/q95: centroid/corpus-stat frames ride a broadcast; no shuffled join") {
+    Seq("q92_kmeans_assign", "q93_kmeans_update", "q95_bm25_topk")
+      .foreach { q =>
+        val p = planAtScaleStats(q)
+        assert(p.contains("BroadcastNestedLoopJoin"),
+          s"$q: small-side crossJoin lost its broadcast:\n$p")
+        assert(!p.contains("SortMergeJoin"),
+          s"$q: grew a shuffled join — the vector/doc side must stay in place:\n$p")
+      }
+  }
+
+  test("q95: top-15 is TakeOrderedAndProject with a partial aggregate upstream") {
+    val p = planAtScaleStats("q95_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k became a full sort:\n$p")
+    assert("partial_".r.findFirstIn(p).isDefined,
+      s"corpus stats lost map-side combine:\n$p")
+  }
+
   test("no unexpected cartesian products across the whole query surface") {
     // Deliberate bounded cross joins (documented quadratic baselines
     // over bounded subsets): q30 brute-force Jaccard, q34 embedding
