@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Qry, Tables}
-import graft.operators.TextOps
+import graft.operators.{Similarity, TextOps}
 import Q._
 
 /** Text-analysis + exact-dedup queries over `documents` (SURVEY.md
@@ -231,65 +231,66 @@ object Text {
     * one fixed-order chain of IEEE double ops written identically in
     * both engines, and the Σ over query terms is an explicit
     * three-operand addition, not an engine-ordered aggregate. */
-  val q95 = {
-    val terms = Seq("spark", "window", "merge")
-    Qry(
-      "q95_bm25_topk",
-      (s: SparkSession, d: String) => {
-        val tf = Tables.documents(s, d)
-          .select(col("doc_id") +: TextOps.tokens(col("text")).as("t") +: Nil: _*)
-          .select(
-            col("doc_id") ::
-              size(col("t")).cast("long").as("dl") ::
-              terms.zipWithIndex.map { case (t, i) =>
-                size(filter(col("t"), x => x === lit(t)))
-                  .cast("long").as(s"tf$i")
-              }.toList: _*)
-        val g = tf.agg(
-          count(lit(1)).as("nd"),
-          sum(col("dl")).as("sdl") +:
-            terms.indices.map(i =>
-              sum(when(col(s"tf$i") > 0, 1L).otherwise(0L))
-                .as(s"df$i")): _*)
-        val avgdl = col("sdl").cast("double") / col("nd").cast("double")
-        def contrib(i: Int) = {
-          val t = col(s"tf$i").cast("double")
-          val dfd = col(s"df$i").cast("double")
-          val idf = (col("nd").cast("double") - dfd + lit(0.5)) /
-            (dfd + lit(0.5))
-          idf * (t * lit(2.2)) /
-            (t + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
-        }
-        tf.crossJoin(broadcast(g))
-          .filter(col("tf0") + col("tf1") + col("tf2") > 0)
-          .select(col("doc_id"), col("dl"),
-            col("tf0").as("tf_spark"), col("tf1").as("tf_window"),
-            col("tf2").as("tf_merge"),
-            r6(contrib(0) + contrib(1) + contrib(2)).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(15)
-      },
-      Some {
-        val toks = DedupQ.toksSql
-        def c(i: Int) = {
-          val idf = s"(CAST(nd AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)" +
-            s" / (CAST(df$i AS DOUBLE) + 0.5)"
-          s"""$idf * (CAST(tf$i AS DOUBLE) * 2.2)
-              / (CAST(tf$i AS DOUBLE) + 1.2
-                 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"""
-        }
-        s"""
-        WITH tf AS (
+  private[queries] val bmTerms = Seq("spark", "window", "merge")
+
+  /** Shared BM25 scored frame (doc_id, dl, tf0..2, bm25) for q95/q97:
+    * pass 1 aggregates the corpus stats (N, Σdl, per-term df) into
+    * ONE tiny row that is broadcast back; pass 2 computes per-doc tf
+    * entirely map-side with an array `filter`+`size` (no token
+    * explode — the per-doc token array never leaves its partition).
+    * Only docs matching ≥1 term survive. */
+  private[queries] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id") +: TextOps.tokens(col("text")).as("t") +: Nil: _*)
+      .select(
+        col("doc_id") ::
+          size(col("t")).cast("long").as("dl") ::
+          bmTerms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("t"), x => x === lit(t)))
+              .cast("long").as(s"tf$i")
+          }.toList: _*)
+    val g = tf.agg(
+      count(lit(1)).as("nd"),
+      sum(col("dl")).as("sdl") +:
+        bmTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L))
+            .as(s"df$i")): _*)
+    val avgdl = col("sdl").cast("double") / col("nd").cast("double")
+    def contrib(i: Int) = {
+      val t = col(s"tf$i").cast("double")
+      val dfd = col(s"df$i").cast("double")
+      val idf = (col("nd").cast("double") - dfd + lit(0.5)) /
+        (dfd + lit(0.5))
+      idf * (t * lit(2.2)) /
+        (t + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    }
+    tf.crossJoin(broadcast(g))
+      .filter(col("tf0") + col("tf1") + col("tf2") > 0)
+      .select(col("doc_id"), col("dl"), col("tf0"), col("tf1"),
+        col("tf2"), r6(contrib(0) + contrib(1) + contrib(2)).as("bm25"))
+  }
+
+  /** DuckDB CTE chain ending in `scored` — the [[bm25Scored]] mirror. */
+  private[queries] def bm25ScoredSql: String = {
+    val toks = DedupQ.toksSql
+    def c(i: Int) = {
+      val idf = s"(CAST(nd AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)" +
+        s" / (CAST(df$i AS DOUBLE) + 0.5)"
+      s"""$idf * (CAST(tf$i AS DOUBLE) * 2.2)
+          / (CAST(tf$i AS DOUBLE) + 1.2
+             * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"""
+    }
+    s"""tf AS (
           SELECT doc_id,
                  CAST(len($toks) AS BIGINT) AS dl,
-                 ${terms.zipWithIndex.map { case (t, i) =>
+                 ${bmTerms.zipWithIndex.map { case (t, i) =>
                    s"CAST(len(list_filter($toks, x -> x = '$t')) AS BIGINT) AS tf$i"
                  }.mkString(",\n                 ")}
           FROM documents),
         g AS (
           SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS sdl,
-                 ${terms.indices.map(i =>
+                 ${bmTerms.indices.map(i =>
                    s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
                  ).mkString(",\n                 ")}
           FROM tf),
@@ -298,13 +299,106 @@ object Text {
                  CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE) AS avgdl,
                  nd, df0, df1, df2
           FROM tf CROSS JOIN g
-          WHERE tf0 + tf1 + tf2 > 0)
-        SELECT doc_id, dl,
-               tf0 AS tf_spark, tf1 AS tf_window, tf2 AS tf_merge,
-               ${r6Sql(s"${c(0)} + ${c(1)} + ${c(2)}")} AS bm25
-        FROM s ORDER BY bm25 DESC, doc_id LIMIT 15"""
-      })
+          WHERE tf0 + tf1 + tf2 > 0),
+        scored AS (
+          SELECT doc_id, dl, tf0, tf1, tf2,
+                 ${r6Sql(s"${c(0)} + ${c(1)} + ${c(2)}")} AS bm25
+          FROM s)"""
   }
 
-  val all: Seq[Qry] = Seq(q24, q25, q26, q27, q62, q95)
+  /** BM25 retrieval: score every document against a fixed 3-term
+    * query, return the top-15. The scoring function is the log-free
+    * BM25 variant (idf = (N−df+0.5)/(df+0.5) — rational, so no
+    * cross-engine `ln` drift; k1=1.2, b=0.75 folded into literal
+    * constants). Scale shape: see [[bm25Scored]] — one broadcast
+    * stats row, map-side tf, then a top-k sort of scored docs.
+    * Determinism: tf/df/dl/N are integers; the score is one
+    * fixed-order chain of IEEE double ops written identically in
+    * both engines, and the Σ over query terms is an explicit
+    * three-operand addition, not an engine-ordered aggregate. */
+  val q95 = Qry(
+    "q95_bm25_topk",
+    (s: SparkSession, d: String) =>
+      bm25Scored(s, d)
+        .select(col("doc_id"), col("dl"),
+          col("tf0").as("tf_spark"), col("tf1").as("tf_window"),
+          col("tf2").as("tf_merge"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(15),
+    Some(s"""
+      WITH $bm25ScoredSql
+      SELECT doc_id, dl,
+             tf0 AS tf_spark, tf1 AS tf_window, tf2 AS tf_merge, bm25
+      FROM scored ORDER BY bm25 DESC, doc_id LIMIT 15"""))
+
+  /** Hybrid retrieval with reciprocal-rank fusion (the RAG-stack
+    * staple): the BM25 lexical leg and an embedding-cosine vector
+    * leg each produce a bounded top-50 ranking, fused as
+    * Σ 1/(60+rank) and re-ranked. `doc_id` and `vec_id` share the
+    * corpus id space (TESTDATA.md — embeddings are the documents'
+    * vectors). Scale shape: each leg ends in TakeOrderedAndProject
+    * (never a global sort); the 50-row leg results join and re-rank
+    * at driver-trivial size, so the fusion adds nothing to the
+    * at-scale cost of the legs. Determinism: ranks are integers from
+    * already-deterministic orderings (both legs tiebreak on id), and
+    * 1/(60+r) is the same IEEE op on both engines; absent-leg ranks
+    * surface as 0 (never NULL) so column dtypes stay integral. */
+  val q97 = Qry(
+    "q97_hybrid_rrf",
+    (s: SparkSession, d: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val lex = bm25Scored(s, d)
+        .select(col("doc_id").as("id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("id")).limit(50)
+        .withColumn("lr", row_number().over(
+          w.orderBy(col("bm25").desc, col("id"))).cast("long"))
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val vec = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"),
+          Similarity.cosine(col("embedding"), col("q_emb")).as("cos"))
+        .orderBy(col("cos").desc, col("id")).limit(50)
+        .withColumn("vr", row_number().over(
+          w.orderBy(col("cos").desc, col("id"))).cast("long"))
+      def leg(r: Column) =
+        when(r.isNull, lit(0.0))
+          .otherwise(lit(1.0) / (lit(60.0) + r.cast("double")))
+      lex.select(col("id"), col("lr"))
+        .join(vec.select(col("id"), col("vr")), Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("lr"), lit(0L)).as("lex_rank"),
+          coalesce(col("vr"), lit(0L)).as("vec_rank"),
+          r6(leg(col("lr")) + leg(col("vr"))).as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(15)
+    },
+    Some(s"""
+      WITH $bm25ScoredSql,
+      lex AS (
+        SELECT doc_id AS id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+        FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50),
+      qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      vcos AS (
+        SELECT vec_id AS id,
+               ${SimilarityQ.dotSql("embedding", "q_emb")} /
+                 (sqrt(${SimilarityQ.dotSql("embedding", "embedding")})
+                  * sqrt(${SimilarityQ.dotSql("q_emb", "q_emb")})) AS cos
+        FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+      vec AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS vr
+        FROM vcos ORDER BY cos DESC, id LIMIT 50),
+      fused AS (
+        SELECT COALESCE(lex.id, vec.id) AS id, lr, vr,
+               ${r6Sql("""CASE WHEN lr IS NULL THEN 0.0
+                 ELSE 1.0 / (60.0 + CAST(lr AS DOUBLE)) END
+               + CASE WHEN vr IS NULL THEN 0.0
+                 ELSE 1.0 / (60.0 + CAST(vr AS DOUBLE)) END""")} AS rrf
+        FROM lex FULL OUTER JOIN vec ON lex.id = vec.id)
+      SELECT id, COALESCE(lr, 0) AS lex_rank,
+             COALESCE(vr, 0) AS vec_rank, rrf
+      FROM fused ORDER BY rrf DESC, id LIMIT 15"""))
+
+  val all: Seq[Qry] = Seq(q24, q25, q26, q27, q62, q95, q97)
 }
