@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage: the same frame round-trips through
+  * every batch file format this Spark build ships (parquet, orc,
+  * json, csv) with value fidelity. Text formats carry caveats the
+  * engine has to own: JSON/CSV have no long-vs-double distinction
+  * (schema must be supplied on read, as we do), and CSV cannot carry
+  * nested/array columns at all. */
+class FormatsSpec extends SparkSpec {
+
+  private lazy val base: DataFrame =
+    Tables.documents(spark, sf()).select(
+      col("doc_id"), col("text"), col("lang"), col("n_chars"))
+
+  private def roundTrip(fmt: String): DataFrame = {
+    val dir = Files.createTempDirectory(s"graft-$fmt").toString
+    base.write.mode("overwrite")
+      .option("header", "true") // csv only; others ignore it
+      .format(fmt).save(s"$dir/t")
+    spark.read.schema(base.schema).option("header", "true")
+      .format(fmt).load(s"$dir/t")
+  }
+
+  private def fingerprint(df: DataFrame): (Long, Long, Long) = {
+    val r = df.agg(
+      count(lit(1)),
+      sum(col("doc_id")),
+      sum(crc32(concat_ws("",
+        col("doc_id"), col("text"), col("lang"), col("n_chars")))))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("parquet/orc/json round-trip with full value fidelity") {
+    val want = fingerprint(base)
+    Seq("parquet", "orc", "json").foreach { fmt =>
+      assert(fingerprint(roundTrip(fmt)) == want, s"format $fmt")
+    }
+  }
+
+  test("csv round-trips flat rows when quoting/escaping is on") {
+    // default quote+escape handles embedded delimiters; the corpus
+    // text has no newlines, so multiLine is not needed
+    val got = roundTrip("csv").na.fill("", Seq("text"))
+    // CSV writes empty string as missing -> restore before comparing
+    assert(fingerprint(got) == fingerprint(base))
+  }
+
+  test("csv refuses nested columns (documented engine caveat)") {
+    val dir = Files.createTempDirectory("graft-csvbad").toString
+    val nested = base.select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+    val e = intercept[Exception] {
+      nested.write.mode("overwrite").csv(s"$dir/t")
+    }
+    assert(e.getMessage.toLowerCase.contains("csv") ||
+      e.getMessage.toLowerCase.contains("unsupported"))
+  }
+}
