@@ -34,9 +34,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 3,
           s"shingles expects (tokens, n, distinct), got ${children.size}")
+        // n and distinct parameterize codegen, so they must be
+        // compile-time constants — reject columns/NULLs/wrong types
+        // with a clear message instead of a raw eval()/cast crash.
+        def const[T](e: Expression, what: String,
+            pf: PartialFunction[Any, T]): T = {
+          require(e.foldable,
+            s"shingles: $what must be a literal, got ${e.sql}")
+          val v = e.eval()
+          require(v != null && pf.isDefinedAt(v),
+            s"shingles: $what must be a non-null ${what} literal, " +
+              s"got ${e.sql}")
+          pf(v)
+        }
         ShingleNGrams(children.head,
-          children(1).eval().asInstanceOf[Int],
-          children(2).eval().asInstanceOf[Boolean])
+          const[Int](children(1), "int n",
+            { case i: Int => i; case l: Long if l.isValidInt => l.toInt }),
+          const[Boolean](children(2), "boolean distinct",
+            { case b: Boolean => b }))
       }))
     ext.injectOptimizerRule(_ => VectorizeDotProduct)
   }

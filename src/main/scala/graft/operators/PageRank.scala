@@ -30,11 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** @param edges directed edge list with `srcCol`/`dstCol`; pass a
-    *              symmetrized list for undirected graphs
+  /** @param edges edge list with `srcCol`/`dstCol`. MUST be
+    *              symmetric (every (a,b) has its (b,a)) — i.e. an
+    *              undirected graph's expansion. A genuinely directed
+    *              list is NOT supported: each round keeps only nodes
+    *              that received contributions, so nodes whose
+    *              in-edges all come from already-dropped nodes
+    *              silently vanish (a source-only chain returns an
+    *              EMPTY frame after enough rounds). Symmetry
+    *              guarantees every node both sends and receives,
+    *              which also removes the dangling-mass term.
     * @param iters number of damped rounds (≥ 1)
     * @return (id, r) — final micro-unit rank per node that has at
-    *         least one outgoing edge
+    *         least one edge
     */
   def integerRanks(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {

@@ -173,20 +173,26 @@ object CorpusQ {
 
   /** Zipf rank-frequency statistics over the whole corpus: top-30
     * tokens with rank and cumulative share. One explode→groupBy
-    * shuffle; the rank window runs on the tiny post-aggregation
-    * frequency table (vocabulary-sized, not corpus-sized). */
+    * shuffle, eagerly checkpointed (the frequency table feeds BOTH
+    * the corpus-total scalar and the ranking — left lazy, the
+    * corpus-sized explode would run twice); the rank/cumsum window
+    * then runs on only the top-30 rows (cumulative share at rank k
+    * depends only on ranks 1..k, so top-k-then-window equals
+    * window-then-filter — a full-vocabulary single-partition window
+    * would be the scale bottleneck). */
   val q85 = Qry(
     "q85_zipf_stats",
     (s: SparkSession, d: String) => {
       val freq = Tables.documents(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .localCheckpoint(true)
       val w = Window.orderBy(col("freq").desc, col("tok"))
       freq
+        .orderBy(col("freq").desc, col("tok")).limit(30)
         .crossJoin(broadcast(freq.agg(sum(col("freq")).as("__total"))))
         .withColumn("tok_rank", row_number().over(w))
         .withColumn("__cum", sum(col("freq")).over(w))
-        .filter(col("tok_rank") <= 30)
         .select(col("tok_rank"), col("tok"), col("freq"),
           r6(col("__cum").cast("double") / col("__total"))
             .as("cum_share"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{SparkSession, Column}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Qry, Tables}
@@ -155,59 +155,80 @@ object Stats {
       FROM p GROUP BY p1, p2
       ORDER BY n_orders DESC, p1, p2 LIMIT 20"""))
 
-  /** One k-means assignment step (E-step) over the embeddings: k=8
-    * fixed seed centroids (the first eight vectors), every vector
-    * assigned to its nearest centroid by squared L2, cluster sizes +
-    * inertia reported. Scale shape: centroids broadcast, distances
-    * map-side through the codegen'd `vec_dot` kernel as
+  /** Shared k-means E-step for [[q92]]/[[q93]]: every vector
+    * assigned to its nearest of the 8 seed centroids (the first
+    * eight vectors) by squared L2. Scale shape: centroids broadcast,
+    * distances map-side through the codegen'd `vec_dot` kernel as
     * ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩ (the interpreted fold-of-squared-
     * differences HOF was 4× slower), argmin via partial-aggregable
     * min(struct(dist, cid)) — no window sort, one groupBy shuffle of
-    * N pre-combined rows. Determinism: both engines run the same
-    * left-to-right dot fold and combine with an identical double
-    * expression; inertia summed as fixed-scale decimal. */
-  val q92 = Qry(
-    "q92_kmeans_assign",
-    (s: SparkSession, d: String) => {
-      val e = Tables.embeddings(s, d)
-      val c = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      def vd(a: Column, b: Column) = call_function("vec_dot", a, b)
-      def d2(a: Column, b: Column) =
-        vd(a, a) - lit(2.0) * vd(a, b) + vd(b, b)
-      e.crossJoin(broadcast(c))
-        .withColumn("dist", d2(col("embedding"), col("cemb")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"),
-          col("m.dist").as("dist"))
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_assigned"),
-          sum(col("vec_id")).as("id_checksum"),
-          dsum(col("dist"), 6).as("inertia"))
-        .select(col("cid").as("cluster_id"), col("n_assigned"),
-          col("id_checksum"), col("inertia"))
-        .orderBy(col("cluster_id"))
-    },
-    Some(s"""
-      WITH c AS (
+    * N pre-combined rows. first(embedding) is safe: the group key is
+    * vec_id, so every row in the group carries the same embedding
+    * (and Catalyst prunes it for consumers that don't use it).
+    * @return (vec_id, cid, dist, emb) */
+  private def kmeansAssigned(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    def vd(a: Column, b: Column) = call_function("vec_dot", a, b)
+    def d2(a: Column, b: Column) =
+      vd(a, a) - lit(2.0) * vd(a, b) + vd(b, b)
+    e.crossJoin(broadcast(c))
+      .withColumn("dist", d2(col("embedding"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"),
+        first(col("embedding")).as("emb"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        col("m.dist").as("dist"), col("emb"))
+  }
+
+  /** DuckDB mirror of [[kmeansAssigned]]: CTE chain ending in
+    * `a` (filter `rn = 1` for the winning assignment). */
+  private def kmeansAssignedSql: String = s"""c AS (
         SELECT vec_id AS cid, embedding AS cemb
         FROM embeddings WHERE vec_id < 8),
       d AS (
-        SELECT e.vec_id, c.cid,
+        SELECT e.vec_id, c.cid, e.embedding,
                ${SimilarityQ.dotSql("e.embedding", "e.embedding")}
                - 2.0 * ${SimilarityQ.dotSql("e.embedding", "c.cemb")}
                + ${SimilarityQ.dotSql("c.cemb", "c.cemb")} AS dist
         FROM embeddings e CROSS JOIN c),
       a AS (
-        SELECT vec_id, cid, dist,
+        SELECT vec_id, cid, embedding, dist,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                  ORDER BY dist, cid) AS rn
-        FROM d)
+        FROM d)"""
+
+  /** The k-means E-step report: cluster sizes, member-id checksum,
+    * and inertia. Determinism: both engines run the same
+    * left-to-right dot fold and combine with an identical double
+    * expression; inertia is snapped per-row to integer micro-units
+    * (floor(dist·1e6+0.5) — dist is a CONTINUOUS double, where
+    * engine round() half-tie modes could diverge; see the
+    * [[Q.r6]] rule) and summed exactly. */
+  val q92 = Qry(
+    "q92_kmeans_assign",
+    (s: SparkSession, d: String) =>
+      kmeansAssigned(s, d)
+        .select(col("vec_id"), col("cid"),
+          floor(col("dist") * lit(1e6) + lit(0.5)).as("dm"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(col("vec_id")).as("id_checksum"),
+          sum(col("dm")).as("im"))
+        .select(col("cid").as("cluster_id"), col("n_assigned"),
+          col("id_checksum"),
+          (col("im").cast("double") / lit(1e6)).as("inertia"))
+        .orderBy(col("cluster_id")),
+    Some(s"""
+      WITH $kmeansAssignedSql,
+      mm AS (
+        SELECT vec_id, cid, FLOOR(dist * 1e6 + 0.5) AS dm
+        FROM a WHERE rn = 1)
       SELECT cid AS cluster_id, COUNT(*) AS n_assigned,
              CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
-             ${dsumSql("dist", 6)} AS inertia
-      FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid"""))
+             CAST(SUM(dm) AS DOUBLE) / 1e6 AS inertia
+      FROM mm GROUP BY cid ORDER BY cid"""))
 
   /** The k-means M-step completing [[q92]]'s Lloyd iteration: after
     * assigning every vector to its nearest of the 8 seed centroids,
@@ -226,18 +247,8 @@ object Stats {
   val q93 = Qry(
     "q93_kmeans_update",
     (s: SparkSession, d: String) => {
-      val e = Tables.embeddings(s, d)
-      val c = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      def vd(a: Column, b: Column) = call_function("vec_dot", a, b)
-      def d2(a: Column, b: Column) =
-        vd(a, a) - lit(2.0) * vd(a, b) + vd(b, b)
-      e.crossJoin(broadcast(c))
-        .withColumn("dist", d2(col("embedding"), col("cemb")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).as("m"),
-          first(col("embedding")).as("emb"))
-        .select(col("m.cid").as("cid"),
+      kmeansAssigned(s, d)
+        .select(col("cid"),
           posexplode(col("emb")).as(Seq("i", "x")))
         .select(col("cid"), (col("i") + 1).cast("long").as("dim"),
           floor(col("x").cast("double") * lit(1e6) + lit(0.5)).as("xm"))
@@ -250,20 +261,7 @@ object Stats {
         .orderBy(col("cluster_id"), col("dim"))
     },
     Some(s"""
-      WITH c AS (
-        SELECT vec_id AS cid, embedding AS cemb
-        FROM embeddings WHERE vec_id < 8),
-      d AS (
-        SELECT e.vec_id, c.cid, e.embedding,
-               ${SimilarityQ.dotSql("e.embedding", "e.embedding")}
-               - 2.0 * ${SimilarityQ.dotSql("e.embedding", "c.cemb")}
-               + ${SimilarityQ.dotSql("c.cemb", "c.cemb")} AS dist
-        FROM embeddings e CROSS JOIN c),
-      a AS (
-        SELECT vec_id, cid, embedding,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                 ORDER BY dist, cid) AS rn
-        FROM d),
+      WITH $kmeansAssignedSql,
       m AS (
         SELECT cid, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS dim

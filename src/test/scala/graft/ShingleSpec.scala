@@ -90,4 +90,29 @@ class ShingleSpec extends SparkSpec {
       s"shingles Project not inside a codegen stage:\n$plan")
     assert(df.selectExpr("sum(size(s))").as[Long].collect().head > 0L)
   }
+
+  test("SQL builder accepts int-valued literals, rejects columns/NULL clearly") {
+    // a BIGINT literal for n is fine (SQL integer literals may widen)
+    val ok = spark.sql(
+      "SELECT shingles(array('a','b','c'), CAST(2 AS BIGINT), true) AS s")
+      .selectExpr("size(s)").head().getInt(0)
+    assert(ok == 2)
+    // foldable expressions are fine (constant-folded to a value);
+    // a genuinely non-constant n is a clear error, not a raw
+    // eval()/cast crash
+    val folded = spark.sql(
+      "SELECT shingles(array('a','b','c'), length('xx'), true) AS s")
+      .selectExpr("size(s)").head().getInt(0)
+    assert(folded == 2)
+    val e1 = intercept[Exception] {
+      spark.sql(
+        "SELECT shingles(array('a'), CAST(rand() * 2 AS INT), true)")
+        .head()
+    }
+    assert(e1.getMessage.contains("must be a literal"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT shingles(array('a'), NULL, true)").head()
+    }
+    assert(e2.getMessage.contains("non-null"), e2.getMessage)
+  }
 }
