@@ -56,8 +56,10 @@ object Components {
     // aggregate over the (already checkpointed) label frame.
     // decimal(38,0) so huge id spaces can't overflow-collide.
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)")))
-        .head.getDecimal(0)
+      // sum over zero rows is NULL — an empty node set must read as
+      // an (immediately converged) zero, not an NPE
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var it = 0
     var converged = false

@@ -322,5 +322,70 @@ object CorpusQ {
              md5(array_to_string(chunk, ' ')) AS chunk_hash
       FROM chunks ORDER BY doc_id, chunk_idx"""))
 
-  val all: Seq[Qry] = Seq(q81, q82, q83, q84, q85, q86, q87, q91)
+  /** Incremental (mergeable) corpus statistics: the corpus is split
+    * into two shards by the deterministic md5 percent-bucket, each
+    * shard aggregates its own partial state (counts, token sums,
+    * micro-unit quality sums — all ADDITIVE), and the shard states
+    * are then MERGED by a second groupBy. The oracle computes the
+    * same statistics directly over the full corpus, so the hash
+    * match proves merge(state(A), state(B)) == state(A ∪ B) — the
+    * algebra a 100 TB ingest depends on: daily shards fold into
+    * running corpus stats without ever rescanning history. Quality
+    * is snapped to micro-units per doc BEFORE summing (the
+    * continuous-double rule), making every partial an exact BIGINT. */
+  val q98 = Qry(
+    "q98_incremental_stats",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(Splits.hashBucket(col("doc_id")) < 50, lit("shard_a"))
+            .otherwise(lit("shard_b")).as("shard"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok"),
+          floor(TextOps.qualityScore(col("text"), Seq("the", "a"))
+            * lit(1e6) + lit(0.5)).as("qm"))
+      val partials = docs
+        .groupBy(col("shard"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("sum_tokens"),
+          sum(col("qm")).as("sum_qm"))
+      partials
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_shards"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_tokens")).as("sum_tokens"),
+          sum(col("sum_qm")).as("sum_qm"))
+        .select(col("lang"), col("n_shards"), col("n_docs"),
+          col("sum_tokens"),
+          r6(col("sum_qm").cast("double") / lit(1e6)
+            / col("n_docs").cast("double")).as("avg_quality"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang, $Toks AS t FROM documents),
+      m AS (
+        SELECT lang,
+               CASE WHEN ${bucketSql("doc_id")} < 50
+                 THEN 'shard_a' ELSE 'shard_b' END AS shard,
+               CAST(len(t) AS BIGINT) AS ntok,
+               FLOOR(ROUND(
+                 CASE WHEN len(t) = 0 THEN 0.0
+                      ELSE len(list_distinct(t)) * 1.0 / len(t) END * 0.4
+                 + (1.0 - CASE WHEN len(t) = 0 THEN 0.0
+                      ELSE len(list_filter(t,
+                        x -> list_contains(['the','a'], x))) * 1.0
+                        / len(t) END) * 0.3
+                 + LEAST(len(t) / 100.0, 1.0) * 0.3, 6) * 1e6 + 0.5)
+                 AS qm
+        FROM t)
+      SELECT lang,
+             COUNT(DISTINCT shard) AS n_shards,
+             COUNT(*) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+             ${r6Sql(
+               "CAST(SUM(qm) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)")}
+               AS avg_quality
+      FROM m GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Qry] = Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98)
 }

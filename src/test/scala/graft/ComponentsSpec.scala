@@ -112,4 +112,13 @@ class ComponentsSpec extends SparkSpec {
     assert(out("near") == "r80")  // gap 20 <= 50
     assert(out("far") == null)    // gap 820 > 50: match suppressed
   }
+
+  test("curate policies all survive an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    import operators.Curate, Curate.NearDupPolicy._
+    Seq(Greedy, TransitiveMinId, TransitiveBestQuality).foreach { p =>
+      assert(Curate.curate(empty, "doc_id", "text", policy = p)
+        .count() == 0L, s"policy $p")
+    }
+  }
 }

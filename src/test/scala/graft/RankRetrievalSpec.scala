@@ -40,6 +40,12 @@ class RankRetrievalSpec extends SparkSpec {
     assert(r3(1L) > r3(2L) && r3(2L) == r3(3L) && r3(3L) > r3(4L))
   }
 
+  test("integerRanks on an empty edge list returns an empty frame, no crash") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.integerRanks(edges, "src", "dst", iters = 3)
+      .count() == 0L)
+  }
+
   test("q93 centroid update equals a window-argmin mean re-derivation") {
     val d = sf()
     val got = queries.Stats.q93.fn(spark, d)
