@@ -218,4 +218,34 @@ object StreamOps {
           }
       }
   }
+
+  /** Composed streaming corpus ingest — the batch curation pipeline
+    * (quality gate → exact dedup → per-lang stats, q57/q98) running
+    * incrementally: each micro-batch of documents is quality-gated,
+    * deduped by content hash within the watermark horizon, and
+    * folded into per-lang running statistics through streaming
+    * aggregation state. The running stats are exactly q98's
+    * mergeable partial states (counts, token sums, micro-unit
+    * quality sums — all additive), so what q98 proves cross-engine
+    * for two static shards, this operator applies per trigger
+    * forever. State stays bounded: dedup state is evicted at the
+    * watermark, and the aggregate holds one row per lang.
+    * Run in `update` output mode. */
+  def corpusIngest(docs: DataFrame, tsCol: String, textCol: String,
+      langCol: String, watermark: String,
+      minQuality: Double): DataFrame = {
+    import graft.operators.TextOps
+    val stop = Seq("the", "a")
+    docs
+      .withColumn("__q", TextOps.qualityScore(col(textCol), stop))
+      .filter(col("__q") >= minQuality)
+      .withColumn("__h", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long"))
+          .as("sum_tokens"),
+        sum(floor(col("__q") * lit(1e6) + lit(0.5))).as("sum_qm"))
+  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** The composed streaming corpus ingest (StreamOps.corpusIngest):
+  * the q57/q98 curation algebra running incrementally. Verifies the
+  * incremental result equals a batch recompute over everything
+  * ingested — the merge-algebra claim q98 proves cross-engine,
+  * checked here across micro-batch boundaries. */
+class StreamCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // long enough to pass the 0.5 quality gate (length term saturating)
+  private def doc(tag: String): String =
+    (1 to 30).map(i => s"tok$tag$i").mkString(" ")
+
+  test("incremental per-lang stats equal a batch recompute; dups and low-quality dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val docs = in.toDF().toDF("ts", "text", "lang")
+    val out = StreamOps.corpusIngest(docs, "ts", "text", "lang",
+      watermark = "10 minutes", minQuality = 0.5)
+    val q = out.writeStream.format("memory").queryName("ingest")
+      .outputMode("update").start()
+
+    in.addData(
+      (ts("2024-01-01 00:00:00"), doc("a"), "en"),
+      (ts("2024-01-01 00:01:00"), doc("b"), "en"),
+      (ts("2024-01-01 00:02:00"), doc("c"), "fr"),
+      (ts("2024-01-01 00:02:30"), "the a the a", "fr")) // gated out
+    q.processAllAvailable()
+    in.addData(
+      (ts("2024-01-01 00:03:00"), doc("a"), "en"), // dup of batch 1
+      (ts("2024-01-01 00:04:00"), doc("d"), "fr"))
+    q.processAllAvailable()
+    q.stop()
+
+    // memory sink in update mode keeps every emitted row — take the
+    // latest row per lang
+    val got = spark.table("ingest")
+      .groupBy($"lang")
+      .agg(max(struct($"n_docs", $"sum_tokens", $"sum_qm")).as("m"))
+      .select($"lang", $"m.n_docs", $"m.sum_tokens", $"m.sum_qm")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // batch recompute over the distinct surviving docs
+    val batch = Seq((doc("a"), "en"), (doc("b"), "en"),
+      (doc("c"), "fr"), (doc("d"), "fr"))
+      .toDF("text", "lang")
+      .withColumn("__q", graft.operators.TextOps
+        .qualityScore($"text", Seq("the", "a")))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.operators.TextOps.tokenCount($"text").cast("long"))
+          .as("t"),
+        sum(floor($"__q" * 1e6 + 0.5)).as("qm"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    assert(got == batch, s"incremental $got vs batch $batch")
+    assert(got("en")._1 == 2L) // the duplicate did not double-count
+  }
+}
