@@ -387,5 +387,68 @@ object CorpusQ {
                AS avg_quality
       FROM m GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[Qry] = Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98)
+  /** Applying the [[q86]] rebalancing weights as an actual draw:
+    * each source gets a deterministic keep-percentage
+    * `min(100, (total·50) div (n_sources·n_docs_source))` — i.e.
+    * weight × a 50% global rate, computed in PURE INTEGER arithmetic
+    * (no float weight near a rounding boundary) — and documents are
+    * kept when their md5 percent-bucket falls under it. Over-
+    * represented sources are cut toward the uniform target;
+    * sources at/below target keep everything (a sample can only
+    * downweight). Scale shape: one groupBy for source counts, the
+    * per-source percentage broadcast back onto the scan, keep
+    * decision map-side — the actual draw touches each row once. */
+  val q99 = Qry(
+    "q99_weighted_sample",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val tot = docs.agg(count(lit(1)).as("total"),
+        countDistinct(col("source")).as("ns"))
+      val pct = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(lit(100L), expr("(total * 50) div (ns * n_src)"))
+            .as("keep_pct"))
+      docs.join(broadcast(pct), Seq("source"))
+        .withColumn("kept",
+          when(Splits.hashBucket(col("doc_id")) < col("keep_pct"), 1L)
+            .otherwise(0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          max(col("keep_pct")).as("keep_pct"),
+          sum(col("kept")).as("n_kept"),
+          sum(when(col("kept") === 1, col("doc_id"))).as("id_checksum"))
+        .select(col("source"), col("n_total"), col("keep_pct"),
+          col("n_kept"),
+          r6(col("n_kept").cast("double") / col("n_total"))
+            .as("kept_frac"),
+          col("id_checksum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH tot AS (
+        SELECT COUNT(*) AS total, COUNT(DISTINCT source) AS ns
+        FROM documents),
+      pct AS (
+        SELECT source,
+               LEAST(CAST(100 AS BIGINT),
+                 (MAX(total) * 50) // (MAX(ns) * COUNT(*))) AS keep_pct
+        FROM documents, tot GROUP BY source),
+      flagged AS (
+        SELECT d.source, d.doc_id, p.keep_pct,
+               CASE WHEN ${bucketSql("d.doc_id")} < p.keep_pct
+                 THEN 1 ELSE 0 END AS kept
+        FROM documents d JOIN pct p ON d.source = p.source)
+      SELECT source, COUNT(*) AS n_total,
+             CAST(MAX(keep_pct) AS BIGINT) AS keep_pct,
+             CAST(SUM(kept) AS BIGINT) AS n_kept,
+             ${r6Sql("CAST(SUM(kept) AS DOUBLE) / COUNT(*)")}
+               AS kept_frac,
+             CAST(SUM(CASE WHEN kept = 1 THEN doc_id END) AS BIGINT)
+               AS id_checksum
+      FROM flagged GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Qry] =
+    Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99)
 }
