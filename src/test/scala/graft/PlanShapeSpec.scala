@@ -154,6 +154,37 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus stats lost map-side combine:\n$p")
   }
 
+  test("runtime bloom-filter pruning engages on a selective fact-fact join") {
+    // Spark injects a bloom filter built from the selective join side
+    // and applies might_contain() on the fact scan BEFORE the shuffle
+    // — at 100 TB this prunes most of the shuffle input. It is gated
+    // on a 10 GB application-side scan by default (the filter only
+    // pays on big scans), so the size thresholds are scoped down to
+    // demonstrate the mechanism on test-sized tables.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val orders = Tables.orders(spark, sf())
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, sf())
+      val p = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg"),
+        s"no bloom filter built from the selective side:\n$p")
+      assert(p.contains("might_contain"),
+        s"fact scan not pre-filtered with might_contain:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no unexpected cartesian products across the whole query surface") {
     // Deliberate bounded cross joins (documented quadratic baselines
     // over bounded subsets): q30 brute-force Jaccard, q34 embedding
