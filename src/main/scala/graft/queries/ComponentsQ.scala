@@ -146,5 +146,76 @@ object ComponentsQ {
       SELECT id AS part_id, r AS rank_micro
       FROM i3 ORDER BY r DESC, id LIMIT 20"""))
 
-  val all: Seq[Qry] = Seq(q61, q94)
+  /** Triangle counting on the co-purchase graph (bounded to parts
+    * < 2000 so the wedge join stays oracle-able at any SF): the
+    * classic two-join formulation — id-oriented edges (a<b), wedges
+    * (a<b<c) from edges sharing their lower endpoint, closed by an
+    * equi-join back onto the edge set. Output: total triangles plus
+    * the top-10 parts by triangle membership (each triangle counts
+    * for all three corners).
+    *
+    * Scale shape: two equi-joins, no cartesian anything; the wedge
+    * count is Σ C(outdeg,2), so the skew upgrade at full scale is
+    * DEGREE-ordered orientation (orient each edge from its lower-
+    * degree endpoint; bounds per-node wedges by the arboricity —
+    * the standard compact-forward refinement) instead of id order.
+    * Determinism: pure integer counts, full tiebreaks. */
+  val q100 = Qry(
+    "q100_triangles",
+    (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_partkey") < 2000)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.as("x")
+        .join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.a") === col("e2.a") &&
+          col("e1.b") < col("e2.b"))
+        .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
+          col("e2.b").as("tc"))
+        .join(e.as("e3"),
+          col("tb") === col("e3.a") && col("tc") === col("e3.b"))
+        .select(col("ta"), col("tb"), col("tc"))
+        .localCheckpoint(true)
+      val perNode = tri.select(col("ta").as("pk"))
+        .unionAll(tri.select(col("tb").as("pk")))
+        .unionAll(tri.select(col("tc").as("pk")))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("pk"))
+        .limit(10)
+      perNode.crossJoin(
+        broadcast(tri.agg(count(lit(1)).as("total_triangles"))))
+        .select(col("pk"), col("n_triangles"), col("total_triangles"))
+        .orderBy(col("n_triangles").desc, col("pk"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_partkey < 2000),
+      e AS (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      tri AS (
+        SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        FROM e e1
+        JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      t AS (SELECT COUNT(*) AS total_triangles FROM tri),
+      corners AS (
+        SELECT ta AS pk FROM tri
+        UNION ALL SELECT tb FROM tri
+        UNION ALL SELECT tc FROM tri),
+      top AS (
+        SELECT pk, COUNT(*) AS n_triangles
+        FROM corners GROUP BY pk
+        ORDER BY n_triangles DESC, pk LIMIT 10)
+      SELECT pk, n_triangles, total_triangles
+      FROM top, t ORDER BY n_triangles DESC, pk"""))
+
+  val all: Seq[Qry] = Seq(q61, q94, q100)
 }

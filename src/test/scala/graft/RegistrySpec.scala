@@ -11,8 +11,8 @@ class RegistrySpec extends SparkSpec {
   test("registry: query names unique, convention-compliant, oracles well-formed") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")),
-      s"bad names: ${names.filterNot(_.matches("q\\d{2}_[a-z0-9_]+"))}")
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")),
+      s"bad names: ${names.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+"))}")
     // every oracle references only driver-provided tables
     val tables = Set("region", "nation", "customer", "supplier",
       "part", "orders", "lineitem", "events", "documents",
