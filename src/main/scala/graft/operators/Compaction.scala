@@ -28,19 +28,34 @@ object Compaction {
   final case class Stats(before: Int, bytes: Long, after: Int)
 
   /** Rewrite the parquet directory `inDir` into `outDir` with file
-    * sizes near `targetBytes`. Returns listing stats. */
+    * sizes near `targetBytes`. Returns listing stats.
+    *
+    * `inDir` must be a LEAF directory (data files at the top level)
+    * — enforced, because the sizing listing is non-recursive while
+    * the parquet read is recursive: a partitioned root would size to
+    * one output file and silently collapse every partition into it.
+    * Run per partition directory, as the object doc says. */
   def compactParquet(spark: SparkSession, inDir: String,
-      outDir: String, targetBytes: Long): Stats = {
+      outDir: String, targetBytes: Long,
+      maxOutputFiles: Long = 1L << 24): Stats = {
     require(targetBytes > 0, s"targetBytes must be > 0: $targetBytes")
     val path = new Path(inDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(path).toSeq
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty,
+      s"$inDir has no top-level .parquet files — compactParquet works " +
+        "on leaf partition directories; compact a partitioned lake " +
+        "one partition directory at a time")
     val totalBytes = files.map(_.getLen).sum
-    val n = math.max(1L,
-      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val nLong = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes)
+    require(nLong <= maxOutputFiles,
+      s"targetBytes=$targetBytes would produce $nLong output files " +
+        s"for $totalBytes bytes — raise targetBytes (misconfigured " +
+        "unit?)")
     spark.read.parquet(inDir)
-      .repartition(n)
+      .repartition(nLong.toInt)
       .write.mode("overwrite").parquet(outDir)
     val outFiles = fs.listStatus(new Path(outDir)).toSeq
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

@@ -402,10 +402,13 @@ object CorpusQ {
     "q99_weighted_sample",
     (s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
-      val tot = docs.agg(count(lit(1)).as("total"),
-        countDistinct(col("source")).as("ns"))
-      val pct = docs.groupBy(col("source"))
+      val bySrc = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_src"))
+      // corpus totals derive from the tiny per-source frame — no
+      // second scan of the corpus for one scalar row
+      val tot = bySrc.agg(sum(col("n_src")).as("total"),
+        count(lit(1)).as("ns"))
+      val pct = bySrc
         .crossJoin(broadcast(tot))
         .select(col("source"),
           least(lit(100L), expr("(total * 50) div (ns * n_src)"))

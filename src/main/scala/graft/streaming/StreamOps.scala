@@ -232,12 +232,11 @@ object StreamOps {
     * watermark, and the aggregate holds one row per lang.
     * Run in `update` output mode. */
   def corpusIngest(docs: DataFrame, tsCol: String, textCol: String,
-      langCol: String, watermark: String,
-      minQuality: Double): DataFrame = {
+      langCol: String, watermark: String, minQuality: Double,
+      stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
     import graft.operators.TextOps
-    val stop = Seq("the", "a")
     docs
-      .withColumn("__q", TextOps.qualityScore(col(textCol), stop))
+      .withColumn("__q", TextOps.qualityScore(col(textCol), stopwords))
       .filter(col("__q") >= minQuality)
       .withColumn("__h", md5(col(textCol)))
       .withWatermark(tsCol, watermark)

@@ -32,6 +32,27 @@ class CompactionSpec extends SparkSpec {
     assert(fp(s"$dir/big") == fp(s"$dir/small"))
   }
 
+  test("partitioned (non-leaf) input is rejected, not silently collapsed") {
+    val dir = Files.createTempDirectory("graft-compactp").toString
+    Tables.documents(spark, sf())
+      .write.partitionBy("lang").parquet(s"$dir/small")
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compactParquet(spark, s"$dir/small", s"$dir/big",
+        targetBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("leaf partition directories"))
+  }
+
+  test("absurd output-file counts are rejected before any work") {
+    val dir = Files.createTempDirectory("graft-compactn").toString
+    Tables.documents(spark, sf()).write.parquet(s"$dir/small")
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compactParquet(spark, s"$dir/small", s"$dir/big",
+        targetBytes = 1L, maxOutputFiles = 100L) // one byte per file
+    }
+    assert(e.getMessage.contains("raise targetBytes"))
+  }
+
   test("tiny input still produces at least one file") {
     val dir = Files.createTempDirectory("graft-compact1").toString
     Tables.region(spark, sf()).write.parquet(s"$dir/small")
