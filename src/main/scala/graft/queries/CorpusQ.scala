@@ -219,12 +219,14 @@ object CorpusQ {
   val q86 = Qry(
     "q86_source_mix",
     (s: SparkSession, d: String) => {
-      val docs = Tables.documents(s, d)
-      val tot = docs.agg(count(lit(1)).as("__total"),
-        countDistinct(col("source")).as("__ns"))
-      docs.groupBy(col("source"))
+      val bySrc = Tables.documents(s, d)
+        .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("chars_sum"))
+      // totals from the tiny per-source frame — one corpus scan total
+      val tot = bySrc.agg(sum(col("n_docs")).as("__total"),
+        count(lit(1)).as("__ns"))
+      bySrc
         .crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("chars_sum"),
           r6(col("n_docs").cast("double") / col("__total")).as("share"),
