@@ -217,5 +217,102 @@ object ComponentsQ {
       SELECT pk, n_triangles, total_triangles
       FROM top, t ORDER BY n_triangles DESC, pk"""))
 
-  val all: Seq[Qry] = Seq(q61, q94, q100)
+  /** Degree-ordered triangle counting — q100's documented skew
+    * upgrade implemented as code, verified by producing the IDENTICAL
+    * answer through the different plan. Each undirected edge {u,v} is
+    * oriented from its lower-(degree, id) endpoint ("compact
+    * forward"), so a node's out-neighborhood — and therefore its
+    * wedge count C(outdeg, 2) — is bounded by the graph arboricity
+    * instead of its raw degree: the hub that dominates the id-ordered
+    * wedge join (a popular part co-ordered with thousands of others
+    * builds C(deg, 2) wedges on one key) contributes almost nothing,
+    * because nearly all its edges orient INTO it. Same two equi-join
+    * closure afterwards; the orientation key packs (degree, id) into
+    * one long so ties stay total. */
+  val q103 = Qry(
+    "q103_triangles_ordered",
+    (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_partkey") < 2000)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.as("x")
+        .join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val ek = e
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(col("a"), col("b"),
+          (col("da") * lit(1000000L) + col("a")).as("ka"),
+          (col("db") * lit(1000000L) + col("b")).as("kb"))
+      val o = ek.select(
+        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("s"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("t"),
+        greatest(col("ka"), col("kb")).as("kt"))
+        .localCheckpoint(true)
+      val tri = o.as("o1")
+        .join(o.as("o2"),
+          col("o1.s") === col("o2.s") && col("o1.kt") < col("o2.kt"))
+        .select(col("o1.t").as("w1"), col("o2.t").as("w2"),
+          col("o1.s").as("w0"))
+        .join(o.as("o3"),
+          col("w1") === col("o3.s") && col("w2") === col("o3.t"))
+        .select(col("w0"), col("w1"), col("w2"))
+        .localCheckpoint(true)
+      val perNode = tri.select(col("w0").as("pk"))
+        .unionAll(tri.select(col("w1").as("pk")))
+        .unionAll(tri.select(col("w2").as("pk")))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("pk"))
+        .limit(10)
+      perNode.crossJoin(
+        broadcast(tri.agg(count(lit(1)).as("total_triangles"))))
+        .select(col("pk"), col("n_triangles"), col("total_triangles"))
+        .orderBy(col("n_triangles").desc, col("pk"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_partkey < 2000),
+      e AS (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      deg AS (
+        SELECT v, COUNT(*) AS deg FROM (
+          SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        GROUP BY v),
+      ek AS (
+        SELECT e.a, e.b,
+               dl.deg * 1000000 + e.a AS ka,
+               dr.deg * 1000000 + e.b AS kb
+        FROM e JOIN deg dl ON dl.v = e.a JOIN deg dr ON dr.v = e.b),
+      o AS (
+        SELECT CASE WHEN ka < kb THEN a ELSE b END AS s,
+               CASE WHEN ka < kb THEN b ELSE a END AS t,
+               GREATEST(ka, kb) AS kt
+        FROM ek),
+      tri AS (
+        SELECT o1.s AS w0, o1.t AS w1, o2.t AS w2
+        FROM o o1
+        JOIN o o2 ON o1.s = o2.s AND o1.kt < o2.kt
+        JOIN o o3 ON o3.s = o1.t AND o3.t = o2.t),
+      tt AS (SELECT COUNT(*) AS total_triangles FROM tri),
+      corners AS (
+        SELECT w0 AS pk FROM tri
+        UNION ALL SELECT w1 FROM tri
+        UNION ALL SELECT w2 FROM tri),
+      top AS (
+        SELECT pk, COUNT(*) AS n_triangles
+        FROM corners GROUP BY pk
+        ORDER BY n_triangles DESC, pk LIMIT 10)
+      SELECT pk, n_triangles, total_triangles
+      FROM top, tt ORDER BY n_triangles DESC, pk"""))
+
+  val all: Seq[Qry] = Seq(q61, q94, q100, q103)
 }

@@ -454,6 +454,51 @@ object CorpusQ {
                AS id_checksum
       FROM flagged GROUP BY source ORDER BY source"""))
 
+  /** Deterministic epoch shuffle into training shards — the "global
+    * shuffle" a training run needs, as a pure function of (epoch
+    * salt, doc_id) instead of an RNG: shard = md5 percent-bucket
+    * mod 8, within-shard order = md5('epoch0:' || id). A different
+    * salt re-deals the whole order next epoch; the same salt
+    * reproduces it exactly on any cluster size or partitioning
+    * (which `repartition` + RNG sampling cannot promise).
+    *
+    * Scale shape: the assignment and order key are map-side
+    * expressions; the real sink is `repartition($"shard")` +
+    * `sortWithinPartitions($"ord")` — one shuffle, no global sort
+    * (ShardShuffleSpec drives that writer path and checks the files
+    * against these fingerprints). The md5-of-ordered-ids here is the
+    * per-shard MANIFEST the write is verified against, not the
+    * payload: the hashed projection stays O(shards), never
+    * O(corpus). */
+  val q104 = Qry(
+    "q104_epoch_shuffle",
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (Splits.hashBucket(col("doc_id")) % 8).cast("long").as("shard"),
+          md5(concat(lit("epoch0:"), col("doc_id").cast("string")))
+            .as("ord"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("ord"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")), ","))
+            .as("order_md5"))
+        .orderBy(col("shard")),
+    Some(s"""
+      WITH sharded AS (
+        SELECT doc_id, n_chars,
+               ${bucketSql("doc_id")} % 8 AS shard,
+               md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents)
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY ord, doc_id)) AS order_md5
+      FROM sharded GROUP BY shard ORDER BY shard"""))
+
   val all: Seq[Qry] =
-    Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99)
+    Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104)
 }

@@ -277,5 +277,75 @@ object Stats {
                AS c_new
       FROM mm GROUP BY cid, dim ORDER BY cid, dim"""))
 
-  val all: Seq[Qry] = Seq(q88, q89, q90, q92, q93)
+  /** Semantic dedup (SemDeDup-style): assign every vector to its
+    * nearest seed centroid (the q92 E-step plan), then inside each
+    * cluster drop every vector that has a LOWER-id neighbor within
+    * the cosine threshold — keep-min-id, the deterministic variant
+    * of SemDeDup's keep-one-per-ε-ball.
+    *
+    * Scale shape: this is the whole point of the clustering step —
+    * the pairwise cosine join runs WITHIN-CLUSTER only (equi-join on
+    * cluster id), turning an all-pairs O(N²) corpus problem into
+    * Σ|cluster|², with k as the granularity dial; norms are computed
+    * once per ROW before the join (never per pair), and the pair
+    * side carries only (id, vec, norm). Bounded to vec_id < 300 so
+    * the oracle's list-fold cosines stay cheap — the Spark plan is
+    * the unbounded shape.
+    *
+    * Determinism: cos = dot/(√⟨a,a⟩·√⟨b,b⟩) is one identical IEEE
+    * chain in both engines (the `vec_dot` kernel and DuckDB's
+    * list_reduce both fold left-to-right), snapped via round(·,6)
+    * BEFORE the threshold compare so a boundary pair can't diverge. */
+  val q101 = Qry(
+    "q101_semantic_dedup",
+    (s: SparkSession, d: String) => {
+      def vd(a: Column, b: Column) = call_function("vec_dot", a, b)
+      val a = kmeansAssigned(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("cid"), col("emb"),
+          sqrt(vd(col("emb"), col("emb"))).as("nrm"))
+      val l = a.select(col("cid"), col("vec_id").as("a"),
+        col("emb").as("ea"), col("nrm").as("na"))
+      val r = a.select(col("cid"), col("vec_id").as("b"),
+        col("emb").as("eb"), col("nrm").as("nb"))
+      val dropped = l.join(r, Seq("cid"))
+        .filter(col("a") < col("b"))
+        .select(col("b"),
+          round(vd(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("cos"))
+        .filter(col("cos") >= 0.35)
+        .select(col("b")).distinct()
+        .withColumn("dr", lit(1L))
+      a.join(dropped, a("vec_id") === dropped("b"), "left")
+        .select(col("cid"), col("vec_id"),
+          coalesce(col("dr"), lit(0L)).as("dr"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("dr")).as("n_dropped"),
+          sum(when(col("dr") === 0L, col("vec_id"))).as("kept_checksum"))
+        .select(col("cid").as("cluster_id"), col("n_members"),
+          col("n_dropped"), col("kept_checksum"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH $kmeansAssignedSql,
+      nn AS (
+        SELECT vec_id, cid, embedding,
+               sqrt(${SimilarityQ.dotSql("embedding", "embedding")}) AS nrm
+        FROM a WHERE rn = 1 AND vec_id < 300),
+      dropped AS (
+        SELECT DISTINCT r.vec_id AS b
+        FROM nn l JOIN nn r ON l.cid = r.cid AND l.vec_id < r.vec_id
+        WHERE ROUND(${SimilarityQ.dotSql("l.embedding", "r.embedding")}
+                / (l.nrm * r.nrm), 6) >= 0.35),
+      flagged AS (
+        SELECT cid, vec_id,
+               CASE WHEN b IS NULL THEN 0 ELSE 1 END AS dr
+        FROM nn LEFT JOIN dropped ON nn.vec_id = dropped.b)
+      SELECT cid AS cluster_id, COUNT(*) AS n_members,
+             CAST(SUM(dr) AS BIGINT) AS n_dropped,
+             CAST(SUM(CASE WHEN dr = 0 THEN vec_id END) AS BIGINT)
+               AS kept_checksum
+      FROM flagged GROUP BY cid ORDER BY cid"""))
+
+  val all: Seq[Qry] = Seq(q88, q89, q90, q92, q93, q101)
 }

@@ -400,5 +400,47 @@ object Text {
              COALESCE(vr, 0) AS vec_rank, rrf
       FROM fused ORDER BY rrf DESC, id LIMIT 15"""))
 
-  val all: Seq[Qry] = Seq(q24, q25, q26, q27, q62, q95, q97)
+  /** Inverted-index build (posting lists) — the retrieval-infra
+    * counterpart to q95's on-the-fly scoring: token → (document
+    * frequency, collection frequency, id range, md5 fingerprint of
+    * the ordered posting list). Scale shape: two-level aggregation —
+    * level 1 combines (token, doc) term frequencies map-side, so the
+    * token shuffle carries one row per (token, doc) not one per
+    * occurrence; level 2 shuffles once on the token and builds the
+    * ordered posting list per token. The fingerprint is the
+    * verification artifact — a real index sink would write the
+    * sorted id array itself. At 100 TB the known skew is stopword
+    * tokens (df ≈ N): postings for those are block-partitioned by
+    * (token, id-bucket) and the blocks concatenated at read time;
+    * the two-level shape here is what makes that split a one-line
+    * change (bucket joins the level-1 key). */
+  val q102 = Qry(
+    "q102_inverted_index",
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("n")).as("cf"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          md5(array_join(
+            transform(array_sort(collect_list(col("doc_id"))),
+              x => x.cast("string")), ",")).as("postings_md5"))
+        .orderBy(col("df").desc, col("tok")),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(${DedupQ.toksSql}) AS tok FROM documents),
+      td AS (
+        SELECT tok, doc_id, COUNT(*) AS n
+        FROM toks GROUP BY tok, doc_id)
+      SELECT tok, COUNT(*) AS df, CAST(SUM(n) AS BIGINT) AS cf,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY doc_id)) AS postings_md5
+      FROM td GROUP BY tok ORDER BY df DESC, tok"""))
+
+  val all: Seq[Qry] = Seq(q24, q25, q26, q27, q62, q95, q97, q102)
 }

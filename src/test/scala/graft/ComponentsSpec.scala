@@ -113,6 +113,17 @@ class ComponentsSpec extends SparkSpec {
     assert(out("far") == null)    // gap 820 > 50: match suppressed
   }
 
+  test("degree-ordered triangle plan (q103) answers exactly like " +
+      "the id-ordered plan (q100)") {
+    val d = sf("sf0.001")
+    val idOrdered = queries.ComponentsQ.q100.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val degOrdered = queries.ComponentsQ.q103.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(idOrdered.nonEmpty && idOrdered(0)._3 > 0)
+    assert(degOrdered.sameElements(idOrdered))
+  }
+
   test("curate policies all survive an empty corpus") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     import operators.Curate, Curate.NearDupPolicy._

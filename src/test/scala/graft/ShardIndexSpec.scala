@@ -1,0 +1,97 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+/** Independent verification of the retrieval/training-prep artifacts:
+  * q102's inverted-index fingerprints re-derived with plain Scala
+  * tokenization, and q104's epoch-shuffle manifest checked against
+  * the REAL writer path (repartition by shard + sortWithinPartitions
+  * — the files a training run would read must match the manifest).
+  */
+class ShardIndexSpec extends SparkSpec {
+
+  private val d = sf("sf0.001")
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  test("q102 posting lists match a driver-side re-tokenization") {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val postings = docs
+      .flatMap { case (id, t) =>
+        t.split("\\s+").filter(_.nonEmpty).map(tok => (tok, id)) }
+      .groupBy(_._1)
+    val got = queries.Text.q102.fn(spark, d).collect()
+    assert(got.length == postings.size)
+    got.foreach { r =>
+      val (tok, df, cf, first, last, fp) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))
+      val ids = postings(tok).map(_._2)
+      val distinct = ids.distinct.sorted
+      assert(df == distinct.length.toLong, s"df($tok)")
+      assert(cf == ids.length.toLong, s"cf($tok)")
+      assert(first == distinct.head && last == distinct.last, s"range($tok)")
+      assert(fp == md5hex(distinct.mkString(",")), s"postings_md5($tok)")
+    }
+  }
+
+  test("q102 is ordered by df desc, token asc (a real index's key order)") {
+    val keys = queries.Text.q102.fn(spark, d)
+      .select(col("df"), col("tok")).collect()
+      .map(r => (-r.getLong(0), r.getString(1)))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("q104 manifest matches the files the real shard writer produces") {
+    val manifest = queries.CorpusQ.q104.fn(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-shards").toString
+    val sharded = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        (operators.Splits.hashBucket(col("doc_id")) % 8).cast("long")
+          .as("shard"),
+        md5(concat(lit("epoch0:"), col("doc_id").cast("string")))
+          .as("ord"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"), col("doc_id"))
+    sharded.write.partitionBy("shard").parquet(s"$out/docs")
+
+    (0L until 8L).foreach { sh =>
+      // One writer task owns each shard (repartition on shard), so the
+      // shard directory holds exactly one file whose row order is the
+      // sortWithinPartitions order.
+      val files = new java.io.File(s"$out/docs/shard=$sh")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $sh files")
+      val ids = spark.read.parquet(files.head.getPath)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      val (nDocs, orderMd5) = manifest(sh)
+      assert(ids.length.toLong == nDocs, s"shard $sh count")
+      assert(md5hex(ids.mkString(",")) == orderMd5, s"shard $sh order")
+    }
+  }
+
+  test("q104 epoch salt re-deals the order but not the membership") {
+    val e0 = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        md5(concat(lit("epoch0:"), col("doc_id").cast("string")))
+          .as("ord"))
+      .orderBy(col("ord")).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val e1 = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
+          .as("ord"))
+      .orderBy(col("ord")).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    assert(e0.sorted.sameElements(e1.sorted))
+    assert(!e0.sameElements(e1))
+  }
+}
