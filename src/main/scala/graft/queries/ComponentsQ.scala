@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.{Qry, Tables}
-import graft.operators.{Components, Dedup, PageRank}
+import graft.operators.{Components, Dedup, Graph, PageRank}
 
 /** Transitive near-dup clustering (the connected-components upgrade
   * to greedy pairwise dedup). The fixture manufactures genuine
@@ -87,11 +87,15 @@ object ComponentsQ {
     * parts, undirected edges between parts sharing an order — the
     * q90 self-join shape). Three damped iterations, top-20 ranks.
     *
-    * Scale shape: the distinct edge list + out-degrees are built
-    * once and eagerly localCheckpointed (reused every round — at
-    * cluster scale this is a disk-persisted/bucketed edge table);
-    * each round is one shuffle-on-src join plus one groupBy(dst) —
-    * the standard distributed PageRank step, no driver-side state.
+    * Scale shape: the candidate edges come from the one-shuffle
+    * [[graft.operators.Graph.coOccurrenceEdges]] set expansion
+    * (baskets are bounded, so the per-group expansion is too); the
+    * distinct edge list + out-degrees are built once and eagerly
+    * localCheckpointed (reused every round — at cluster scale this
+    * is a disk-persisted/bucketed edge table); each round joins the
+    * fact-sized edge frame against the BROADCAST vertex-sized rank
+    * vector and groupBy(dst)-sums partially — no per-round edge
+    * shuffle, no driver-side state.
     *
     * Determinism: ranks live in integer MICRO-units (start 1e6).
     * Every contribution is `rank div outdeg` and the damping step is
@@ -104,13 +108,8 @@ object ComponentsQ {
   val q94 = Qry(
     "q94_pagerank",
     (s: SparkSession, d: String) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = li.as("a")
-        .join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      val edges = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey")
       PageRank.integerRanks(edges, "src", "dst", iters = 3)
         .select(col("id").as("part_id"), col("r").as("rank_micro"))
         .orderBy(col("rank_micro").desc, col("part_id"))

@@ -125,20 +125,18 @@ object Stats {
 
   /** Co-purchase pairs (market-basket co-occurrence): top-20 part
     * pairs by number of orders containing both. The classic
-    * frequent-itemset first pass: distinct (order, part), self-join
-    * on the order key with p1 < p2 (each pair once), count, top-k
-    * with a full deterministic tiebreak. The self-join shuffles on
-    * the order key once — both sides share the partitioning. */
+    * frequent-itemset first pass, built with the one-shuffle
+    * [[graft.operators.Graph.coOccurrencePairs]] set expansion
+    * (collect_set per order absorbs the (order, part) dedup and the
+    * p1 < p2 pairs expand map-side — baskets are bounded, so the
+    * per-group expansion is too), then count + top-k with a full
+    * deterministic tiebreak. */
   val q90 = Qry(
     "q90_copurchase_pairs",
     (s: SparkSession, d: String) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      li.as("a")
-        .join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      graft.operators.Graph.coOccurrencePairs(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+        .select(col("src").as("p1"), col("dst").as("p2"))
         .groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("p1"), col("p2"))

@@ -118,12 +118,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("q90: co-purchase self-join shuffles on the order key at scale") {
+  test("q90: co-purchase pairs expand map-side from per-order sets — no join at all") {
     val p = planAtScaleStats("q90_copurchase_pairs")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-      s"expected shuffled self-join:\n$p")
+    assert(!p.contains("Join"),
+      s"set expansion regressed to a self-join:\n$p")
+    assert("partial_collect_set".r.findFirstIn(p).isDefined,
+      s"per-order item sets lost map-side combine:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 should not be a full global sort:\n$p")
+  }
+
+  test("q94: every PageRank round joins edges against BROADCAST ranks") {
+    val p = planAtScaleStats("q94_pagerank")
+    // 3 rounds + the (broadcast) degree attach on the edge frame; the
+    // fact-sized edge side must never re-shuffle for a rank join.
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 3, s"expected >=3 broadcast rank joins, got $n:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a PageRank round re-shuffles the edge frame:\n$p")
   }
 
   test("q85/q86: corpus-total scalars ride a broadcast, never a cartesian") {
