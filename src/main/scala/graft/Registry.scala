@@ -13,5 +13,6 @@ object Registry {
       queries.Extras.all ++ queries.Subqueries.all ++
       queries.CurateQ.all ++ queries.Windows2.all ++
       queries.ComponentsQ.all ++ queries.Pipeline.all ++
-      queries.CorpusQ.all ++ queries.Stats.all
+      queries.CorpusQ.all ++ queries.Stats.all ++
+      queries.SeriesQ.all ++ queries.LayoutQ.all
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) space-filling-curve keys for multi-dimensional
+  * data layout.
+  *
+  * Sorting / range-partitioning a table by the interleaved key
+  * clusters rows that are close in BOTH dimensions into the same
+  * output file, so parquet footer min/max statistics prune scans on
+  * EITHER column — the standard multi-dim data-skipping layout
+  * (Delta/Iceberg OPTIMIZE ZORDER does exactly this). A plain sort
+  * by (x, y) gives perfect x-skipping and useless y-skipping; the
+  * curve bounds the bounding box of every contiguous key range in
+  * both dims at once.
+  *
+  * At 100 TB this is a write-time layout choice:
+  * `df.repartitionByRange(n, zorderKey).sortWithinPartitions(zorderKey)`
+  * before the parquet sink — one range shuffle, no extra pass; the
+  * read path needs no code at all (pruning falls out of footer
+  * stats). The expressions below are pure integer bit arithmetic
+  * (shift/and/or — whole-stage-codegen'd by Catalyst), shuffle-free.
+  */
+object ZOrder {
+
+  /** Spread the low 16 bits of `c` so bit i lands at bit 2·i
+    * (the classic parallel-prefix "bit interleave" ladder). Input is
+    * masked to 16 bits; output occupies 32 even bit positions of a
+    * long. */
+  def spread16(c: Column): Column = {
+    val a = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x33333333L))
+    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton key of two 16-bit coordinates: x occupies the even
+    * bits, y the odd bits. Adjacent key ranges cover compact (x, y)
+    * rectangles — the locality property q106 measures. */
+  def interleave16(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+}

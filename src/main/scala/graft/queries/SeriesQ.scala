@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Qry, Tables}
+import graft.operators.Intervals
+import Q._
+
+/** Event-sequence analytics: interval algebra, recursive time-series
+  * smoothing, and transition mining — per-key ordered-scan operators
+  * that complement the window/sessionize surface (q35-q38, q72, q78,
+  * q80). All three are deterministic integer arithmetic end to end.
+  */
+object SeriesQ {
+
+  /** Merged activity intervals (q105): each event opens a 30-minute
+    * [t, t+1800s) presence span; overlapping/touching spans per user
+    * coalesce into maximal intervals ([[Intervals.merge]]), then roll
+    * up to per-user dwell stats. The classic union-of-intervals
+    * operator (coverage windows, downtime stitching).
+    *
+    * Scale shape: every window/groupBy partitions on user_id — one
+    * key shuffle, per-key sorts, no global ordering; integer epoch
+    * seconds only. */
+  val q105 = Qry(
+    "q105_interval_merge",
+    (s: SparkSession, d: String) => {
+      val iv = Tables.events(s, d)
+        .filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) div 1000000").as("s0"))
+        .withColumn("e0", col("s0") + lit(1800L))
+      Intervals.merge(iv, "user_id", "s0", "e0", "event_id")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("m_end") - col("m_start")).as("covered_sec"),
+          max(col("m_end") - col("m_start")).as("longest_sec"),
+          sum(col("n_source")).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s0,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 1800 AS e0
+        FROM events WHERE user_id < 200),
+      flagged AS (
+        SELECT user_id, event_id, s0, e0,
+               CASE WHEN MAX(e0) OVER (
+                      PARTITION BY user_id ORDER BY s0, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                 OR s0 > MAX(e0) OVER (
+                      PARTITION BY user_id ORDER BY s0, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_grp
+        FROM iv),
+      labeled AS (
+        SELECT user_id, s0, e0,
+               SUM(new_grp) OVER (
+                 PARTITION BY user_id ORDER BY s0, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM flagged),
+      merged AS (
+        SELECT user_id, grp, MIN(s0) AS m_start, MAX(e0) AS m_end,
+               COUNT(*) AS n_source
+        FROM labeled GROUP BY user_id, grp)
+      SELECT user_id,
+             COUNT(*) AS n_intervals,
+             CAST(SUM(m_end - m_start) AS BIGINT) AS covered_sec,
+             MAX(m_end - m_start) AS longest_sec,
+             CAST(SUM(n_source) AS BIGINT) AS n_events
+      FROM merged GROUP BY user_id ORDER BY user_id"""))
+
+  /** Fixed-point exponential moving average (q107): per-user EMA of
+    * event values with α = 0.3, the inherently-sequential recursion
+    * r ← (3·v + 7·r) div 10 run in integer MILLI-CENTS (value snapped
+    * to its cent grid, ×1000 for headroom through the divisions) —
+    * zero float ops, so the fold is bit-identical across engines.
+    *
+    * Scale shape: EMA is a per-key sequential scan by definition;
+    * parallelism comes from the key partitioning (one shuffle), and
+    * each key's ordered fold runs as a single array aggregate —
+    * valid while per-key series fit an executor (bounded here;
+    * at unbounded history, segment the fold by time range and carry
+    * the previous segment's tail as the next segment's seed, exact
+    * because the recursion's dependence on the seed is associative
+    * composition of affine maps). */
+  val q107 = Qry(
+    "q107_ema_fixedpoint",
+    (s: SparkSession, d: String) => {
+      val src = Tables.events(s, d)
+        .filter(col("user_id") < 100)
+        .select(col("user_id"),
+          struct(
+            unix_micros(col("ts")).as("t"),
+            col("event_id").as("eid"),
+            (expr("CAST(floor(value * 100 + 0.5) AS BIGINT)") * lit(1000L))
+              .as("v")).as("p"))
+      src.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("p"))).as("arr"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          expr("""aggregate(
+                    slice(arr, 2, size(arr) - 1),
+                    element_at(arr, 1).v,
+                    (acc, x) -> (3 * x.v + 7 * acc) div 10)""")
+            .as("ema_milli"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               event_id AS eid,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000 AS v
+        FROM events WHERE user_id < 100),
+      lists AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               list(v ORDER BY t, eid, v) AS vs
+        FROM src GROUP BY user_id)
+      SELECT user_id, n_events,
+             list_reduce(vs, (acc, x) -> (3 * x + 7 * acc) // 10)
+               AS ema_milli
+      FROM lists ORDER BY user_id"""))
+
+  /** Event-type transition matrix (q109): per-user next-event via
+    * lead() on the (ts, event_id) order, then global (from, to)
+    * transition counts and shares — first-order Markov structure
+    * mining over clickstream-shaped data.
+    *
+    * Scale shape: lead() partitions on user_id (one key shuffle);
+    * the share window runs over the |types|² aggregated matrix, not
+    * the input. Share division is the identical IEEE op sequence on
+    * both engines, then tie-proof r6 snapping. */
+  val q109 = Qry(
+    "q109_transitions",
+    (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val m = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      m.withColumn("share",
+          r6(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(lit(1)))
+              .cast("double")))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+    Some(s"""
+      WITH nxt AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                 PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        FROM events),
+      m AS (
+        SELECT event_type, next_type, COUNT(*) AS n
+        FROM nxt WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type)
+      SELECT event_type, next_type, n,
+             ${r6Sql("CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)")}
+               AS share
+      FROM m ORDER BY event_type, next_type"""))
+
+  val all: Seq[Qry] = Seq(q105, q107, q109)
+}
