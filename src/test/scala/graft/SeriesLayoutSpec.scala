@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Frontier, Intervals, ZOrder}
+
+/** Unit tests for the q105-q109 operator family: interval-merge edge
+  * cases the fixture data can't isolate (touching spans, containment,
+  * equal starts), skyline tie/dominance cases plus the distributive
+  * two-phase == brute-force property, Morton-curve bit arithmetic
+  * against hand-interleaved values, and the fixed-point EMA fold.
+  */
+class SeriesLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def merged(rows: Seq[(Long, Long, Long, Long)])
+      : Seq[(Long, Long, Long, Long)] = {
+    val df = rows.toDF("k", "id", "s", "e")
+    Intervals.merge(df, "k", "s", "e", "id")
+      .select("k", "m_start", "m_end", "n_source")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+  }
+
+  test("overlapping and touching intervals coalesce; disjoint stay apart") {
+    // [0,10) + [5,15) overlap; [15,20) touches (half-open -> merges);
+    // [30,40) is disjoint.
+    val got = merged(Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 15L),
+      (1L, 3L, 15L, 20L), (1L, 4L, 30L, 40L)))
+    assert(got == Seq((1L, 0L, 20L, 3L), (1L, 30L, 40L, 1L)))
+  }
+
+  test("contained interval extends nothing; chain via running max") {
+    // [0,100) swallows [10,20); [50,120) overlaps the RUNNING max
+    // (100) even though it starts after the previous row's own end.
+    val got = merged(Seq(
+      (7L, 1L, 0L, 100L), (7L, 2L, 10L, 20L), (7L, 3L, 50L, 120L)))
+    assert(got == Seq((7L, 0L, 120L, 3L)))
+  }
+
+  test("equal starts are tie-proof; keys never cross-merge") {
+    val got = merged(Seq(
+      (1L, 2L, 5L, 8L), (1L, 1L, 5L, 6L),
+      (2L, 3L, 5L, 6L), (2L, 4L, 100L, 101L)))
+    assert(got == Seq((1L, 5L, 8L, 2L),
+      (2L, 5L, 6L, 1L), (2L, 100L, 101L, 1L)))
+  }
+
+  private def sky(pts: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+    val df = pts.toDF("x", "y")
+    Frontier.skyline(df, "x", "y", "floor(x / 10.0)")
+      .orderBy("x").as[(Double, Long)].collect().toSeq
+  }
+
+  private def brute(pts: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    pts.distinct.filter { case (x, y) =>
+      !pts.exists { case (x2, y2) =>
+        (x2 <= x && y2 >= y) && (x2 < x || y2 > y)
+      }
+    }.sortBy(_._1)
+
+  test("skyline drops dominated points, keeps the frontier") {
+    val pts = Seq((1.0, 5L), (2.0, 9L), (3.0, 9L), (4.0, 12L),
+      (5.0, 3L), (0.5, 1L))
+    // (3,9) dominated by (2,9); (5,3) and (1,5)... (1,5) survives
+    // (nothing cheaper has >=5); (0.5,1) survives as the cheapest.
+    assert(sky(pts) == brute(pts))
+    assert(sky(pts) == Seq((0.5, 1L), (1.0, 5L), (2.0, 9L), (4.0, 12L)))
+  }
+
+  test("same-x keeps only max y; duplicates collapse") {
+    val pts = Seq((1.0, 5L), (1.0, 7L), (1.0, 7L), (2.0, 6L))
+    assert(sky(pts) == Seq((1.0, 7L)))
+  }
+
+  test("two-phase banded skyline equals brute force across band edges") {
+    // points straddling band boundaries (bands of width 10)
+    val pts = (0 until 60).map { i =>
+      (i.toDouble, ((i * 37) % 41 + (if (i % 7 == 0) 30 else 0)).toLong)
+    }
+    assert(sky(pts) == brute(pts))
+  }
+
+  test("morton interleave matches hand-computed bit weave") {
+    // x=0b0011=3 -> even bits 0b0101=5; y=0b0101=5 -> odd bits of
+    // spread16(5)=0b010001 shifted: z = 5 | (17<<1) = 0b100111 = 39
+    val df = Seq((3L, 5L)).toDF("x", "y")
+      .select(ZOrder.interleave16(col("x"), col("y")).as("z"),
+        ZOrder.spread16(col("x")).as("sx"),
+        ZOrder.spread16(col("y")).as("sy"))
+    val r = df.as[(Long, Long, Long)].head()
+    assert(r._2 == 5L && r._3 == 17L && r._1 == 39L)
+  }
+
+  test("morton key is a bijection on a 32x32 grid") {
+    val df = spark.range(1024).select(
+      (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+    val keys = df.select(ZOrder.interleave16(col("x"), col("y")).as("z"))
+    assert(keys.distinct().count() == 1024)
+    assert(keys.agg(max("z"), min("z")).as[(Long, Long)].head() ==
+      ((1023L, 0L)))
+  }
+
+  test("fixing high curve bits bounds BOTH coordinate spans") {
+    // 10-bit coords, bucket on the top 6 of 20 z bits: each bucket's
+    // bbox must fit a 128x128 cell.
+    val df = spark.range(4096).select(
+      ((col("id") * 2654435761L) % 1024).as("x"),
+      ((col("id") * 40503L) % 1024).as("y"))
+    val spans = df
+      .withColumn("z", ZOrder.interleave16(col("x"), col("y")))
+      .withColumn("b", expr("z div 16384"))
+      .groupBy("b")
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .agg(max("xs"), max("ys")).as[(Long, Long)].head()
+    assert(spans._1 <= 127 && spans._2 <= 127)
+  }
+
+  test("fixed-point EMA fold matches the hand recursion") {
+    // values in milli-cents; alpha=0.3: r = (3*v + 7*r) div 10
+    val arr = Seq(1000L, 2000L, 3000L)
+    val want = arr.tail.foldLeft(arr.head)((r, v) => (3 * v + 7 * r) / 10)
+    val got = Seq(Tuple1(arr)).toDF("arr")
+      .select(expr("""aggregate(
+          slice(arr, 2, size(arr) - 1), element_at(arr, 1),
+          (acc, x) -> (3 * x + 7 * acc) div 10)""").as("ema"))
+      .as[Long].head()
+    assert(got == want && got == 1810L)
+  }
+}
