@@ -94,5 +94,32 @@ object SqlSurface {
              MIN(cur) AS min_cur, MAX(cur) AS max_cur
       FROM up GROUP BY depth ORDER BY depth"""))
 
-  val all: Seq[Qry] = Seq(q45, q46, q73)
+  /** Correlated LATERAL join — per-outer-row dependent subquery with
+    * ORDER BY + LIMIT (top-2 suppliers per nation), the SQL-standard
+    * form of per-group top-k. Catalyst decorrelates the lateral
+    * subquery into a window-ranked join (DecorrelateInnerQuery), so
+    * the executed plan is the same scale-safe shape as q07's
+    * explicit window top-k — no nested-loop per-row re-execution.
+    * Both engines run the identical statement. */
+  val q110 = Qry(
+    "q110_lateral_topk",
+    (s: SparkSession, d: String) => {
+      Model.registerViews(s, d)
+      s.sql("""
+        SELECT n_name, s_name, s_acctbal
+        FROM nation,
+        LATERAL (SELECT s_name, s_acctbal FROM supplier
+                 WHERE s_nationkey = n_nationkey
+                 ORDER BY s_acctbal DESC, s_name LIMIT 2)
+        ORDER BY n_name, s_name""")
+    },
+    Some("""
+      SELECT n_name, s_name, s_acctbal
+      FROM nation,
+      LATERAL (SELECT s_name, s_acctbal FROM supplier
+               WHERE s_nationkey = n_nationkey
+               ORDER BY s_acctbal DESC, s_name LIMIT 2)
+      ORDER BY n_name, s_name"""))
+
+  val all: Seq[Qry] = Seq(q45, q46, q73, q110)
 }

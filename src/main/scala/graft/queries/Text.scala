@@ -442,5 +442,60 @@ object Text {
                ORDER BY doc_id)) AS postings_md5
       FROM td GROUP BY tok ORDER BY df DESC, tok"""))
 
-  val all: Seq[Qry] = Seq(q24, q25, q26, q27, q62, q95, q97, q102)
+  /** PII detection scan (q111): regex detectors for email / phone
+    * shapes over the corpus, rolled up per source — the audit pass a
+    * training-data pipeline runs before release (q74 is the matching
+    * redaction pass). The synthetic corpus carries no PII, so the
+    * query PLANTS deterministic markers on a doc_id-derived subset
+    * first (docs ≡ 0 mod 7 get an email, ≡ 0 mod 11 a phone) and
+    * must count exactly those back out; patterns are kept to the
+    * regex subset Java and RE2 interpret identically (literal
+    * classes + bounded quantifiers, no backrefs).
+    *
+    * Scale shape: detection is pure map-side regexp over the scan;
+    * one groupBy on the low-cardinality source key. */
+  val q111 = Qry(
+    "q111_pii_scan",
+    (s: SparkSession, d: String) => {
+      val planted = Tables.documents(s, d)
+        .withColumn("body",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com now")))
+            .when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" call 021-555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(col("text")))
+      planted.select(col("source"),
+          when(col("body").rlike("[a-z0-9]+@[a-z]+\\.[a-z]+"), 1L)
+            .otherwise(0L).as("e"),
+          when(col("body").rlike("[0-9]{3}-[0-9]{3}-[0-9]{4}"), 1L)
+            .otherwise(0L).as("p"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("e")).as("n_email"),
+          sum(col("p")).as("n_phone"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH planted AS (
+        SELECT source,
+               CASE WHEN doc_id % 7 = 0 THEN
+                      text || ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com now'
+                    WHEN doc_id % 11 = 0 THEN
+                      text || ' call 021-555-' ||
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS body
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN regexp_matches(body,
+               '[a-z0-9]+@[a-z]+\.[a-z]+') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_email,
+             CAST(SUM(CASE WHEN regexp_matches(body,
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_phone
+      FROM planted GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Qry] = Seq(q24, q25, q26, q27, q62, q95, q97, q102, q111)
 }

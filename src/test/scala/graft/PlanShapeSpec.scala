@@ -197,6 +197,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q105: interval merge runs entirely on the key partitioning") {
+    val p = planAtScaleStats("q105_interval_merge")
+    assert(!p.contains("Join"), s"interval merge grew a join:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a window lost its user_id partitioning — global sort at scale:\n$p")
+  }
+
+  test("q106: z-order key is map-side; audit is one partial+final agg") {
+    val p = plan("q106_zorder_layout")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert("partial_".r.findFirstIn(p).isDefined,
+      s"bucket audit lost map-side combine:\n$p")
+  }
+
+  test("q108: only the survivor pass is single-partition; band phase is parallel") {
+    val p = planAtScaleStats("q108_skyline")
+    // two window phases: banded local (hash-partitioned) + global
+    val wins = "\\+- Window".r.findAllIn(p).length
+    assert(wins == 2, s"expected 2 window phases, got $wins:\n$p")
+    val single = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(single <= 1,
+      s"more than the survivor pass went single-partition:\n$p")
+  }
+
+  test("q110: LATERAL decorrelates to WindowGroupLimit, no per-row rescan") {
+    val p = planAtScaleStats("q110_lateral_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"lateral top-k lost the group-limit rewrite:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"lateral join fell back to a cartesian rescan:\n$p")
+  }
+
   test("no unexpected cartesian products across the whole query surface") {
     // Deliberate bounded cross joins (documented quadratic baselines
     // over bounded subsets): q30 brute-force Jaccard, q34 embedding
