@@ -115,6 +115,14 @@ class SeriesLayoutSpec extends SparkSpec {
     assert(spans._1 <= 127 && spans._2 <= 127)
   }
 
+  test("empty inputs: interval merge and skyline return empty, not error") {
+    val noIv = Seq.empty[(Long, Long, Long, Long)].toDF("k", "id", "s", "e")
+    assert(Intervals.merge(noIv, "k", "s", "e", "id").count() == 0)
+    val noPts = Seq.empty[(Double, Long)].toDF("x", "y")
+    assert(Frontier.skyline(noPts, "x", "y", "floor(x / 10.0)")
+      .count() == 0)
+  }
+
   test("fixed-point EMA fold matches the hand recursion") {
     // values in milli-cents; alpha=0.3: r = (3*v + 7*r) div 10
     val arr = Seq(1000L, 2000L, 3000L)
