@@ -89,4 +89,38 @@ class ScaleSpec extends SparkSpec {
     s2.sql("DROP TABLE IF EXISTS bt_a")
     s2.sql("DROP TABLE IF EXISTS bt_b")
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The production skew answer is layered: AQE's OptimizeSkewedJoin
+    // splits oversized partitions at runtime with NO code change;
+    // Skew.saltedJoin (above) is the static fallback for the cases
+    // AQE can't touch (aggregations, broadcast-ineligible plans).
+    // Thresholds are scoped down so a test-sized hot key (one key
+    // carrying ~100x the median) triggers the same mechanism that
+    // fires on a 100 TB hot-key shuffle.
+    val s2 = spark.newSession()
+    Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.shuffle.partitions" -> "4"
+    ).foreach { case (k, v) => s2.conf.set(k, v) }
+    import s2.implicits._
+    // one hot key (0) with 50k rows, 50 cold keys with ~100 each
+    val left = s2.range(55000)
+      .select(when($"id" < 50000, 0L).otherwise($"id" % 50 + 1).as("k"),
+        $"id".as("v"))
+    val right = s2.range(51).select($"id".as("k"), ($"id" * 7).as("w"))
+    val joined = left.join(right, "k")
+    // materialize THIS Dataset's own QueryExecution (count() would
+    // build a different one, leaving this adaptive plan unfinalized)
+    assert(joined.collect().length == 55000)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"OptimizeSkewedJoin did not fire:\n$finalPlan")
+  }
 }
