@@ -93,6 +93,48 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Cross-corpus MinHash-LSH near-dup pairs: candidates pair a LEFT
+    * doc with a RIGHT doc only (never left-left or right-right) —
+    * the incremental-ingest shape, where a new batch dedups AGAINST
+    * a historical index without re-pairing the index with itself.
+    * Same band-key construction and heavy-payload discipline as
+    * [[lshNearDupPairs]]: only (band_key, id) crosses the band
+    * shuffle; shingle arrays join back onto the deduped candidate
+    * pairs. At 100 TB the index side's banded projection is a
+    * precomputed table (band keys are a pure function of content),
+    * so a daily batch pays one band-key equi-join against it, never
+    * a scan of the index text.
+    *
+    * @return (a = left id, b = right id, jaccard) pairs with
+    *         jaccard ≥ `minJaccard`
+    */
+  def lshNearDupPairsAcross(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, minJaccard: Double): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    def prep(docs: DataFrame) = docs.select(
+        col(idCol).as("id"),
+        shingleSet(col(textCol), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    def banded(sh: DataFrame) = sh.select(col("id"),
+      explode(bandKeys(minhashSignature(col("shingles"), k),
+        bands, rows)).as("band_key"))
+    val (shL, shR) = (prep(left), prep(right))
+    val candidates = banded(shL).as("l")
+      .join(banded(shR).as("r"), Seq("band_key"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    candidates
+      .join(shL.select(col("id").as("a"), col("shingles").as("sh_a")),
+        Seq("a"))
+      .join(shR.select(col("id").as("b"), col("shingles").as("sh_b")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        round(setJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Brute-force all-pairs shingle Jaccard (the quadratic baseline
     * LSH replaces; only for bounded subsets / verification).
     * Contract note (shared with [[lshNearDupPairs]]): documents

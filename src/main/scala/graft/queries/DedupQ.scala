@@ -139,5 +139,101 @@ object DedupQ {
       FROM pairs WHERE ROUND($jaccardSql, 6) >= 0.05
       ORDER BY a, b"""))
 
-  val all: Seq[Qry] = Seq(q28, q29, q30)
+  /** Incremental dedup against a historical index (q112): a fresh
+    * batch (new crawl) is admitted only if it survives (1) an exact
+    * content-hash anti-join against the index and (2) a cross-corpus
+    * LSH near-dup pass ([[Dedup.lshNearDupPairsAcross]]) — batch
+    * pairs with index only, never batch-with-batch (same-day dups
+    * are q57's corpus-internal job). The fixture manufactures both
+    * drop reasons: verbatim index copies (→ exact_dup) and
+    * one-token-padded index copies (→ near_dup) alongside genuinely
+    * fresh docs (→ kept). Emits the per-doc admission verdict.
+    *
+    * Scale shape: the exact pass shuffles 16-byte hashes, not text;
+    * the LSH pass joins the batch's band keys against the index's
+    * PRECOMPUTABLE banded projection. Nothing scans index text
+    * except the bounded candidate verification. */
+  val q112 = Qry(
+    "q112_incremental_dedup",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val index = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val batch = docs
+        .filter(col("doc_id") >= 200 && col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 30).select(
+          (col("doc_id") + 5000L).as("doc_id"),
+          concat(col("text"), lit(" zz9")).as("text")))
+        .unionByName(docs.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 6000L).as("doc_id"), col("text")))
+      val idxHash = index.select(md5(col("text")).as("h")).distinct()
+      val flagged = batch
+        .join(idxHash, md5(col("text")) === col("h"), "left")
+        .withColumn("is_exact", col("h").isNotNull)
+        .drop("h")
+      val nearIds = Dedup.lshNearDupPairsAcross(
+          flagged.filter(!col("is_exact")), index,
+          "doc_id", "text", n = N, k = K, bands = BANDS,
+          minJaccard = 0.90)
+        .select(col("a").as("doc_id")).distinct()
+        .withColumn("is_near", lit(true))
+      flagged.join(nearIds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact"), lit("exact_dup"))
+            .when(col("is_near"), lit("near_dup"))
+            .otherwise(lit("kept")).as("status"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH idx AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      batch AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id >= 200 AND doc_id < 300
+        UNION ALL
+        SELECT doc_id + 5000, text || ' zz9'
+        FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT doc_id + 6000, text
+        FROM documents WHERE doc_id < 20),
+      idxh AS (SELECT DISTINCT md5(text) AS h FROM idx),
+      flagged AS (
+        SELECT b.doc_id, b.text, (h IS NOT NULL) AS is_exact
+        FROM batch b LEFT JOIN idxh ON md5(b.text) = h),
+      bsh AS (
+        SELECT doc_id AS id, ${shinglesSql(N)} AS shingles
+        FROM (SELECT doc_id, text FROM flagged WHERE NOT is_exact)),
+      bsh2 AS (SELECT id, shingles FROM bsh WHERE len(shingles) > 0),
+      bsig AS (
+        SELECT id, shingles, ${minhashSql(K)} AS sig FROM bsh2),
+      bband AS (
+        SELECT id, shingles,
+               unnest(${bandKeysSql(BANDS, K / BANDS)}) AS band_key
+        FROM bsig),
+      ish AS (
+        SELECT doc_id AS id, ${shinglesSql(N)} AS shingles FROM idx),
+      ish2 AS (SELECT id, shingles FROM ish WHERE len(shingles) > 0),
+      isig AS (
+        SELECT id, shingles, ${minhashSql(K)} AS sig FROM ish2),
+      iband AS (
+        SELECT id, shingles,
+               unnest(${bandKeysSql(BANDS, K / BANDS)}) AS band_key
+        FROM isig),
+      cand AS (
+        SELECT l.id AS a, r.id AS b,
+               FIRST(l.shingles) AS sh_a, FIRST(r.shingles) AS sh_b
+        FROM bband l JOIN iband r ON l.band_key = r.band_key
+        GROUP BY l.id, r.id),
+      nearm AS (
+        SELECT DISTINCT a FROM cand
+        WHERE ROUND($jaccardSql, 6) >= 0.90)
+      SELECT f.doc_id,
+             CASE WHEN is_exact THEN 'exact_dup'
+                  WHEN a IS NOT NULL THEN 'near_dup'
+                  ELSE 'kept' END AS status
+      FROM flagged f LEFT JOIN nearm ON f.doc_id = nearm.a
+      ORDER BY f.doc_id"""))
+
+  val all: Seq[Qry] = Seq(q28, q29, q30, q112)
 }
