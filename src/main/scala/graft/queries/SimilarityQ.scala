@@ -70,22 +70,26 @@ object SimilarityQ {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"),
           max(col("vec_id")).as("max_vec"))
-        .orderBy(col("bucket")), {
-      val bucketSql = (0 until 8).map { p =>
-        val proj = s"""list_reduce(list_prepend(0.0::DOUBLE,
-          list_transform(range(0, $DIM),
-            i -> CAST(embedding[i + 1] AS DOUBLE) *
-                 (CAST(($p * 131071 + i * 524287) % 1000003 AS DOUBLE)
-                    / 1000003.0 - 0.5))),
-          (acc, x) -> acc + x)"""
-        s"CASE WHEN $proj > 0 THEN ${1 << p} ELSE 0 END"
-      }.mkString(" + ")
-      Some(s"""
-      WITH b AS (SELECT vec_id, $bucketSql AS bucket FROM embeddings)
+        .orderBy(col("bucket")),
+    Some(s"""
+      WITH b AS (SELECT vec_id, ${bucketSql(8)} AS bucket
+                 FROM embeddings)
       SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec,
              MAX(vec_id) AS max_vec
-      FROM b GROUP BY bucket ORDER BY bucket""")
-    })
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
+  /** DuckDB rendering of [[Similarity.lshBucket]] over the column
+    * `embedding` — the same LCG plane weights and sign-bit sum. */
+  private def bucketSql(planes: Int): String =
+    (0 until planes).map { p =>
+      val proj = s"""list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(range(0, $DIM),
+          i -> CAST(embedding[i + 1] AS DOUBLE) *
+               (CAST(($p * 131071 + i * 524287) % 1000003 AS DOUBLE)
+                  / 1000003.0 - 0.5))),
+        (acc, x) -> acc + x)"""
+      s"CASE WHEN $proj > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
 
   /** IVF-style coarse search: per-label centroids (element-wise
     * decimal-exact means), each query probes only its `nprobe`
@@ -187,5 +191,111 @@ object SimilarityQ {
       WHERE ROUND(${cosSql("l.embedding", "r.embedding")}, 6) >= 0.3
       ORDER BY a, b"""))
 
-  val all: Seq[Qry] = Seq(q31, q32, q33, q34, q71)
+  /** Retrieval evaluation (q113): score the LSH ANN path against
+    * brute-force ground truth INSIDE the engine — per query,
+    * recall@10 (approx top-10 ∩ exact top-10) and the reciprocal
+    * rank of the first relevant hit (the MRR contribution). The
+    * eval harness every ANN deployment needs, expressed as joins
+    * and windows; the oracle re-derives both rankings and both
+    * metrics independently.
+    *
+    * 4 planes (16 buckets) rather than q32's 8 keep per-bucket
+    * candidate lists non-trivial at the test corpus size — recall
+    * is genuinely < 1 for some queries, so the metric arithmetic
+    * (missing hits, empty-candidate guards) is actually exercised.
+    *
+    * Scale shape: ground truth is the bounded-|Q| broadcast cross
+    * join (the documented q31 contract); the system under test is
+    * the bucket equi-join. Metrics are two small aggregates over
+    * ≤ 10·|Q| rows. */
+  val q113 = Qry(
+    "q113_retrieval_eval",
+    (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val exact = Similarity.topKBrute(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+          k = 10)
+        .select(col("q_id"), col("n_id"))
+      val bucketed = e.select(col("vec_id"), col("embedding"),
+        Similarity.lshBucket(col("embedding"), planes = 4, dim = DIM)
+          .as("bucket"))
+      val qs = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      val approx = broadcast(qs)
+        .join(bucketed.select(col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"), col("bucket")), Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          Similarity.cosine(col("q_emb"), col("n_emb")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      val hits = approx.join(exact, Seq("q_id", "n_id"))
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          min(col("rank")).as("first_hit"))
+      val nCand = approx.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_cand"))
+      qs.select(col("q_id")).distinct()
+        .join(nCand, Seq("q_id"), "left")
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          r6(coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0)
+            .as("recall_at_10"),
+          r6(when(col("first_hit").isNull, lit(0.0))
+            .otherwise(lit(1.0) / col("first_hit").cast("double")))
+            .as("rr"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 10),
+      ex0 AS (
+        SELECT q_id, vec_id AS n_id,
+               ${cosSql("q_emb", "embedding")} AS cos
+        FROM q CROSS JOIN embeddings WHERE q_id <> vec_id),
+      ex AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, n_id) AS rank
+          FROM ex0)
+        WHERE rank <= 10),
+      b AS (SELECT vec_id, embedding, ${bucketSql(4)} AS bucket
+            FROM embeddings),
+      ap0 AS (
+        SELECT qb.q_id, cb.vec_id AS n_id,
+               ${cosSql("qb.q_emb", "cb.embedding")} AS cos
+        FROM (SELECT vec_id AS q_id, embedding AS q_emb, bucket
+              FROM b WHERE vec_id < 10) qb
+        JOIN b cb USING (bucket)
+        WHERE qb.q_id <> cb.vec_id),
+      ap AS (
+        SELECT q_id, n_id, rank FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, n_id) AS rank
+          FROM ap0)
+        WHERE rank <= 10),
+      hits AS (
+        SELECT ap.q_id, COUNT(*) AS n_hits, MIN(ap.rank) AS first_hit
+        FROM ap JOIN ex USING (q_id, n_id) GROUP BY ap.q_id),
+      ncand AS (SELECT q_id, COUNT(*) AS n_cand FROM ap GROUP BY q_id)
+      SELECT qq.q_id,
+             COALESCE(n_cand, 0) AS n_cand,
+             COALESCE(n_hits, 0) AS n_hits,
+             ${r6Sql("CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10.0")}
+               AS recall_at_10,
+             ${r6Sql("CASE WHEN first_hit IS NULL THEN 0.0 " +
+        "ELSE 1.0 / CAST(first_hit AS DOUBLE) END")} AS rr
+      FROM (SELECT DISTINCT q_id FROM q) qq
+      LEFT JOIN ncand USING (q_id)
+      LEFT JOIN hits USING (q_id)
+      ORDER BY qq.q_id"""))
+
+  val all: Seq[Qry] = Seq(q31, q32, q33, q34, q71, q113)
 }
