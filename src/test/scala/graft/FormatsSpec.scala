@@ -51,6 +51,28 @@ class FormatsSpec extends SparkSpec {
     assert(fingerprint(got) == fingerprint(base))
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new shards") {
+    // The data-lake reality: yesterday's shards lack a column today's
+    // writer added. mergeSchema=true reads both generations as one
+    // table, nulling the missing column in old rows — schema-on-read
+    // evolution with no rewrite of historical data.
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/t/gen=1")
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "extra")
+      .write.parquet(s"$dir/t/gen=2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/t")
+    assert(merged.columns.sorted.toSeq == Seq("extra", "gen", "id", "v"))
+    val rows = merged.select("id", "extra")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, None), (2L, None),
+      (3L, Some(30L)), (4L, Some(40L))))
+    // and the partition column arrived as data
+    assert(merged.filter(col("gen") === 1).count() == 2)
+  }
+
   test("csv refuses nested columns (documented engine caveat)") {
     val dir = Files.createTempDirectory("graft-csvbad").toString
     val nested = base.select(col("doc_id"),
