@@ -235,5 +235,108 @@ object DedupQ {
       FROM flagged f LEFT JOIN nearm ON f.doc_id = nearm.a
       ORDER BY f.doc_id"""))
 
-  val all: Seq[Qry] = Seq(q28, q29, q30, q112)
+  /** Asymmetric containment dedup (q114): detects docs (nearly)
+    * CONTAINED in a bigger doc — the boilerplate-wrapped copy /
+    * superset case where Jaccard stays low (J = |A|/|B| for A ⊂ B)
+    * and MinHash-LSH never fires. Containment C(A→B) =
+    * |sh(A) ∩ sh(B)| / |sh(A)| is 1.0 for the planted originals
+    * inside their padded copies while their Jaccard sits ≤ ~0.72 —
+    * the emitted (containment, jaccard) pair shows exactly the gap.
+    *
+    * Candidate generation is DF-PREFIX FILTERING, not banding: each
+    * doc nominates its 2 rarest shingles (document frequency
+    * ascending, computed in the same single-scan window as q81);
+    * candidates are (doc, other) pairs sharing a nominated-rare
+    * shingle, found by joining the 2-per-doc prefix against the
+    * full posting list (the q102 shuffle shape). Fan-out per
+    * candidate-generating shingle = its df, which is small BY
+    * CONSTRUCTION — common shingles never make a prefix. The
+    * shared pad across all padded copies is deliberately high-df,
+    * proving the filter routes around it.
+    *
+    * Scale shape: one (shingle, doc) shuffle for df + postings, a
+    * prefix-to-postings equi-join bounded by rare-df fan-out, exact
+    * verification only on surviving candidate pairs. */
+  val q114 = Qry(
+    "q114_containment_dedup",
+    (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val padTokens = (0 until 40).map(i => s"x$i").mkString(" ")
+      val docs0 = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs0.unionByName(docs0.select(
+        (col("doc_id") + 3000L).as("doc_id"),
+        concat(col("text"), lit(" " + padTokens)).as("text")))
+      val sh = corpus.select(col("doc_id").as("id"),
+          Dedup.shingleSet(col("text"), N).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+      val posting = sh.select(col("id"),
+        explode(col("shingles")).as("g"))
+      val withDf = posting.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
+      val prefix = withDf.withColumn("rn",
+          row_number().over(Window.partitionBy(col("id"))
+            .orderBy(col("df"), col("g"))))
+        .filter(col("rn") <= 2)
+        .select(col("id").as("a"), col("g"))
+      val cand = prefix
+        .join(posting.select(col("id").as("b"), col("g")), Seq("g"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b")).distinct()
+      cand
+        .join(sh.select(col("id").as("a"), col("shingles").as("sh_a")),
+          Seq("a"))
+        .join(sh.select(col("id").as("b"), col("shingles").as("sh_b")),
+          Seq("b"))
+        .select(col("a"), col("b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b")))
+            / size(col("sh_a")), 6).as("containment"),
+          round(Dedup.setJaccard(col("sh_a"), col("sh_b")), 6)
+            .as("jaccard"))
+        .filter(col("containment") >= 0.9)
+        .orderBy(col("a"), col("b"))
+    }, {
+      val padTokens = (0 until 40).map(i => s"x$i").mkString(" ")
+      Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 60
+        UNION ALL
+        SELECT doc_id + 3000, text || ' $padTokens'
+        FROM documents WHERE doc_id < 60),
+      sh AS (
+        SELECT doc_id AS id, ${shinglesSql(N)} AS shingles
+        FROM corpus),
+      sh2 AS (SELECT id, shingles FROM sh WHERE len(shingles) > 0),
+      posting AS (
+        SELECT id, unnest(shingles) AS g FROM sh2),
+      with_df AS (
+        SELECT id, g, COUNT(*) OVER (PARTITION BY g) AS df
+        FROM posting),
+      prefix AS (
+        SELECT id AS a, g FROM (
+          SELECT id, g,
+                 ROW_NUMBER() OVER (PARTITION BY id
+                   ORDER BY df, g) AS rn
+          FROM with_df)
+        WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT a, p.id AS b
+        FROM prefix JOIN posting p USING (g)
+        WHERE a <> p.id),
+      verified AS (
+        SELECT a, b,
+               ROUND(len(list_intersect(sa.shingles, sb.shingles))
+                 / len(sa.shingles), 6) AS containment,
+               ROUND(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                 / len(list_distinct(list_concat(sa.shingles,
+                     sb.shingles))), 6) AS jaccard
+        FROM cand
+        JOIN sh2 sa ON sa.id = a
+        JOIN sh2 sb ON sb.id = b)
+      SELECT a, b, containment, jaccard FROM verified
+      WHERE containment >= 0.9
+      ORDER BY a, b""")
+    })
+
+  val all: Seq[Qry] = Seq(q28, q29, q30, q112, q114)
 }
