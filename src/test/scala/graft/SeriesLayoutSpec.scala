@@ -123,6 +123,31 @@ class SeriesLayoutSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("interval merge of uniform spans == gap sessionization (operators cohere)") {
+    // For point events expanded to uniform [t, t+g) spans, the merge
+    // boundary (start > running-max end) reduces to the session
+    // boundary (gap to predecessor > g): same groups, same counts,
+    // session_end + g == merged end.
+    import graft.operators.Sessionize
+    val ev = Tables.events(spark, sf()).filter(col("user_id") < 20)
+    val g = 1800L
+    val sessions = Sessionize
+      .sessionStats(ev, "user_id", "ts", g)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("ss"),
+        (unix_micros(col("session_end")) + g * 1000000L).as("se"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val spans = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s0"))
+      .withColumn("e0", col("s0") + lit(g * 1000000L))
+    val merged = Intervals.merge(spans, "user_id", "s0", "e0", "event_id")
+      .select(col("user_id"), col("m_start"), col("m_end"),
+        col("n_source"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(sessions.nonEmpty && merged == sessions)
+  }
+
   test("fixed-point EMA fold matches the hand recursion") {
     // values in milli-cents; alpha=0.3: r = (3*v + 7*r) div 10
     val arr = Seq(1000L, 2000L, 3000L)
