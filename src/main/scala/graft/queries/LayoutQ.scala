@@ -101,5 +101,86 @@ object LayoutQ {
       WHERE pmax IS NULL OR size > pmax
       ORDER BY price"""))
 
-  val all: Seq[Qry] = Seq(q106, q108)
+  /** Grid-bucketed geo proximity join (q116): vehicle-position-shaped
+    * points (the q39 synthetic coordinate scheme: Wellington-area
+    * lat/lon derived from event values) paired within 100 m. The
+    * spatial-join staple: assign each point a grid cell sized ≥ the
+    * radius, explode the LEFT side into its 3×3 cell neighborhood,
+    * equi-join on the cell key (each qualifying pair matches on
+    * EXACTLY one offset — no dedup needed), then verify the exact
+    * distance only on cell-collided candidates. Distance is the
+    * equirectangular approximation (dx·K_LON, dy·K_LAT with the
+    * documented cos≈0.75 mid-latitude constant) — pure multiply/add,
+    * bit-identical across engines, valid at city scale where a
+    * proximity join makes sense.
+    *
+    * Scale shape: candidates come from an equi-join with bounded 9×
+    * key fan-out — never a cross join; at 100 TB the cell key is
+    * also the natural partition/bucket column for the point table. */
+  val q116 = Qry(
+    "q116_geo_grid_join",
+    (s: SparkSession, d: String) => {
+      val kLat = 111320.0   // meters per degree latitude
+      val kLon = 83490.0    // 111320 * 0.75 (cos of mid-latitude)
+      val pts = Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id").as("id"),
+          round(lit(-41d) - col("value") / 1000d, 6).as("lat"),
+          round(lit(174d) + col("value") / 1000d, 6).as("lon"))
+        .withColumn("cx", floor(col("lon") / 0.0015).cast("long"))
+        .withColumn("cy", floor(col("lat") / 0.001).cast("long"))
+      val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+        struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+      val left = pts.select(col("id").as("a"), col("lat").as("lat_a"),
+          col("lon").as("lon_a"), col("cx"), col("cy"),
+          explode(offsets).as("o"))
+        .select(col("a"), col("lat_a"), col("lon_a"),
+          (col("cx") + col("o.dx")).as("jx"),
+          (col("cy") + col("o.dy")).as("jy"))
+      val right = pts.select(col("id").as("b"), col("lat").as("lat_b"),
+        col("lon").as("lon_b"), col("cx").as("jx"), col("cy").as("jy"))
+      left.join(right, Seq("jx", "jy"))
+        .filter(col("a") < col("b"))
+        .withColumn("d2",
+          ((col("lon_b") - col("lon_a")) * kLon) *
+            ((col("lon_b") - col("lon_a")) * kLon) +
+          ((col("lat_b") - col("lat_a")) * kLat) *
+            ((col("lat_b") - col("lat_a")) * kLat))
+        .filter(col("d2") <= lit(10000.0))
+        .select(col("a"), col("b"), Q.r6(sqrt(col("d2"))).as("dist_m"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH pts AS (
+        SELECT event_id AS id,
+               ROUND(-41 - value / 1000, 6) AS lat,
+               ROUND(174 + value / 1000, 6) AS lon
+        FROM events WHERE event_id < 2000),
+      p AS (
+        SELECT id, lat, lon,
+               CAST(FLOOR(lon / 0.0015) AS BIGINT) AS cx,
+               CAST(FLOOR(lat / 0.001) AS BIGINT) AS cy
+        FROM pts),
+      lhs AS (
+        SELECT id AS a, lat AS lat_a, lon AS lon_a,
+               cx + dx.x AS jx, cy + dy.y AS jy
+        FROM p,
+             (SELECT unnest([-1, 0, 1]) AS x) dx,
+             (SELECT unnest([-1, 0, 1]) AS y) dy),
+      cand AS (
+        SELECT a, lat_a, lon_a, r.id AS b, r.lat AS lat_b,
+               r.lon AS lon_b
+        FROM lhs JOIN p r ON lhs.jx = r.cx AND lhs.jy = r.cy
+        WHERE a < r.id),
+      verified AS (
+        SELECT a, b,
+               ((lon_b - lon_a) * 83490.0) * ((lon_b - lon_a) * 83490.0)
+             + ((lat_b - lat_a) * 111320.0) * ((lat_b - lat_a) * 111320.0)
+               AS d2
+        FROM cand)
+      SELECT a, b, ${Q.r6Sql("sqrt(d2)")} AS dist_m
+      FROM verified WHERE d2 <= 10000.0
+      ORDER BY a, b"""))
+
+  val all: Seq[Qry] = Seq(q106, q108, q116)
 }

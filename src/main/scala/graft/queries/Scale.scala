@@ -112,5 +112,50 @@ object Scale {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
-  val all: Seq[Qry] = Seq(q47, q48, q66)
+  /** Mergeable HLL sketch states across shards (q115) — q98's
+    * daily-rollup fold with SKETCH algebra instead of exact sums:
+    * each md5-bucket shard builds a partial `hll_sketch_agg` state,
+    * a second aggregate `hll_union_agg`s the shard states, and the
+    * estimate comes off the MERGED sketch — never re-scanning raw
+    * rows, the pattern that turns a 100 TB distinct-count rollup
+    * into O(shards) sketch bytes per day.
+    *
+    * Hashable contract (the q48 precedent): estimates are
+    * engine-specific, so the hashed projection is (exact count,
+    * own-engine within-15%-band boolean) — DuckDB runs its own
+    * direct HLL; the merge-vs-direct equivalence on the Spark side
+    * (union of shard sketches ≈ one-pass sketch) is asserted
+    * tightly in ScaleSpec, not in the hash. */
+  val q115 = Qry(
+    "q115_hll_shard_merge",
+    (s: SparkSession, d: String) => {
+      import graft.operators.Splits
+      val sharded = Tables.events(s, d)
+        .withColumn("shard", Splits.hashBucket(col("event_id")) % 4)
+      val partials = sharded
+        .groupBy(col("event_type"), col("shard"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("state"),
+          countDistinct(col("user_id")).as("shard_exact"))
+      partials
+        .groupBy(col("event_type"))
+        .agg(
+          expr("hll_sketch_estimate(hll_union_agg(state))")
+            .as("__merged_est"))
+        .join(Tables.events(s, d).groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users")),
+          Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__merged_est") - col("exact_users")) <=
+            lit(0.15) * col("exact_users")).as("merged_ok"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS exact_users,
+             (ABS(approx_count_distinct(user_id)
+                - COUNT(DISTINCT user_id))
+               <= 0.15 * COUNT(DISTINCT user_id)) AS merged_ok
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Qry] = Seq(q47, q48, q66, q115)
 }

@@ -90,6 +90,28 @@ class ScaleSpec extends SparkSpec {
     s2.sql("DROP TABLE IF EXISTS bt_b")
   }
 
+  test("HLL shard-merge estimate tracks the direct one-pass sketch") {
+    // the q115 claim: union of per-shard sketch states loses nothing
+    // vs sketching the whole input in one pass (same lgK)
+    import graft.operators.Splits
+    val ev = Tables.events(spark, sf()).withColumn("shard",
+      Splits.hashBucket(col("event_id")) % 4)
+    val merged = ev.groupBy($"event_type", $"shard")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("st"))
+      .groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(st))").as("m"))
+    val direct = ev.groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+        .as("d"))
+    val rows = merged.join(direct, "event_type")
+      .select($"m", $"d").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (m, dv) =>
+      assert(math.abs(m - dv) <= math.max(1L, (0.01 * dv).toLong),
+        s"merged=$m direct=$dv drifted > 1%")
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // The production skew answer is layered: AQE's OptimizeSkewedJoin
     // splits oversized partitions at runtime with NO code change;
