@@ -415,5 +415,36 @@ object Pipeline {
              (valid_to IS NULL) AS is_current
       FROM hist ORDER BY id, valid_from"""))
 
-  val all: Seq[Qry] = Seq(q63, q64, q65, q67, q68, q74, q75, q76)
+  /** Exact-k deterministic sample per stratum (q117): q83 keeps a
+    * RATE per stratum; this keeps an exact COUNT — the eval-set /
+    * human-review draw ("exactly 5 docs per language, reproducibly
+    * on any cluster"). The draw order is md5(id) (a full shuffle of
+    * the stratum, stable across runs/partitionings, unlike
+    * row-position-based sampling), realized as a rank window per
+    * stratum — partitioned on the stratum key, never global. */
+  val q117 = Qry(
+    "q117_exact_k_sample",
+    (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 5
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("draw"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("draw"), col("doc_id"))))
+        .filter(col("rk") <= k)
+        .select(col("lang"), col("rk").cast("long").as("rk"),
+          col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some("""
+      SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 5 ORDER BY lang, rk"""))
+
+  val all: Seq[Qry] = Seq(q63, q64, q65, q67, q68, q74, q75, q76, q117)
 }

@@ -229,6 +229,26 @@ class PlanShapeSpec extends SparkSpec {
       s"lateral join fell back to a cartesian rescan:\n$p")
   }
 
+  test("join strategy hints are honored (merge, shuffle_hash, broadcast)") {
+    // the user-facing escape hatch when the optimizer's choice is
+    // wrong for a known workload — each hint must actually flip the
+    // physical join operator
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val a = Tables.orders(spark, sf())
+      val b = Tables.customer(spark, sf())
+      def planOf(hint: String) =
+        a.join(b.hint(hint), a("o_custkey") === b("c_custkey"))
+          .queryExecution.executedPlan.toString
+      assert(planOf("merge").contains("SortMergeJoin"))
+      assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+      assert(planOf("broadcast").contains("BroadcastHashJoin"))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("no unexpected cartesian products across the whole query surface") {
     // Deliberate bounded cross joins (documented quadratic baselines
     // over bounded subsets): q30 brute-force Jaccard, q34 embedding
