@@ -53,12 +53,27 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r(v: Double) = math.round(v * 10000) / 10000.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r(v.min) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = r(results.map(_._2.min).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only a bounded tail of stdout, which has
+    // truncated per-query numbers in past rounds — so ALSO persist
+    // the complete artifact (every rep, min, median, total) to a
+    // stable file that gets committed with the round.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val full = results.map { case (k, v) =>
+      val sorted = v.sorted
+      val med = if (reps % 2 == 1) sorted(reps / 2)
+        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2
+      s""""$k":{"reps":[${v.map(r).mkString(",")}],"min":${r(v.min)},"median":${r(med)}}"""
+    }.mkString(",\n  ")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"queries":{\n  $full\n}}\n""")
+        .getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -34,10 +34,43 @@ object Tables {
     * first; identity when the input is already wide — which a 100 TB
     * table always is (thousands of row-group splits), so at scale
     * this never moves a byte. Call it AFTER filter + projection so
-    * the local shuffle carries only the columns the consumer needs. */
-  def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    * the local shuffle carries only the columns the consumer needs.
+    *
+    * Width is estimated from the FILE INDEX on the (eagerly-built)
+    * analyzed plan — file count and total bytes over the row-group-
+    * scale split size — never from `df.rdd`, which forces a full
+    * physical planning pass outside the AQE-managed path on every
+    * call. Byte-range splits below row-group size don't parallelize
+    * parquet anyway, so files-and-bytes is the honest effective-task
+    * bound. Non-file sources (in-memory test frames) carry no width
+    * signal and pass through untouched.
+    *
+    * @param hintSplits caller-known effective source parallelism
+    *        (e.g. a custom source's partition count); skips the
+    *        file-index estimate entirely. */
+  def fanOut(df: DataFrame, hintSplits: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val est: Option[Long] = hintSplits.map(_.toLong).orElse {
+      val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      val perScan = df.queryExecution.analyzed.collectLeaves().flatMap {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              val files = fs.location.inputFiles.length.toLong
+              val bytes = fs.location.sizeInBytes
+              Some(math.max(math.max(1L, files),
+                (bytes + splitBytes - 1) / splitBytes))
+            case _ => None
+          }
+        case _ => None
+      }
+      if (perScan.isEmpty) None else Some(perScan.sum)
+    }
+    est match {
+      case Some(n) if n < target => df.repartition(target)
+      case _ => df
+    }
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {

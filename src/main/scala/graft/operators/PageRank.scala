@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   * state. Fixed iteration count keeps lineage bounded (no
   * convergence fixpoint; callers pick the round budget).
   *
-  * Dangling nodes (out-degree 0) are out of scope: callers pass
-  * symmetric edge lists (co-occurrence graphs), where every node
-  * with an in-edge also has an out-edge, so no dangling-mass
-  * redistribution term is needed.
+  * [[integerRanks]] is the symmetric-graph fast path (co-occurrence
+  * graphs, where every node both sends and receives, so no dangling
+  * term exists and the vertex set equals the source set).
+  * [[directedRanks]] is the general form: it keeps the FULL vertex
+  * set alive through every round and redistributes the rank mass of
+  * dangling nodes (out-degree 0), in the same exact integer algebra.
   */
 object PageRank {
 
@@ -98,6 +100,87 @@ object PageRank {
         .agg(sum(col("c")).as("sc"))
         .select(col("dst").as("id"),
           (lit(150000L) + expr("(85 * sc) div 100")).as("r"))
+    ranks
+  }
+
+  /** General directed PageRank — the case [[integerRanks]] documents
+    * as unsupported (a source-only chain silently vanishes there,
+    * because each round keeps only contribution receivers). Exact
+    * integer micro-unit algebra, extended with the dangling term:
+    *
+    *   r'(v) = 150000 + (85 · (Σ_{u→v} r(u) div outdeg(u)
+    *                           + D div |V|)) div 100
+    *   where D = Σ_{outdeg(u)=0} r(u)
+    *
+    * Every vertex (source-only, sink-only, or internal) survives
+    * every round via a left join against the full vertex frame, and
+    * sink mass re-enters through the D div |V| share — both pure
+    * integer ops, so the oracle can unroll the identical recurrence.
+    *
+    * Scale shape: setup is the same one groupBy(src) adjacency
+    * shuffle plus ONE extra distinct to assemble the vertex frame
+    * (src ∪ dst), both checkpointed once; |V| is counted once at
+    * build time (vertex-cardinality count, not a per-round action).
+    * Each round: one broadcast-rank join against the checkpointed
+    * vertex+adjacency frame, from which BOTH legs derive map-side —
+    * the exploded contribution stream (partially aggregated before
+    * its one shuffle) and the 1-row dangling-mass aggregate (a
+    * filter + sum riding the same join, no second pass over edges);
+    * the re-rank step joins vertex frame ⋈ broadcast contributions
+    * ⋈ broadcast dangling scalar, so the only per-round exchange is
+    * the contribution groupBy(dst). Ranks are eagerly
+    * localCheckpointed per round: the rank frame feeds two branches,
+    * and unbounded lineage would otherwise double per iteration.
+    * With `broadcastRanks=false` (web-scale vertex sets) the rank
+    * joins fall back to shuffles that a src-bucketed layout absorbs,
+    * same contract as [[integerRanks]].
+    *
+    * @param edges directed edge list (duplicates fine — deduped by
+    *              the adjacency collect_set; self-loops fine if the
+    *              caller wants them, they just feed a node's own
+    *              contribution)
+    */
+  def directedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, broadcastRanks: Boolean = true): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def bcast(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val adj = e.groupBy(col("src"))
+      .agg(collect_set(col("dst")).as("nbrs"))
+    // full vertex universe with per-vertex out-neighbor list; outdeg
+    // 0 marks the dangling nodes whose mass redistributes
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct()
+      .join(adj, col("id") === col("src"), "left_outer")
+      .select(col("id"),
+        coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"),
+        coalesce(size(col("nbrs")), lit(0)).cast("long").as("outdeg"))
+      .localCheckpoint(true)
+    val nV = verts.count()
+    var ranks = verts.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val joined = verts.join(bcast(ranks.select(
+          col("id").as("rid"), col("r"))),
+          col("id") === col("rid"))
+      val contribs = joined
+        .filter(col("outdeg") > 0)
+        .select(explode(col("nbrs")).as("dst"),
+          expr("r div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+      val dangling = joined
+        .filter(col("outdeg") === 0)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+      ranks = verts.select(col("id"))
+        .join(bcast(contribs), col("id") === col("dst"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(150000L) +
+            expr(s"(85 * (coalesce(sc, 0L) + dmass div ${nV}L)) div 100"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
     ranks
   }
 }

@@ -313,5 +313,65 @@ object ComponentsQ {
       SELECT pk, n_triangles, total_triangles
       FROM top, tt ORDER BY n_triangles DESC, pk"""))
 
-  val all: Seq[Qry] = Seq(q61, q94, q100, q103)
+  /** One unrolled directed-PageRank round for the q118 oracle:
+    * dangling mass (vertices absent from deg), contribution sums,
+    * then the re-rank over the FULL vertex frame with the
+    * redistribution share — the same integer recurrence
+    * [[graft.operators.PageRank.directedRanks]] runs. */
+  private def dirIterSql(i: Int, prev: String) = s"""
+      d$i AS (
+        SELECT COALESCE(SUM(r), 0) AS dm FROM $prev
+        WHERE id NOT IN (SELECT src FROM deg)),
+      c$i AS (
+        SELECT e.dst AS id, SUM(r // outdeg) AS sc
+        FROM e JOIN deg USING (src) JOIN $prev p ON p.id = e.src
+        GROUP BY e.dst),
+      r$i AS (
+        SELECT v.id,
+               CAST(150000 + (85 * (COALESCE(sc, 0) + dm // n)) // 100
+                 AS BIGINT) AS r
+        FROM v LEFT JOIN c$i ON c$i.id = v.id, d$i, nv)"""
+
+  /** Directed PageRank with dangling-mass redistribution — the
+    * general-graph case q94's symmetric fast path documents as
+    * unsupported. The fixture is a genuinely directed part-key
+    * funnel: every key k points DOWN to k div 10 and k mod 10, so
+    * high keys are source-only (they receive nothing — the nodes the
+    * symmetric kernel silently drops), and node 0 has no out-edge at
+    * all — a real dangling sink whose mass must re-enter through the
+    * D div |V| share or the totals drift. Exact integer micro-units
+    * end-to-end keep the 3-round recurrence bit-identical to the
+    * oracle's unrolled form. */
+  val q118 = Qry(
+    "q118_pagerank_directed",
+    (s: SparkSession, d: String) => {
+      val p = Tables.part(s, d).select(col("p_partkey").as("k"))
+      val edges = p.filter(col("k") >= 1)
+        .select(col("k").as("src"), expr("k div 10").as("dst"))
+        .unionAll(p.filter(col("k") >= 10)
+          .select(col("k").as("src"), expr("k % 10").as("dst")))
+        .filter(col("src") =!= col("dst"))
+      PageRank.directedRanks(edges, "src", "dst", iters = 3)
+        .select(col("id").as("node_id"), col("r").as("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("node_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH pk AS (SELECT p_partkey AS k FROM part),
+      e0 AS (
+        SELECT k AS src, k // 10 AS dst FROM pk WHERE k >= 1
+        UNION ALL
+        SELECT k, k % 10 FROM pk WHERE k >= 10),
+      e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      nv AS (SELECT COUNT(*) AS n FROM v),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM v),
+      ${dirIterSql(1, "r0")},
+      ${dirIterSql(2, "r1")},
+      ${dirIterSql(3, "r2")}
+      SELECT id AS node_id, r AS rank_micro
+      FROM r3 ORDER BY r DESC, id LIMIT 20"""))
+
+  val all: Seq[Qry] = Seq(q61, q94, q100, q103, q118)
 }

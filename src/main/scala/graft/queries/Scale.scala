@@ -132,10 +132,13 @@ object Scale {
       import graft.operators.Splits
       val sharded = Tables.events(s, d)
         .withColumn("shard", Splits.hashBucket(col("event_id")) % 4)
+      // The shard partial is the sketch state ONLY — an exact
+      // per-shard distinct here would drag a full expand+exchange
+      // distinct-aggregation path through the plan and then be
+      // thrown away (shard exacts can't fold into a global exact).
       val partials = sharded
         .groupBy(col("event_type"), col("shard"))
-        .agg(expr("hll_sketch_agg(user_id, 14)").as("state"),
-          countDistinct(col("user_id")).as("shard_exact"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("state"))
       partials
         .groupBy(col("event_type"))
         .agg(

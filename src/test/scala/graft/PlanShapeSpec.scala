@@ -229,6 +229,17 @@ class PlanShapeSpec extends SparkSpec {
       s"lateral join fell back to a cartesian rescan:\n$p")
   }
 
+  test("q115: shard partials carry only sketch state — no Expand distinct path") {
+    // Mixing countDistinct into the sketch partial would plan an
+    // Expand (row tripling) + an extra exchange, all for a column the
+    // rollup never reads. The exact verification leg is a LONE
+    // countDistinct on its own scan, which plans as a plain two-phase
+    // aggregate — so the whole query must be Expand-free.
+    val p = planAtScaleStats("q115_hll_shard_merge")
+    assert(!p.contains("Expand"),
+      s"dead exact-distinct path re-appeared in the shard partials:\n$p")
+  }
+
   test("join strategy hints are honored (merge, shuffle_hash, broadcast)") {
     // the user-facing escape hatch when the optimizer's choice is
     // wrong for a known workload — each hint must actually flip the

@@ -46,6 +46,51 @@ class RankRetrievalSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("directedRanks keeps a source-only chain alive where the symmetric kernel drops it") {
+    // Pure directed chain 1→2→3→4: each round of the symmetric-only
+    // kernel keeps only contribution RECEIVERS, so the live set
+    // shrinks from the source end — {2,3,4} → {3,4} → {4} → ∅. That
+    // is exactly the documented unsupported case; the directed kernel
+    // must return all 4 nodes with the teleport floor intact.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(PageRank.integerRanks(chain, "src", "dst", iters = 4)
+      .count() == 0L, "symmetric kernel no longer empties — update docs")
+    val r = PageRank.directedRanks(chain, "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+    assert(r.values.forall(_ >= 150000L), "teleport floor violated")
+    // Source node 1 receives only teleport + dangling share; the
+    // chain accumulates rank downstream toward the sink.
+    assert(r(1L) < r(4L))
+  }
+
+  test("directedRanks matches a plain-Scala reference on a dangling graph") {
+    // Diamond-with-sink: 1→{2,3}, 2→4, 3→4; node 4 is dangling, so
+    // its mass must re-enter via the D div |V| share each round.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    def ref(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val e = es.distinct
+      val vs = (e.map(_._1) ++ e.map(_._2)).distinct
+      val out = e.groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).distinct }
+      var r = vs.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable
+          .Map.empty[Long, Long].withDefaultValue(0L)
+        for (v <- vs; ns <- out.get(v); n <- ns)
+          contrib(n) += r(v) / ns.size
+        val share = vs.filterNot(out.contains).map(r).sum / vs.size
+        r = vs.map(v =>
+          v -> (150000L + (85L * (contrib(v) + share)) / 100L)).toMap
+      }
+      r
+    }
+    val got = PageRank
+      .directedRanks(edges.toDF("src", "dst"), "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref(edges, 3), s"got $got, want ${ref(edges, 3)}")
+  }
+
   test("q93 centroid update equals a window-argmin mean re-derivation") {
     val d = sf()
     val got = queries.Stats.q93.fn(spark, d)
