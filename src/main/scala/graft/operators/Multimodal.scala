@@ -32,11 +32,11 @@ object Multimodal {
       source: String)
 
   /** Parsed container-header features; fields are null where the
-    * format doesn't define them (image vs audio). */
+    * format doesn't define them (image vs audio vs video). */
   final case class MediaProbe(
       media_id: Long,
       n_bytes: Long,
-      format: String,        // png | wav | unknown
+      format: String,        // png | wav | mp4 | unknown
       width: Option[Int],
       height: Option[Int],
       bit_depth: Option[Int],
@@ -44,7 +44,9 @@ object Multimodal {
       channels: Option[Int],
       sample_rate: Option[Int],
       bits_per_sample: Option[Int],
-      duration_ms: Option[Long])
+      duration_ms: Option[Long],
+      brand: Option[String],
+      n_tracks: Option[Int])
 
   /** Pixel-level features from a full ImageIO decode. */
   final case class ImageFeatures(
@@ -125,6 +127,78 @@ object Multimodal {
     }
   }
 
+  /** MP4/ISO-BMFF (the declared `video` kind): a box walk — each box
+    * is [u32 size][4cc type][payload], size INCLUDING the 8-byte
+    * header; size==1 switches to a u64 largesize, size==0 runs to
+    * EOF. We read `ftyp` (major brand) at top level, then inside
+    * `moov`: `mvhd` (v0 u32 / v1 u64 timescale+duration → duration
+    * in ms) and the `trak` child count. Same hostile-input rules as
+    * the RIFF walk: sizes go through unsigned-Long offsets and every
+    * step must strictly advance, or we bail with what we have.
+    *
+    * @return (major_brand, duration_ms, n_tracks) */
+  def probeMp4(b: Array[Byte]): Option[(String, Long, Int)] = {
+    if (b.length < 16 || tag(b, 4) != "ftyp") return None
+    val end = b.length.toLong
+    // walk children of [from, until); visit gets (type, bodyFrom,
+    // bodyUntil) with bounds already clamped and validated
+    def walk(from: Long, until: Long)(
+        visit: (String, Long, Long) => Unit): Unit = {
+      var i = from
+      var ok = true
+      while (ok && i + 8 <= until) {
+        val p = i.toInt
+        val raw = be32(b, p) & 0xFFFFFFFFL
+        val typ = tag(b, p + 4)
+        val (size, hdr) =
+          if (raw == 1L && i + 16 <= until) {
+            val hi = be32(b, p + 8) & 0xFFFFFFFFL
+            val lo = be32(b, p + 12) & 0xFFFFFFFFL
+            ((hi << 32) | lo, 16L)
+          } else if (raw == 0L) (until - i, 8L)
+          else (raw, 8L)
+        val next = i + size
+        if (size < hdr || next > until || next <= i) ok = false
+        else {
+          visit(typ, i + hdr, next)
+          i = next
+        }
+      }
+    }
+    var brand: Option[String] = None
+    var durMs: Option[Long] = None
+    var tracks = 0
+    var sawMoov = false
+    walk(0L, end) { (typ, from, to) =>
+      typ match {
+        case "ftyp" if from + 4 <= to =>
+          brand = Some(tag(b, from.toInt))
+        case "moov" =>
+          sawMoov = true
+          walk(from, to) { (ct, cf, cto) =>
+            ct match {
+              case "trak" => tracks += 1
+              case "mvhd" if cf + 4 <= cto =>
+                val v = b(cf.toInt) & 0xff
+                if (v == 0 && cf + 20 <= cto) {
+                  val ts = be32(b, cf.toInt + 12) & 0xFFFFFFFFL
+                  val du = be32(b, cf.toInt + 16) & 0xFFFFFFFFL
+                  if (ts > 0) durMs = Some(du * 1000L / ts)
+                } else if (v == 1 && cf + 32 <= cto) {
+                  val ts = be32(b, cf.toInt + 20) & 0xFFFFFFFFL
+                  val hi = be32(b, cf.toInt + 24) & 0xFFFFFFFFL
+                  val lo = be32(b, cf.toInt + 28) & 0xFFFFFFFFL
+                  if (ts > 0) durMs = Some(((hi << 32) | lo) * 1000L / ts)
+                }
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+    }
+    brand.collect { case br if sawMoov => (br, durMs.getOrElse(0L), tracks) }
+  }
+
   /** Batched per-partition header probe — the production decode-path
     * shape (iterator-streamed, init amortized per partition). */
   def probe(media: Dataset[MediaRecord]): Dataset[MediaProbe] = {
@@ -136,15 +210,23 @@ object Multimodal {
           case Some((w, h, depth, color)) =>
             MediaProbe(r.media_id, b.length.toLong, "png",
               Some(w), Some(h), Some(depth), Some(color),
-              None, None, None, None)
+              None, None, None, None, None, None)
           case None => probeWav(b) match {
             case Some((ch, rate, bits, durMs)) =>
               MediaProbe(r.media_id, b.length.toLong, "wav",
                 None, None, None, None,
-                Some(ch), Some(rate), Some(bits), Some(durMs))
-            case None =>
-              MediaProbe(r.media_id, b.length.toLong, "unknown",
-                None, None, None, None, None, None, None, None)
+                Some(ch), Some(rate), Some(bits), Some(durMs),
+                None, None)
+            case None => probeMp4(b) match {
+              case Some((brand, durMs, tracks)) =>
+                MediaProbe(r.media_id, b.length.toLong, "mp4",
+                  None, None, None, None, None, None, None,
+                  Some(durMs), Some(brand), Some(tracks))
+              case None =>
+                MediaProbe(r.media_id, b.length.toLong, "unknown",
+                  None, None, None, None, None, None, None, None,
+                  None, None)
+            }
           }
         }
       }
@@ -234,6 +316,45 @@ object Multimodal {
     asc("data"); w32(dataSize)
     out.write(new Array[Byte](dataSize))
     out.toByteArray
+  }
+
+  /** Minimal VALID ISO-BMFF/MP4: `ftyp` (major brand, minor version
+    * 0, the brand repeated as its own compatible list), then `moov`
+    * holding an mvhd v0 (real timescale/duration, identity matrix,
+    * next_track_ID) and one spec-sized zero-filled `tkhd`-bearing
+    * `trak` per track — enough structure for any header-level
+    * reader, no media data (the PNG-without-IDAT posture).
+    * Layout is deterministic: total bytes = 136 + 100·nTracks. */
+  def synthMp4(brand: String, timescale: Int, duration: Long,
+      nTracks: Int): Array[Byte] = {
+    require(brand.length == 4, s"brand must be a 4cc, got '$brand'")
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val size = 8 + body.length
+      Array((size >>> 24).toByte, (size >>> 16).toByte,
+        (size >>> 8).toByte, size.toByte) ++
+        typ.getBytes("US-ASCII") ++ body
+    }
+    def u32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val ftyp = box("ftyp",
+      brand.getBytes("US-ASCII") ++ u32(0L) ++ brand.getBytes("US-ASCII"))
+    // mvhd v0 body: ver/flags, creation, modification, timescale,
+    // duration, rate 1.0, volume 1.0 + reserved(10), unity matrix,
+    // pre_defined(24), next_track_ID
+    val matrix = (Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+      0x40000000L)).flatMap(u32).toArray
+    val mvhd = box("mvhd",
+      u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(timescale.toLong) ++
+        u32(duration) ++ u32(0x00010000L) ++
+        Array(0x01.toByte, 0x00.toByte) ++ new Array[Byte](10) ++
+        matrix ++ new Array[Byte](24) ++ u32(nTracks.toLong + 1))
+    // tkhd v0 body is 84 bytes; zero-filled except track_ID
+    val traks = (1 to nTracks).map { tid =>
+      val tkhd = new Array[Byte](84)
+      System.arraycopy(u32(tid.toLong), 0, tkhd, 12, 4)
+      box("trak", box("tkhd", tkhd))
+    }
+    ftyp ++ box("moov", mvhd ++ traks.flatten)
   }
 
   /** Metadata-only path (no decode): pure column expressions so the

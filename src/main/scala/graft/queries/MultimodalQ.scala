@@ -105,5 +105,44 @@ object MultimodalQ {
       FROM documents WHERE doc_id < 200
       ORDER BY media_id"""))
 
-  val all: Seq[Qry] = Seq(q41, q42)
+  /** q42's differential applied to the `video` kind: real ISO-BMFF
+    * boxes (ftyp brand, mvhd timescale/duration, trak count) are
+    * synthesized per doc with id-derived parameters, box-walked back
+    * by [[Multimodal.probeMp4]], and checked against the oracle's
+    * direct recomputation — any size/offset/endianness defect in the
+    * walk breaks the hash. duration_ms floors exactly like the
+    * parser: duration·1000 div timescale, all integers. */
+  val q119 = Qry(
+    "q119_media_video_probe",
+    (s: SparkSession, d: String) => {
+      val session = s
+      import session.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val payload = Multimodal.synthMp4(
+            brand = if (id % 2 == 0) "isom" else "mp42",
+            timescale = (1000 * (1 + id % 3)).toInt,
+            duration = (id * 37) % 100000,
+            nTracks = (id % 3 + 1).toInt)
+          Multimodal.MediaRecord(id, "video", payload, "synth")
+        }
+      Multimodal.probe(media).toDF()
+        .select(col("media_id"), col("format"), col("n_bytes"),
+          col("brand"), col("duration_ms"), col("n_tracks"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             'mp4' AS format,
+             CAST(136 + 100 * (doc_id % 3 + 1) AS BIGINT) AS n_bytes,
+             CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+             CAST(((doc_id * 37) % 100000) * 1000
+               // (1000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms,
+             CAST(doc_id % 3 + 1 AS INTEGER) AS n_tracks
+      FROM documents WHERE doc_id < 200
+      ORDER BY media_id"""))
+
+  val all: Seq[Qry] = Seq(q41, q42, q119)
 }

@@ -128,6 +128,75 @@ class MediaSpec extends SparkSpec {
     assert(p.contains((1, 8000, 16, 1L))) // 16 bytes / 16000 B/s = 1 ms
   }
 
+  /** Hand-build ISO-BMFF boxes big-endian for hostile-input cases. */
+  private def bmffBox(typ: String, body: Array[Byte],
+      declared: Option[Long] = None): Array[Byte] = {
+    val size = declared.getOrElse(8L + body.length)
+    Array((size >>> 24).toByte, (size >>> 16).toByte,
+      (size >>> 8).toByte, size.toByte) ++
+      typ.getBytes("US-ASCII") ++ body
+  }
+
+  test("probe round-trips our own synth MP4 (brand, duration, tracks)") {
+    val p = probeOne(Multimodal.synthMp4("isom", 1000, 2500L, 2))
+    assert(p.format == "mp4")
+    assert(p.brand.contains("isom"))
+    assert(p.duration_ms.contains(2500L))
+    assert(p.n_tracks.contains(2))
+    assert(p.n_bytes == 136L + 100L * 2)
+    assert(p.width.isEmpty && p.sample_rate.isEmpty)
+  }
+
+  test("probeMp4 floors a non-ms timescale exactly") {
+    // 7 units at timescale 3: 7*1000/3 = 2333 ms, floored
+    val p = probeOne(Multimodal.synthMp4("mp42", 3, 7L, 1))
+    assert(p.duration_ms.contains(2333L))
+  }
+
+  test("probeMp4 reads a v1 (64-bit) mvhd and a largesize box") {
+    def u32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    // mvhd v1: ver=1/flags, creation u64, modification u64,
+    // timescale u32, duration u64
+    val mvhd1 = bmffBox("mvhd",
+      u32(0x01000000L) ++ new Array[Byte](16) ++ u32(600L) ++
+        u32(0L) ++ u32(1500L))
+    // moov declared with size==1 → u64 largesize follows the type
+    val inner = mvhd1 ++ bmffBox("trak", new Array[Byte](0))
+    val largesize = 16L + inner.length
+    val moov = u32(1L) ++ "moov".getBytes("US-ASCII") ++
+      u32(0L) ++ u32(largesize) ++ inner
+    val ftyp = bmffBox("ftyp",
+      "avc1".getBytes("US-ASCII") ++ u32(0L))
+    val got = Multimodal.probeMp4(ftyp ++ moov)
+    assert(got.contains(("avc1", 2500L, 1))) // 1500/600 s = 2500 ms
+  }
+
+  test("probeMp4 bails on a hostile sub-header box size instead of looping") {
+    // declared size 4 < the 8-byte header: a naive walk strides by
+    // size-8 = -4 and never terminates
+    val bad = bmffBox("free", new Array[Byte](16), declared = Some(4L))
+    val ftyp = bmffBox("ftyp", "isom".getBytes("US-ASCII") ++
+      new Array[Byte](4))
+    assert(Multimodal.probeMp4(ftyp ++ bad).isEmpty) // no moov reached
+  }
+
+  test("probeMp4 keeps fields parsed before a truncated trailing box") {
+    val whole = Multimodal.synthMp4("isom", 1000, 999L, 1) ++
+      bmffBox("mdat", new Array[Byte](0), declared = Some(0x7FFFFFFFL))
+    val got = Multimodal.probeMp4(whole)
+    assert(got.contains(("isom", 999L, 1)))
+  }
+
+  test("probeMp4 rejects non-BMFF payloads and ftyp-less walks") {
+    assert(Multimodal.probeMp4("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.probeMp4(Multimodal.synthPng(4, 4)).isEmpty)
+    // ftyp alone (no moov) is not probeable video
+    val ftypOnly = bmffBox("ftyp", "isom".getBytes("US-ASCII") ++
+      new Array[Byte](4))
+    assert(Multimodal.probeMp4(ftypOnly).isEmpty)
+  }
+
   test("decodeImages fully decodes pixels via ImageIO with exact luma") {
     // solid gray 100: luma = 0.299*100 + 0.587*100 + 0.114*100 = 100
     val media = Seq(
