@@ -69,15 +69,26 @@ object StreamOps {
   /** Stream-stream interval join: each left event joined to right
     * events of the same key within `[l.ts - window, l.ts]`. Both
     * sides watermarked so join state is bounded and evicted — the
-    * only join shape that runs forever on two infinite inputs. */
+    * only join shape that runs forever on two infinite inputs.
+    *
+    * `joinType` extends the shape to the outer forms ("left_outer",
+    * "right_outer", "full_outer"): an unmatched outer-side row is
+    * BUFFERED until the global watermark (the min across both
+    * inputs) proves no match can still arrive inside its interval,
+    * then emitted null-padded and dropped from state — so outer
+    * results are late by up to watermark+window by design, and the
+    * state store holds only the undecided horizon (asserted via
+    * `numRowsRemoved` in StreamJoinSpec). */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      tsCol: String, watermark: String, window: String): DataFrame = {
+      tsCol: String, watermark: String, window: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark).alias("l")
     val r = right.withWatermark(tsCol, watermark).alias("r")
     l.join(r,
       expr(s"l.$key = r.$key AND " +
         s"l.$tsCol >= r.$tsCol AND " +
-        s"l.$tsCol <= r.$tsCol + interval $window"))
+        s"l.$tsCol <= r.$tsCol + interval $window"),
+      joinType)
   }
 
   /** Stream-static enrichment join: every micro-batch joins against

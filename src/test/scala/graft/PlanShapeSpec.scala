@@ -260,6 +260,67 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("CBO: ANALYZE-backed column stats alone flip a filtered join side to broadcast") {
+    // The knob a warehouse user turns first: no hints anywhere — the
+    // ONLY difference between the two plans is whether the optimizer
+    // may use the ANALYZE TABLE statistics. A ~1%-selective filter on
+    // o_orderkey makes the orders side broadcastable ONLY under
+    // CBO's FilterEstimation (min/max column stats → range
+    // selectivity); the size-only estimator propagates the full
+    // table size through the filter, stays over the threshold, and
+    // falls back to sort-merge. The query keeps orders' wide columns
+    // flowing so projection-width scaling can't shrink the size-only
+    // estimate by accident.
+    val confKeys = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = confKeys.map(k => k -> spark.conf.getOption(k))
+    try {
+      graft.Tables.orders(spark, sf()).write
+        .mode("overwrite").saveAsTable("orders_cbo")
+      graft.Tables.lineitem(spark, sf()).write
+        .mode("overwrite").saveAsTable("lineitem_cbo")
+      spark.sql("ANALYZE TABLE orders_cbo COMPUTE STATISTICS")
+      spark.sql(
+        "ANALYZE TABLE orders_cbo COMPUTE STATISTICS FOR COLUMNS o_orderkey")
+      spark.sql("ANALYZE TABLE lineitem_cbo COMPUTE STATISTICS")
+      val raw = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("orders_cbo"))
+        .stats.get.sizeInBytes.toLong
+      val mm = spark.sql(
+        """SELECT CAST(MIN(o_orderkey) AS BIGINT),
+                  CAST(MAX(o_orderkey) AS BIGINT) FROM orders_cbo""").first()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 100
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (raw / 4).toString)
+      val q = s"""
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+               o.o_orderdate, o.o_orderpriority, o.o_totalprice,
+               l.l_quantity
+        FROM lineitem_cbo l JOIN orders_cbo o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey <= $cut"""
+      def physical(cbo: Boolean): String = {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        spark.sql(q).queryExecution.executedPlan.toString
+      }
+      val sizeOnly = physical(false)
+      assert(sizeOnly.contains("SortMergeJoin") &&
+        !sizeOnly.contains("BroadcastHashJoin"),
+        s"size-only estimator should NOT see through the filter:\n$sizeOnly")
+      val withCbo = physical(true)
+      assert(withCbo.contains("BroadcastHashJoin"),
+        s"CBO did not pick broadcast from column stats:\n$withCbo")
+    } finally {
+      Seq("orders_cbo", "lineitem_cbo")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("no unexpected cartesian products across the whole query surface") {
     // Deliberate bounded cross joins (documented quadratic baselines
     // over bounded subsets): q30 brute-force Jaccard, q34 embedding
