@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (not library surface): amplify the driver's sf0.1 testdata
+  * to larger scale factors for throughput validation — the "100 TB
+  * story" claims in operator scaladocs are plan arguments until
+  * something has actually executed above ~600k rows.
+  *
+  * Semantics of the amplification (correctness still gates on the
+  * DRIVER's data at sf0.01 — this data is for perf only):
+  *  - Dimensions (region/nation/customer/supplier/part) copy as-is:
+  *    the scale-up models "N× more transactions over the same
+  *    catalog", which keeps every fact→dim foreign key valid and
+  *    keeps dim joins broadcastable — exactly the at-scale shape.
+  *  - Facts (orders/lineitem/events) replicate `mult`× with replica-
+  *    offset primary keys (order/event ids); fks to dims unchanged.
+  *  - documents replicate with offset doc_ids; each replica's text is
+  *    a deterministic per-doc TOKEN SHUFFLE (sort tokens by
+  *    xxhash64(token, doc_id, replica)) — token multiset, length and
+  *    lang statistics are preserved (quality/zipf/langid workloads
+  *    unchanged) while shingle sets diverge, so near-dup/LSH
+  *    workloads grow LINEARLY instead of manufacturing 10-cliques of
+  *    exact copies (Σ|bucket|² must scale like a real corpus, not
+  *    like a pathological one).
+  *  - embeddings replicate with offset vec_ids; each replica's vector
+  *    is ROTATED by the replica index — norm-preserving, so cosine
+  *    workloads see new points, not coincident duplicates.
+  *  - Bounded-subset query inputs (doc_id < 150 etc.) stay constant
+  *    by construction: replica offsets start at 10M, so bounded
+  *    correctness fixtures read only replica 0 while full scans see
+  *    the whole corpus.
+  *
+  * Usage: runMain graft.ScaleUp [srcDir] [dstDir] [mult]
+  */
+object ScaleUp {
+  private val KeyOff = 100000000L // fact-key replica stride
+  private val DocOff = 10000000L  // doc/vec replica stride
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("scaledata/sf1")
+    val mult = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // read RAW (no Tables.load normalization) so written schemas stay
+    // byte-compatible with what Tables.load expects (events.ts stays
+    // the nanos long it is in the driver parquet)
+    def raw(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name -> $dst ($mult x)")
+    }
+    def replicate(name: String, perReplica: (DataFrame, Int) => DataFrame)
+        : Unit = {
+      val base = raw(name)
+      write(name, (0 until mult).map(i => perReplica(base, i))
+        .reduce(_ unionAll _))
+    }
+
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(t, raw(t)))
+
+    replicate("orders", (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOff)))
+    replicate("lineitem", (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOff)))
+    replicate("events", (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * KeyOff)))
+
+    replicate("documents", (df, i) =>
+      if (i == 0) df
+      else df
+        .withColumn("doc_id", col("doc_id") + lit(i * DocOff))
+        .withColumn("text", array_join(
+          transform(
+            array_sort(transform(split(col("text"), " "), t =>
+              struct(xxhash64(t, col("doc_id"), lit(i)).as("h"),
+                t.as("t")))),
+            s => s("t")),
+          " ")))
+
+    replicate("embeddings", (df, i) =>
+      if (i == 0) df
+      else {
+        // rotate by i mod dim (replica index exceeds the vector
+        // dimension at high multipliers)
+        val rot = pmod(lit(i), size(col("embedding")))
+        df.withColumn("vec_id", col("vec_id") + lit(i * DocOff))
+          .withColumn("embedding",
+            concat(
+              slice(col("embedding"), rot + lit(1),
+                size(col("embedding")) - rot),
+              slice(col("embedding"), lit(1), rot)))
+      })
+
+    spark.stop()
+  }
+}
