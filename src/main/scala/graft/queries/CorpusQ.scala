@@ -499,6 +499,73 @@ object CorpusQ {
                ORDER BY ord, doc_id)) AS order_md5
       FROM sharded GROUP BY shard ORDER BY shard"""))
 
+  /** Exact-substring repetition (the "deduplicating training data"
+    * span pass): every 8-token window is hashed at every POSITION
+    * (multiset, not the shingle set — within-doc repeats count), a
+    * corpus-wide count-over-window on the hash partition marks
+    * windows that occur anywhere else, and the per-doc rollup reports
+    * what fraction of each doc's windows are duplicated text. The
+    * fixture re-appends the first 50 docs verbatim, so those docs
+    * (and their twins) must read 100% repeated while unique docs
+    * show only coincidental n-gram collisions.
+    *
+    * Scale shape: explode → ONE hash-partition exchange shared by the
+    * window count → per-doc groupBy; no membership join (the q81
+    * single-scan-window pattern). The ultra-common span (a corpus
+    * boilerplate sentence) is a hot hash key — same documented skew
+    * ownership as q81/q102: two-level (hash, doc-bucket) partial
+    * count at 100 TB. Span extraction itself is map-side HOFs
+    * (sequence + transform + slice), no UDF. */
+  val q120 = Qry(
+    "q120_repeated_spans",
+    (s: SparkSession, d: String) => {
+      val n = 8
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + lit(10000L)))
+      val toks = TextOps.tokens(col("text"))
+      val spans = corpus.select(col("doc_id"),
+        explode(
+          when(size(toks) < n, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0), size(toks) - lit(n)),
+              i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+            ))).as("h"))
+      spans
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("h"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_repeated"))
+        .select(col("doc_id"), col("n_windows"), col("n_repeated"),
+          r6(col("n_repeated") / col("n_windows")).as("repeat_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+      t AS (SELECT doc_id, ${DedupQ.toksSql} AS toks FROM corpus),
+      w AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+          ELSE list_transform(range(0, len(toks) - 8 + 1),
+            i -> md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')))
+          END) AS h
+        FROM t),
+      f AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS cnt FROM w)
+      SELECT doc_id,
+             COUNT(*) AS n_windows,
+             CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeated,
+             ${r6Sql("SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1.0" +
+               " / COUNT(*)")} AS repeat_frac
+      FROM f GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Qry] =
-    Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104)
+    Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104, q120)
 }

@@ -160,5 +160,58 @@ object Scale {
                <= 0.15 * COUNT(DISTINCT user_id)) AS merged_ok
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Qry] = Seq(q47, q48, q66, q115)
+  /** Count-min-sketch heavy hitters (the frequency twin of q48's
+    * cardinality sketch): ONE distributed pass builds a mergeable CMS
+    * over the corpus token stream via the `count_min_sketch` SQL
+    * aggregate (executors emit partial sketches, merged
+    * associatively — the 100 TB shape; the driver holds only the
+    * final w·d counter grid, a few KB) plus the exact total; a second
+    * pass takes the exact top-15. The sketch's two contracts are
+    * hashed: NEVER-UNDER (a CMS hard guarantee — row-wise min of
+    * counters can only overestimate) and WITHIN-BAND
+    * (est ≤ exact + 2·ε·N; ε·N is the w.h.p. bound, doubled so a
+    * fixed-seed deterministic run can't flip on any SF — verified at
+    * sf0.001/0.01/0.1). DuckDB has no CMS, so the oracle pins the
+    * exact top-15 and the contract booleans as literals — the q42
+    * recompute-the-generation-params pattern: Spark must PROVE the
+    * bounds against its own sketch to hash-match.
+    *
+    * Driver-side work is bounded by design: the sketch bytes and the
+    * 15 output rows — never the token stream. */
+  val q121 = Qry(
+    "q121_heavy_hitters",
+    (s: SparkSession, d: String) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(
+          graft.operators.TextOps.tokens(col("text"))).as("tok"))
+      val one = toks.agg(
+        expr("count_min_sketch(tok, CAST(0.0005 AS DOUBLE), " +
+          "CAST(0.99 AS DOUBLE), 42)").as("cms"),
+        count(lit(1)).as("total")).head()
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(one.getAs[Array[Byte]](0)))
+      val total = one.getLong(1)
+      val band = math.ceil(2 * 0.0005 * total).toLong
+      val top = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(15)
+        .as[(String, Long)].collect()
+      val rows = top.toSeq.map { case (tok, exact) =>
+        val est = cms.estimateCount(tok)
+        (tok, exact, est >= exact, est <= exact + band)
+      }
+      s.createDataFrame(rows)
+        .toDF("tok", "exact_cnt", "never_under", "within_band")
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT unnest(${DedupQ.toksSql}) AS tok FROM documents),
+      c AS (SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok)
+      SELECT tok, exact_cnt,
+             TRUE AS never_under, TRUE AS within_band
+      FROM c ORDER BY exact_cnt DESC, tok LIMIT 15"""))
+
+  val all: Seq[Qry] = Seq(q47, q48, q66, q115, q121)
 }

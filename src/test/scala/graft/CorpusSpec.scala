@@ -62,6 +62,32 @@ class CorpusSpec extends SparkSpec {
     assert(r == Map(2L -> ((3L, 1L)), 3L -> ((2L, 0L))))
   }
 
+  test("q120 repeated spans: verbatim copies read 100% repeated, uniques 0%") {
+    val d = sf()
+    val out = queries.CorpusQ.q120.fn(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // every doc < 50 has a verbatim twin at +10000: both sides of the
+    // pair must be fully covered by repeated windows
+    (0L until 50L).filter(out.contains).foreach { id =>
+      assert(out(id)._4 == 1.0, s"doc $id not fully repeated")
+      assert(out(id + 10000)._4 == 1.0, s"twin of $id not fully repeated")
+      assert(out(id)._2 == out(id + 10000)._2, "twin window counts differ")
+    }
+    // at least one un-copied doc with no coincidental 8-gram repeats
+    assert(out.exists { case (id, r) => id >= 50 && id < 10000 &&
+      r._3 == 0L && r._4 == 0.0 },
+      "no clean unique doc found — fixture degenerate")
+  }
+
+  test("q120 plan: one hash-partition window, per-doc agg, no membership join") {
+    val p = queries.CorpusQ.q120.fn(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join"), s"span pass grew a join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("packBins assigns documents to fixed token windows greedily") {
     // tokens: 300, 300, 300 -> cumsum 300, 600, 900
     // start offsets 0, 300, 600 -> bins 0, 0, 1 at window=512

@@ -51,6 +51,32 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch never underestimates ANY vocabulary token and stays in band") {
+    // q121 hashes the contract for the top-15 only; here the CMS
+    // guarantee is swept across the ENTIRE vocabulary: row-wise min
+    // of overcounting counters can never go below the true count, and
+    // the fixed-seed overestimate stays within 2·ε·N everywhere.
+    import graft.operators.TextOps
+    val toks = Tables.documents(spark, sf())
+      .select(explode(TextOps.tokens($"text")).as("tok"))
+    val one = toks.agg(
+      expr("count_min_sketch(tok, CAST(0.0005 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42)").as("cms"),
+      count(lit(1)).as("total")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(one.getAs[Array[Byte]](0)))
+    val total = one.getLong(1)
+    val band = math.ceil(2 * 0.0005 * total).toLong
+    val vocab = toks.groupBy($"tok").count().as[(String, Long)].collect()
+    assert(vocab.nonEmpty)
+    vocab.foreach { case (tok, exact) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= exact, s"CMS UNDERestimated '$tok': $est < $exact")
+      assert(est <= exact + band,
+        s"CMS overshoot for '$tok': $est > $exact + $band")
+    }
+  }
+
   test("approx_percentile within the ±2% exact rank band") {
     // the tight accuracy claim lives HERE, not in the q66 hash (the
     // hashed band is the flip-proof ±5%); accuracy=10000 guarantees
