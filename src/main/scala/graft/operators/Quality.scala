@@ -53,4 +53,49 @@ object Quality {
   def report(df: DataFrame, checks: Seq[Check],
       extra: Seq[DataFrame] = Nil): DataFrame =
     extra.foldLeft(rowChecks(df, checks))(_ unionByName _)
+
+  /** Per-column table profile (the ANALYZE/data-catalog pass) in ONE
+    * scan: for every listed column — row count, null count, exact
+    * distinct, an approx-distinct sketch with its within-15%-band
+    * verdict (the q48 flip-proof contract), and min/max for the
+    * numeric columns. The wide aggregate melts to one row per column
+    * via an explode of per-column structs (pure projection — the
+    * only exchange is the aggregate's own partial/final pair).
+    *
+    * Scale note: the exact `countDistinct`s exist to VERIFY the
+    * sketches cross-engine; they plan one Expand over the scan (rows
+    * × columns). At 100 TB a profile runs the sketch-only variant
+    * (drop `exact = true`), which is a plain partial+final aggregate
+    * with HLL state per column — no Expand, no second pass. */
+  def profile(df: DataFrame, numericCols: Seq[String],
+      otherCols: Seq[String], exact: Boolean = true): DataFrame = {
+    val cols = numericCols.map(_ -> true) ++ otherCols.map(_ -> false)
+    val aggs = cols.flatMap { case (c, num) =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nn"),
+        approx_count_distinct(col(c), 0.02).as(s"__${c}_ad")) ++
+        (if (exact) Seq(countDistinct(col(c)).as(s"__${c}_nd")) else Nil) ++
+        (if (num) Seq(
+          min(col(c)).cast("double").as(s"__${c}_mn"),
+          max(col(c)).cast("double").as(s"__${c}_mx")) else Nil)
+    }
+    val agged = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { case (c, num) =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        col(s"__${c}_nn").as("n_null"),
+        (if (exact) col(s"__${c}_nd")
+         else col(s"__${c}_ad")).as("n_distinct"),
+        (if (exact)
+          abs(col(s"__${c}_ad") - col(s"__${c}_nd")) <=
+            lit(0.15) * col(s"__${c}_nd")
+         else lit(true)).as("approx_ok"),
+        (if (num) col(s"__${c}_mn")
+         else lit(null).cast("double")).as("min_num"),
+        (if (num) col(s"__${c}_mx")
+         else lit(null).cast("double")).as("max_num"))
+    }
+    agged.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -446,5 +446,40 @@ object Pipeline {
         FROM documents)
       WHERE rk <= 5 ORDER BY lang, rk"""))
 
-  val all: Seq[Qry] = Seq(q63, q64, q65, q67, q68, q74, q75, q76, q117)
+  /** Table profiling (the data-catalog/ANALYZE pass a user runs on an
+    * unfamiliar table): q75's sibling — per-column null counts, exact
+    * distincts verifying the per-column HLL sketches (q48 band
+    * contract), and numeric min/max, all from ONE scan melted to a
+    * row per column. The oracle recomputes every metric directly. */
+  val q122 = Qry(
+    "q122_table_profile",
+    (s: SparkSession, d: String) =>
+      graft.operators.Quality.profile(
+          Tables.lineitem(s, d),
+          numericCols = Seq("l_orderkey", "l_quantity", "l_discount"),
+          otherCols = Seq("l_returnflag"))
+        .orderBy(col("col_name")),
+    Some {
+      val numeric = Seq("l_orderkey", "l_quantity", "l_discount")
+      val legs = (numeric.map(_ -> true) ++ Seq("l_returnflag" -> false))
+        .map { case (c, num) =>
+          val mn = if (num) s"CAST(MIN($c) AS DOUBLE)" else "NULL"
+          val mx = if (num) s"CAST(MAX($c) AS DOUBLE)" else "NULL"
+          s"""
+          SELECT '$c' AS col_name,
+                 COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_null,
+                 COUNT(DISTINCT $c) AS n_distinct,
+                 (ABS(approx_count_distinct($c) - COUNT(DISTINCT $c))
+                   <= 0.15 * COUNT(DISTINCT $c)) AS approx_ok,
+                 CAST($mn AS DOUBLE) AS min_num,
+                 CAST($mx AS DOUBLE) AS max_num
+          FROM lineitem"""
+        }
+      legs.mkString("", "\n          UNION ALL", "\n          ORDER BY col_name")
+    })
+
+  val all: Seq[Qry] =
+    Seq(q63, q64, q65, q67, q68, q74, q75, q76, q117, q122)
 }

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Degenerate-input robustness sweep: every composable operator must
+  * return an EMPTY (or identity) frame on empty input — never throw,
+  * never NaN/divide-by-zero, never hang an iteration loop. A library
+  * user's first pipeline run is on an empty dev table; at scale,
+  * empty partitions/filtered-out shards hit the same code paths.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("LSH near-dup pairs on an empty corpus") {
+    assert(Dedup.lshNearDupPairs(emptyDocs, "doc_id", "text",
+      n = 3, k = 6, bands = 3, minJaccard = 0.9).count() == 0L)
+  }
+
+  test("cross-corpus LSH with one empty side (both ways)") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    assert(Dedup.lshNearDupPairsAcross(emptyDocs, docs, "doc_id", "text",
+      n = 3, k = 6, bands = 3, minJaccard = 0.9).count() == 0L)
+    assert(Dedup.lshNearDupPairsAcross(docs, emptyDocs, "doc_id", "text",
+      n = 3, k = 6, bands = 3, minJaccard = 0.9).count() == 0L)
+  }
+
+  test("directed PageRank on an empty edge list (|V| = 0 division guard)") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.directedRanks(edges, "src", "dst", iters = 2)
+      .count() == 0L)
+  }
+
+  test("connected components with nodes but no edges: every node its own component") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = Components.connectedComponents(nodes, "id", edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("connected components on an empty node set") {
+    val nodes = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(nodes, "id", edges, "a", "b")
+      .count() == 0L)
+  }
+
+  test("interval merge, skyline, packBins on empty frames") {
+    val spans = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("user_id", "s", "e", "tie")
+    assert(Intervals.merge(spans, "user_id", "s", "e", "tie")
+      .count() == 0L)
+    val pts = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(Frontier.skyline(pts, "x", "y", "x % 4").count() == 0L)
+    assert(Corpus.packBins(emptyDocs, "doc_id", "doc_id",
+      lit(1L), window = 512).count() == 0L)
+  }
+
+  test("full curation pipeline on an empty corpus (both policies)") {
+    assert(Curate.curate(emptyDocs, "doc_id", "text").count() == 0L)
+    assert(Curate.curate(emptyDocs, "doc_id", "text",
+      policy = Curate.NearDupPolicy.TransitiveBestQuality).count() == 0L)
+  }
+
+  test("media probe on an empty dataset and co-occurrence edges on an empty fact") {
+    assert(Multimodal.probe(
+      Seq.empty[Multimodal.MediaRecord].toDS()).count() == 0L)
+    val li = Seq.empty[(Long, Long)].toDF("ok", "pk")
+    assert(Graph.coOccurrenceEdges(li, "ok", "pk").count() == 0L)
+  }
+
+  test("salted aggregation on an empty frame keeps its schema, zero rows") {
+    val ev = Seq.empty[(Long, String, Double)]
+      .toDF("event_id", "event_type", "value")
+    val out = Skew.saltedSumCount(ev, "event_type", "value",
+      saltSource = "event_id", salts = 16)
+    assert(out.count() == 0L)
+    assert(out.columns.contains("sum_value") && out.columns.contains("n"))
+  }
+
+  test("as-of join with an empty quote side leaves payload null, keeps left rows") {
+    val trades = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:01")))
+      .toDF("sym", "ts")
+    val quotes = Seq.empty[(Long, Timestamp, Double)]
+      .toDF("sym", "ts", "px")
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "ts",
+      payload = Seq("px"))
+    assert(out.count() == 1L)
+    assert(out.select(col("px")).head().isNullAt(0))
+  }
+}

@@ -44,4 +44,22 @@ class QualitySpec extends SparkSpec {
     // adding a check adds an aggregate column, never another scan
     assert(!plan.contains("Union"))
   }
+
+  test("profile: sketch-only variant plans Expand-free; exact variant verifies it") {
+    val li = Tables.lineitem(spark, sf())
+    // 100 TB form: per-column HLL states in a plain partial+final
+    // aggregate — the multi-countDistinct Expand must be gone
+    val sketchOnly = Quality.profile(li,
+      Seq("l_quantity"), Seq("l_returnflag"), exact = false)
+    assert(!sketchOnly.queryExecution.executedPlan.toString
+      .contains("Expand"), "sketch-only profile grew an Expand")
+    // verification form: exact distincts DO cost an Expand (documented)
+    val exact = Quality.profile(li,
+      Seq("l_quantity"), Seq("l_returnflag"))
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    // and the sketch verdicts hold on real data
+    val rows = exact.select("col_name", "approx_ok")
+      .as[(String, Boolean)].collect().toMap
+    assert(rows.values.forall(identity), s"sketch out of band: $rows")
+  }
 }
