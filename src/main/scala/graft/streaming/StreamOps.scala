@@ -103,6 +103,31 @@ object StreamOps {
       key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Idempotent micro-batch parquet write — the exactly-once sink
+    * pattern for stores without transactional streaming sinks: each
+    * micro-batch OVERWRITES its own `batch_id=<id>` directory, so a
+    * replayed batch (failure after write, before the checkpoint
+    * commit — the at-least-once window every foreachBatch sink has)
+    * lands byte-identical instead of duplicating. The batch id is
+    * stable across restarts from the same checkpoint, which is what
+    * makes overwrite = exactly-once. Downstream readers get
+    * partition discovery on `batch_id` for free. */
+  def writeBatchIdempotent(batch: Dataset[org.apache.spark.sql.Row],
+      outDir: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Start a streaming query draining `df` through
+    * [[writeBatchIdempotent]]. */
+  def startIdempotentParquetSink(df: DataFrame, outDir: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(b, outDir, id)
+      }
+      .start()
+
   /** Streaming-safe telemetry (A2 at scale): named `observe()`
     * metrics ride the existing job — no separate count() action,
     * valid in batch (via `Observation`) AND streaming (via

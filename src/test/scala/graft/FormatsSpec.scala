@@ -73,6 +73,62 @@ class FormatsSpec extends SparkSpec {
     assert(merged.filter(col("gen") === 1).count() == 2)
   }
 
+  test("malformed JSON: PERMISSIVE quarantines to the corrupt column, clean rows survive") {
+    // the production ingest contract: a bad record must never kill
+    // the batch NOR silently vanish — it lands in _corrupt_record
+    // for a quarantine sink while parsed rows flow through
+    val dir = Files.createTempDirectory("graft-badjson").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.json"),
+      Seq(
+        """{"id": 1, "v": "ok"}""",
+        """{"id": 2, "v": "also ok"}""",
+        """{"id": 3, "v": BROKEN""",
+        """not json at all""").mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, v STRING, _corrupt_record STRING")
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache() // corrupt-column access requires the full row in memory
+    assert(df.count() == 4)
+    val clean = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(clean.count() == 2 && bad.count() == 2)
+    assert(clean.select(sum(col("id"))).head().getLong(0) == 3L)
+    df.unpersist()
+  }
+
+  test("malformed JSON: DROPMALFORMED skips, FAILFAST throws") {
+    val dir = Files.createTempDirectory("graft-badjson2").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.json"),
+      Seq("""{"id": 1}""", """broken""").mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id LONG")
+    assert(spark.read.schema(schema).option("mode", "DROPMALFORMED")
+      .json(dir).count() == 1)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST")
+        .json(dir).collect()
+    }
+  }
+
+  test("malformed CSV: PERMISSIVE nulls unparseable fields, corrupt column captures the line") {
+    val dir = Files.createTempDirectory("graft-badcsv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+      Seq("1,10.5", "2,notanumber", "3,30.0")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, v DOUBLE, _corrupt_record STRING")
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache()
+    assert(df.count() == 3)
+    val bad = df.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getString(2) == "2,notanumber")
+    df.unpersist()
+  }
+
   test("csv refuses nested columns (documented engine caveat)") {
     val dir = Files.createTempDirectory("graft-csvbad").toString
     val nested = base.select(col("doc_id"),
