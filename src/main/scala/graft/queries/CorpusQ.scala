@@ -566,6 +566,96 @@ object CorpusQ {
                " / COUNT(*)")} AS repeat_frac
       FROM f GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Corpus-wide exact line dedup WITH document reassembly (the
+    * C4/RefinedWeb pass that q120 only measures): documents are
+    * segmented into fixed 10-token lines, every line instance after
+    * the corpus-wide FIRST occurrence (ordered by doc_id, then
+    * position) is dropped, and each document is rebuilt from its
+    * surviving lines in original order. A shared boilerplate header
+    * is prepended to every third doc, so exactly one header instance
+    * (in the lowest such doc) survives and every other copy is
+    * stripped — while unique lines pass through untouched.
+    *
+    * Scale shape: segment extraction is map-side HOFs; ONE
+    * hash-partition exchange carries the first-occurrence window
+    * (min of the packed (doc_id, pos) key — no orderBy, so it stays
+    * a plain window aggregate, not a running frame); the reassembly
+    * groupBy(doc) is the second exchange. Same hot-line skew
+    * ownership as q120/q81. The packed key bounds positions at 1e6
+    * lines per doc — beyond that, pack wider. */
+  val q123 = Qry(
+    "q123_line_dedup",
+    (s: SparkSession, d: String) => {
+      val L = 10
+      val boiler = "subscribe to our newsletter for updates " +
+        "terms of service apply"
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(boiler), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"))
+      val toks = TextOps.tokens(col("text"))
+      val segs = docs.select(col("doc_id"),
+        posexplode(
+          // empty-token guard: sequence(0, -1) DESCENDS, it is not
+          // empty — degenerate docs must produce zero segments
+          when(size(toks) === 0, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0), ceil(size(toks) / lit(L)).cast("int") - 1),
+              k => concat_ws(" ",
+                slice(toks, k * lit(L) + lit(1), lit(L)))))))
+        .toDF("doc_id", "seg_idx", "seg")
+      val okey = col("doc_id") * lit(1000000L) + col("seg_idx")
+      val firstKey = min(okey)
+        .over(Window.partitionBy(md5(col("seg"))))
+      segs
+        .withColumn("keep", okey === firstKey)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("keep"),
+                  struct(col("seg_idx"), col("seg"))))),
+              x => x.getField("seg")),
+            " ")).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                 THEN 'subscribe to our newsletter for updates terms of service apply ' || text
+                 ELSE text END AS text
+        FROM documents WHERE doc_id < 150),
+      t AS (SELECT doc_id, ${DedupQ.toksSql} AS toks FROM docs),
+      segs AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)))
+                 AS seg_idx,
+               unnest(list_transform(
+                 range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+                 k -> array_to_string(
+                   list_slice(toks, k * 10 + 1, k * 10 + 10), ' ')))
+                 AS seg
+        FROM t),
+      marked AS (
+        SELECT doc_id, seg_idx, seg,
+               (doc_id * 1000000 + seg_idx) =
+                 MIN(doc_id * 1000000 + seg_idx)
+                   OVER (PARTITION BY md5(seg)) AS keep
+        FROM segs)
+      SELECT doc_id,
+             COUNT(*) AS n_segs,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+               FILTER (WHERE keep), '')) AS kept_md5
+      FROM marked GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Qry] =
-    Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104, q120)
+    Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104,
+      q120, q123)
 }

@@ -88,6 +88,38 @@ class CorpusSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q123 line dedup matches a driver-side brute-force replay") {
+    val d = sf()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val boiler = "subscribe to our newsletter for updates " +
+      "terms of service apply"
+    val raw = Tables.documents(spark, d).filter(col("doc_id") < 150)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> (if (id % 3 == 0) s"$boiler $t" else t) }
+      .sortBy(_._1)
+    // corpus-wide first occurrence by (doc_id, seg_idx)
+    val seen = scala.collection.mutable.Set[String]()
+    val want = raw.map { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val segs = toks.grouped(10).map(_.mkString(" ")).toSeq
+      val kept = segs.filter(s => seen.add(s))
+      (id, segs.size.toLong, kept.size.toLong, md5hex(kept.mkString(" ")))
+    }.toSeq
+    val got = queries.CorpusQ.q123.fn(spark, d)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == want)
+    // the manufactured semantics actually fired: every headered doc
+    // except the first lost exactly its header line
+    val headered = got.filter(_._1 % 3 == 0)
+    assert(headered.head._2 == headered.head._3,
+      "first headered doc must keep everything")
+    assert(headered.tail.forall(r => r._3 < r._2),
+      "later headered docs must lose the shared header")
+  }
+
   test("packBins assigns documents to fixed token windows greedily") {
     // tokens: 300, 300, 300 -> cumsum 300, 600, 900
     // start offsets 0, 300, 600 -> bins 0, 0, 1 at window=512
