@@ -189,5 +189,44 @@ object SemiStructured {
                v := ROUND(value, 2))) AS payload
       FROM events WHERE event_id < 100 ORDER BY event_id"""))
 
-  val all: Seq[Qry] = Seq(q18, q19, q20, q21, q22, q23)
+  /** Spark 4 VARIANT path (the current-generation semi-structured
+    * type, vs q18's schema-on-read from_json): a nested JSON doc is
+    * assembled per event (meta object + array — integers only, so
+    * the text is byte-identical cross-engine), parsed ONCE to a
+    * VARIANT, and fields come out through `variant_get` typed paths
+    * (object step, nested step, array index). The oracle re-derives
+    * the same values from the generation columns plus DuckDB's JSON
+    * extraction — any path/typing defect in the variant walk breaks
+    * the hash. Aggregated per event_type so the hashed surface stays
+    * compact while every row exercises the extraction. */
+  val q124 = Qry(
+    "q124_variant_json",
+    (s: SparkSession, d: String) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val js = concat(
+        lit("""{"meta": {"type": """"), col("event_type"),
+        lit("""", "uid": """), col("user_id").cast("string"),
+        lit("""}, "ks": ["""), k.cast("string"), lit(", "),
+        (k + 1).cast("string"), lit("]}"))
+      Tables.events(s, d)
+        .withColumn("v", parse_json(js))
+        .select(
+          expr("variant_get(v, '$.meta.type', 'string')").as("vtype"),
+          expr("variant_get(v, '$.meta.uid', 'long')").as("uid"),
+          expr("variant_get(v, '$.ks[1]', 'long')").as("k2"))
+        .groupBy(col("vtype"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("uid")).as("sum_uid"),
+          sum(col("k2")).as("sum_k2"))
+        .orderBy(col("vtype"))
+    },
+    Some("""
+      SELECT event_type AS vtype,
+             COUNT(*) AS n,
+             SUM(user_id) AS sum_uid,
+             SUM(CAST(json_extract(props, '$.k') AS BIGINT) + 1)
+               AS sum_k2
+      FROM events GROUP BY event_type ORDER BY vtype"""))
+
+  val all: Seq[Qry] = Seq(q18, q19, q20, q21, q22, q23, q124)
 }
