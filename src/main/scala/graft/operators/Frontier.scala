@@ -55,4 +55,60 @@ object Frontier {
       Seq("_band"), xCol, yCol)
     prefixMaxFilter(local.drop("_band"), Seq.empty, xCol, yCol)
   }
+
+  /** 3-D skyline: minimize `x`, maximize `y` and `z` — the
+    * band-partition generalization the 2-D operator's scaladoc
+    * promises. Past two dimensions no single sort order linearizes
+    * dominance (a prefix max over x-sorted rows can't see both y and
+    * z), so each phase tests dominance with a join instead of a
+    * window; distributivity (skyline(A ∪ B) =
+    * skyline(skyline(A) ∪ skyline(B))) still holds for any d, so the
+    * two-phase shape survives:
+    *
+    *   phase 0  groupBy(x, y) → max(z): same-(x, y) rows with smaller
+    *            z are dominated — a cheap exact pre-reduction.
+    *   phase 1  WITHIN each x-band, drop rows dominated by a same-band
+    *            row. The dominance join carries the band equi-key, so
+    *            it plans as a hash join whose per-key fan-out is the
+    *            band size — never a global cross product.
+    *   phase 2  one dominance anti-join of the surviving union
+    *            against itself (survivors from a lower band can
+    *            dominate a higher band's). This IS a broadcast
+    *            nested-loop anti-join, over frontier candidates only
+    *            — O(Σ band-frontier)², never the input. That bounded
+    *            survivor set is the contract (same as the 2-D global
+    *            pass); in high d or adversarial data the frontier
+    *            itself is large and no skyline algorithm saves you.
+    *
+    * Ties/duplicates: dominance requires strict improvement in ≥ 1
+    * coordinate, so exact-tie rows (same x, y, z after phase 0 there
+    * are none) and incomparable rows all survive.
+    */
+  def skyline3(df: DataFrame, xCol: String, yCol: String, zCol: String,
+      bandExpr: String): DataFrame = {
+    // q (the "_q"-suffixed side) dominates p (the bare side)
+    def dominated =
+      col(s"${xCol}_q") <= col(xCol) && col(s"${yCol}_q") >= col(yCol) &&
+        col(s"${zCol}_q") >= col(zCol) &&
+        (col(s"${xCol}_q") < col(xCol) || col(s"${yCol}_q") > col(yCol) ||
+          col(s"${zCol}_q") > col(zCol))
+    def qSide(d: DataFrame) = d.select(
+      col(xCol).as(s"${xCol}_q"), col(yCol).as(s"${yCol}_q"),
+      col(zCol).as(s"${zCol}_q"))
+    val cand = df.groupBy(col(xCol), col(yCol))
+      .agg(max(col(zCol)).as(zCol))
+      .withColumn("_band", expr(bandExpr))
+    val bandQ = cand.select(
+      col(xCol).as(s"${xCol}_q"), col(yCol).as(s"${yCol}_q"),
+      col(zCol).as(s"${zCol}_q"), col("_band").as("_band_q"))
+    // The survivor union feeds BOTH sides of the global self-join;
+    // checkpointing it (it is frontier-sized, bounded by Σ per-band
+    // frontiers) keeps phase 1 from running twice.
+    val local = cand.join(bandQ,
+        col("_band") === col("_band_q") && dominated,
+        "left_anti")
+      .drop("_band")
+      .localCheckpoint(true)
+    local.join(broadcast(qSide(local)), dominated, "left_anti")
+  }
 }

@@ -103,6 +103,52 @@ object PageRank {
     ranks
   }
 
+  /** Edge-row formulation of [[integerRanks]] — identical algebra
+    * (bit-identical output), different physical shape: the hub-safe
+    * fallback the adjacency form's contract points at. Where
+    * [[integerRanks]] materializes each vertex's neighbor set as one
+    * array (wrong for power-law graphs — a million-degree hub becomes
+    * a million-element array in a single row), this keeps the graph
+    * as |E| distinct edge rows joined to a vertex-sized degree frame,
+    * so NO row ever exceeds a few dozen bytes regardless of degree
+    * distribution.
+    *
+    * Cost: setup runs the classic three-exchange build (edge
+    * distinct, degree aggregate, degree join) and each round joins
+    * the |E|-row frame instead of |V| arrays — the ~2× the adjacency
+    * form saves on bounded-degree graphs. The edge frame is
+    * repartitioned by src BEFORE its checkpoint, so every round's
+    * rank join reuses that layout and only the vertex-sized rank
+    * frame moves (on a cluster this is the src-bucketed persisted
+    * edge table, see BucketedJoinSpec).
+    *
+    * Same symmetric-graph contract as [[integerRanks]]; use
+    * [[directedRanks]] for genuinely directed lists. */
+  def integerRanksEdgeForm(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val deg = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, "src")
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    // init off the CHECKPOINTED frame (src-distinct of ed), not off
+    // `deg`, whose lineage would re-run the whole graph build once
+    var ranks = ed.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters)
+      ranks = ed.join(ranks, ed("src") === ranks("id"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("(85 * sc) div 100")).as("r"))
+    ranks
+  }
+
   /** General directed PageRank — the case [[integerRanks]] documents
     * as unsupported (a source-only chain silently vanishes there,
     * because each round keeps only contribution receivers). Exact

@@ -232,5 +232,48 @@ object Joins {
         ON p.user_id = s.user_id AND p.ts >= s.ts
       ORDER BY p.event_id"""))
 
-  val all: Seq[Qry] = Seq(q12, q13, q14, q15, q16, q17)
+  /** Runtime bloom-filter join pruning (q126): a selective dim-side
+    * filter (urgent orders) joined to the fact side with broadcast
+    * disabled — the shape where Spark's `InjectRuntimeFilter` builds
+    * a bloom filter over the filtered creation side's join keys and
+    * plants `might_contain` on the fact scan, so most lineitem rows
+    * die BEFORE the join's shuffle. At 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling the ~20%
+    * that can possibly match; on a real warehouse it composes with
+    * DPP (partition-level pruning) as the row-level second stage.
+    *
+    * Runs in an isolated `newSession` so the injection thresholds
+    * (tuned down: the test tables sit below the 10 GB default
+    * application-side threshold) never leak into other queries.
+    * Results are bloom-false-positive-proof by construction — the
+    * filter only PRUNES; the join still verifies every key — which
+    * is exactly what the oracle checks. The injection itself is
+    * plan-locked in PlanShapeSpec. */
+  val q126 = Qry(
+    "q126_runtime_filter",
+    (s: SparkSession, d: String) => {
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ns.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      ns.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      val urgent = Tables.orders(ns, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      Tables.lineitem(ns, d)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice"), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      SELECT l_returnflag, COUNT(*) AS n,
+             ${dsumSql("l_extendedprice", 2)} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Qry] = Seq(q12, q13, q14, q15, q16, q17, q126)
 }

@@ -101,6 +101,42 @@ object LayoutQ {
       WHERE pmax IS NULL OR size > pmax
       ORDER BY price"""))
 
+  /** 3-D Pareto skyline (q125): parts no other part beats on price
+    * (lower), size (higher) AND a third deterministic metric
+    * (higher) — [[Frontier.skyline3]]'s band-partitioned dominance
+    * plan, closing the d>2 contract the 2-D operator documents. The
+    * oracle is the textbook NOT EXISTS dominance query over the
+    * pre-reduced candidates; matching proves the banded two-phase
+    * decomposition exact in three dimensions, including
+    * incomparable-tie survival. */
+  val q125 = Qry(
+    "q125_skyline3d",
+    (s: SparkSession, d: String) => {
+      Frontier.skyline3(
+        Tables.part(s, d).select(
+          col("p_retailprice").as("price"),
+          col("p_size").cast("long").as("size"),
+          (col("p_partkey") % 97).cast("long").as("dur")),
+        "price", "size", "dur", "floor(price / 10.0)")
+        .orderBy(col("price"), col("size"))
+    },
+    Some("""
+      WITH dims AS (
+        SELECT p_retailprice AS price,
+               CAST(p_size AS BIGINT) AS size,
+               CAST(p_partkey % 97 AS BIGINT) AS dur
+        FROM part),
+      pp AS (
+        SELECT price, size, MAX(dur) AS dur
+        FROM dims GROUP BY price, size)
+      SELECT price, size, dur FROM pp p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pp q
+        WHERE q.price <= p.price AND q.size >= p.size
+          AND q.dur >= p.dur
+          AND (q.price < p.price OR q.size > p.size OR q.dur > p.dur))
+      ORDER BY price, size"""))
+
   /** Grid-bucketed geo proximity join (q116): vehicle-position-shaped
     * points (the q39 synthetic coordinate scheme: Wellington-area
     * lat/lon derived from event values) paired within 100 m. The
@@ -182,5 +218,5 @@ object LayoutQ {
       FROM verified WHERE d2 <= 10000.0
       ORDER BY a, b"""))
 
-  val all: Seq[Qry] = Seq(q106, q108, q116)
+  val all: Seq[Qry] = Seq(q106, q108, q116, q125)
 }

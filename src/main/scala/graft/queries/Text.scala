@@ -497,5 +497,97 @@ object Text {
                AS BIGINT) AS n_phone
       FROM planted GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Qry] = Seq(q24, q25, q26, q27, q62, q95, q97, q102, q111)
+  /** URL canonicalization + URL-level dedup (q127): the normalization
+    * pass a web corpus runs before any content-level dedup — the
+    * [[graft.operators.Urls]] rules (case, default port, `www.`,
+    * fragment, `utm_*` params, param ORDER, trailing slash) collapse
+    * crawl-duplicate URLs while never conflating genuinely different
+    * resources. The corpus has no URL column, so the fixture PLANTS
+    * four deterministic raw-URL variants per doc-group (the q111
+    * pattern — derived from each row's own doc_id so both engines
+    * plant identically): three https spellings that MUST collapse to
+    * one canonical form and one http variant that MUST stay separate
+    * (scheme is load-bearing). The oracle re-derives the same
+    * canonicalization step-for-step in DuckDB string/list functions.
+    *
+    * Scale shape: canonicalization is pure map-side codegen'd string
+    * work; the dedup is one groupBy on the canonical key — at 100 TB
+    * the canonical URL is also the natural bucket/partition column
+    * for the crawl store. */
+  val q127 = Qry(
+    "q127_url_canonical",
+    (s: SparkSession, d: String) => {
+      val g = expr("doc_id div 4").cast("string")
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("https://example.com/p/"), g, lit("?b=2&a=1")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("HTTPS://EXAMPLE.com:443/p/"), g,
+              lit("/?a=1&b=2#frag")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://www.example.com/p/"), g,
+              lit("?a=1&b=2&utm_source=feed")))
+          .otherwise(concat(lit("http://example.com:80/p/"), g,
+            lit("?b=2&utm_campaign=x&a=1")))
+          .as("url"))
+      urls
+        .withColumn("canonical_url",
+          graft.operators.Urls.canonicalize(col("url")))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_dups"),
+          countDistinct(col("url")).as("n_raw_forms"),
+          min(col("doc_id")).as("keep_doc"))
+        .orderBy(col("keep_doc"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS g,
+               doc_id % 4 AS v
+        FROM documents),
+      urls AS (
+        SELECT doc_id, CASE v
+          WHEN 0 THEN 'https://example.com/p/' || g || '?b=2&a=1'
+          WHEN 1 THEN 'HTTPS://EXAMPLE.com:443/p/' || g
+                      || '/?a=1&b=2#frag'
+          WHEN 2 THEN 'https://www.example.com/p/' || g
+                      || '?a=1&b=2&utm_source=feed'
+          ELSE 'http://example.com:80/p/' || g
+               || '?b=2&utm_campaign=x&a=1'
+          END AS url
+        FROM u),
+      comp AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(nf,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(nf, '^[^:]+://([^/?#]+)', 1)) AS hp,
+               regexp_replace(regexp_extract(nf,
+                 '^[^:]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+               regexp_extract(nf, '\?([^#]*)', 1) AS q
+        FROM (SELECT doc_id, url,
+                     regexp_replace(url, '#.*$', '') AS nf
+              FROM urls)),
+      canon AS (
+        SELECT doc_id, url,
+               scheme || '://' ||
+               regexp_replace(
+                 CASE WHEN scheme = 'https'
+                      THEN regexp_replace(hp, ':443$', '')
+                      ELSE regexp_replace(hp, ':80$', '') END,
+                 '^www\.', '') ||
+               path ||
+               CASE WHEN length(ps) > 0
+                    THEN '?' || array_to_string(ps, '&')
+                    ELSE '' END AS canonical_url
+        FROM (SELECT *,
+                     list_sort(list_filter(string_split(q, '&'),
+                       x -> x <> '' AND NOT starts_with(x, 'utm_')))
+                       AS ps
+              FROM comp))
+      SELECT canonical_url, COUNT(*) AS n_dups,
+             COUNT(DISTINCT url) AS n_raw_forms,
+             MIN(doc_id) AS keep_doc
+      FROM canon GROUP BY canonical_url ORDER BY keep_doc"""))
+
+  val all: Seq[Qry] =
+    Seq(q24, q25, q26, q27, q62, q95, q97, q102, q111, q127)
 }

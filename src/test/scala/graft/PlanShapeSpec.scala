@@ -229,6 +229,28 @@ class PlanShapeSpec extends SparkSpec {
       s"lateral join fell back to a cartesian rescan:\n$p")
   }
 
+  test("q126: runtime bloom filter injected on the fact scan side") {
+    val p = plan("q126_runtime_filter")
+    assert(p.contains("might_contain"),
+      s"InjectRuntimeFilter did not plant the bloom probe:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"join must stay shuffled (broadcast would bypass the filter):\n$p")
+  }
+
+  test("q125: band keys the local dominance join; one BNL over survivors only") {
+    val p = planAtScaleStats("q125_skyline3d")
+    // tree-form occurrences only (details section repeats the name)
+    val bnl = "BroadcastNestedLoopJoin LeftAnti".r.findAllIn(p).length
+    assert(bnl == 1,
+      s"expected exactly 1 nested-loop join (the global survivor " +
+        s"pass), got $bnl:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q125:\n$p")
+    // the survivor set is checkpointed: the global pass must read the
+    // materialized frontier, not re-run the banded phase twice
+    assert(!p.contains("SortMergeJoin"),
+      s"global pass re-plans phase 1 — survivor checkpoint lost:\n$p")
+  }
+
   test("q115: shard partials carry only sketch state — no Expand distinct path") {
     // Mixing countDistinct into the sketch partial would plan an
     // Expand (row tripling) + an extra exchange, all for a column the

@@ -46,6 +46,35 @@ class RankRetrievalSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("edge-form PageRank is bit-identical to the adjacency form") {
+    // Same integer algebra, different physical shape — results must
+    // match EXACTLY, not approximately. 4-node graph w/ known answer:
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val adj = PageRank.integerRanks(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val edge = PageRank.integerRanksEdgeForm(edges, "src", "dst",
+      iters = 3).as[(Long, Long)].collect().toMap
+    assert(edge == adj)
+  }
+
+  test("edge-form PageRank handles the hub graph the adjacency contract excludes") {
+    // Star: center 1 joined to 2..200 (degree 199 — the power-law-hub
+    // shape where the adjacency form's per-vertex array is the wrong
+    // layout). Both forms still agree at this scale; the edge form is
+    // the one whose per-row width stays O(1) as the hub grows.
+    val star = (2L to 200L).flatMap(i => Seq((1L, i), (i, 1L)))
+      .toDF("src", "dst")
+    val adj = PageRank.integerRanks(star, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val edge = PageRank.integerRanksEdgeForm(star, "src", "dst",
+      iters = 2).as[(Long, Long)].collect().toMap
+    assert(edge == adj)
+    assert(edge(1L) > edge(2L), "hub must outrank a leaf")
+    assert((2L to 200L).map(edge).distinct.size == 1,
+      "leaves are symmetric, ranks must be equal")
+  }
+
   test("directedRanks keeps a source-only chain alive where the symmetric kernel drops it") {
     // Pure directed chain 1→2→3→4: each round of the symmetric-only
     // kernel keeps only contribution RECEIVERS, so the live set

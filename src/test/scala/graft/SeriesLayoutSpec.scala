@@ -80,6 +80,60 @@ class SeriesLayoutSpec extends SparkSpec {
     assert(sky(pts) == brute(pts))
   }
 
+  private def sky3(pts: Seq[(Double, Long, Long)])
+      : Set[(Double, Long, Long)] = {
+    val df = pts.toDF("x", "y", "z")
+    Frontier.skyline3(df, "x", "y", "z", "floor(x / 10.0)")
+      .as[(Double, Long, Long)].collect().toSet
+  }
+
+  private def brute3(pts: Seq[(Double, Long, Long)])
+      : Set[(Double, Long, Long)] = {
+    // phase-0 mirror: one candidate per (x, y), max z
+    val cand = pts.groupBy(p => (p._1, p._2))
+      .map { case ((x, y), ps) => (x, y, ps.map(_._3).max) }.toSeq
+    cand.filter { case (x, y, z) =>
+      !cand.exists { case (x2, y2, z2) =>
+        x2 <= x && y2 >= y && z2 >= z && (x2 < x || y2 > y || z2 > z)
+      }
+    }.toSet
+  }
+
+  test("3-D skyline: dominance in all three, incomparable rows survive") {
+    val pts = Seq(
+      (1.0, 5L, 5L),   // survives: cheapest
+      (2.0, 9L, 1L),   // survives: best y among x<=2
+      (2.0, 1L, 9L),   // survives: best z among x<=2 (incomparable to above)
+      (3.0, 8L, 1L),   // dominated by (2,9,1)
+      (3.0, 9L, 1L),   // dominated: same (y,z) as (2,9,1), worse x
+      (4.0, 12L, 12L), // survives: global best y and z
+      (5.0, 12L, 12L)) // dominated by (4,12,12)
+    assert(sky3(pts) == brute3(pts))
+    assert(sky3(pts) == Set((1.0, 5L, 5L), (2.0, 9L, 1L),
+      (2.0, 1L, 9L), (4.0, 12L, 12L)))
+  }
+
+  test("3-D skyline: same-(x,y) keeps max z; exact duplicates collapse") {
+    val pts = Seq((1.0, 5L, 3L), (1.0, 5L, 7L), (1.0, 5L, 7L),
+      (2.0, 5L, 7L))
+    assert(sky3(pts) == Set((1.0, 5L, 7L)))
+  }
+
+  test("3-D banded two-phase equals brute force across band edges") {
+    val pts = (0 until 90).map { i =>
+      (i.toDouble,
+        ((i * 37) % 41 + (if (i % 7 == 0) 30 else 0)).toLong,
+        ((i * 53) % 47 + (if (i % 11 == 0) 25 else 0)).toLong)
+    }
+    assert(sky3(pts) == brute3(pts))
+  }
+
+  test("3-D skyline on empty input returns empty, not error") {
+    val noPts = Seq.empty[(Double, Long, Long)].toDF("x", "y", "z")
+    assert(Frontier.skyline3(noPts, "x", "y", "z", "floor(x / 10.0)")
+      .count() == 0)
+  }
+
   test("morton interleave matches hand-computed bit weave") {
     // x=0b0011=3 -> even bits 0b0101=5; y=0b0101=5 -> odd bits of
     // spread16(5)=0b010001 shifted: z = 5 | (17<<1) = 0b100111 = 39
