@@ -11,9 +11,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle-partition ceiling. The default (= cores) is right for
+    // the sf0.1 driver bench; at 100× that volume a 32-way shuffle
+    // puts ~20M rows in every sort/agg partition and the externals
+    // spill — size this to the data (AQE coalesces small shuffles
+    // back down, so a high ceiling never hurts small queries).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -59,6 +65,9 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // progress to stderr so long runs are monitorable mid-flight
+      System.err.println(
+        s"[bench] $name ${times.map(t => f"$t%.2f").mkString("/")} s")
       name -> times
     }
     def r(v: Double) = math.round(v * 10000) / 10000.0

@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Largest vertex set whose per-round rank frame is still worth a
+    * forced broadcast (~2M ids+ranks ≈ 50 MB serialized). Above it, a
+    * per-round broadcast BUILD of a fact-scale frame costs more than
+    * the shuffle join it avoids — measured on the 1000×-amplified
+    * co-purchase graph (20M vertices). */
+  val BroadcastVertexCap = 2000000L
+
   /** @param edges edge list with `srcCol`/`dstCol`. MUST be
     *              symmetric (every (a,b) has its (b,a)) — i.e. an
     *              undirected graph's expansion. A genuinely directed
@@ -53,15 +60,23 @@ object PageRank {
     *              never re-exchanges (measured ~1.8× on the sf0.1
     *              co-purchase graph, where AQE keeps picking SMJ
     *              because the checkpointed edge side reports unknown
-    *              stats). Set false when the vertex set itself is
-    *              fact-scale (a web graph): rounds fall back to a
+    *              stats). Set Some(false) when the vertex set itself
+    *              is fact-scale (a web graph): rounds fall back to a
     *              shuffle join, which at cluster scale pairs with a
     *              src-bucketed edge table (see the layout note below).
+    *              The default (None) DECIDES FROM THE DATA: the
+    *              adjacency frame is checkpointed before the first
+    *              round, so its vertex count is a free metadata read
+    *              — broadcast iff |V| ≤ [[BroadcastVertexCap]].
+    *              (Measured at the 1000×-sf0.1 co-purchase graph,
+    *              20M vertices: a forced per-round 20M-row broadcast
+    *              build is strictly worse than the shuffle join the
+    *              cap falls back to.)
     * @return (id, r) — final micro-unit rank per node that has at
     *         least one edge
     */
   def integerRanks(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, broadcastRanks: Boolean = true): DataFrame = {
+      iters: Int, broadcastRanks: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // ADJACENCY form: one groupBy(src) shuffle builds dedup (the
     // collect_set absorbs duplicate edges), out-degree (the set
@@ -89,10 +104,13 @@ object PageRank {
       .select(col("src"), col("nbrs"),
         size(col("nbrs")).cast("long").as("outdeg"))
       .localCheckpoint(true)
+    // |V| off the checkpointed frame costs a metadata pass, not a
+    // graph rebuild
+    val bcast = broadcastRanks.getOrElse(adj.count() <= BroadcastVertexCap)
     var ranks = adj.select(col("src").as("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters)
       ranks = adj.join(
-          if (broadcastRanks) broadcast(ranks) else ranks,
+          if (bcast) broadcast(ranks) else ranks,
           adj("src") === ranks("id"))
         .select(explode(col("nbrs")).as("dst"),
           expr("r div outdeg").as("c"))
@@ -187,9 +205,8 @@ object PageRank {
     *              contribution)
     */
   def directedRanks(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, broadcastRanks: Boolean = true): DataFrame = {
+      iters: Int, broadcastRanks: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    def bcast(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val adj = e.groupBy(col("src"))
       .agg(collect_set(col("dst")).as("nbrs"))
@@ -204,6 +221,10 @@ object PageRank {
         coalesce(size(col("nbrs")), lit(0)).cast("long").as("outdeg"))
       .localCheckpoint(true)
     val nV = verts.count()
+    // same data-driven broadcast decision as [[integerRanks]] — nV is
+    // already on hand from the dangling-share denominator
+    val bc = broadcastRanks.getOrElse(nV <= BroadcastVertexCap)
+    def bcast(df: DataFrame) = if (bc) broadcast(df) else df
     var ranks = verts.select(col("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       val joined = verts.join(bcast(ranks.select(

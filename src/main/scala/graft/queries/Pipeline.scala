@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Qry, Tables}
-import graft.operators.{Quantize, Splits}
+import graft.operators.{Components, Dedup, Quantize, Splits}
 import Q._
 
 /** Training-data pipeline operators beyond dedup/similarity:
@@ -480,6 +480,126 @@ object Pipeline {
       legs.mkString("", "\n          UNION ALL", "\n          ORDER BY col_name")
     })
 
+  /** Leakage-free train/val/test split (q128): q63's hash split keyed
+    * on the near-dup CLUSTER instead of the document — the standard
+    * fix for eval contamination (a near-duplicate of a test doc
+    * sitting in train silently inflates benchmarks; q82 detects that
+    * leakage, this PREVENTS it by construction: every LSH connected
+    * component lands in exactly one split). The fixture plants a
+    * near-dup copy for every doc_id ≡ 0 mod 3, then emits per split:
+    * doc/component counts, crossing near-dup pairs under the cluster
+    * split (provably all zero), and under the naive doc-hash split
+    * (nonzero — the leak this operator closes).
+    *
+    * Scale shape: LSH pairs + min-label components are the q61
+    * machinery (banded equi-joins, iterative vertex shuffles); the
+    * split itself stays a map-side md5 of the component label, and
+    * the leak audit is two vertex-sized joins of the pair list. */
+  val q128 = Qry(
+    "q128_leakage_split",
+    (s: SparkSession, d: String) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 3 === 0).select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" qq0")).as("text")))
+      // pair list feeds components AND both leak audits — checkpoint
+      // so the LSH pass runs once
+      val pairs = Dedup.lshNearDupPairs(corpus, "doc_id", "text",
+        n = 3, k = 6, bands = 3, minJaccard = 0.93)
+        .localCheckpoint(true)
+      val cuts = Seq("train" -> 80, "val" -> 90, "test" -> 100)
+      val assign = Components
+        .connectedComponents(corpus, "doc_id", pairs, "a", "b")
+        .select(col("id"), col("component"),
+          Splits.splitAssign(col("component"), cuts).as("split"),
+          Splits.splitAssign(col("id"), cuts).as("naive_split"))
+        .localCheckpoint(true)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(
+          pairs.select(col("b").as("src"), col("a").as("dst")))
+      def leaks(splitCol: String, as: String) = edges
+        .join(assign.select(col("id").as("src"),
+          col(splitCol).as("s_src")), "src")
+        .join(assign.select(col("id").as("dst"),
+          col(splitCol).as("s_dst")), "dst")
+        .filter(col("s_src") =!= col("s_dst"))
+        .groupBy(col("s_src").as("split"))
+        .agg(count(lit(1)).as(as))
+      assign.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"))
+        .join(leaks("split", "leaked"), Seq("split"), "left_outer")
+        .join(leaks("naive_split", "naive_leaked"),
+          Seq("split"), "left_outer")
+        .select(col("split"), col("n_docs"), col("n_components"),
+          coalesce(col("leaked"), lit(0L)).as("leaked"),
+          coalesce(col("naive_leaked"), lit(0L)).as("naive_leaked"))
+        .orderBy(col("split"))
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' qq0'
+        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0),
+      sh AS (
+        SELECT doc_id AS id, ${DedupQ.shinglesSql(3)} AS shingles
+        FROM corpus),
+      sh2 AS (SELECT id, shingles FROM sh WHERE len(shingles) > 0),
+      sigs AS (
+        SELECT id, shingles, ${DedupQ.minhashSql(6)} AS sig FROM sh2),
+      banded AS (
+        SELECT id, shingles,
+               unnest(${DedupQ.bandKeysSql(3, 2)}) AS band_key
+        FROM sigs),
+      cand AS (
+        SELECT l.id AS a, r.id AS b,
+               FIRST(l.shingles) AS sh_a, FIRST(r.shingles) AS sh_b
+        FROM banded l JOIN banded r ON l.band_key = r.band_key
+        WHERE l.id < r.id GROUP BY l.id, r.id),
+      pairs AS (
+        SELECT a, b FROM cand
+        WHERE ROUND(${DedupQ.jaccardSql}, 6) >= 0.93),
+      edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION SELECT b, a FROM pairs),
+      walk AS (
+        SELECT doc_id AS id, doc_id AS label FROM corpus
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+      assign AS (
+        SELECT id, component,
+               CASE WHEN ${bucketSql("component")} < 80 THEN 'train'
+                    WHEN ${bucketSql("component")} < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN ${bucketSql("id")} < 80 THEN 'train'
+                    WHEN ${bucketSql("id")} < 90 THEN 'val'
+                    ELSE 'test' END AS naive_split
+        FROM (SELECT id, MIN(label) AS component
+              FROM walk GROUP BY id)),
+      leaks AS (
+        SELECT sa.split AS split, COUNT(*) AS leaked
+        FROM edges e JOIN assign sa ON e.src = sa.id
+                     JOIN assign sb ON e.dst = sb.id
+        WHERE sa.split <> sb.split GROUP BY 1),
+      nleaks AS (
+        SELECT sa.naive_split AS split, COUNT(*) AS naive_leaked
+        FROM edges e JOIN assign sa ON e.src = sa.id
+                     JOIN assign sb ON e.dst = sb.id
+        WHERE sa.naive_split <> sb.naive_split GROUP BY 1),
+      stats AS (
+        SELECT split, COUNT(*) AS n_docs,
+               COUNT(DISTINCT component) AS n_components
+        FROM assign GROUP BY split)
+      SELECT s.split, s.n_docs, s.n_components,
+             COALESCE(l.leaked, 0) AS leaked,
+             COALESCE(n.naive_leaked, 0) AS naive_leaked
+      FROM stats s LEFT JOIN leaks l ON s.split = l.split
+                   LEFT JOIN nleaks n ON s.split = n.split
+      ORDER BY s.split"""))
+
   val all: Seq[Qry] =
-    Seq(q63, q64, q65, q67, q68, q74, q75, q76, q117, q122)
+    Seq(q63, q64, q65, q67, q68, q74, q75, q76, q117, q122, q128)
 }

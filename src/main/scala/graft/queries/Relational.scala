@@ -307,6 +307,39 @@ object Relational {
                AS seg_nullif
       FROM customer WHERE c_custkey < 200 ORDER BY c_custkey"""))
 
+  /** Parquet aggregate pushdown (q129): global MIN/MAX/COUNT answered
+    * from parquet FOOTER STATISTICS — the scan returns one
+    * pre-aggregated row per row group instead of streaming rows, so
+    * the query costs metadata reads at any scale (the "how many rows,
+    * what's the value range" catalog probe on a 100 TB table). Runs
+    * in an isolated `newSession` with
+    * `spark.sql.parquet.aggregatePushdown` on, directly against the
+    * raw store (any intervening operator disqualifies the rewrite —
+    * that contract is exactly what the plan lock pins via
+    * `PushedAggregation`). Values are identical to the row-streaming
+    * plan, which is what the oracle checks. */
+  val q129 = Qry(
+    "q129_agg_pushdown",
+    (s: SparkSession, d: String) => {
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      // pushdown is a DataSource V2 capability; parquet defaults to
+      // the V1 read path
+      ns.conf.set("spark.sql.sources.useV1SourceList", "")
+      ns.read.parquet(s"$d/lineitem.parquet")
+        .agg(expr("count(*)").as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             MIN(l_extendedprice) AS min_price,
+             MAX(l_extendedprice) AS max_price
+      FROM lineitem"""))
+
   val all: Seq[Qry] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q129)
 }

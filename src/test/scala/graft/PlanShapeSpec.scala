@@ -251,6 +251,14 @@ class PlanShapeSpec extends SparkSpec {
       s"global pass re-plans phase 1 — survivor checkpoint lost:\n$p")
   }
 
+  test("q129: MIN/MAX/COUNT answered by the scan (PushedAggregation)") {
+    val p = plan("q129_agg_pushdown")
+    assert(p.contains("PushedAggregation"),
+      s"aggregate did not push into the parquet scan:\n$p")
+    assert(p.contains("MIN(l_quantity)") && p.contains("COUNT(*)"),
+      s"pushed aggregate list incomplete:\n$p")
+  }
+
   test("q115: shard partials carry only sketch state — no Expand distinct path") {
     // Mixing countDistinct into the sketch partial would plan an
     // Expand (row tripling) + an extra exchange, all for a column the
