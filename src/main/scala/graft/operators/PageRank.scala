@@ -75,6 +75,17 @@ object PageRank {
     * @return (id, r) — final micro-unit rank per node that has at
     *         least one edge
     */
+  /** Source-compat overload for the original `Boolean` surface
+    * (pre-round-5 callers passed `broadcastRanks = true/false`
+    * positionally or by name): delegates to the `Option` form with
+    * the decision forced. Note the no-arg default changed in round 5
+    * from always-broadcast to data-driven (`None`), which adds one
+    * metadata-count job per call off the checkpointed adjacency —
+    * callers wanting the old unconditional behavior pass `true` here. */
+  def integerRanks(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, broadcastRanks: Boolean): DataFrame =
+    integerRanks(edges, srcCol, dstCol, iters, Some(broadcastRanks))
+
   def integerRanks(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, broadcastRanks: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

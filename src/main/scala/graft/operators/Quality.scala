@@ -70,6 +70,12 @@ object Quality {
   def profile(df: DataFrame, numericCols: Seq[String],
       otherCols: Seq[String], exact: Boolean = true): DataFrame = {
     val cols = numericCols.map(_ -> true) ++ otherCols.map(_ -> false)
+    // the per-column agg aliases (__c_nn, __c_ad, ...) collide if a
+    // column is listed twice (or in both lists) — fail with a clear
+    // message instead of an opaque duplicate-alias AnalysisException
+    require(cols.map(_._1).distinct.size == cols.size,
+      s"profile: duplicate column(s) across numericCols/otherCols: " +
+        cols.map(_._1).diff(cols.map(_._1).distinct).distinct.mkString(", "))
     val aggs = cols.flatMap { case (c, num) =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nn"),

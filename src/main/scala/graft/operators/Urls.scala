@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   * all RFC-3986-safe or industry-standard crawler policy:
   *
   *   - scheme and host lowercased (case-insensitive by spec)
-  *   - default port stripped (`:443` for https, `:80` otherwise)
+  *   - default port stripped (`:443` for https, `:80` for http;
+  *     other schemes keep their port — `:80` is NOT the default for
+  *     e.g. ftp, so stripping it there would conflate distinct
+  *     resources)
   *   - leading `www.` stripped (crawler aliasing policy)
   *   - fragment dropped (never sent to the server)
   *   - query params split, empties and `utm_*` tracking params
@@ -39,7 +42,8 @@ object Urls {
     val hostport = lower(regexp_extract(noFrag, "^[^:]+://([^/?#]+)", 1))
     val host = regexp_replace(
       when(scheme === "https", regexp_replace(hostport, ":443$", ""))
-        .otherwise(regexp_replace(hostport, ":80$", "")),
+        .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport),
       "^www\\.", "")
     val path = regexp_replace(
       regexp_extract(noFrag, "^[^:]+://[^/?#]+([^?#]*)", 1), "/+$", "")

@@ -198,16 +198,27 @@ object SemiStructured {
     * the same values from the generation columns plus DuckDB's JSON
     * extraction — any path/typing defect in the variant walk breaks
     * the hash. Aggregated per event_type so the hashed surface stays
-    * compact while every row exercises the extraction. */
+    * compact while every row exercises the extraction.
+    *
+    * Hardening (round 5): the JSON text is built with
+    * `to_json(struct(...))`, never string concat — concat goes NULL
+    * if ANY field is NULL (a missing `$.k` would silently reroute
+    * the row into a NULL-vtype group the oracle doesn't have) and
+    * does not escape quotes/backslashes in event_type. to_json
+    * escapes correctly and renders a NULL field as JSON null, so a
+    * missing k degrades to a NULL `ks[1]` that both engines' SUMs
+    * skip identically. The oracle CASTs its integer SUMs to BIGINT:
+    * DuckDB's SUM(BIGINT) is HUGEINT, which arrives as float64 on
+    * the comparison side and hash-diverges from Spark's long even
+    * when values are equal. */
   val q124 = Qry(
     "q124_variant_json",
     (s: SparkSession, d: String) => {
       val k = get_json_object(col("props"), "$.k").cast("long")
-      val js = concat(
-        lit("""{"meta": {"type": """"), col("event_type"),
-        lit("""", "uid": """), col("user_id").cast("string"),
-        lit("""}, "ks": ["""), k.cast("string"), lit(", "),
-        (k + 1).cast("string"), lit("]}"))
+      val js = to_json(struct(
+        struct(col("event_type").as("type"),
+          col("user_id").as("uid")).as("meta"),
+        array(k, k + 1).as("ks")))
       Tables.events(s, d)
         .withColumn("v", parse_json(js))
         .select(
@@ -223,9 +234,9 @@ object SemiStructured {
     Some("""
       SELECT event_type AS vtype,
              COUNT(*) AS n,
-             SUM(user_id) AS sum_uid,
-             SUM(CAST(json_extract(props, '$.k') AS BIGINT) + 1)
-               AS sum_k2
+             CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+             CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT) + 1)
+               AS BIGINT) AS sum_k2
       FROM events GROUP BY event_type ORDER BY vtype"""))
 
   val all: Seq[Qry] = Seq(q18, q19, q20, q21, q22, q23, q124)

@@ -62,4 +62,12 @@ class QualitySpec extends SparkSpec {
       .as[(String, Boolean)].collect().toMap
     assert(rows.values.forall(identity), s"sketch out of band: $rows")
   }
+
+  test("profile: duplicate column across the two lists fails fast") {
+    val li = Tables.lineitem(spark, sf())
+    val e = intercept[IllegalArgumentException] {
+      Quality.profile(li, Seq("l_quantity"), Seq("l_quantity"))
+    }
+    assert(e.getMessage.contains("l_quantity"), e.getMessage)
+  }
 }

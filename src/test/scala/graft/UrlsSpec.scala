@@ -62,4 +62,17 @@ class UrlsSpec extends SparkSpec {
     val got = canon("not a url", "")
     assert(got.forall(_ == "://"), s"got $got")
   }
+
+  test(":80/:443 only default for http/https — other schemes keep ports") {
+    val got = canon(
+      "ftp://host:80/x",    // :80 is NOT ftp's default — must survive
+      "ftp://host/x",
+      "gopher://host:443/y",
+      "ws://host:80/z")     // ws default is 80 but we only rule on http(s)
+    assert(got(0) == "ftp://host:80/x", s"got ${got(0)}")
+    assert(got(1) == "ftp://host/x")
+    assert(got(0) != got(1), "ftp :80 conflated with portless")
+    assert(got(2) == "gopher://host:443/y")
+    assert(got(3) == "ws://host:80/z")
+  }
 }
