@@ -60,7 +60,8 @@ object Curate {
       stopwords: Seq[String] = Seq("the", "a"),
       minQuality: Double = 0.5, n: Int = 3, k: Int = 6,
       bands: Int = 3, minJaccard: Double = 0.9,
-      policy: NearDupPolicy = NearDupPolicy.Greedy): DataFrame = {
+      policy: NearDupPolicy = NearDupPolicy.Greedy,
+      ccKernel: Components.Kernel = Components.Kernel.MinLabel): DataFrame = {
     val cleaned = docs.select(col(idCol).as("id"),
         normalize(col(textCol)).as("clean"))
       .withColumn("quality", TextOps.qualityScore(col("clean"),
@@ -87,7 +88,8 @@ object Curate {
     val pairs = Dedup.lshNearDupPairs(exact, "id", "clean",
       n = n, k = k, bands = bands, minJaccard = minJaccard)
     def components() =
-      Components.connectedComponents(exact, "id", pairs, "a", "b")
+      Components.components(exact, "id", pairs, "a", "b",
+        kernel = ccKernel)
     val dropIds = policy match {
       case NearDupPolicy.Greedy =>
         // drop the later member of every confirmed pair

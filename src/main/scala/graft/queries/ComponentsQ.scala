@@ -373,5 +373,76 @@ object ComponentsQ {
       SELECT id AS node_id, r AS rank_micro
       FROM r3 ORDER BY r DESC, id LIMIT 20"""))
 
-  val all: Seq[Qry] = Seq(q61, q94, q100, q103, q118)
+  /** Star-kernel connected components (large-star/small-star) over a
+    * graph that is genuinely DEEP: per-user event chains, one edge
+    * between time-consecutive events of the same user when the gap
+    * is ≤ 6h. Chain diameters run to ~20 hops at sf0.01 — the shape
+    * where min-label propagation needs diameter rounds but the star
+    * kernel stays inside its O(log²) bound (maxIters = 12 here,
+    * BELOW the longest chain length, so a diameter-round kernel
+    * could not pass this oracle; q61 keeps covering the min-label
+    * kernel on its shallow near-dup graph).
+    *
+    * Determinism: gaps compare in integer MICROSECONDS on both
+    * engines (no division, no float), ties in the event order are
+    * pinned by (ts, event_id). The oracle closes the same edge set
+    * with a recursive CTE and labels each node with its min
+    * reachable event_id.
+    *
+    * Scale shape: the edge build is one window over the events scan
+    * (exchange on user_id); each star round is two groupBy+join
+    * pairs over the EDGE set only — no adjacency arrays, no degree
+    * contract, hub-safe. At 100 TB this is the kernel [[graft
+    * .operators.Curate]] selects via `ccKernel = Kernel.Star` when
+    * cluster diameters or hub degrees outgrow the min-label
+    * defaults. */
+  val q130 = Qry(
+    "q130_star_components",
+    (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = ev
+        .withColumn("next_id", lead(col("event_id"), 1).over(w))
+        .withColumn("gap_us",
+          unix_micros(lead(col("ts"), 1).over(w)) -
+            unix_micros(col("ts")))
+        .filter(col("next_id").isNotNull &&
+          col("gap_us") <= lit(21600000000L))
+        .select(col("event_id").as("a"), col("next_id").as("b"))
+      Components.connectedComponentsStar(
+          ev.select(col("event_id")), "event_id", edges, "a", "b",
+          maxIters = 12)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_events"), max(col("id")).as("max_id"))
+        .orderBy(col("component"))
+    },
+    Some("""
+      WITH RECURSIVE ev AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_id < 2000),
+      nbr AS (
+        SELECT event_id AS a,
+               LEAD(event_id) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS b,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+        FROM ev),
+      pairs AS (
+        SELECT a, b FROM nbr
+        WHERE b IS NOT NULL AND gap_us <= 21600000000),
+      edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION SELECT b, a FROM pairs),
+      walk AS (
+        SELECT event_id AS id, event_id AS label FROM ev
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+      assign AS (
+        SELECT id, MIN(label) AS component FROM walk GROUP BY id)
+      SELECT component, COUNT(*) AS n_events, MAX(id) AS max_id
+      FROM assign GROUP BY component ORDER BY component"""))
+
+  val all: Seq[Qry] = Seq(q61, q94, q100, q103, q118, q130)
 }

@@ -17,6 +17,14 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
   }
 
+  private def ccStar(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      maxIters: Int = 20): Map[Long, Long] = {
+    val n = nodes.toDF("id")
+    val e = edges.toDF("a", "b")
+    Components.connectedComponentsStar(n, "id", e, "a", "b", maxIters)
+      .as[(Long, Long)].collect().toMap
+  }
+
   test("chain A-B-C clusters transitively even without an A-C edge") {
     val got = cc(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
@@ -46,6 +54,68 @@ class ComponentsSpec extends SparkSpec {
     val got = cc(Seq(1L, 2L, 3L),
       Seq((2L, 1L), (1L, 2L), (3L, 2L), (3L, 2L)))
     assert(got.values.toSet == Set(1L))
+  }
+
+  test("star kernel equals min-label kernel on every fixture above") {
+    val fixtures: Seq[(Seq[Long], Seq[(Long, Long)])] = Seq(
+      (Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L))),
+      (Seq(1L, 2L, 3L, 9L), Seq((1L, 2L))),
+      (Seq(1L, 2L, 3L, 4L, 5L, 6L), Seq((5L, 2L), (2L, 1L), (4L, 6L))),
+      ((1L to 10L), (1L until 10L).map(i => (i, i + 1))),
+      (Seq(1L, 2L, 3L), Seq((2L, 1L), (1L, 2L), (3L, 2L), (3L, 2L))),
+      (Seq(7L), Seq.empty))
+    fixtures.zipWithIndex.foreach { case ((n, e), i) =>
+      assert(ccStar(n, e) == cc(n, e), s"fixture $i diverged")
+    }
+  }
+
+  test("star kernel: hub graph — high-id hub, many low-id leaves") {
+    // Star centered on id 1000 (the hub is NOT the min): every leaf
+    // reaches every other only through the hub; component min is a
+    // leaf. This is the boilerplate-shingle shape that makes the
+    // min-label kernel re-ship the hot label through every round.
+    val leaves = (1L to 50L)
+    val edges = leaves.map(l => (1000L, l))
+    val got = ccStar(leaves :+ 1000L, edges)
+    assert(got.values.toSet == Set(1L), s"got ${got.values.toSet}")
+    assert(got.size == 51)
+  }
+
+  test("star kernel: deep path converges where min-label's round " +
+      "budget would not") {
+    // Path of 64 nodes, diameter 63: min-label needs 63 rounds (its
+    // default bound of 20 throws); large-star/small-star halves
+    // depth per round and finishes inside the SAME bound of 20.
+    val nodes = (1L to 64L)
+    val edges = (1L until 64L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      cc(nodes, edges) // default maxIters = 20 < diameter
+    }
+    val got = ccStar(nodes, edges, maxIters = 20)
+    assert(got.values.toSet == Set(1L))
+    assert(got.size == 64)
+  }
+
+  test("star kernel: descending-id chain and duplicate reversed edges") {
+    // ids descend along the chain so the min sits at the FAR end of
+    // every propagation direction; duplicates/reversals must collapse
+    val got = ccStar(Seq(5L, 4L, 3L, 2L, 1L),
+      Seq((5L, 4L), (4L, 5L), (4L, 3L), (3L, 2L), (2L, 1L), (2L, 1L)))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("curate accepts the star kernel and answers identically") {
+    val base = ('a' to 't').map(c => s"tok$c").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " xa"), (3L, base + " xa xb"),
+      (50L, ('a' to 'z').map(c => s"other$c$c").mkString(" "))
+    ).toDF("doc_id", "text")
+    val viaStar = operators.Curate.curate(docs, "doc_id", "text",
+        minQuality = 0.0, minJaccard = 0.93,
+        policy = operators.Curate.NearDupPolicy.TransitiveMinId,
+        ccKernel = operators.Components.Kernel.Star)
+      .select($"id").as[Long].collect().toSet
+    assert(viaStar == Set(1L, 50L), s"star-kernel survivors: $viaStar")
   }
 
   test("curate transitive policy keeps one doc per near-dup cluster") {
