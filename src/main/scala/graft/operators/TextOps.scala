@@ -35,6 +35,95 @@ object TextOps {
   /** Exact word count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  // ---- real BPE (byte-pair encoding) tokenization ----------------
+  //
+  // True iterative pair merging against a LITERAL merge table in
+  // learned-rank order — the upgrade from tokenCountBpeIsh's length
+  // heuristic to what a training pipeline actually bills by. Each
+  // merge rule is applied as one left-to-right greedy pass over a
+  // word's symbol sequence; for a VALID table (each rule's two
+  // symbols are single characters or the product of a strictly
+  // earlier rule — the order BPE training emits by construction)
+  // the in-order passes produce exactly the min-rank-pair-loop
+  // tokenization of the standard encoder.
+  //
+  // Representation: a word's symbols as one string joined by a
+  // separator char that cannot occur in the text. The fold step is
+  // then branch-free string algebra: if the accumulator's LAST
+  // symbol is x and the next symbol is y, merging x+y into xy is
+  // just `acc || y`; otherwise `acc || sep || t`. Both engines
+  // express this fold natively (Spark `aggregate`, DuckDB
+  // `list_reduce`), so an oracle can replay the merges bit-for-bit.
+  //
+  // Scale shape: pure per-row Column expressions — no UDF, no
+  // shuffle, embarrassingly parallel. Callers should encode each
+  // DISTINCT word once and join frequencies back (see q131): corpus
+  // token distributions are Zipfian, so the distinct-word frame is
+  // orders of magnitude smaller than the token stream. The merge
+  // table embeds in the plan as literals, right for the tens-to-
+  // hundreds of rules a domain tokenizer carries; a production 50k-
+  // rule GPT-style table wants the same per-pass fold driven from a
+  // broadcast map with a bounded-unroll min-rank loop instead —
+  // document-level plumbing is identical.
+
+  /** Learned-order validity: every rule's symbols must be single
+    * chars or the output of a strictly earlier rule, symbols must
+    * not contain the separator. Enforced eagerly — an out-of-order
+    * table silently tokenizes differently from the standard
+    * encoder, which is a wrong answer, not a degraded one. */
+  private def validateMerges(merges: Seq[(String, String)],
+      sep: String): Unit = {
+    require(sep.length == 1, s"sep must be a single char, got '$sep'")
+    val produced = scala.collection.mutable.Set.empty[String]
+    merges.zipWithIndex.foreach { case ((x, y), i) =>
+      Seq(x, y).foreach { s =>
+        require(s.nonEmpty && !s.contains(sep),
+          s"merge $i ('$x','$y'): empty symbol or symbol contains sep")
+        require(s.length == 1 || produced.contains(s),
+          s"merge $i ('$x','$y'): '$s' is neither a single char nor " +
+            "produced by an earlier rule — table is not in learned order")
+      }
+      produced += (x + y)
+    }
+  }
+
+  /** One in-order merge pass: left-to-right greedy fold over the
+    * sep-joined symbol string (see the algebra note above). */
+  private def bpePass(symStr: Column, x: String, y: String,
+      sep: String): Column =
+    aggregate(split(symStr, java.util.regex.Pattern.quote(sep)),
+      lit(""), (acc, t) =>
+        when(acc === "", t)
+          .when((acc === lit(x) || acc.endsWith(lit(sep + x))) &&
+            t === lit(y), concat(acc, lit(y)))
+          .otherwise(concat(acc, lit(sep), t)))
+
+  /** BPE-encode ONE word: char-split, then every merge rule in
+    * learned order. Returns the sep-joined symbol string (callers
+    * split on `sep` for the token array). */
+  def bpeEncodeWord(word: Column, merges: Seq[(String, String)],
+      sep: String = "\u001f"): Column = {
+    validateMerges(merges, sep)
+    val init = rtrim(regexp_replace(word, "(.)", "$1" + sep), sep)
+    merges.foldLeft(init) { case (s, (x, y)) => bpePass(s, x, y, sep) }
+  }
+
+  /** Subword token stream of a whole text: whitespace words, each
+    * BPE-encoded, flattened in order. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)],
+      sep: String = "\u001f"): Column = {
+    val q = java.util.regex.Pattern.quote(sep)
+    flatten(transform(tokens(text),
+      w => split(bpeEncodeWord(w, merges, sep), q)))
+  }
+
+  /** Exact BPE token count of a text under `merges` — the billing
+    * signal (context-window packing, per-token cost) a training
+    * pipeline keys on. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)],
+      sep: String = "\u001f"): Column =
+    size(bpeTokens(text, merges, sep))
+
   /** Ratio of tokens found in `stopwords` (0 when empty doc). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)

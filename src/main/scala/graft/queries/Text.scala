@@ -583,7 +583,9 @@ object Text {
                regexp_replace(
                  CASE WHEN scheme = 'https'
                       THEN regexp_replace(hp, ':443$', '')
-                      ELSE regexp_replace(hp, ':80$', '') END,
+                    WHEN scheme = 'http'
+                      THEN regexp_replace(hp, ':80$', '')
+                    ELSE hp END,
                  '^www\.', '') ||
                path ||
                CASE WHEN length(ps) > 0
@@ -599,6 +601,70 @@ object Text {
              MIN(doc_id) AS keep_doc
       FROM canon GROUP BY canonical_url ORDER BY keep_doc"""))
 
+  /** Literal BPE merge table for q131, in learned-rank order (every
+    * rule's symbols are single chars or earlier-rule products —
+    * validated eagerly by [[TextOps.bpeEncodeWord]]). Chosen so the
+    * chain 'table' → t·a·b·l·e → [le] → [ab] → [tab] → [table]
+    * exercises multi-level merges on the corpus's real vocabulary. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "l" -> "e", "a" -> "b", "t" -> "ab", "tab" -> "le",
+    "e" -> "r", "o" -> "w", "s" -> "t", "a" -> "n",
+    "i" -> "n", "q" -> "u", "in" -> "d", "d" -> "a")
+
+  /** One in-order BPE merge pass in DuckDB: the same left-to-right
+    * greedy fold as TextOps.bpePass — list_reduce over the chr(31)-
+    * joined symbol string, where a merge of trailing x with next y
+    * is `acc || y`. */
+  private def bpePassSql(prev: String, x: String, y: String): String =
+    s"""list_reduce(string_split($prev, chr(31)), (acc, t) ->
+       CASE WHEN (acc = '$x' OR ends_with(acc, chr(31) || '$x'))
+                 AND t = '$y'
+            THEN acc || '$y' ELSE acc || chr(31) || t END)"""
+
+  /** Real BPE tokenization (G15 upgrade of the q87 token proxy):
+    * subword frequencies under the literal merge table, replayed
+    * rule-for-rule by the oracle. Both sides encode each DISTINCT
+    * word once and join occurrence counts back — the Zipfian-corpus
+    * plan shape that makes per-word expression cost irrelevant at
+    * 100 TB (the distinct-word frame is tiny next to the token
+    * stream; the heavy side is one explode + one groupBy). */
+  val q131 = Qry(
+    "q131_bpe_tokens",
+    (s: SparkSession, d: String) => {
+      val sep = "\u001f"
+      val q = java.util.regex.Pattern.quote(sep)
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("toks",
+          split(TextOps.bpeEncodeWord(col("w"), BpeMerges, sep), q))
+        .select(col("cnt"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(30)
+    },
+    Some {
+      val chain = BpeMerges.foldLeft("s0") {
+        case (prev, (x, y)) => bpePassSql(prev, x, y)
+      }
+      s"""
+      WITH words AS (
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id < 500)
+        WHERE w <> '' GROUP BY w),
+      enc AS (
+        SELECT cnt, $chain AS s
+        FROM (SELECT cnt,
+                     rtrim(regexp_replace(w, '(.)', '\\1' || chr(31),
+                       'g'), chr(31)) AS s0
+              FROM words)),
+      toks AS (
+        SELECT cnt, unnest(string_split(s, chr(31))) AS tok FROM enc)
+      SELECT tok, CAST(SUM(cnt) AS BIGINT) AS freq
+      FROM toks GROUP BY tok ORDER BY freq DESC, tok LIMIT 30"""
+    })
+
   val all: Seq[Qry] =
-    Seq(q24, q25, q26, q27, q62, q95, q97, q102, q111, q127)
+    Seq(q24, q25, q26, q27, q62, q95, q97, q102, q111, q127, q131)
 }
