@@ -41,4 +41,33 @@ object ZOrder {
     * rectangles — the locality property q106 measures. */
   def interleave16(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** General dims-way spread: bit i of `c` lands at bit dims·i.
+    * [[spread16]]'s parallel-prefix ladder is the stride-2 fast
+    * path; this explicit per-bit form handles any fan-out and is
+    * still pure shift/and/or integer arithmetic inside whole-stage
+    * codegen. Input is masked to `bits` bits. */
+  def spreadBits(c: Column, dims: Int, bits: Int): Column = {
+    require(dims >= 1 && bits >= 1 && dims * bits <= 63,
+      s"need dims >= 1, bits >= 1, dims*bits <= 63; got dims=$dims bits=$bits")
+    val a = c.cast("long").bitwiseAND(lit((1L << bits) - 1L))
+    (0 until bits).map(i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), dims * i): Column)
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** N-dimensional Morton key: cols(k)'s bit i lands at bit
+    * dims·i + k, so `interleave(Seq(x, y), 16)` reproduces
+    * [[interleave16]] bit-for-bit and any extra column extends the
+    * curve to another dimension. Fixing the top b bits of the key
+    * pins EVERY dimension to a cell of width 2^(bits−⌈b/dims⌉-ish) —
+    * the q132 audit measures exactly this bound in 3-D. Same
+    * write-time recipe as 2-D: range-partition + sort by the key,
+    * no read-path code. */
+  def interleave(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty, "interleave needs at least one column")
+    cols.zipWithIndex.map { case (c, k) =>
+      shiftleft(spreadBits(c, cols.size, bits), k)
+    }.reduce(_ bitwiseOR _)
+  }
 }

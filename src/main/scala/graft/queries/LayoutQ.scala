@@ -218,5 +218,62 @@ object LayoutQ {
       FROM verified WHERE d2 <= 10000.0
       ORDER BY a, b"""))
 
-  val all: Seq[Qry] = Seq(q106, q108, q116, q125)
+  /** DuckDB rendering of [[ZOrder.spreadBits]] at dims=3: explicit
+    * per-bit shift/or, same arithmetic as the Spark expression. */
+  private def spread3Sql(e: String, bits: Int): String =
+    (0 until bits).map(i => s"(((($e) >> $i) & 1) << ${3 * i})")
+      .mkString("(", " | ", ")")
+
+  private def morton3Sql(x: String, y: String, w: String): String =
+    s"(${spread3Sql(x, 10)} | (${spread3Sql(y, 10)} << 1) " +
+      s"| (${spread3Sql(w, 10)} << 2))"
+
+  /** 3-D Z-order locality audit (q132) — the q106 contract one
+    * dimension up, closing the d>2 generalization the 2-D operator
+    * documented (mirroring how q125 generalized the skyline).
+    * Three 10-bit lineitem key dimensions interleave into a 30-bit
+    * curve key; bucketing by the high 6 bits (64 contiguous curve
+    * ranges) fixes the top 2 bits of EACH dimension, so every
+    * bucket's (x, y, w) bounding box must span ≤ 255 per axis vs
+    * the 1023-wide global domain — parquet footer min/max stats
+    * prune on ANY of the three columns from a z-sorted layout.
+    *
+    * Scale shape: key is map-side bit arithmetic (codegen'd, no
+    * exchange); the audit groupBy carries 64 keys. */
+  val q132 = Qry(
+    "q132_zorder3d",
+    (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .select(
+          (col("l_partkey").cast("long") % 1024).as("x"),
+          (col("l_suppkey").cast("long") % 1024).as("y"),
+          (col("l_orderkey").cast("long") % 1024).as("w"))
+        .withColumn("z", ZOrder.interleave(
+          Seq(col("x"), col("y"), col("w")), bits = 10))
+        .withColumn("zbucket", expr("z div 16777216"))
+        .groupBy(col("zbucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          (max(col("x")) - min(col("x"))).as("x_span"),
+          (max(col("y")) - min(col("y"))).as("y_span"),
+          (max(col("w")) - min(col("w"))).as("w_span"))
+        .orderBy(col("zbucket"))
+    },
+    Some(s"""
+      WITH pts AS (
+        SELECT CAST(l_partkey AS BIGINT) % 1024 AS x,
+               CAST(l_suppkey AS BIGINT) % 1024 AS y,
+               CAST(l_orderkey AS BIGINT) % 1024 AS w
+        FROM lineitem),
+      keyed AS (
+        SELECT x, y, w,
+               ${morton3Sql("x", "y", "w")} // 16777216 AS zbucket
+        FROM pts)
+      SELECT zbucket, COUNT(*) AS n,
+             MAX(x) - MIN(x) AS x_span,
+             MAX(y) - MIN(y) AS y_span,
+             MAX(w) - MIN(w) AS w_span
+      FROM keyed GROUP BY zbucket ORDER BY zbucket"""))
+
+  val all: Seq[Qry] = Seq(q106, q108, q116, q125, q132)
 }

@@ -169,6 +169,57 @@ class SeriesLayoutSpec extends SparkSpec {
     assert(spans._1 <= 127 && spans._2 <= 127)
   }
 
+  test("N-dim interleave at dims=2 reproduces interleave16 bit-for-bit") {
+    val df = spark.range(4096).select(
+      ((col("id") * 2654435761L) % 65536).as("x"),
+      ((col("id") * 40503L) % 65536).as("y"))
+    val diff = df.select(
+        ZOrder.interleave16(col("x"), col("y")).as("a"),
+        ZOrder.interleave(Seq(col("x"), col("y")), bits = 16).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("3-D morton key is a bijection on an 8x8x8 grid") {
+    val df = spark.range(512).select(
+      (col("id") % 8).as("x"),
+      ((col("id") / 8) % 8).cast("long").as("y"),
+      (col("id") / 64).cast("long").as("w"))
+    val keys = df.select(
+      ZOrder.interleave(Seq(col("x"), col("y"), col("w")), bits = 3)
+        .as("z"))
+    assert(keys.distinct().count() == 512)
+    assert(keys.agg(max("z"), min("z")).as[(Long, Long)].head() ==
+      ((511L, 0L)))
+  }
+
+  test("fixing high 3-D curve bits bounds ALL THREE coordinate spans") {
+    // 10-bit coords, bucket on the top 6 of 30 z bits: top 2 bits of
+    // each dim pinned -> every bbox fits a 256^3 cell.
+    val df = spark.range(8192).select(
+      ((col("id") * 2654435761L) % 1024).as("x"),
+      ((col("id") * 40503L) % 1024).as("y"),
+      ((col("id") * 69069L) % 1024).as("w"))
+    val spans = df
+      .withColumn("z",
+        ZOrder.interleave(Seq(col("x"), col("y"), col("w")), bits = 10))
+      .withColumn("b", expr("z div 16777216"))
+      .groupBy("b")
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"),
+        (max("w") - min("w")).as("ws"))
+      .agg(max("xs"), max("ys"), max("ws")).as[(Long, Long, Long)].head()
+    assert(spans._1 <= 255 && spans._2 <= 255 && spans._3 <= 255, spans)
+  }
+
+  test("spreadBits rejects overflow and degenerate shapes") {
+    intercept[IllegalArgumentException] {
+      ZOrder.spreadBits(col("x"), dims = 4, bits = 16) // 64 > 63
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.interleave(Seq.empty, bits = 8)
+    }
+  }
+
   test("empty inputs: interval merge and skyline return empty, not error") {
     val noIv = Seq.empty[(Long, Long, Long, Long)].toDF("k", "id", "s", "e")
     assert(Intervals.merge(noIv, "k", "s", "e", "id").count() == 0)
