@@ -46,7 +46,8 @@ object Multimodal {
       bits_per_sample: Option[Int],
       duration_ms: Option[Long],
       brand: Option[String],
-      n_tracks: Option[Int])
+      n_tracks: Option[Int],
+      n_components: Option[Int]) // JPEG color components (1/3/4)
 
   /** Pixel-level features from a full ImageIO decode. */
   final case class ImageFeatures(
@@ -92,6 +93,50 @@ object Multimodal {
         be32(b, 8) == 13 && tag(b, 12) == "IHDR")
       Some((be32(b, 16), be32(b, 20), b(24) & 0xff, b(25) & 0xff))
     else None
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** JPEG: SOI (FFD8), then a marker-segment walk — each segment is
+    * [FF][marker][u16 len INCLUDING the two length bytes], except
+    * standalone markers (TEM, RSTn) and FF fill bytes. Dimensions
+    * live in the first SOFn frame header (C0–CF minus C4 DHT, C8
+    * JPG, CC DAC): [len][precision u8][height u16][width u16]
+    * [nComponents u8]. Same hostile-input rules as the RIFF/BMFF
+    * walks: validated lengths, strict advance, bail at SOS/EOI
+    * without a SOF (a scan before any frame header is malformed
+    * for our purposes).
+    * @return (width, height, precision, nComponents) */
+  def probeJpeg(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8)
+      return None
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xFF) return None
+      // any number of FF fill bytes may precede the marker code
+      var j = i + 1
+      while (j + 1 < b.length && (b(j) & 0xff) == 0xFF) j += 1
+      val m = b(j) & 0xff
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i = j + 1 // standalone
+      else if (m == 0xD9 || m == 0xDA) return None // EOI/SOS, no SOF
+      else if (j + 3 > b.length) return None
+      else {
+        val len = be16(b, j + 1)
+        if (len < 2 || j + 1 + len > b.length) return None
+        val isSof = m >= 0xC0 && m <= 0xCF &&
+          m != 0xC4 && m != 0xC8 && m != 0xCC
+        if (isSof) {
+          // body: precision u8, height u16, width u16, nComponents u8
+          return if (len >= 8)
+            Some((be16(b, j + 6), be16(b, j + 4),
+              b(j + 3) & 0xff, b(j + 8) & 0xff))
+          else None
+        }
+        i = j + 1 + len
+      }
+    }
+    None
+  }
 
   /** WAV/RIFF: "RIFF" size "WAVE", then a chunk walk for "fmt "
     * (channels, sample rate, bits/sample) and "data" (payload size →
@@ -210,22 +255,28 @@ object Multimodal {
           case Some((w, h, depth, color)) =>
             MediaProbe(r.media_id, b.length.toLong, "png",
               Some(w), Some(h), Some(depth), Some(color),
-              None, None, None, None, None, None)
+              None, None, None, None, None, None, None)
           case None => probeWav(b) match {
             case Some((ch, rate, bits, durMs)) =>
               MediaProbe(r.media_id, b.length.toLong, "wav",
                 None, None, None, None,
                 Some(ch), Some(rate), Some(bits), Some(durMs),
-                None, None)
+                None, None, None)
             case None => probeMp4(b) match {
               case Some((brand, durMs, tracks)) =>
                 MediaProbe(r.media_id, b.length.toLong, "mp4",
                   None, None, None, None, None, None, None,
-                  Some(durMs), Some(brand), Some(tracks))
-              case None =>
-                MediaProbe(r.media_id, b.length.toLong, "unknown",
-                  None, None, None, None, None, None, None, None,
-                  None, None)
+                  Some(durMs), Some(brand), Some(tracks), None)
+              case None => probeJpeg(b) match {
+                case Some((w, h, prec, ncomp)) =>
+                  MediaProbe(r.media_id, b.length.toLong, "jpeg",
+                    Some(w), Some(h), Some(prec), None,
+                    None, None, None, None, None, None, Some(ncomp))
+                case None =>
+                  MediaProbe(r.media_id, b.length.toLong, "unknown",
+                    None, None, None, None, None, None, None, None,
+                    None, None, None)
+              }
             }
           }
         }
@@ -355,6 +406,37 @@ object Multimodal {
       box("trak", box("tkhd", tkhd))
     }
     ftyp ++ box("moov", mvhd ++ traks.flatten)
+  }
+
+  /** Minimal VALID JPEG/JFIF: SOI, APP0 JFIF (version 1.1, aspect
+    * 1:1, no thumbnail), SOF0 baseline frame header with real
+    * precision/height/width/components, EOI — enough for any
+    * header-level reader, no entropy-coded scan (the PNG-without-
+    * IDAT posture). Deterministic layout: total bytes =
+    * 32 + 3·nComponents. */
+  def synthJpeg(width: Int, height: Int, precision: Int = 8,
+      nComponents: Int = 3): Array[Byte] = {
+    require(nComponents >= 1 && nComponents <= 4,
+      s"nComponents must be 1..4, got $nComponents")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      out.write(Array((v >>> 8).toByte, v.toByte))
+    def m(code: Int): Unit =
+      out.write(Array(0xFF.toByte, code.toByte))
+    m(0xD8)                               // SOI
+    m(0xE0); w16(16)                      // APP0, len 16
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1)            // version 1.1
+    out.write(0); w16(1); w16(1)          // aspect units + 1:1
+    out.write(0); out.write(0)            // no thumbnail
+    m(0xC0); w16(8 + 3 * nComponents)     // SOF0
+    out.write(precision); w16(height); w16(width)
+    out.write(nComponents)
+    (1 to nComponents).foreach { cid =>
+      out.write(cid); out.write(0x11); out.write(0)
+    }
+    m(0xD9)                               // EOI
+    out.toByteArray
   }
 
   /** Metadata-only path (no decode): pure column expressions so the

@@ -144,5 +144,48 @@ object MultimodalQ {
       FROM documents WHERE doc_id < 200
       ORDER BY media_id"""))
 
-  val all: Seq[Qry] = Seq(q41, q42, q119)
+  /** The encode→probe differential for the JPEG image kind, rounding
+    * out PNG (q42) and MP4 (q119): real JFIF containers (SOI, APP0,
+    * SOF0 frame header, EOI) synthesized with id-derived dimensions/
+    * precision/components, marker-walked back by
+    * [[Multimodal.probeJpeg]], checked against the oracle's direct
+    * parameter recomputation — any length/offset/endianness defect
+    * in the segment walk breaks the match. Layout is deterministic
+    * (32 + 3·nComponents bytes), so n_bytes is part of the oracle. */
+  val q133 = Qry(
+    "q133_media_jpeg_probe",
+    (s: SparkSession, d: String) => {
+      val session = s
+      import session.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val payload = Multimodal.synthJpeg(
+            width = ((id * 11) % 1024 + 1).toInt,
+            height = ((id * 13) % 768 + 1).toInt,
+            precision = 8,
+            nComponents = if (id % 3 == 0) 1 else 3)
+          Multimodal.MediaRecord(id, "image", payload, "synth")
+        }
+      Multimodal.probe(media).toDF()
+        .select(col("media_id"), col("format"), col("n_bytes"),
+          col("width"), col("height"), col("bit_depth"),
+          col("n_components"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             'jpeg' AS format,
+             CAST(32 + 3 * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END)
+               AS BIGINT) AS n_bytes,
+             CAST((doc_id * 11) % 1024 + 1 AS INTEGER) AS width,
+             CAST((doc_id * 13) % 768 + 1 AS INTEGER) AS height,
+             CAST(8 AS INTEGER) AS bit_depth,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
+               AS INTEGER) AS n_components
+      FROM documents WHERE doc_id < 200
+      ORDER BY media_id"""))
+
+  val all: Seq[Qry] = Seq(q41, q42, q119, q133)
 }

@@ -283,4 +283,29 @@ object StreamOps {
           .as("sum_tokens"),
         sum(floor(col("__q") * lit(1e6) + lit(0.5))).as("sum_qm"))
   }
+
+  /** Streaming VARIANT ingest — q124's semi-structured parse path
+    * running per micro-batch: each record's JSON payload is parsed
+    * ONCE to a Spark-4 VARIANT, typed fields come out through
+    * `variant_get` paths (object step, nested step, array index),
+    * and the stream folds into the same per-type additive aggregate
+    * the batch query produces (counts and long sums — mergeable
+    * across triggers, so cross-batch totals equal the batch answer
+    * on the union of all micro-batches; the spec pins this).
+    *
+    * Scale shape: parse + extraction are per-row expressions inside
+    * the micro-batch (no UDF, no extra exchange); streaming state is
+    * one row per distinct vtype. Run in `complete` or `update`
+    * output mode. */
+  def variantIngest(records: DataFrame, jsonCol: String): DataFrame =
+    records
+      .withColumn("__v", parse_json(col(jsonCol)))
+      .select(
+        expr("variant_get(__v, '$.meta.type', 'string')").as("vtype"),
+        expr("variant_get(__v, '$.meta.uid', 'long')").as("uid"),
+        expr("variant_get(__v, '$.ks[1]', 'long')").as("k2"))
+      .groupBy(col("vtype"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("uid")).as("sum_uid"),
+        sum(col("k2")).as("sum_k2"))
 }

@@ -219,4 +219,60 @@ class MediaSpec extends SparkSpec {
     assert(viaProbe.width.contains(viaDecode.width))
     assert(viaProbe.height.contains(viaDecode.height))
   }
+
+  /** A genuine JPEG from the JDK encoder, solid-filled. */
+  private def realJpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  test("probeJpeg parses a JDK-encoded REAL JPEG's frame header") {
+    // the JDK writer emits JFIF APP0 + quant/huffman tables before
+    // SOF0 — the marker walk must skip them all correctly
+    val p = probeOne(realJpeg(29, 13, 0x4080c0))
+    assert(p.format == "jpeg", p.format)
+    assert(p.width.contains(29) && p.height.contains(13))
+    assert(p.bit_depth.contains(8))
+    assert(p.n_components.contains(3))
+    // and the full ImageIO decode agrees with the header walk
+    val viaDecode = Multimodal.decodeImages(
+      Seq(MediaRecord(1L, "image", realJpeg(29, 13, 0x4080c0), "t"))
+        .toDS()).collect().head
+    assert(p.width.contains(viaDecode.width) &&
+      p.height.contains(viaDecode.height))
+  }
+
+  test("probeJpeg round-trips synthJpeg; layout size is exact") {
+    for ((w, h, nc) <- Seq((1, 1, 1), (1024, 768, 3), (65535, 65535, 4))) {
+      val b = Multimodal.synthJpeg(w, h, precision = 8, nComponents = nc)
+      assert(b.length == 32 + 3 * nc)
+      assert(Multimodal.probeJpeg(b).contains((w, h, 8, nc)),
+        s"($w,$h,$nc)")
+    }
+  }
+
+  test("probeJpeg hostile inputs: truncation, SOS-before-SOF, fill bytes") {
+    val good = Multimodal.synthJpeg(100, 50)
+    // any truncation before the SOF body must fail cleanly, not throw
+    (0 until 30).foreach { n =>
+      assert(Multimodal.probeJpeg(good.take(n)).isEmpty, s"take($n)")
+    }
+    // a scan marker before any frame header bails
+    val sosFirst = Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 0x00, 0x00)
+      .map(_.toByte)
+    assert(Multimodal.probeJpeg(sosFirst).isEmpty)
+    // FF fill bytes before a marker are skipped per spec
+    val padded = good.take(2) ++ Array(0xFF.toByte) ++ good.drop(2)
+    assert(Multimodal.probeJpeg(padded).contains((100, 50, 8, 3)))
+    // a segment length lying past EOF bails
+    val lying = good.clone()
+    lying(4) = 0x7F.toByte // APP0 len hi byte -> huge
+    assert(Multimodal.probeJpeg(lying).isEmpty)
+    // non-JPEG bytes
+    assert(Multimodal.probeJpeg("not a jpeg".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.probeJpeg(Multimodal.synthPng(4, 4)).isEmpty)
+  }
 }

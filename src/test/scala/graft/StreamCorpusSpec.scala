@@ -68,4 +68,42 @@ class StreamCorpusSpec extends SparkSpec {
     assert(got == batch, s"incremental $got vs batch $batch")
     assert(got("en")._1 == 2L) // the duplicate did not double-count
   }
+
+  test("streaming VARIANT ingest equals the batch aggregate across " +
+      "micro-batch boundaries (q124's parse path per trigger)") {
+    implicit val sqlCtx = spark.sqlContext
+    // same payload construction as q124: meta object + integer array,
+    // built with to_json(struct(...)) so escaping/null semantics are
+    // the batch query's exactly
+    def payload(df: org.apache.spark.sql.DataFrame) =
+      df.select(to_json(struct(
+        struct($"event_type".as("type"), $"user_id".as("uid")).as("meta"),
+        array($"k", $"k" + 1).as("ks"))).as("payload"))
+
+    val in = MemoryStream[(String, Long, Long)]
+    val out = StreamOps.variantIngest(
+      payload(in.toDF().toDF("event_type", "user_id", "k")), "payload")
+    val q = out.writeStream.format("memory").queryName("vingest")
+      .outputMode("complete").start()
+    val b1 = Seq(("click", 10L, 5L), ("view", 20L, 7L), ("click", 30L, 9L))
+    val b2 = Seq(("view", 5L, 1L), ("click", 2L, 3L), ("signup", 100L, 50L))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("vingest")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // batch recompute: the SAME operator over the union of both
+    // micro-batches (variantIngest is plain DataFrame algebra, so it
+    // runs unchanged in batch) — cross-batch merge must be exact
+    val want = StreamOps.variantIngest(
+        payload((b1 ++ b2).toDF("event_type", "user_id", "k")), "payload")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want, s"stream $got vs batch $want")
+    // hand-pinned: clicks (10,5)(30,9)(2,3) -> n=3, uid=42, k2=20
+    assert(got.contains(("click", 3L, 42L, 20L)), got)
+    assert(got.size == 3)
+  }
 }
