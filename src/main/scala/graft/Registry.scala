@@ -14,5 +14,6 @@ object Registry {
       queries.CurateQ.all ++ queries.Windows2.all ++
       queries.ComponentsQ.all ++ queries.Pipeline.all ++
       queries.CorpusQ.all ++ queries.Stats.all ++
-      queries.SeriesQ.all ++ queries.LayoutQ.all
+      queries.SeriesQ.all ++ queries.LayoutQ.all ++
+      queries.Signals.all
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus bigram language model + per-document likelihood scoring —
+  * the classic cheap "perplexity-ish" quality signal (a small LM
+  * scores every candidate document; statistical outliers are gibberish
+  * or boilerplate). The model is add-one-smoothed bigram transition
+  * probability p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V) with c(w1·) the
+  * bigram-prefix count and V the corpus unigram vocabulary; a document
+  * scores the MEAN transition probability over its bigrams.
+  *
+  * Mean probability (not mean log-prob) is deliberate: every p is a
+  * ratio of exact counts — one IEEE division — and is snapped to
+  * integer nano-units before the per-document sum, so both engines
+  * aggregate INTEGERS in any order and the final mean is one integer
+  * division. A log-based score would hash-differently across engines
+  * (libm ln is not guaranteed correctly rounded); the ranking this
+  * signal exists for is monotone-equivalent under mean-p vs docs of
+  * equal length anyway.
+  *
+  * Scale shape: training is one (w1,w2) count shuffle over the
+  * map-side gram stream (partial-aggregable); prefix counts derive
+  * from the model itself (model-sized, not corpus-sized); scoring
+  * re-joins the gram stream to the model on (w1,w2) — a plain
+  * equi-join that AQE can broadcast when the model is small and
+  * shuffle when it isn't — then one per-document aggregate. Nothing
+  * is ever collected to the driver.
+  */
+object BigramLm {
+
+  private val US = "\u001f"
+
+  /** Per-document mean transition probability under the corpus's own
+    * add-one bigram model.
+    * @return (idCol, n_trans, score_nano): n_trans = #bigrams in the
+    *         doc, score_nano = floor-mean of floor(p·1e9+0.5) —
+    *         integer, deterministic; score_nano/1e9 ≈ mean p. Docs
+    *         with < 2 tokens (no transitions) are absent. */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val pairs = docs
+      .select(col(idCol), explode(TextOps.grams(toks, 2)).as("g"))
+      .select(col(idCol),
+        substring_index(col("g"), US, 1).as("w1"),
+        substring_index(col("g"), US, -1).as("w2"))
+    val model = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val prefix = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = pairs
+      .join(model, Seq("w1", "w2"))
+      .join(prefix, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        floor((col("c12") + lit(1)).cast("double")
+            / (col("c1") + col("v")).cast("double") * lit(1e9) + lit(0.5))
+          .cast("long").as("p_nano"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("p_nano")).as("s_nano"))
+      .select(col(idCol), col("n_trans"),
+        expr("s_nano div n_trans").as("score_nano"))
+  }
+}

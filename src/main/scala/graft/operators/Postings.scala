@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Positional inverted index + phrase query — the IR-engine building
+  * block next to BM25 (queries/Text.scala q95): a postings RELATION
+  * (term, doc, position) rather than a collected per-term list, which
+  * is exactly the form that scales — per-term posting arrays grow
+  * unboundedly with the corpus, while the relation form stays a plain
+  * columnar table that sorts/buckets by term and joins by document.
+  * Phrase matching is the classic positional-intersection: a phrase
+  * "w1 w2" matches wherever the posting of w1 at position p meets the
+  * posting of w2 at p+1 — an equi-join on (doc, adjacent position),
+  * never a rescan of the text.
+  *
+  * Scale shape: the index build is one map-side posexplode (no
+  * shuffle at all until a consumer keys by term); the phrase
+  * intersection shuffles only the two terms' postings (term-pruned —
+  * predicate pushdown on term when the index is stored term-bucketed
+  * parquet), and the per-document hit roll-up is partial-aggregable.
+  */
+object Postings {
+
+  /** Positional postings: one row per token occurrence.
+    * @return (idCol, pos, tok) with pos 1-based */
+  def positional(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+
+  /** All occurrences of the two-token phrase (w1Col, w2Col) — passed
+    * as a ONE-ROW DataFrame so data-derived phrases stay inside the
+    * plan (broadcast, no driver round-trip).
+    * @return (idCol, pos) of each phrase start */
+  def phraseHits(postings: DataFrame, idCol: String,
+      phrase: DataFrame, w1Col: String, w2Col: String): DataFrame = {
+    // p2's columns are renamed so the positional intersection below is
+    // an unambiguous equi-join (p1/p2 share the postings lineage)
+    val p1 = postings.join(broadcast(phrase),
+      postings("tok") === phrase(w1Col))
+      .select(col(idCol), col("pos"))
+    val p2 = postings.join(broadcast(phrase),
+      postings("tok") === phrase(w2Col))
+      .select(col(idCol).as("__id2"), col("pos").as("__pos2"))
+    p1.join(p2, col("__id2") === col(idCol) &&
+        col("__pos2") === col("pos") + 1)
+      .select(col(idCol), col("pos"))
+  }
+
+  /** The corpus's most frequent bigram as a one-row (w1, w2) frame —
+    * deterministic tiebreak by gram text. */
+  def topBigram(docs: DataFrame, textCol: String): DataFrame = {
+    val us = "\u001f"
+    docs.select(explode(
+        TextOps.grams(TextOps.tokens(col(textCol)), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g"))
+      .limit(1)
+      .select(substring_index(col("g"), us, 1).as("w1"),
+        substring_index(col("g"), us, -1).as("w2"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid, "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011) — the vector-compression
+  * half of an IVF-PQ ANN index: the d-dim space is split into `subs`
+  * contiguous sub-spaces, each quantized independently against a
+  * small per-sub-space codebook, so a vector stores as `subs` small
+  * codes instead of d floats (here 4 codes ≈ 2 bytes vs 64 doubles —
+  * a 256× compression) and approximate distances are computed from a
+  * per-query LOOKUP TABLE without touching the original vectors —
+  * asymmetric distance computation (ADC).
+  *
+  * Codebooks here are seed-row sub-vectors (the first k corpus rows
+  * per sub-space — the deterministic stand-in for per-sub-space
+  * k-means, whose Lloyd step is q92/q93's machinery), which keeps
+  * every step an exact cross-engine expression.
+  *
+  * Scale shape — why PQ is THE 100 TB ANN form:
+  *  - the codebook is subs·k tiny rows — always broadcast;
+  *  - encoding is a broadcast join + partial-aggregable argmin per
+  *    (row, sub-space): one exchange of pre-combined code rows, and
+  *    the 64-float vectors never move again afterwards;
+  *  - a query's LUT (subs·k distances) is computed once and
+  *    broadcast; scoring the whole corpus is a broadcast lookup join
+  *    on (sub-space, code) + an integer sum per candidate — no
+  *    vector math per candidate at all;
+  *  - composed with IVF (operators/Similarity.scala q33) the lookup
+  *    scan runs over one cell's candidates only.
+  *
+  * Determinism: every distance is snapped to integer micro-units
+  * (floor(d²·1e6+0.5)) BEFORE argmin/sum, so ties in code assignment
+  * and in the final ranking break identically in any engine and any
+  * aggregation order.
+  */
+object Pq {
+
+  private def vd(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+
+  /** Squared L2 of two vectors in integer micro-units, as one
+    * identical IEEE chain: ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩ then snap. */
+  private def d2Micro(a: Column, b: Column): Column =
+    floor((vd(a, a) - lit(2.0) * vd(a, b) + vd(b, b)) * lit(1e6)
+      + lit(0.5)).cast("long")
+
+  /** Codebook from the first k corpus rows: for sub-space j ∈
+    * [0,subs), centroid m is the j-th slice of row m's vector.
+    * @return (j, m, cvec) — subs·k rows, always broadcast-sized */
+  def codebook(corpus: DataFrame, idCol: String, embCol: String,
+      subs: Int, subDim: Int, k: Int): DataFrame =
+    corpus.filter(col(idCol) < k)
+      .select(explode(array((0 until subs).map(j =>
+        struct(lit(j).as("j"), col(idCol).cast("long").as("m"),
+          slice(col(embCol), j * subDim + 1, subDim).as("cvec"))): _*))
+        .as("cb"))
+      .select(col("cb.*"))
+
+  /** PQ-encode every row: per (row, sub-space) the argmin-distance
+    * centroid, ties to the lower code. The cross join is against the
+    * BROADCAST codebook; the argmin is a partial-aggregable
+    * min(struct) — the exchange carries one row per (id, sub-space).
+    * @return (idCol, j, code, dm) with dm the micro-unit distance to
+    *         the chosen centroid */
+  def encode(corpus: DataFrame, idCol: String, embCol: String,
+      cb: DataFrame, subDim: Int): DataFrame =
+    corpus.crossJoin(broadcast(cb))
+      .select(col(idCol), col("j"), col("m"),
+        d2Micro(slice(col(embCol), col("j") * lit(subDim) + lit(1),
+          lit(subDim)), col("cvec")).as("dm"))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(struct(col("dm"), col("m"))).as("a"))
+      .select(col(idCol), col("j"), col("a.m").as("code"),
+        col("a.dm").as("dm"))
+
+  /** ADC top-k: for each query row, the k nearest corpus rows by
+    * PQ-estimated distance Σ_j d²(q_j, centroid[code_j]). The LUT
+    * (query × codebook distances) is broadcast; scoring is a lookup
+    * join + integer sum; ranking snaps on (est, id).
+    * @return (q_id, rank, n_id, est_micro) */
+  def adcTopK(queries: DataFrame, qIdCol: String, qEmbCol: String,
+      encoded: DataFrame, encIdCol: String, cb: DataFrame,
+      subDim: Int, k: Int): DataFrame = {
+    // lut columns are renamed (qj/qm) so the join below can't trip
+    // self-join ambiguity — cb is in BOTH lineages
+    val lut = queries.crossJoin(broadcast(cb))
+      .select(col(qIdCol).as("q_id"), col("j").as("qj"),
+        col("m").as("qm"),
+        d2Micro(slice(col(qEmbCol), col("j") * lit(subDim) + lit(1),
+          lit(subDim)), col("cvec")).as("qdm"))
+    val est = encoded
+      .join(broadcast(lut),
+        col("j") === col("qj") && col("code") === col("qm"))
+      .filter(col("q_id") =!= col(encIdCol))
+      .groupBy(col("q_id"), col(encIdCol))
+      .agg(sum(col("qdm")).as("est_micro"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("est_micro"), col(encIdCol))
+    est.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col(encIdCol).as("n_id"), col("est_micro"))
+  }
+
+  /** Exact squared-L2 top-k for a bounded query set — the ground
+    * truth an ADC ranking is measured against (the analogue of
+    * [[Similarity.topKBrute]] in the PQ's own metric).
+    * @return (q_id, rank, n_id, dm) */
+  def exactTopK(queries: DataFrame, qIdCol: String, qEmbCol: String,
+      corpus: DataFrame, idCol: String, embCol: String, k: Int)
+      : DataFrame = {
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qEmbCol).as("q_emb"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        d2Micro(col("q_emb"), col(embCol)).as("dm"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dm"), col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("n_id"), col("dm"))
+  }
+}

@@ -35,6 +35,19 @@ object TextOps {
   /** Exact word count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Order-preserving word n-grams over a token array, each gram the
+    * n consecutive tokens joined with the 0x1f unit separator (no
+    * legal corpus token contains it). Built map-side from the array —
+    * position i of the result covers tokens [i, i+n) — and empty when
+    * the document has fewer than n tokens, so explode-consumers never
+    * see a partial gram. */
+  def grams(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else transform(
+      slice(toks, lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
+      (x, i) => concat_ws("\u001f",
+        x +: (1 until n).map(k => element_at(toks, i + lit(k + 1))): _*))
+
   // ---- real BPE (byte-pair encoding) tokenization ----------------
   //
   // True iterative pair merging against a LITERAL merge table in

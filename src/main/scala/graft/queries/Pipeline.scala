@@ -600,6 +600,25 @@ object Pipeline {
                    LEFT JOIN nleaks n ON s.split = n.split
       ORDER BY s.split"""))
 
+  /** q134 — the 100 TB headline form of the q122 table profile:
+    * sketch-only (`exact = false`), a plain partial+final aggregate
+    * with HLL state per column — NO Expand, no exact-countDistinct
+    * second pass (q122 keeps that leg because its job is cross-engine
+    * sketch VERIFICATION; at scale a profile runs this form).
+    * No oracle by design: the sketch estimates are engine-specific,
+    * so a DuckDB hash-match is impossible — `QualitySpec` bands the
+    * estimates against exact counts and plan-locks the Expand-free
+    * shape instead; the driver records the rows-only check. */
+  val q134 = Qry(
+    "q134_table_profile_sketch",
+    (s: SparkSession, d: String) =>
+      graft.operators.Quality.profile(
+          Tables.lineitem(s, d),
+          numericCols = Seq("l_orderkey", "l_quantity", "l_discount"),
+          otherCols = Seq("l_returnflag"), exact = false)
+        .orderBy(col("col_name")),
+    None)
+
   val all: Seq[Qry] =
-    Seq(q63, q64, q65, q67, q68, q74, q75, q76, q117, q122, q128)
+    Seq(q63, q64, q65, q67, q68, q74, q75, q76, q117, q122, q128, q134)
 }

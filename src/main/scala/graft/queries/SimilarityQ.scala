@@ -297,5 +297,90 @@ object SimilarityQ {
       LEFT JOIN hits USING (q_id)
       ORDER BY qq.q_id"""))
 
-  val all: Seq[Qry] = Seq(q31, q32, q33, q34, q71, q113)
+  /** q137 — product-quantization ADC ANN ([[graft.operators.Pq]]):
+    * 64-dim vectors PQ-encoded as 4 sub-space codes against seed-row
+    * codebooks; 5 query vectors ranked over the WHOLE corpus purely
+    * from their broadcast lookup tables (no per-candidate vector
+    * math), with each estimated-top-10 row marked against the exact
+    * squared-L2 top-10 (`hit`). The oracle re-derives codebooks,
+    * codes, LUTs, the ADC ranking, and the exact ranking from the
+    * raw embeddings. All distances snap to integer micro-units
+    * before argmin/sum/rank — tie-proof in both engines. */
+  val q137 = Qry(
+    "q137_pq_adc_ann",
+    (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cb = graft.operators.Pq.codebook(
+        e, "vec_id", "embedding", subs = 4, subDim = 16, k = 16)
+      val enc = graft.operators.Pq.encode(
+        e, "vec_id", "embedding", cb, subDim = 16)
+      val q = e.filter(col("vec_id") < 5)
+      val est = graft.operators.Pq.adcTopK(
+        q, "vec_id", "embedding", enc, "vec_id", cb, subDim = 16, k = 10)
+      val exact = graft.operators.Pq.exactTopK(
+        q, "vec_id", "embedding", e, "vec_id", "embedding", k = 10)
+      est.join(
+          exact.select(col("q_id"), col("n_id"), lit(true).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .select(col("q_id"), col("rank"), col("n_id"),
+          (col("est_micro").cast("double") / lit(1e6)).as("est_d2"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      def d2MicroSql(a: String, b: String) =
+        s"""CAST(FLOOR((${dotSql(a, a)} - 2.0 * ${dotSql(a, b)}
+            + ${dotSql(b, b)}) * 1e6 + 0.5) AS BIGINT)"""
+      val eSlice = "e.embedding[cb.j*16+1:(cb.j+1)*16]"
+      val qSlice = "q.embedding[cb.j*16+1:(cb.j+1)*16]"
+      s"""
+      WITH cb AS (
+        SELECT j, vec_id AS m, embedding[j*16+1:(j+1)*16] AS cvec
+        FROM embeddings, (VALUES (0),(1),(2),(3)) t(j)
+        WHERE vec_id < 16),
+      enc0 AS (
+        SELECT e.vec_id, cb.j, cb.m,
+               ${d2MicroSql(eSlice, "cb.cvec")} AS dm
+        FROM embeddings e CROSS JOIN cb),
+      enc AS (
+        SELECT vec_id, j, m AS code FROM (
+          SELECT vec_id, j, m,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                   ORDER BY dm, m) AS rn
+          FROM enc0) WHERE rn = 1),
+      lut AS (
+        SELECT q.vec_id AS q_id, cb.j, cb.m,
+               ${d2MicroSql(qSlice, "cb.cvec")} AS qdm
+        FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 5),
+      est AS (
+        SELECT l.q_id, e.vec_id AS n_id,
+               CAST(SUM(l.qdm) AS BIGINT) AS est_micro
+        FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.m
+        WHERE e.vec_id <> l.q_id
+        GROUP BY l.q_id, e.vec_id),
+      er AS (
+        SELECT q_id, n_id, est_micro,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY est_micro, n_id) AS rank
+        FROM est),
+      ex0 AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               ${d2MicroSql("q.embedding", "e.embedding")} AS dm
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+      ex AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY dm, n_id) AS rank
+          FROM ex0) WHERE rank <= 10)
+      SELECT er.q_id, CAST(er.rank AS BIGINT) AS rank, er.n_id,
+             CAST(er.est_micro AS DOUBLE) / 1e6 AS est_d2,
+             (ex.n_id IS NOT NULL) AS hit
+      FROM er LEFT JOIN ex ON er.q_id = ex.q_id AND er.n_id = ex.n_id
+      WHERE er.rank <= 10
+      ORDER BY er.q_id, er.rank"""
+    })
+
+  val all: Seq[Qry] = Seq(q31, q32, q33, q34, q71, q113, q137)
 }
