@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** User-journey mining over an event stream: the time-bounded
+  * conversion funnel and frequent event-path extraction — the two
+  * product-analytics staples that complement q89 (retention cohorts),
+  * q109 (single-step transition matrix) and q37 (sessionization).
+  *
+  * Scale shape:
+  *  - The funnel is one user-keyed aggregate per step plus one
+  *    user-keyed join per step — every exchange is on the SAME key,
+  *    so co-partitioning is reused stage to stage, and each stage's
+  *    frame shrinks monotonically (users who reached step i). No
+  *    window over the raw stream, no per-user state larger than one
+  *    timestamp.
+  *  - Path mining groups each user's events once (the per-user
+  *    event list is the only super-row state — bounded by per-user
+  *    activity; at 100 TB sessionize first and key by session), then
+  *    n-grams the type sequence MAP-SIDE ([[TextOps.grams]]) and
+  *    counts paths in one partial-aggregable shuffle.
+  *
+  * Determinism: all time arithmetic is integer microseconds
+  * (`unix_micros`), sequence order ties break on the event id, and
+  * every emitted aggregate is integer-valued.
+  */
+object Journeys {
+
+  /** Time-bounded funnel: step 1 anchors at the user's FIRST
+    * occurrence of `steps.head`; each later step matches the user's
+    * first occurrence of that type STRICTLY after the previous
+    * step's match and within `windowSec` of it.
+    * @return (userCol, stage, t) — stage 1-based; a user appears for
+    *         exactly the prefix of stages they reached */
+  def funnelTimes(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnelTimes: steps must be non-empty")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    val stages = steps.tail.scanLeft(first) { (prev, step) =>
+      val anchor = prev.select(col(userCol).as("__u"),
+        unix_micros(col("t")).as("__pt"))
+      events.filter(col(typeCol) === step)
+        .join(anchor, col(userCol) === col("__u"))
+        .filter(unix_micros(col(tsCol)) > col("__pt") &&
+          unix_micros(col(tsCol)) <= col("__pt")
+            + lit(windowSec * 1000000L))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    }
+    stages.zipWithIndex
+      .map { case (df, i) => df.select(col(userCol),
+        lit(i + 1L).as("stage"), col("t")) }
+      .reduce(_ unionByName _)
+  }
+
+  /** Top event paths: each user's type sequence (ordered by ts, ties
+    * by `tiebreakCol`) n-grammed and counted corpus-wide.
+    * @return (path, n) with path the '>'-joined type n-gram */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tiebreakCol: String, n: Int, k: Int): DataFrame = {
+    val seqs = events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("t"), col(tiebreakCol).as("i"),
+        col(typeCol).as("y")))).as("s"))
+      .select(transform(col("s"), x => x.getField("y")).as("types"))
+    seqs.select(explode(TextOps.grams(col("types"), n)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("g"))
+      .limit(k)
+      .select(translate(col("g"), "\u001f", ">").as("path"), col("n"))
+  }
+}
