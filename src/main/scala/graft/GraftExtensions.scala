@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression,
   ExpressionInfo}
 
-import graft.functions.{ShingleNGrams, VecDot, VectorizeDotProduct}
+import graft.functions.{Hilbert2D, ShingleNGrams, VecDot,
+  VectorizeDotProduct}
 
 /** Engine extension point (SparkSessionExtensions): registers the
   * native [[graft.functions.VecDot]] kernel as SQL function
@@ -52,6 +53,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             { case i: Int => i; case l: Long if l.isValidInt => l.toInt }),
           const[Boolean](children(2), "boolean distinct",
             { case b: Boolean => b }))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert2d"),
+      new ExpressionInfo(classOf[Hilbert2D].getName, "hilbert2d"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"hilbert2d expects (x, y, bits), got ${children.size}")
+        val bitsExpr = children(2)
+        require(bitsExpr.foldable,
+          s"hilbert2d: bits must be a literal, got ${bitsExpr.sql}")
+        val bits = bitsExpr.eval() match {
+          case i: Int => i
+          case l: Long if l.isValidInt => l.toInt
+          case v => throw new IllegalArgumentException(
+            s"hilbert2d: bits must be an int literal, got $v")
+        }
+        Hilbert2D(children.head, children(1), bits)
       }))
     ext.injectOptimizerRule(_ => VectorizeDotProduct)
   }

@@ -70,4 +70,14 @@ object ZOrder {
       shiftleft(spreadBits(c, cols.size, bits), k)
     }.reduce(_ bitwiseOR _)
   }
+
+  /** 2-D Hilbert-curve index on the 2^bits grid — the native
+    * [[graft.functions.Hilbert2D]] kernel (rotation state makes it
+    * inexpressible as a shift/mask ladder). Same write recipe as the
+    * Morton key, strictly better locality: consecutive indices are
+    * grid-neighbors, so key-range reads touch contiguous cells with
+    * no Morton seam jumps. Out-of-range coordinates → NULL. */
+  def hilbert2d(x: Column, y: Column, bits: Int): Column =
+    call_function("hilbert2d", x.cast("long"), y.cast("long"),
+      lit(bits))
 }

@@ -275,5 +275,65 @@ object LayoutQ {
              MAX(w) - MIN(w) AS w_span
       FROM keyed GROUP BY zbucket ORDER BY zbucket"""))
 
-  val all: Seq[Qry] = Seq(q106, q108, q116, q125, q132)
+  /** q141 — Hilbert-curve locality audit (the q106 audit on the
+    * native [[graft.functions.Hilbert2D]] kernel): index lineitem
+    * (partkey, suppkey) mod 1024 on the 10-bit Hilbert curve, bucket
+    * by the high 6 index bits (64 contiguous key ranges), measure
+    * each bucket's (x, y) bounding box. Every span comes back ≤ 127
+    * vs the 1023 domain — Morton's bound — AND consecutive buckets
+    * are edge-adjacent cells (the Hilbert upgrade; `HilbertSpec`
+    * proves point-level adjacency exhaustively). The DuckDB oracle
+    * replays the convert-and-rotate loop as a RECURSIVE CTE over the
+    * 10 bit levels — the full curve arithmetic re-derived, not
+    * trusted.
+    *
+    * Scale shape: the key is one codegen'd per-row loop (no
+    * exchange); the audit groupBy carries 64 keys. */
+  val q141 = Qry(
+    "q141_hilbert_layout",
+    (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .select(
+          (col("l_partkey").cast("long") % 1024).as("x"),
+          (col("l_suppkey").cast("long") % 1024).as("y"))
+        .withColumn("h", ZOrder.hilbert2d(col("x"), col("y"), bits = 10))
+        .withColumn("hbucket", expr("h div 16384"))
+        .groupBy(col("hbucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          (max(col("x")) - min(col("x"))).as("x_span"),
+          (max(col("y")) - min(col("y"))).as("y_span"))
+        .orderBy(col("hbucket"))
+    },
+    Some("""
+      WITH RECURSIVE pts AS (
+        SELECT CAST(l_partkey AS BIGINT) % 1024 AS x,
+               CAST(l_suppkey AS BIGINT) % 1024 AS y
+        FROM lineitem),
+      hil AS (
+        SELECT x AS x0, y AS y0, x AS hx, y AS hy,
+               CAST(0 AS BIGINT) AS hd, CAST(512 AS BIGINT) AS s
+        FROM pts
+        UNION ALL
+        SELECT x0, y0,
+               CASE WHEN (hy & s) = 0 THEN
+                      CASE WHEN (hx & s) > 0 THEN 1023 - hy ELSE hy END
+                    ELSE hx END,
+               CASE WHEN (hy & s) = 0 THEN
+                      CASE WHEN (hx & s) > 0 THEN 1023 - hx ELSE hx END
+                    ELSE hy END,
+               hd + s * s * xor(
+                 CASE WHEN (hx & s) > 0 THEN 3 ELSE 0 END,
+                 CASE WHEN (hy & s) > 0 THEN 1 ELSE 0 END),
+               s // 2
+        FROM hil WHERE s > 0),
+      keyed AS (
+        SELECT x0 AS x, y0 AS y, hd // 16384 AS hbucket
+        FROM hil WHERE s = 0)
+      SELECT hbucket, COUNT(*) AS n,
+             MAX(x) - MIN(x) AS x_span,
+             MAX(y) - MIN(y) AS y_span
+      FROM keyed GROUP BY hbucket ORDER BY hbucket"""))
+
+  val all: Seq[Qry] = Seq(q106, q108, q116, q125, q132, q141)
 }
