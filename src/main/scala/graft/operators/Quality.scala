@@ -104,4 +104,41 @@ object Quality {
     }
     agged.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Equi-depth histogram (the ANALYZE-for-CBO statistic: bucket
+    * boundaries chosen so each bucket holds ~n/k rows — what a
+    * selectivity estimator wants where equi-WIDTH buckets collapse on
+    * skew). Built rank-free from the VALUE-FREQUENCY table: for each
+    * distinct value, the exclusive prefix count cb assigns bucket
+    * floor(cb·k/n) — pure integer arithmetic, deterministic in any
+    * engine, no percentile interpolation (whose float semantics
+    * differ across engines). A value heavier than n/k spans its
+    * bucket alone (following buckets may be empty — correct
+    * equi-depth behavior under heavy hitters).
+    *
+    * Scale shape: the frequency table is one partial-aggregable
+    * groupBy; the prefix-count window then runs over |distinct
+    * values| rows — the operator's documented contract is BOUNDED
+    * value cardinality (dictionary/measure columns; pre-bin
+    * continuous columns to a fixed grid first, which is what
+    * catalog stats collectors do). The histogram itself is k rows.
+    *
+    * @return (bucket, lo, hi, n_rows) sorted by bucket */
+  def equiDepthHistogram(df: DataFrame, column: String, k: Int)
+      : DataFrame = {
+    require(k >= 1, s"equiDepthHistogram: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.filter(col(column).isNotNull)
+      .groupBy(col(column).as("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    freq
+      .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+      .crossJoin(broadcast(freq.agg(sum(col("c")).as("n"))))
+      .withColumn("bucket", expr(s"cb * $k div n"))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("c")).as("n_rows"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -619,6 +619,48 @@ object Pipeline {
         .orderBy(col("col_name")),
     None)
 
+  /** q142 — equi-depth histograms ([[graft.operators.Quality
+    * .equiDepthHistogram]]) for two lineitem measure columns, 8
+    * buckets each: the ANALYZE statistic a cost-based optimizer's
+    * selectivity estimator consumes. Rank-free integer construction
+    * (bucket = exclusive-prefix-count·k div n over the value-
+    * frequency table), so both engines agree bit-for-bit with no
+    * percentile interpolation; l_quantity's 50 uniform values spread
+    * ~evenly, l_discount's 11 heavy values exercise the heavy-hitter
+    * path (buckets skipped by design). */
+  val q142 = Qry(
+    "q142_equidepth_histogram",
+    (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+      Seq("l_quantity", "l_discount").map { c =>
+        graft.operators.Quality.equiDepthHistogram(li, c, k = 8)
+          .select(lit(c).as("col_name"), col("bucket"),
+            col("lo").cast("double").as("lo"),
+            col("hi").cast("double").as("hi"), col("n_rows"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("col_name"), col("bucket"))
+    },
+    Some {
+      def leg(c: String) = s"""
+        SELECT '$c' AS col_name, bucket,
+               CAST(MIN(v) AS DOUBLE) AS lo,
+               CAST(MAX(v) AS DOUBLE) AS hi,
+               CAST(SUM(c) AS BIGINT) AS n_rows
+        FROM (
+          SELECT v, c,
+                 CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) * 8
+                   // CAST(SUM(c) OVER () AS BIGINT) AS bucket
+          FROM (SELECT $c AS v, COUNT(*) AS c FROM lineitem
+                WHERE $c IS NOT NULL GROUP BY $c))
+        GROUP BY bucket"""
+      s"""${leg("l_quantity")}
+          UNION ALL${leg("l_discount")}
+          ORDER BY col_name, bucket"""
+    })
+
   val all: Seq[Qry] =
-    Seq(q63, q64, q65, q67, q68, q74, q75, q76, q117, q122, q128, q134)
+    Seq(q63, q64, q65, q67, q68, q74, q75, q76, q117, q122, q128, q134,
+      q142)
 }

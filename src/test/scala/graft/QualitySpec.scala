@@ -70,4 +70,33 @@ class QualitySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("l_quantity"), e.getMessage)
   }
+
+  test("equiDepthHistogram: even spread fills all k buckets evenly") {
+    // values 0..7, 2 rows each, k=4 -> buckets of exactly 4 rows
+    val df = (0 until 8).flatMap(v => Seq(v, v)).toDF("x")
+    val got = Quality.equiDepthHistogram(df, "x", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toList
+    assert(got === List((0L, 0, 1, 4L), (1L, 2, 3, 4L),
+      (2L, 4, 5, 4L), (3L, 6, 7, 4L)))
+  }
+
+  test("equiDepthHistogram: a heavy hitter owns its bucket span") {
+    // 12 rows: value 5 has 9 of them (> n/k = 3); k=4
+    // prefix counts: v=1 cb=0 -> b0; v=5 cb=2 -> b0(2*4//12=0);
+    // v=9 cb=11 -> b3. buckets 1 and 2 are skipped by design.
+    val df = (Seq(1, 1) ++ Seq.fill(9)(5) ++ Seq(9)).toDF("x")
+    val got = Quality.equiDepthHistogram(df, "x", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toList
+    assert(got === List((0L, 1, 5, 11L), (3L, 9, 9, 1L)))
+  }
+
+  test("equiDepthHistogram: nulls are excluded, k=1 degenerates") {
+    val df = Seq(Some(3), None, Some(7), Some(5)).toDF("x")
+    val got = Quality.equiDepthHistogram(df, "x", 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toList
+    assert(got === List((0L, 3, 7, 3L)))
+  }
 }
