@@ -8,8 +8,16 @@ import org.apache.spark.sql.functions._
   * scores every candidate document; statistical outliers are gibberish
   * or boilerplate). The model is add-one-smoothed bigram transition
   * probability p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V) with c(w1·) the
-  * bigram-prefix count and V the corpus unigram vocabulary; a document
-  * scores the MEAN transition probability over its bigrams.
+  * bigram-prefix count and V the model vocabulary — the distinct
+  * tokens observed in any transition (w1 ∪ w2 over the bigram
+  * stream); a document scores the MEAN transition probability over
+  * its bigrams. Defining V over the transition stream (rather than
+  * re-tokenizing the corpus for a unigram count) keeps the model
+  * self-contained AND removes a second full scan of the text column:
+  * V is derived from the already-aggregated model relation, so the
+  * corpus text is tokenized exactly once. The only tokens the two
+  * definitions disagree on are those appearing solely in one-token
+  * documents — which contribute no transitions and are never scored.
   *
   * Mean probability (not mean log-prob) is deliberate: every p is a
   * ratio of exact counts — one IEEE division — and is snapped to
@@ -49,8 +57,11 @@ object BigramLm {
     val model = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
     val prefix = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val vocab = docs
-      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+    // model-sized, not corpus-sized: V from the model's own token set
+    // (prefix, vocab, and the scoring join all consume the same
+    // (w1,w2) exchange — AQE reuses it instead of re-scanning text)
+    val vocab = model
+      .select(explode(array(col("w1"), col("w2"))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     val scored = pairs
       .join(model, Seq("w1", "w2"))

@@ -48,15 +48,27 @@ object Pq {
 
   /** Codebook from the first k corpus rows: for sub-space j ∈
     * [0,subs), centroid m is the j-th slice of row m's vector.
+    * Precondition (ENFORCED): idCol must be dense over 0..k-1 — a
+    * filtered/re-keyed corpus would silently seed fewer than k codes
+    * per sub-space and degrade quantization with no signal, so the
+    * construction counts itself and fails loudly instead. The count
+    * is one job over a pushed-down `id < k` scan — broadcast-sized.
     * @return (j, m, cvec) — subs·k rows, always broadcast-sized */
   def codebook(corpus: DataFrame, idCol: String, embCol: String,
-      subs: Int, subDim: Int, k: Int): DataFrame =
-    corpus.filter(col(idCol) < k)
+      subs: Int, subDim: Int, k: Int): DataFrame = {
+    val cb = corpus.filter(col(idCol) < k)
       .select(explode(array((0 until subs).map(j =>
         struct(lit(j).as("j"), col(idCol).cast("long").as("m"),
           slice(col(embCol), j * subDim + 1, subDim).as("cvec"))): _*))
         .as("cb"))
       .select(col("cb.*"))
+    val n = cb.count()
+    require(n == subs.toLong * k,
+      s"Pq.codebook: built $n codes, expected ${subs.toLong * k} " +
+        s"(subs=$subs × k=$k) — $idCol must be dense 0..${k - 1}; " +
+        "seed from a re-keyed corpus (row_number) if it is filtered")
+    cb
+  }
 
   /** PQ-encode every row: per (row, sub-space) the argmin-distance
     * centroid, ties to the lower code. The cross join is against the

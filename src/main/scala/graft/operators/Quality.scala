@@ -121,15 +121,31 @@ object Quality {
     * values| rows — the operator's documented contract is BOUNDED
     * value cardinality (dictionary/measure columns; pre-bin
     * continuous columns to a fixed grid first, which is what
-    * catalog stats collectors do). The histogram itself is k rows.
+    * catalog stats collectors do). The contract is ENFORCED, not
+    * just stated: before building the plan the distinct-value count
+    * is probed (one partial-aggregable pass, early-cut by LIMIT
+    * maxDistinct+1) and a violation fails loudly instead of
+    * silently collapsing the window to one partition. The histogram
+    * itself is k rows.
     *
+    * @param maxDistinct cardinality ceiling for the guard
+    *        (default 2M ≈ tens of MB of window state); pass 0 to
+    *        skip the probe when the caller has already bounded it
     * @return (bucket, lo, hi, n_rows) sorted by bucket */
-  def equiDepthHistogram(df: DataFrame, column: String, k: Int)
-      : DataFrame = {
+  def equiDepthHistogram(df: DataFrame, column: String, k: Int,
+      maxDistinct: Int = 2000000): DataFrame = {
     require(k >= 1, s"equiDepthHistogram: k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val freq = df.filter(col(column).isNotNull)
       .groupBy(col(column).as("v")).agg(count(lit(1)).as("c"))
+    if (maxDistinct > 0) {
+      val probed = freq.limit(maxDistinct + 1).count()
+      require(probed <= maxDistinct,
+        s"equiDepthHistogram($column): more than $maxDistinct " +
+          "distinct values — the prefix-count window is single-" +
+          "partition by contract; pre-bin continuous columns to a " +
+          "bounded grid first (or raise maxDistinct deliberately)")
+    }
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     freq

@@ -129,7 +129,7 @@ object Signals {
         FROM model GROUP BY w1),
       vocab AS (
         SELECT COUNT(DISTINCT tok) AS v
-        FROM (SELECT unnest(t) AS tok FROM toks)),
+        FROM (SELECT unnest([w1, w2]) AS tok FROM model)),
       scored AS (
         SELECT doc_id,
                CAST(FLOOR(CAST(c12 + 1 AS DOUBLE)

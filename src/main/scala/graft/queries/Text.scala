@@ -650,9 +650,10 @@ object Text {
       s"""
       WITH words AS (
         SELECT w, COUNT(*) AS cnt
-        FROM (SELECT unnest(string_split(text, ' ')) AS w
+        FROM (SELECT unnest(list_filter(string_split_regex(text,
+                '\\s+'), x -> x <> '')) AS w
               FROM documents WHERE doc_id < 500)
-        WHERE w <> '' GROUP BY w),
+        GROUP BY w),
       enc AS (
         SELECT cnt, $chain AS s
         FROM (SELECT cnt,
