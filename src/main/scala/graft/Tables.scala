@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * Normalizations applied once here so every operator sees clean types:
   *  - `timestamp_ntz` parquet columns → session-TZ (UTC) `timestamp`, so
   *    date functions and the DuckDB oracle agree.
-  *  - `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark only reads
-  *    as a long (spark.sql.legacy.parquet.nanosAsLong=true). We convert
-  *    nanos → micros with integer `div` (never `/`, which goes through
-  *    double and loses precision above 2^53) and build a real timestamp.
-  *    DuckDB's `CAST(ts AS TIMESTAMP)` truncates ns→us identically.
+  *  - `events.ts` has shipped as TIMESTAMP(NANOS) (which Spark only
+  *    reads as a long via spark.sql.legacy.parquet.nanosAsLong=true)
+  *    in some testdata generations and TIMESTAMP(MICROS) in others, so
+  *    the loader dispatches on the read schema: nanos-as-long converts
+  *    with integer `div` (never `/`, which goes through double and
+  *    loses precision above 2^53); micros just re-types NTZ → session
+  *    TZ. DuckDB truncates/reads to microseconds identically.
   *
   * At 100 TB these stay lazy scans: nothing here forces an action, and
   * column pruning / predicate pushdown flow through the `withColumn`s.
@@ -77,7 +79,12 @@ object Tables {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     name match {
       case "events" =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ =>
+            raw.withColumn("ts", col("ts").cast("timestamp"))
+        }
       case "orders" =>
         raw.withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
       case "lineitem" =>

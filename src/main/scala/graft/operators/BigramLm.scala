@@ -28,13 +28,17 @@ import org.apache.spark.sql.functions._
   * signal exists for is monotone-equivalent under mean-p vs docs of
   * equal length anyway.
   *
-  * Scale shape: training is one (w1,w2) count shuffle over the
-  * map-side gram stream (partial-aggregable); prefix counts derive
-  * from the model itself (model-sized, not corpus-sized); scoring
-  * re-joins the gram stream to the model on (w1,w2) — a plain
-  * equi-join that AQE can broadcast when the model is small and
-  * shuffle when it isn't — then one per-document aggregate. Nothing
-  * is ever collected to the driver.
+  * Scale shape: the raw gram stream is aggregated ONCE to (doc, w1,
+  * w2, cnt) — a partial-aggregable shuffle that collapses the
+  * within-doc duplicate factor (large on Zipfian text) before
+  * anything else touches it; the model is a second, model-sized
+  * aggregate OF that relation (the exchange is reused, the text is
+  * tokenized exactly once); prefix counts derive from the model
+  * itself; scoring joins the per-doc gram counts to the model on
+  * (w1,w2) — a plain equi-join that AQE can broadcast when the
+  * model is small and shuffle when it isn't — weighting each
+  * distinct gram's p by its count, then one per-document aggregate.
+  * Nothing is ever collected to the driver.
   */
 object BigramLm {
 
@@ -54,25 +58,31 @@ object BigramLm {
       .select(col(idCol),
         substring_index(col("g"), US, 1).as("w1"),
         substring_index(col("g"), US, -1).as("w2"))
-    val model = pairs.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
+    // collapse per-occurrence grams to (doc, w1, w2, cnt) FIRST: the
+    // model, and the scoring join's input, both shrink by the
+    // within-doc duplicate factor; this exchange feeds everything
+    val docGrams = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val model = docGrams.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cnt")).as("c12"))
     val prefix = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     // model-sized, not corpus-sized: V from the model's own token set
     // (prefix, vocab, and the scoring join all consume the same
-    // (w1,w2) exchange — AQE reuses it instead of re-scanning text)
+    // aggregated relation — AQE reuses it instead of re-scanning text)
     val vocab = model
       .select(explode(array(col("w1"), col("w2"))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
-    val scored = pairs
+    val scored = docGrams
       .join(model, Seq("w1", "w2"))
       .join(prefix, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col(idCol),
+      .select(col(idCol), col("cnt"),
         floor((col("c12") + lit(1)).cast("double")
             / (col("c1") + col("v")).cast("double") * lit(1e9) + lit(0.5))
           .cast("long").as("p_nano"))
     scored.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_trans"), sum(col("p_nano")).as("s_nano"))
+      .agg(sum(col("cnt")).as("n_trans"),
+        sum(col("p_nano") * col("cnt")).as("s_nano"))
       .select(col(idCol), col("n_trans"),
         expr("s_nano div n_trans").as("score_nano"))
   }

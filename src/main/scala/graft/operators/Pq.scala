@@ -62,11 +62,18 @@ object Pq {
           slice(col(embCol), j * subDim + 1, subDim).as("cvec"))): _*))
         .as("cb"))
       .select(col("cb.*"))
-    val n = cb.count()
-    require(n == subs.toLong * k,
-      s"Pq.codebook: built $n codes, expected ${subs.toLong * k} " +
-        s"(subs=$subs × k=$k) — $idCol must be dense 0..${k - 1}; " +
-        "seed from a re-keyed corpus (row_number) if it is filtered")
+    // one job checks BOTH total count and id distinctness: a corpus
+    // with a duplicate id and a missing id (both < k) passes a pure
+    // row-count check while seeding duplicate (j,m) entries, which
+    // later double-match LUT joins in adcTopK with no signal
+    val st = cb.agg(count(lit(1)).as("n"),
+      countDistinct(col("m")).as("ndm")).head()
+    val (n, ndm) = (st.getLong(0), st.getLong(1))
+    require(n == subs.toLong * k && ndm == k.toLong,
+      s"Pq.codebook: built $n codes over $ndm distinct ids, expected " +
+        s"${subs.toLong * k} over $k (subs=$subs × k=$k) — $idCol " +
+        s"must be dense 0..${k - 1}; seed from a re-keyed corpus " +
+        "(row_number) if it is filtered")
     cb
   }
 
@@ -86,6 +93,49 @@ object Pq {
       .agg(min(struct(col("dm"), col("m"))).as("a"))
       .select(col(idCol), col("j"), col("a.m").as("code"),
         col("a.dm").as("dm"))
+
+  /** One Lloyd M-step over an existing codebook (the k-means
+    * refinement the seed-row construction deliberately skips): assign
+    * every sub-vector to its nearest centroid under `cb` (one
+    * [[encode]] pass), then re-estimate each (j, m) centroid as the
+    * element-wise mean of its assigned sub-vectors. Cells that
+    * attract no vectors keep their seed centroid (the standard
+    * empty-cluster rule). Centroid means use the q33/q93 decimal-sum
+    * form — order-independent, so both engines derive bit-identical
+    * centroids — and are snapped to FLOAT so downstream [[encode]]/
+    * [[adcTopK]] stay on the same float-vector kernel as the seed
+    * path (`vec_dot` is float-typed; the snap is one deterministic
+    * IEEE rounding both engines replay with a REAL cast).
+    *
+    * Scale shape: one extra encode pass (broadcast codebook, partial
+    * argmin) + one (j, code, pos) aggregation whose input is subs·d
+    * values per row pre-combined map-side; the result is again a
+    * broadcast-sized subs·k relation. Iterating = calling this in a
+    * loop (each step is the same bounded job); one step is already
+    * the big recall win over seed codebooks.
+    * @return (j, m, cvec) — same shape/contract as [[codebook]] */
+  def refine(corpus: DataFrame, idCol: String, embCol: String,
+      cb: DataFrame, subDim: Int): DataFrame = {
+    val enc = encode(corpus, idCol, embCol, cb, subDim)
+    val assigned = corpus.select(col(idCol), col(embCol))
+      .join(enc.select(col(idCol), col("j"), col("code")), Seq(idCol))
+      .select(col("j"), col("code"),
+        posexplode(slice(col(embCol), col("j") * subDim + 1,
+          lit(subDim))).as(Seq("pos", "v")))
+    val means = assigned
+      .groupBy(col("j"), col("code"), col("pos"))
+      .agg((sum(round(col("v").cast("double"), 7)
+          .cast("decimal(27,7)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .groupBy(col("j"), col("code"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast("float")).as("newv"))
+    cb.join(means.select(col("j"), col("code").as("m"), col("newv")),
+        Seq("j", "m"), "left")
+      .select(col("j"), col("m"),
+        coalesce(col("newv"), col("cvec")).as("cvec"))
+  }
 
   /** ADC top-k: for each query row, the k nearest corpus rows by
     * PQ-estimated distance Σ_j d²(q_j, centroid[code_j]). The LUT

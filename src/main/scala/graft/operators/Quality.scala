@@ -123,10 +123,12 @@ object Quality {
     * continuous columns to a fixed grid first, which is what
     * catalog stats collectors do). The contract is ENFORCED, not
     * just stated: before building the plan the distinct-value count
-    * is probed (one partial-aggregable pass, early-cut by LIMIT
-    * maxDistinct+1) and a violation fails loudly instead of
-    * silently collapsing the window to one partition. The histogram
-    * itself is k rows.
+    * is probed and a violation fails loudly instead of silently
+    * collapsing the window to one partition. The probe is one extra
+    * partial-aggregable groupBy job per call — the LIMIT bounds only
+    * the collected probe RESULT (a global limit above a hash
+    * aggregate does not short-circuit the aggregation work). The
+    * histogram itself is k rows.
     *
     * @param maxDistinct cardinality ceiling for the guard
     *        (default 2M ≈ tens of MB of window state); pass 0 to

@@ -603,21 +603,58 @@ object Pipeline {
   /** q134 — the 100 TB headline form of the q122 table profile:
     * sketch-only (`exact = false`), a plain partial+final aggregate
     * with HLL state per column — NO Expand, no exact-countDistinct
-    * second pass (q122 keeps that leg because its job is cross-engine
-    * sketch VERIFICATION; at scale a profile runs this form).
-    * No oracle by design: the sketch estimates are engine-specific,
-    * so a DuckDB hash-match is impossible — `QualitySpec` bands the
-    * estimates against exact counts and plan-locks the Expand-free
-    * shape instead; the driver records the rows-only check. */
+    * second pass through the wide scan (q122 keeps that leg in ONE
+    * Expand because its job is cross-engine sketch VERIFICATION; at
+    * scale a profile runs this form). The sketch ESTIMATES are
+    * engine-specific, so the hashable contract is the q48/q115
+    * in-band projection: hash the cheap exact metrics (n_rows,
+    * n_null, min/max) plus a within-15%-band boolean of each
+    * engine's OWN sketch against a per-column exact distinct. The
+    * exact legs are separate single-distinct aggregates over
+    * one-column pruned scans — each plans as a two-phase hash
+    * aggregate, so the profile plan itself stays Expand-free
+    * (plan-locked in `QualitySpec`). */
   val q134 = Qry(
     "q134_table_profile_sketch",
-    (s: SparkSession, d: String) =>
-      graft.operators.Quality.profile(
-          Tables.lineitem(s, d),
-          numericCols = Seq("l_orderkey", "l_quantity", "l_discount"),
-          otherCols = Seq("l_returnflag"), exact = false)
-        .orderBy(col("col_name")),
-    None)
+    (s: SparkSession, d: String) => {
+      val numeric = Seq("l_orderkey", "l_quantity", "l_discount")
+      val li = Tables.lineitem(s, d)
+      val sketch = graft.operators.Quality.profile(
+        li, numericCols = numeric,
+        otherCols = Seq("l_returnflag"), exact = false)
+      val exacts = (numeric :+ "l_returnflag").map { c =>
+        li.agg(countDistinct(col(c)).as("n_distinct_exact"))
+          .select(lit(c).as("col_name"), col("n_distinct_exact"))
+      }.reduce(_ unionByName _)
+      sketch.join(broadcast(exacts), Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct_exact"),
+          (abs(col("n_distinct") - col("n_distinct_exact")) <=
+            lit(0.15) * col("n_distinct_exact")).as("approx_ok"),
+          col("min_num"), col("max_num"))
+        .orderBy(col("col_name"))
+    },
+    Some {
+      val numeric = Seq("l_orderkey", "l_quantity", "l_discount")
+      val legs = (numeric.map(_ -> true) ++ Seq("l_returnflag" -> false))
+        .map { case (c, num) =>
+          val mn = if (num) s"CAST(MIN($c) AS DOUBLE)" else "NULL"
+          val mx = if (num) s"CAST(MAX($c) AS DOUBLE)" else "NULL"
+          s"""
+          SELECT '$c' AS col_name,
+                 COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_null,
+                 COUNT(DISTINCT $c) AS n_distinct_exact,
+                 (ABS(approx_count_distinct($c) - COUNT(DISTINCT $c))
+                   <= 0.15 * COUNT(DISTINCT $c)) AS approx_ok,
+                 CAST($mn AS DOUBLE) AS min_num,
+                 CAST($mx AS DOUBLE) AS max_num
+          FROM lineitem"""
+        }
+      legs.mkString("", "\n          UNION ALL",
+        "\n          ORDER BY col_name")
+    })
 
   /** q142 — equi-depth histograms ([[graft.operators.Quality
     * .equiDepthHistogram]]) for two lineitem measure columns, 8

@@ -69,6 +69,19 @@ class SignalsSpec extends SparkSpec {
       (3L, 1L, 333333333L)))
   }
 
+  test("BigramLm V excludes tokens seen only in transition-less docs") {
+    // docs: "a b" (one transition) and "z" (one token, NO transition).
+    // Model vocabulary V is the TRANSITION token set {a, b} = 2 — the
+    // corpus-unigram definition would count z and give V=3. Pins:
+    // p(ab) = (1+1)/(1+2) = 2/3 -> 666666667 nano (V=3 would give
+    // (1+1)/(1+3) = 0.5 -> 500000000). Doc 2 is absent (no bigrams).
+    val docs = Seq((1L, "a b"), (2L, "z")).toDF("id", "text")
+    val got = BigramLm.scoreDocs(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toList
+    assert(got === List((1L, 1L, 666666667L)))
+  }
+
   test("BigramLm mean is the floor of the nano-sum over transitions") {
     // single doc "a b a c": bigrams ab, ba, ac
     // counts: ab=1, ba=1, ac=1; prefixes: a=2, b=1; V=3
