@@ -57,6 +57,16 @@ object Multimodal {
       n_pixels: Long,
       mean_luma: Double)
 
+  /** 64-bit perceptual difference-hash, split into two non-negative
+    * 32-bit halves so banding/XOR arithmetic is sign-free and
+    * identical in any engine. */
+  final case class ImageDHash(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      h_hi: Long,
+      h_lo: Long)
+
   /** Wrap any table with a binary column into media records. */
   def asMedia(df: DataFrame, idCol: String, binCol: String,
       kindCol: String, sourceCol: String): Dataset[MediaRecord] = {
@@ -322,6 +332,106 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference-hash (dHash) over a REAL image decode —
+    * the image analogue of MinHash for near-dup detection: downsample
+    * to a 9×8 luma grid (nearest-neighbor: integer-exact, so an
+    * oracle can replay it), then bit (gx, gy) = [luma(gx) <
+    * luma(gx+1)] along each row — 64 bits that survive re-encoding,
+    * resizing, and small edits. Packed as two non-negative 32-bit
+    * halves (rows 0-3 → h_hi bit gy·8+gx, rows 4-7 → h_lo) so all
+    * downstream band/XOR arithmetic is sign-free in any engine.
+    *
+    * Luma: single-band rasters read the raw sample (no color-space
+    * conversion — `getRGB` on TYPE_BYTE_GRAY applies a gray→sRGB
+    * gamma ramp that would make the value decoder-dependent);
+    * multi-band images use integer (299R+587G+114B)/1000. Images
+    * smaller than the 9×8 grid, and undecodable payloads, are
+    * dropped (the skip-bad-rows posture of [[decodeImages]]).
+    *
+    * Scale shape: one map-side decode pass; each image leaves 16
+    * bytes of hash. Candidate generation is [[dhashNearDupPairs]] —
+    * never all-pairs. */
+  def dHash(media: Dataset[MediaRecord]): Dataset[ImageDHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            if (w < 9 || h < 8) None
+            else {
+              val raster = img.getRaster
+              val oneBand = raster.getNumBands == 1
+              def lumaAt(x: Int, y: Int): Int =
+                if (oneBand) raster.getSample(x, y, 0)
+                else {
+                  val rgb = img.getRGB(x, y)
+                  (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+                    + 114 * (rgb & 0xff)) / 1000
+                }
+              val grid = Array.tabulate(9, 8) { (gx, gy) =>
+                lumaAt(gx * w / 9, gy * h / 8)
+              }
+              var hi = 0L
+              var lo = 0L
+              var gy = 0
+              while (gy < 8) {
+                var gx = 0
+                while (gx < 8) {
+                  if (grid(gx)(gy) < grid(gx + 1)(gy)) {
+                    if (gy < 4) hi |= 1L << (gy * 8 + gx)
+                    else lo |= 1L << ((gy - 4) * 8 + gx)
+                  }
+                  gx += 1
+                }
+                gy += 1
+              }
+              Some(ImageDHash(r.media_id, w, h, hi, lo))
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** Near-dup image pairs by banded dHash Hamming distance — the
+    * [[Dedup]] LSH shape on the 64-bit hash: the hash splits into
+    * four 16-bit bands, candidates are pairs agreeing EXACTLY on at
+    * least one band (an equi-join on (band, key) — any pair within
+    * Hamming 3 is guaranteed caught, near misses with high
+    * probability), and only candidates pay the bit_count. All
+    * band/XOR arithmetic runs on non-negative halves, so div/mod
+    * banding and bit_count(xor) replay identically in any engine.
+    *
+    * Scale shape: 4 rows of (band, key) per image into one
+    * equi-join — bucket sizes are data-bounded like MinHash bands;
+    * never an all-pairs cross join.
+    * @param hashes (idCol, h_hi, h_lo) from [[dHash]]
+    * @return (a, b, hamming) with a < b, hamming ≤ maxHamming */
+  def dhashNearDupPairs(hashes: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame = {
+    val bands = hashes.select(col(idCol).as("__id"),
+      col("h_hi"), col("h_lo"),
+      posexplode(array(
+        expr("h_hi div 65536"), expr("h_hi % 65536"),
+        expr("h_lo div 65536"), expr("h_lo % 65536")))
+        .as(Seq("band", "key")))
+    val l = bands.select(col("__id").as("a"), col("band"), col("key"),
+      col("h_hi").as("hi_a"), col("h_lo").as("lo_a"))
+    val r = bands.select(col("__id").as("b"), col("band"), col("key"),
+      col("h_hi").as("hi_b"), col("h_lo").as("lo_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- container encoders (for corpora + encode→probe checks) -----
 
   private def pngChunk(typ: String, body: Array[Byte]): Array[Byte] = {
@@ -348,6 +458,48 @@ object Multimodal {
     ihdr.write(bitDepth); ihdr.write(colorType)
     ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate/none/none
     PngSig ++ pngChunk("IHDR", ihdr.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** FULL valid 8-bit grayscale PNG — signature, IHDR, a real
+    * deflate-compressed IDAT (filter-0 scanlines carrying
+    * `luma(x, y) & 0xff` per pixel), IEND — decodable by any PNG
+    * codec (unlike [[synthPng]], which stops at the header). The
+    * generator for pixel-level differential tests: an oracle can
+    * recompute `luma` arithmetically while Spark runs the real
+    * encode → ImageIO decode → feature path. */
+  def synthPngGray(width: Int, height: Int,
+      luma: (Int, Int) => Int): Array[Byte] = {
+    val ihdr = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = ihdr.write(Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+    w32(width); w32(height)
+    ihdr.write(8); ihdr.write(0)              // bit depth 8, grayscale
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate/none/none
+    val raw = new Array[Byte](height * (width + 1))
+    var i = 0
+    var y = 0
+    while (y < height) {
+      raw(i) = 0 // per-scanline filter byte: None
+      i += 1
+      var x = 0
+      while (x < width) {
+        raw(i) = (luma(x, y) & 0xff).toByte
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished())
+      out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    PngSig ++ pngChunk("IHDR", ihdr.toByteArray) ++
+      pngChunk("IDAT", out.toByteArray) ++
       pngChunk("IEND", Array.emptyByteArray)
   }
 

@@ -50,6 +50,28 @@ object Postings {
       .select(col(idCol), col("pos"))
   }
 
+  /** Storage bucket for a term — the partition key of a term-bucketed
+    * postings layout. A pure FOLDABLE function of the token: on a
+    * literal term it constant-folds, so a phrase query's bucket
+    * filter becomes a static PartitionFilter (whole directories
+    * skipped), while `tok` equality pushes into the row-group scan.
+    * That's the "term-pruned" scan the phrase join's scale recipe
+    * promises; [[prunedForPhrase]] composes both filters. */
+  def termBucket(tok: Column, buckets: Int): Column =
+    pmod(xxhash64(tok), lit(buckets.toLong))
+
+  /** Prune a term-bucketed postings read to exactly a two-term
+    * phrase's data: partition pruning on `bucketCol` (foldable
+    * [[termBucket]] of each literal term) + row-level pushdown on
+    * `tok`. The result feeds [[phraseHits]] unchanged — candidate
+    * postings only, never the full index. */
+  def prunedForPhrase(postings: DataFrame, bucketCol: String,
+      w1: String, w2: String, buckets: Int): DataFrame =
+    postings.filter(
+      (col(bucketCol) === termBucket(lit(w1), buckets) ||
+        col(bucketCol) === termBucket(lit(w2), buckets)) &&
+        col("tok").isin(w1, w2))
+
   /** The corpus's most frequent bigram as a one-row (w1, w2) frame —
     * deterministic tiebreak by gram text. */
   def topBigram(docs: DataFrame, textCol: String): DataFrame = {

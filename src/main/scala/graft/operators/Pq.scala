@@ -167,6 +167,49 @@ object Pq {
         col(encIdCol).as("n_id"), col("est_micro"))
   }
 
+  /** ADC top-k restricted to IVF-probed cells — the composed IVF-PQ
+    * index form (Jégou et al. §V): the coarse quantizer (any cell
+    * assignment — [[Similarity.centroids]] partitions here) routes
+    * each query to `nprobe` cells, and the ADC lookup scan runs over
+    * those cells' candidates ONLY instead of the whole corpus. Same
+    * LUT/scoring algebra as [[adcTopK]]; the difference is one extra
+    * broadcast equi-join against the (q_id, cell) probe relation
+    * before scoring, which is exactly the candidate-pruning join a
+    * 100 TB deployment runs (the corpus side stays cell-partitioned,
+    * so the probe join is partition pruning in relational form).
+    * @param encoded (encIdCol, j, code, cellCol) — [[encode]] output
+    *        joined with the corpus cell assignment
+    * @param probes (qIdCol, cellCol) — the cells each query scans
+    * @return (q_id, rank, n_id, est_micro) */
+  def adcTopKInCells(queries: DataFrame, qIdCol: String,
+      qEmbCol: String, encoded: DataFrame, encIdCol: String,
+      cellCol: String, probes: DataFrame, cb: DataFrame,
+      subDim: Int, k: Int): DataFrame = {
+    val lut = queries.crossJoin(broadcast(cb))
+      .select(col(qIdCol).as("__lq"), col("j").as("qj"),
+        col("m").as("qm"),
+        d2Micro(slice(col(qEmbCol), col("j") * lit(subDim) + lit(1),
+          lit(subDim)), col("cvec")).as("qdm"))
+    val cand = encoded.join(
+      broadcast(probes.select(col(qIdCol).as("q_id"),
+        col(cellCol).as("__pc"))),
+      col("__pc") === col(cellCol))
+    val est = cand
+      .join(broadcast(lut),
+        col("q_id") === col("__lq") &&
+          col("j") === col("qj") && col("code") === col("qm"))
+      .filter(col("q_id") =!= col(encIdCol))
+      .groupBy(col("q_id"), col(encIdCol))
+      .agg(sum(col("qdm")).as("est_micro"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("est_micro"), col(encIdCol))
+    est.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col(encIdCol).as("n_id"), col("est_micro"))
+  }
+
   /** Exact squared-L2 top-k for a bounded query set — the ground
     * truth an ADC ranking is measured against (the analogue of
     * [[Similarity.topKBrute]] in the PQ's own metric).

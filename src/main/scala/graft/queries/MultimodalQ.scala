@@ -187,5 +187,82 @@ object MultimodalQ {
       FROM documents WHERE doc_id < 200
       ORDER BY media_id"""))
 
-  val all: Seq[Qry] = Seq(q41, q42, q119, q133)
+  /** q143 — image perceptual-hash near-dup, the multimodal analogue
+    * of MinHash dedup (q28) on the REAL pixel path: full grayscale
+    * PNGs (deflate-compressed IDAT) are synthesized per doc from an
+    * id-derived luma formula, decoded back through the actual JDK
+    * PNG codec, dHashed ([[Multimodal.dHash]]: 9×8 nearest-neighbor
+    * luma grid → 64 row-gradient bits), and paired by banded
+    * Hamming distance ([[Multimodal.dhashNearDupPairs]]). Each group
+    * of 4 ids (id % 50) shares a base pattern with a tiny id-derived
+    * perturbation — genuinely near-identical, not equal, images. The
+    * oracle replays the luma/downsample/hash/band/Hamming arithmetic
+    * directly; any defect in the PNG encoder, the codec round-trip,
+    * the grid sampling, or the banding breaks the match. */
+  val q143 = Qry(
+    "q143_image_dhash_neardup",
+    (s: SparkSession, d: String) => {
+      val session = s
+      import session.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = (id % 50).toInt
+          val v = (id / 50).toInt
+          val w = 32 + g % 5
+          val h = 28 + g % 3
+          val payload = Multimodal.synthPngGray(w, h, (x, y) =>
+            (g * 73 + x * 151 + y * 211 + x * y * 31 +
+              v * ((x + y) % 2)) % 256)
+          Multimodal.MediaRecord(id, "image", payload, "synth")
+        }
+      val hashes = Multimodal.dHash(media).toDF()
+      Multimodal.dhashNearDupPairs(hashes, "media_id", maxHamming = 12)
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""
+      WITH imgs AS (
+        SELECT doc_id AS id, doc_id % 50 AS g, doc_id // 50 AS v,
+               32 + (doc_id % 50) % 5 AS w,
+               28 + (doc_id % 50) % 3 AS h
+        FROM documents WHERE doc_id < 200),
+      grid AS (
+        SELECT i.id, gx, gy,
+               (i.g*73 + ((gx*i.w)//9)*151 + ((gy*i.h)//8)*211
+                 + ((gx*i.w)//9)*((gy*i.h)//8)*31
+                 + i.v*((((gx*i.w)//9) + ((gy*i.h)//8)) % 2)) % 256 AS l
+        FROM imgs i, range(0,9) t1(gx), range(0,8) t2(gy)),
+      bits AS (
+        SELECT a.id, a.gy, a.gx,
+               CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+        FROM grid a JOIN grid b
+          ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
+        WHERE a.gx < 8),
+      hashes AS (
+        SELECT id,
+               CAST(SUM(CASE WHEN gy < 4
+                 THEN bit * (1::BIGINT << (gy*8+gx)) ELSE 0 END)
+                 AS BIGINT) AS h_hi,
+               CAST(SUM(CASE WHEN gy >= 4
+                 THEN bit * (1::BIGINT << ((gy-4)*8+gx)) ELSE 0 END)
+                 AS BIGINT) AS h_lo
+        FROM bits GROUP BY id),
+      bands AS (
+        SELECT id, h_hi, h_lo, t.band,
+               CASE t.band WHEN 0 THEN h_hi // 65536
+                           WHEN 1 THEN h_hi % 65536
+                           WHEN 2 THEN h_lo // 65536
+                           ELSE h_lo % 65536 END AS key
+        FROM hashes, range(0,4) t(band)),
+      cand AS (
+        SELECT DISTINCT l.id AS a, r.id AS b,
+               bit_count(xor(l.h_hi, r.h_hi))
+                 + bit_count(xor(l.h_lo, r.h_lo)) AS hamming
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.key = r.key AND l.id < r.id)
+      SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+      FROM cand WHERE hamming <= 12 ORDER BY a, b"""))
+
+  val all: Seq[Qry] = Seq(q41, q42, q119, q133, q143)
 }

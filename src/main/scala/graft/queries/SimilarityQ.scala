@@ -29,6 +29,53 @@ object SimilarityQ {
     s"""(${dotSql(a, b)} /
          (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"""
 
+  /** DuckDB micro-unit squared L2 — the [[graft.operators.Pq]]
+    * snapping form: ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩ then floor(·1e6+0.5). */
+  private def d2MicroSql(a: String, b: String): String =
+    s"""CAST(FLOOR((${dotSql(a, a)} - 2.0 * ${dotSql(a, b)}
+        + ${dotSql(b, b)}) * 1e6 + 0.5) AS BIGINT)"""
+
+  /** CTE chain deriving the PQ codebook `cb` = seed rows (`cb0`)
+    * refined by ONE Lloyd M-step ([[graft.operators.Pq.refine]]):
+    * assign every sub-vector under cb0, re-estimate each (j, code)
+    * centroid as the decimal-exact element mean snapped to REAL,
+    * empty cells keep their seed. Shared by the q137/q144 oracles. */
+  private def refinedCbSql: String = {
+    val eSlice = "e.embedding[cb0.j*16+1:(cb0.j+1)*16]"
+    s"""cb0 AS (
+        SELECT j, vec_id AS m, embedding[j*16+1:(j+1)*16] AS cvec
+        FROM embeddings, (VALUES (0),(1),(2),(3)) t(j)
+        WHERE vec_id < 16),
+      asg0 AS (
+        SELECT e.vec_id, cb0.j, cb0.m,
+               ${d2MicroSql(eSlice, "cb0.cvec")} AS dm
+        FROM embeddings e CROSS JOIN cb0),
+      asg AS (
+        SELECT vec_id, j, m AS code FROM (
+          SELECT vec_id, j, m,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                   ORDER BY dm, m) AS rn
+          FROM asg0) WHERE rn = 1),
+      elems AS (
+        SELECT a.j, a.code,
+               unnest(list_zip(e.embedding[a.j*16+1:(a.j+1)*16],
+                               range(0, 16))) AS u
+        FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id),
+      newc AS (
+        SELECT j, code, u[2] AS pos,
+               CAST(CAST(SUM(CAST(ROUND(CAST(u[1] AS DOUBLE), 7)
+                     AS DECIMAL(27,7))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS REAL) AS m
+        FROM elems GROUP BY j, code, u[2]),
+      newcl AS (
+        SELECT j, code, list(m ORDER BY pos) AS cvec
+        FROM newc GROUP BY j, code),
+      cb AS (
+        SELECT cb0.j, cb0.m, COALESCE(n.cvec, cb0.cvec) AS cvec
+        FROM cb0 LEFT JOIN newcl n
+          ON n.j = cb0.j AND n.code = cb0.m)"""
+  }
+
   /** Exact brute-force top-k cosine neighbors for a small query set —
     * the correctness baseline every ANN path is measured against. */
   val q31 = Qry(
@@ -299,19 +346,28 @@ object SimilarityQ {
 
   /** q137 — product-quantization ADC ANN ([[graft.operators.Pq]]):
     * 64-dim vectors PQ-encoded as 4 sub-space codes against seed-row
-    * codebooks; 5 query vectors ranked over the WHOLE corpus purely
-    * from their broadcast lookup tables (no per-candidate vector
-    * math), with each estimated-top-10 row marked against the exact
-    * squared-L2 top-10 (`hit`). The oracle re-derives codebooks,
-    * codes, LUTs, the ADC ranking, and the exact ranking from the
-    * raw embeddings. All distances snap to integer micro-units
+    * codebooks refined by ONE Lloyd M-step ([[graft.operators.Pq
+    * .refine]] — the k-means half the seed construction skipped;
+    * centroids move to their cells' decimal-exact means. Measured on
+    * this corpus: recall@10 0.32 → 0.34; a config/iteration sweep
+    * (subs ∈ {4,8}, k ∈ {16,32,64}, ≤3 Lloyd steps) stays in
+    * 0.26-0.36, i.e. recall here is bounded by the near-random
+    * synthetic embeddings, not the codebook — see NOTES_r7); 5 query
+    * vectors ranked over the WHOLE corpus purely from their
+    * broadcast lookup tables (no per-candidate vector math), with
+    * each estimated-top-10 row marked against the exact squared-L2
+    * top-10 (`hit`). The oracle re-derives seed codebooks, the Lloyd
+    * step, codes, LUTs, the ADC ranking, and the exact ranking from
+    * the raw embeddings. All distances snap to integer micro-units
     * before argmin/sum/rank — tie-proof in both engines. */
   val q137 = Qry(
     "q137_pq_adc_ann",
     (s: SparkSession, d: String) => {
       val e = Tables.embeddings(s, d)
-      val cb = graft.operators.Pq.codebook(
+      val cb0 = graft.operators.Pq.codebook(
         e, "vec_id", "embedding", subs = 4, subDim = 16, k = 16)
+      val cb = graft.operators.Pq.refine(
+        e, "vec_id", "embedding", cb0, subDim = 16)
       val enc = graft.operators.Pq.encode(
         e, "vec_id", "embedding", cb, subDim = 16)
       val q = e.filter(col("vec_id") < 5)
@@ -328,16 +384,10 @@ object SimilarityQ {
         .orderBy(col("q_id"), col("rank"))
     },
     Some {
-      def d2MicroSql(a: String, b: String) =
-        s"""CAST(FLOOR((${dotSql(a, a)} - 2.0 * ${dotSql(a, b)}
-            + ${dotSql(b, b)}) * 1e6 + 0.5) AS BIGINT)"""
       val eSlice = "e.embedding[cb.j*16+1:(cb.j+1)*16]"
       val qSlice = "q.embedding[cb.j*16+1:(cb.j+1)*16]"
       s"""
-      WITH cb AS (
-        SELECT j, vec_id AS m, embedding[j*16+1:(j+1)*16] AS cvec
-        FROM embeddings, (VALUES (0),(1),(2),(3)) t(j)
-        WHERE vec_id < 16),
+      WITH $refinedCbSql,
       enc0 AS (
         SELECT e.vec_id, cb.j, cb.m,
                ${d2MicroSql(eSlice, "cb.cvec")} AS dm
@@ -382,5 +432,136 @@ object SimilarityQ {
       ORDER BY er.q_id, er.rank"""
     })
 
-  val all: Seq[Qry] = Seq(q31, q32, q33, q34, q71, q113, q137)
+  /** q144 — the composed IVF-PQ index ([[graft.operators.Pq
+    * .adcTopKInCells]], the pairing the PQ scaladoc promises): the
+    * coarse quantizer (q33/q71's per-label centroids) routes each of
+    * 5 queries to its nprobe=2 nearest cells, and the ADC lookup
+    * scan runs over those cells' PQ codes only — the full 100 TB ANN
+    * shape where neither the vectors nor the whole code table are
+    * scanned per query. Emits the q137 contract (est_d2, hit vs the
+    * GLOBAL exact top-10) plus per-query `recall10`, which prices
+    * the IVF restriction: a true neighbor in an unprobed cell is
+    * unreachable by construction, so recall measures the composed
+    * index, not just the quantizer. Oracle re-derives centroids,
+    * probes, the refined codebook, codes, LUTs, the in-cell ADC
+    * ranking, and the exact ranking. */
+  val q144 = Qry(
+    "q144_ivf_pq_adc",
+    (s: SparkSession, d: String) => {
+      import graft.operators.Pq
+      val e = Tables.embeddings(s, d)
+      val cb0 = Pq.codebook(
+        e, "vec_id", "embedding", subs = 4, subDim = 16, k = 16)
+      val cb = Pq.refine(e, "vec_id", "embedding", cb0, subDim = 16)
+      val enc = Pq.encode(e, "vec_id", "embedding", cb, subDim = 16)
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      val cent = Similarity.centroids(e, "label", "embedding", DIM)
+      val q = e.filter(col("vec_id") < 5)
+      val wCent = Window.partitionBy(col("q_id"))
+        .orderBy(col("c_cos").desc, col("part"))
+      val probes = q
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(broadcast(cent))
+        .select(col("q_id"), col("part"),
+          Similarity.cosine(col("q_emb"), col("centroid")).as("c_cos"))
+        .withColumn("rn", row_number().over(wCent))
+        .filter(col("rn") <= 2)
+        .select(col("q_id").as("vec_id"), col("part").as("label"))
+      val est = Pq.adcTopKInCells(q, "vec_id", "embedding",
+        enc, "vec_id", "label", probes, cb, subDim = 16, k = 10)
+      val exact = Pq.exactTopK(
+        q, "vec_id", "embedding", e, "vec_id", "embedding", k = 10)
+      val wQ = Window.partitionBy(col("q_id"))
+      est.join(
+          exact.select(col("q_id"), col("n_id"), lit(true).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .select(col("q_id"), col("rank"), col("n_id"),
+          (col("est_micro").cast("double") / lit(1e6)).as("est_d2"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .withColumn("recall10",
+          sum(when(col("hit"), 1L).otherwise(0L)).over(wQ)
+            .cast("double") / lit(10.0))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      val eSlice = "e.embedding[cb.j*16+1:(cb.j+1)*16]"
+      val qSlice = "q.q_emb[cb.j*16+1:(cb.j+1)*16]"
+      s"""
+      WITH $refinedCbSql,
+      enc0 AS (
+        SELECT e.vec_id, cb.j, cb.m,
+               ${d2MicroSql(eSlice, "cb.cvec")} AS dm
+        FROM embeddings e CROSS JOIN cb),
+      enc AS (
+        SELECT vec_id, j, m AS code FROM (
+          SELECT vec_id, j, m,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                   ORDER BY dm, m) AS rn
+          FROM enc0) WHERE rn = 1),
+      encl AS (
+        SELECT enc.vec_id, enc.j, enc.code, e.label
+        FROM enc JOIN embeddings e USING (vec_id)),
+      expl AS (
+        SELECT label, unnest(list_zip(embedding,
+                 range(0, len(embedding)))) AS u
+        FROM embeddings),
+      cent_elem AS (
+        SELECT label AS part, u[2] AS pos,
+               CAST(SUM(CAST(ROUND(CAST(u[1] AS DOUBLE), 7)
+                   AS DECIMAL(27,7))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS m
+        FROM expl GROUP BY label, u[2]),
+      cent AS (
+        SELECT part, list(m ORDER BY pos) AS centroid
+        FROM cent_elem GROUP BY part),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 5),
+      probes AS (
+        SELECT q_id, part FROM (
+          SELECT q_id, part,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                   ${cosSql("q_emb", "centroid")} DESC, part) AS rn
+          FROM q CROSS JOIN cent) t
+        WHERE rn <= 2),
+      lut AS (
+        SELECT q.q_id, cb.j, cb.m,
+               ${d2MicroSql(qSlice, "cb.cvec")} AS qdm
+        FROM q CROSS JOIN cb),
+      est AS (
+        SELECT l.q_id, c.vec_id AS n_id,
+               CAST(SUM(l.qdm) AS BIGINT) AS est_micro
+        FROM encl c
+        JOIN probes p ON p.part = c.label
+        JOIN lut l ON l.q_id = p.q_id AND l.j = c.j AND l.m = c.code
+        WHERE c.vec_id <> l.q_id
+        GROUP BY l.q_id, c.vec_id),
+      er AS (
+        SELECT q_id, n_id, est_micro,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY est_micro, n_id) AS rank
+        FROM est),
+      er10 AS (SELECT * FROM er WHERE rank <= 10),
+      ex0 AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+               ${d2MicroSql("q.q_emb", "e.embedding")} AS dm
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.q_id),
+      ex AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY dm, n_id) AS rank
+          FROM ex0) WHERE rank <= 10)
+      SELECT er10.q_id, CAST(er10.rank AS BIGINT) AS rank, er10.n_id,
+             CAST(er10.est_micro AS DOUBLE) / 1e6 AS est_d2,
+             (ex.n_id IS NOT NULL) AS hit,
+             CAST(SUM(CASE WHEN ex.n_id IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY er10.q_id) AS DOUBLE) / 10.0
+               AS recall10
+      FROM er10 LEFT JOIN ex
+        ON er10.q_id = ex.q_id AND er10.n_id = ex.n_id
+      ORDER BY er10.q_id, er10.rank"""
+    })
+
+  val all: Seq[Qry] = Seq(q31, q32, q33, q34, q71, q113, q137, q144)
 }

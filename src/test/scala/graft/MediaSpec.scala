@@ -275,4 +275,55 @@ class MediaSpec extends SparkSpec {
     assert(Multimodal.probeJpeg("not a jpeg".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.probeJpeg(Multimodal.synthPng(4, 4)).isEmpty)
   }
+
+  test("synthPngGray round-trips exact pixel values through ImageIO") {
+    def luma(x: Int, y: Int): Int = (x * 31 + y * 57) % 256
+    val b = Multimodal.synthPngGray(13, 7, luma)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b))
+    assert(img.getWidth == 13 && img.getHeight == 7)
+    val raster = img.getRaster
+    for (y <- 0 until 7; x <- 0 until 13)
+      assert(raster.getSample(x, y, 0) == luma(x, y), s"($x,$y)")
+  }
+
+  test("dHash pairs planted near-identical images, separates distinct ones") {
+    def luma(x: Int, y: Int): Int = (x * 151 + y * 211 + x * y * 31) % 256
+    val base = Multimodal.synthPngGray(36, 32, luma)
+    // near-dup: +2 on a sparse diagonal — most row gradients survive
+    val near = Multimodal.synthPngGray(36, 32,
+      (x, y) => (luma(x, y) + (if ((x + y) % 9 == 0) 2 else 0)) % 256)
+    // unrelated pattern
+    val far = Multimodal.synthPngGray(36, 32,
+      (x, y) => ((x * 7 ^ y * 13) * 41) % 256)
+    val media = Seq(
+      MediaRecord(1L, "image", base, "t"),
+      MediaRecord(2L, "image", near, "t"),
+      MediaRecord(3L, "image", far, "t")).toDS()
+    val hashes = Multimodal.dHash(media).toDF()
+    val pairs = Multimodal
+      .dhashNearDupPairs(hashes, "media_id", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toList
+    assert(pairs.exists { case (a, b, hm) => a == 1L && b == 2L && hm <= 6 },
+      s"planted near-dup not found: $pairs")
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L },
+      s"unrelated image paired: $pairs")
+  }
+
+  test("dHash drops undecodable/sub-grid payloads; identical images collide") {
+    val solid = realPng(20, 16, 0x336699) // RGB path, all gradients flat
+    val tiny = Multimodal.synthPngGray(8, 8, (x, _) => x * 10)
+    val media = Seq(
+      MediaRecord(1L, "image", solid, "t"),
+      MediaRecord(2L, "image", solid.clone(), "t"),
+      MediaRecord(3L, "image", tiny, "t"),
+      MediaRecord(4L, "image", "nope".getBytes("UTF-8"), "t")).toDS()
+    val hs = Multimodal.dHash(media).collect()
+    assert(hs.map(_.media_id).toSet == Set(1L, 2L))
+    val h1 = hs.find(_.media_id == 1L).get
+    val h2 = hs.find(_.media_id == 2L).get
+    assert((h1.h_hi, h1.h_lo) == (h2.h_hi, h2.h_lo))
+    assert(h1.h_hi == 0L && h1.h_lo == 0L) // solid fill: no gradients
+  }
 }

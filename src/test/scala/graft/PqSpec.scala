@@ -79,4 +79,50 @@ class PqSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getLong(3))).toList
     assert(top === List((3L, 0L)))
   }
+
+  test("codebook rejects duplicate ids even when the row count matches") {
+    // ids {0, 0, 1 missing}: 2 rows under id < 2, so the old pure
+    // row-count guard would pass while seeding duplicate (j, m) codes
+    val dup = Seq(
+      (0L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (0L, Array(2.0f, 2.0f, 3.0f, 3.0f)),
+      (5L, Array(9.0f, 9.0f, 9.0f, 9.0f))).toDF("id", "emb")
+    val ex = intercept[IllegalArgumentException] {
+      Pq.codebook(dup, "id", "emb", subs = 2, subDim = 2, k = 2)
+    }
+    assert(ex.getMessage.contains("distinct"))
+  }
+
+  test("refine moves each centroid to its cell's mean; empty cells keep seed") {
+    // j=0 cell m=0 attracts sub-vectors (0,0), (0,0), (2,3) -> mean
+    // (2/3, 1); cell m=1 attracts (5,5), (5,4) -> mean (5, 4.5).
+    // j=1 cell m=0 attracts (10,10), (10,9), (5,5) -> mean (25/3, 8);
+    // cell m=1 attracts (0,0), (0,0) -> mean (0, 0).
+    val got = Pq.refine(corpus, "id", "emb", cb, subDim = 2)
+      .orderBy(col("j"), col("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Float](2).toList)).toList
+    assert(got === List(
+      (0, 0L, List((2.0 / 3).toFloat, 1.0f)),
+      (0, 1L, List(5.0f, 4.5f)),
+      (1, 0L, List((25.0 / 3).toFloat, 8.0f)),
+      (1, 1L, List(0.0f, 0.0f))))
+
+    // a centroid that attracts NO vectors must survive refine
+    // unchanged: seed an outlier codebook row, then refine over a
+    // corpus that excludes it — every remaining vector is closer to
+    // centroid 0, so cell m=1 is empty and keeps its seed
+    val shifted = corpus.withColumn("emb",
+      when(col("id") === 1L,
+        typedLit(Array(1000.0f, 1000.0f, 1000.0f, 1000.0f)))
+        .otherwise(col("emb")))
+    val cbS = Pq.codebook(shifted, "id", "emb", subs = 2, subDim = 2,
+      k = 2)
+    val ref = Pq.refine(shifted.filter(col("id") =!= 1L), "id", "emb",
+        cbS, subDim = 2)
+      .filter(col("m") === 1L)
+      .orderBy(col("j"))
+      .collect().map(_.getSeq[Float](2).toList).toList
+    assert(ref === List(List(1000.0f, 1000.0f), List(1000.0f, 1000.0f)))
+  }
 }

@@ -42,6 +42,45 @@ class PruningSpec extends SparkSpec {
       s"lang should prune directories, not filter rows:\n$p")
   }
 
+  test("term-bucketed postings: phrase read prunes partitions AND pushes tok") {
+    import graft.operators.Postings
+    val posts = Postings.positional(
+      Tables.documents(spark, sf()).limit(500), "doc_id", "text")
+    val buckets = 16
+    posts
+      .withColumn("term_bucket",
+        Postings.termBucket($"tok", buckets))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
+    val stored = spark.read.parquet(s"$dir/postings")
+
+    // a data-derived phrase, read back as literals for the pruned scan
+    val Array(w1, w2) = Postings
+      .topBigram(Tables.documents(spark, sf()).limit(500), "text")
+      .collect().head.toSeq.map(_.toString).toArray
+    val pruned = Postings.prunedForPhrase(stored, "term_bucket",
+      w1, w2, buckets)
+    val p = pruned.queryExecution.explainString(FormattedMode)
+    // the foldable termBucket(literal) must land in PartitionFilters —
+    // non-phrase buckets' directories are never opened
+    assert("PartitionFilters: \\[[^\\]]*term_bucket".r
+      .findFirstIn(p).isDefined,
+      s"bucket filter did not reach PartitionFilters:\n$p")
+    // and the tok predicate must push into the row-group scan
+    assert(p.contains("PushedFilters: [In(tok") ||
+      p.contains("PushedFilters: [Or(EqualTo(tok"),
+      s"tok filter not pushed:\n$p")
+
+    // the pruned read answers the phrase EXACTLY like the full index
+    val viaPruned = Postings.phraseHits(pruned, "doc_id",
+      Seq((w1, w2)).toDF("w1", "w2"), "w1", "w2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaFull = Postings.phraseHits(posts, "doc_id",
+      Seq((w1, w2)).toDF("w1", "w2"), "w1", "w2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPruned === viaFull && viaFull.nonEmpty)
+  }
+
   test("dynamic partition pruning fires through a selective dim join") {
     val facts = spark.read.parquet(s"$dir/docs")
     // tiny dim: one row per lang, filtered to a single lang — the
