@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   *    correctness fixtures read only replica 0 while full scans see
   *    the whole corpus.
   *
-  * Usage: runMain graft.ScaleUp [srcDir] [dstDir] [mult]
+  * Usage: runMain graft.ScaleUp [srcDir] [dstDir] [mult] [tables]
+  * `tables` (optional, comma-separated) restricts generation to a
+  * subset — e.g. only the facts a targeted scale bench reads — so a
+  * 1000× run doesn't pay for tables no measured query touches.
   */
 object ScaleUp {
   private val KeyOff = 100000000L // fact-key replica stride
@@ -42,6 +45,8 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("scaledata/sf1")
     val mult = args.lift(2).map(_.toInt).getOrElse(10)
+    val onlyTables = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    def want(t: String): Boolean = onlyTables.forall(_.contains(t))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,14 +65,14 @@ object ScaleUp {
       println(s"[scaleup] $name -> $dst ($mult x)")
     }
     def replicate(name: String, perReplica: (DataFrame, Int) => DataFrame)
-        : Unit = {
+        : Unit = if (want(name)) {
       val base = raw(name)
       write(name, (0 until mult).map(i => perReplica(base, i))
         .reduce(_ unionAll _))
     }
 
     Seq("region", "nation", "customer", "supplier", "part")
-      .foreach(t => write(t, raw(t)))
+      .filter(want).foreach(t => write(t, raw(t)))
 
     replicate("orders", (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOff)))

@@ -217,7 +217,10 @@ object MultimodalQ {
               v * ((x + y) % 2)) % 256)
           Multimodal.MediaRecord(id, "image", payload, "synth")
         }
-      val hashes = Multimodal.dHash(media).toDF()
+      // hashes feed BOTH sides of the band self-join — checkpoint so
+      // the encode→decode→hash pass runs once (the q128 pattern; at
+      // scale you materialize the 16-byte hashes, never decode twice)
+      val hashes = Multimodal.dHash(media).toDF().localCheckpoint(true)
       Multimodal.dhashNearDupPairs(hashes, "media_id", maxHamming = 12)
         .orderBy(col("a"), col("b"))
     },
