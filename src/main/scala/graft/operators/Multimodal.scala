@@ -67,6 +67,15 @@ object Multimodal {
       h_hi: Long,
       h_lo: Long)
 
+  /** 64-bit audio fingerprint (frame-energy delta hash) in the same
+    * two-half layout as [[ImageDHash]], so the banded near-dup join
+    * is shared. */
+  final case class AudioHash(
+      media_id: Long,
+      n_samples: Long,
+      h_hi: Long,
+      h_lo: Long)
+
   /** Wrap any table with a binary column into media records. */
   def asMedia(df: DataFrame, idCol: String, binCol: String,
       kindCol: String, sourceCol: String): Dataset[MediaRecord] = {
@@ -397,7 +406,90 @@ object Multimodal {
     }
   }
 
-  /** Near-dup image pairs by banded dHash Hamming distance — the
+  /** Audio fingerprint — the dHash analogue for the audio kind
+    * (Chromaprint's shape with frame ENERGY standing in for chroma
+    * bands, keeping every step integer-exact so an oracle can replay
+    * it): parse the REAL RIFF container, decode 16-bit mono PCM
+    * little-endian samples, fold them into 65 frame energies
+    * (Σ|sample| per `frame`-sample window — integer, order-free),
+    * then bit f = [E_f < E_{f+1}] — 64 energy-gradient bits that
+    * survive re-encoding and small amplitude edits. Packed as two
+    * non-negative 32-bit halves (frames 0-31 → h_hi, 32-63 → h_lo)
+    * feeding the same [[dhashNearDupPairs]] banded join as images.
+    * Non-WAV, non-mono, non-16-bit, or shorter-than-65-frame
+    * payloads are dropped (skip-bad-rows posture).
+    *
+    * Scale shape: one map-side decode pass, 16 bytes out per clip;
+    * candidates come from the shared band join — never all-pairs. */
+  def audioFingerprint(media: Dataset[MediaRecord],
+      frame: Int = 256): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val b = r.payload
+          if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+            None
+          else {
+            // hostile-input-safe chunk walk (the probeWav rules):
+            // unsigned sizes, strict advance
+            var i = 12L
+            var fmt: Option[(Int, Int)] = None // channels, bits
+            var data: Option[(Int, Long)] = None // offset, bytes
+            var ok = true
+            while (ok && i + 8 <= b.length &&
+                (fmt.isEmpty || data.isEmpty)) {
+              val p = i.toInt
+              val id = tag(b, p)
+              val size = le32(b, p + 4) & 0xFFFFFFFFL
+              if (id == "fmt " && p + 24 <= b.length)
+                fmt = Some((le16(b, p + 10), le16(b, p + 22)))
+              else if (id == "data" && p + 8 + size <= b.length)
+                data = Some((p + 8, size))
+              val next = i + 8L + size + (size & 1L)
+              if (next <= i) ok = false else i = next
+            }
+            (fmt, data) match {
+              case (Some((1, 16)), Some((off, bytes))) =>
+                val n = (bytes / 2).toInt
+                if (n < (64 + 1) * frame) None
+                else {
+                  val e = new Array[Long](65)
+                  var f = 0
+                  while (f < 65) {
+                    var acc = 0L
+                    var k = 0
+                    while (k < frame) {
+                      val p = off + (f * frame + k) * 2
+                      val s = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort
+                      acc += math.abs(s.toInt)
+                      k += 1
+                    }
+                    e(f) = acc
+                    f += 1
+                  }
+                  var hi = 0L
+                  var lo = 0L
+                  f = 0
+                  while (f < 64) {
+                    if (e(f) < e(f + 1)) {
+                      if (f < 32) hi |= 1L << f
+                      else lo |= 1L << (f - 32)
+                    }
+                    f += 1
+                  }
+                  Some(AudioHash(r.media_id, n.toLong, hi, lo))
+                }
+              case _ => None
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** Near-dup media pairs by banded Hamming distance over any 64-bit
+    * two-half hash ([[ImageDHash]] and [[AudioHash]] share it) — the
     * [[Dedup]] LSH shape on the 64-bit hash: the hash splits into
     * four 16-bit bands, candidates are pairs agreeing EXACTLY on at
     * least one band (an equi-join on (band, key) — any pair within
@@ -501,6 +593,27 @@ object Multimodal {
     PngSig ++ pngChunk("IHDR", ihdr.toByteArray) ++
       pngChunk("IDAT", out.toByteArray) ++
       pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** FULL valid 16-bit mono PCM WAV carrying REAL sample data —
+    * [[synthWav]]'s zero-fill replaced by the caller's samples
+    * (little-endian int16, low 16 bits of each value). The audio
+    * counterpart of [[synthPngGray]]: an oracle recomputes the
+    * sample formula arithmetically while Spark runs the real
+    * encode → RIFF walk → PCM decode → fingerprint path. */
+  def synthWavPcm(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+    def asc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def w32(v: Int): Unit = out.write(Array(
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte))
+    def w16(v: Int): Unit = out.write(Array(v.toByte, (v >>> 8).toByte))
+    asc("RIFF"); w32(36 + dataSize); asc("WAVE")
+    asc("fmt "); w32(16); w16(1); w16(1); w32(sampleRate)
+    w32(sampleRate * 2); w16(2); w16(16)
+    asc("data"); w32(dataSize)
+    samples.foreach(s => w16(s & 0xffff))
+    out.toByteArray
   }
 
   /** Valid 44-byte-header PCM WAV with `nSamples` zero samples. */

@@ -267,5 +267,91 @@ object MultimodalQ {
       SELECT a, b, CAST(hamming AS BIGINT) AS hamming
       FROM cand WHERE hamming <= 12 ORDER BY a, b"""))
 
-  val all: Seq[Qry] = Seq(q41, q42, q119, q133, q143)
+  /** q145 — audio fingerprint near-dup, completing near-dup across
+    * the declared media kinds (image q143, audio here; video carries
+    * header identity via q119's probe): 16-bit mono PCM WAVs are
+    * synthesized per doc from an id-derived sample formula (per-frame
+    * amplitude A(g, f) times a fixed sawtooth, plus a tiny
+    * replica-index perturbation on a sparse sample grid — same-group
+    * clips are near-identical, not equal), decoded back through the
+    * real RIFF/PCM path by [[Multimodal.audioFingerprint]] (65 frame
+    * energies → 64 gradient bits), and paired by the SAME banded
+    * Hamming join as images. The oracle replays sample synthesis,
+    * frame-energy folding, bit packing, banding, and Hamming
+    * arithmetically — any defect in the PCM encoder, the chunk walk,
+    * the int16 decode, or the framing breaks the match. */
+  val q145 = Qry(
+    "q145_audio_fingerprint_neardup",
+    (s: SparkSession, d: String) => {
+      val session = s
+      import session.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = (id % 50).toInt
+          val v = (id / 50).toInt
+          // per-frame amplitude from a large-coefficient prime mix —
+          // pseudo-random across (g, f), so distinct groups get
+          // uncorrelated gradient signs; ~1/15 of adjacent frames tie
+          // on amplitude, and there the sparse ±v perturbation decides
+          // the bit — same-group clips land a few Hamming bits apart
+          val samples = Array.tabulate(65 * 256) { i =>
+            val a = (((g.toLong * 73856093L +
+              (i / 256).toLong * 19349663L) % 97L).toInt % 15) + 1
+            a * (i % 256 - 128) + (if (i % 997 == 0) v else 0)
+          }
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.synthWavPcm(8000, samples), "synth")
+        }
+      val hashes = Multimodal.audioFingerprint(media).toDF()
+        .localCheckpoint(true)
+      Multimodal.dhashNearDupPairs(hashes, "media_id", maxHamming = 12)
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""
+      WITH clips AS (
+        SELECT doc_id AS id, doc_id % 50 AS g, doc_id // 50 AS v
+        FROM documents WHERE doc_id < 200),
+      samples AS (
+        SELECT c.id, i,
+               (((c.g*73856093 + (i//256)*19349663) % 97) % 15 + 1)
+                 * ((i % 256) - 128)
+                 + CASE WHEN i % 997 = 0 THEN c.v ELSE 0 END AS s
+        FROM clips c, range(0, 16640) t(i)),
+      energies AS (
+        SELECT id, i // 256 AS f, SUM(ABS(s)) AS e
+        FROM samples GROUP BY id, i // 256),
+      bits AS (
+        SELECT a.id, a.f,
+               CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+        FROM energies a JOIN energies b
+          ON a.id = b.id AND b.f = a.f + 1
+        WHERE a.f < 64),
+      hashes AS (
+        SELECT id,
+               CAST(SUM(CASE WHEN f < 32
+                 THEN bit * (1::BIGINT << f) ELSE 0 END)
+                 AS BIGINT) AS h_hi,
+               CAST(SUM(CASE WHEN f >= 32
+                 THEN bit * (1::BIGINT << (f-32)) ELSE 0 END)
+                 AS BIGINT) AS h_lo
+        FROM bits GROUP BY id),
+      bands AS (
+        SELECT id, h_hi, h_lo, t.band,
+               CASE t.band WHEN 0 THEN h_hi // 65536
+                           WHEN 1 THEN h_hi % 65536
+                           WHEN 2 THEN h_lo // 65536
+                           ELSE h_lo % 65536 END AS key
+        FROM hashes, range(0,4) t(band)),
+      cand AS (
+        SELECT DISTINCT l.id AS a, r.id AS b,
+               bit_count(xor(l.h_hi, r.h_hi))
+                 + bit_count(xor(l.h_lo, r.h_lo)) AS hamming
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.key = r.key AND l.id < r.id)
+      SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+      FROM cand WHERE hamming <= 12 ORDER BY a, b"""))
+
+  val all: Seq[Qry] = Seq(q41, q42, q119, q133, q143, q145)
 }

@@ -311,6 +311,95 @@ class MediaSpec extends SparkSpec {
       s"unrelated image paired: $pairs")
   }
 
+  test("band join guarantees any pair within Hamming 3 is a candidate") {
+    // pigeonhole: 4 exact-match bands over 64 bits — at most 3 flipped
+    // bits touch at most 3 bands, so one band always survives intact.
+    // 40 deterministic cases: random base hash, 1-3 random bit flips.
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 40).map { c =>
+      val hi = rnd.nextLong() & 0xFFFFFFFFL
+      val lo = rnd.nextLong() & 0xFFFFFFFFL
+      val bits = Seq.fill(c % 3 + 1)(rnd.nextInt(64)).distinct
+      var hi2 = hi
+      var lo2 = lo
+      bits.foreach { b =>
+        if (b < 32) hi2 ^= 1L << b else lo2 ^= 1L << (b - 32)
+      }
+      (c.toLong, hi, lo, hi2, lo2)
+    }
+    val hashes = cases.flatMap { case (c, hi, lo, hi2, lo2) =>
+      Seq((c * 2, hi, lo), (c * 2 + 1, hi2, lo2))
+    }.toDF("media_id", "h_hi", "h_lo")
+    val pairs = Multimodal.dhashNearDupPairs(hashes, "media_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cases.foreach { case (c, _, _, _, _) =>
+      assert(pairs.contains((c * 2, c * 2 + 1)), s"case $c missed")
+    }
+  }
+
+  test("audioFingerprint decodes real PCM and matches hand-folded energies") {
+    // 65 frames of 256 samples; frame f is a constant +/- (f+1) square
+    // wave -> E_f = 256*(f+1), strictly increasing -> every gradient
+    // bit set -> h_hi = h_lo = 2^32 - 1
+    val samples = Array.tabulate(65 * 256) { i =>
+      val f = i / 256
+      if (i % 2 == 0) f + 1 else -(f + 1)
+    }
+    val media = Seq(MediaRecord(1L, "audio",
+      Multimodal.synthWavPcm(8000, samples), "t")).toDS()
+    val h = Multimodal.audioFingerprint(media).collect().head
+    assert(h.n_samples == 65L * 256)
+    assert(h.h_hi == 0xFFFFFFFFL && h.h_lo == 0xFFFFFFFFL)
+  }
+
+  test("audioFingerprint pairs a planted near-identical clip, separates noise") {
+    def clip(amp: Int => Int): Array[Byte] = {
+      val samples = Array.tabulate(65 * 256) { i =>
+        amp(i / 256) * (if (i % 2 == 0) 1 else -1)
+      }
+      Multimodal.synthWavPcm(8000, samples)
+    }
+    def baseAmp(f: Int): Int = (f * 7 % 13) + 1
+    val base = clip(baseAmp)
+    // near: ONE frame's amplitude edited (11 -> 4, a localized dropout
+    // in a 65-frame clip) — flips exactly the two gradient bits
+    // touching frame 20: E19=E20 ties to 0 (was 1), E20<E21 turns 1
+    // (was 0); every other comparison is untouched
+    val near = clip(f => if (f == 20) 4 else baseAmp(f))
+    // unrelated gradient structure
+    val far = clip(f => (f * 11 % 29) + 1)
+    val media = Seq(
+      MediaRecord(1L, "audio", base, "t"),
+      MediaRecord(2L, "audio", near, "t"),
+      MediaRecord(3L, "audio", far, "t")).toDS()
+    val hashes = Multimodal.audioFingerprint(media).toDF()
+    val pairs = Multimodal
+      .dhashNearDupPairs(hashes, "media_id", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toList
+    assert(pairs.exists { case (a, b, hm) =>
+      a == 1L && b == 2L && hm >= 1 && hm <= 2 },
+      s"planted near-dup not found at small nonzero Hamming: $pairs")
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L },
+      s"unrelated clip paired: $pairs")
+  }
+
+  test("audioFingerprint drops non-mono/non-16-bit/short/garbage payloads") {
+    val good = Multimodal.synthWavPcm(8000,
+      Array.tabulate(65 * 256)(i => i % 100))
+    val shortClip = Multimodal.synthWavPcm(8000, Array.fill(1000)(5))
+    val stereo = Multimodal.synthWav(8000, 2, 16, 65 * 256)
+    val eightBit = Multimodal.synthWav(8000, 1, 8, 65 * 256)
+    val media = Seq(
+      MediaRecord(1L, "audio", good, "t"),
+      MediaRecord(2L, "audio", shortClip, "t"),
+      MediaRecord(3L, "audio", stereo, "t"),
+      MediaRecord(4L, "audio", eightBit, "t"),
+      MediaRecord(5L, "audio", "not a wav".getBytes("UTF-8"), "t")).toDS()
+    assert(Multimodal.audioFingerprint(media).collect()
+      .map(_.media_id).toList == List(1L))
+  }
+
   test("dHash drops undecodable/sub-grid payloads; identical images collide") {
     val solid = realPng(20, 16, 0x336699) // RGB path, all gradients flat
     val tiny = Multimodal.synthPngGray(8, 8, (x, _) => x * 10)
