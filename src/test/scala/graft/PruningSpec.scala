@@ -81,6 +81,29 @@ class PruningSpec extends SparkSpec {
     assert(viaPruned === viaFull && viaFull.nonEmpty)
   }
 
+  test("IVF cell-partitioned vector store: the probe join prunes cell partitions") {
+    // the q144 scale claim made concrete on storage: vectors written
+    // partitioned by their IVF cell; the (q_id, cell) probe relation
+    // joins on cell, and dynamic partition pruning restricts the scan
+    // to the nprobe probed cells — unprobed cells' files never open
+    Tables.embeddings(spark, sf())
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$dir/vecs")
+    val vecs = spark.read.parquet(s"$dir/vecs")
+    // probe relation as a real scan (DPP needs Filter-over-scan)
+    Seq((0L, 1), (0L, 3), (1L, 2), (1L, 4), (2L, 0))
+      .toDF("q_id", "label")
+      .write.mode("overwrite").parquet(s"$dir/probes")
+    val probes = spark.read.parquet(s"$dir/probes")
+    val q = vecs.join(probes.filter($"q_id" === 0L), "label")
+      .select($"vec_id")
+    val p = q.queryExecution.explainString(FormattedMode)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"probe join did not dynamically prune cell partitions:\n$p")
+    assert(q.count() === Tables.embeddings(spark, sf())
+      .filter($"label".isin(1, 3)).count())
+  }
+
   test("dynamic partition pruning fires through a selective dim join") {
     val facts = spark.read.parquet(s"$dir/docs")
     // tiny dim: one row per lang, filtered to a single lang — the
