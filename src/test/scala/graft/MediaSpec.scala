@@ -400,6 +400,27 @@ class MediaSpec extends SparkSpec {
       .map(_.media_id).toList == List(1L))
   }
 
+  test("audioFingerprint survives hostile chunk sizes (no loop, no throw)") {
+    val good = Multimodal.synthWavPcm(8000,
+      Array.tabulate(65 * 256)(i => i % 50))
+    // chunk size 0xFFFFFFF8 reads as -8 signed: a naive walk strides
+    // backwards forever; the unsigned walk must bail
+    val hostile = good.clone()
+    hostile(16) = 0xF8.toByte; hostile(17) = 0xFF.toByte
+    hostile(18) = 0xFF.toByte; hostile(19) = 0xFF.toByte
+    // data size lying past EOF must not be read
+    val lying = good.clone()
+    lying(40) = 0x7F.toByte; lying(41) = 0x7F.toByte
+    lying(42) = 0x7F.toByte; lying(43) = 0x7F.toByte
+    val media = Seq(
+      MediaRecord(1L, "audio", hostile, "t"),
+      MediaRecord(2L, "audio", lying, "t"),
+      MediaRecord(3L, "audio", good.take(30), "t"),
+      MediaRecord(4L, "audio", good, "t")).toDS()
+    assert(Multimodal.audioFingerprint(media).collect()
+      .map(_.media_id).toList == List(4L))
+  }
+
   test("dHash drops undecodable/sub-grid payloads; identical images collide") {
     val solid = realPng(20, 16, 0x336699) // RGB path, all gradients flat
     val tiny = Multimodal.synthPngGray(8, 8, (x, _) => x * 10)
