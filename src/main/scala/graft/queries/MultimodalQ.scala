@@ -187,6 +187,84 @@ object MultimodalQ {
       FROM documents WHERE doc_id < 200
       ORDER BY media_id"""))
 
+  /** CTE chain re-deriving the q143 image corpus dHashes — final CTE
+    * `img_hashes` = (id, h_hi, h_lo). Shared by q143/q146. */
+  private val imgHashCtes = """img_src AS (
+        SELECT doc_id AS id, doc_id % 50 AS g, doc_id // 50 AS v,
+               32 + (doc_id % 50) % 5 AS w,
+               28 + (doc_id % 50) % 3 AS h
+        FROM documents WHERE doc_id < 200),
+      img_grid AS (
+        SELECT i.id, gx, gy,
+               (i.g*73 + ((gx*i.w)//9)*151 + ((gy*i.h)//8)*211
+                 + ((gx*i.w)//9)*((gy*i.h)//8)*31
+                 + i.v*((((gx*i.w)//9) + ((gy*i.h)//8)) % 2)) % 256 AS l
+        FROM img_src i, range(0,9) t1(gx), range(0,8) t2(gy)),
+      img_bits AS (
+        SELECT a.id, a.gy, a.gx,
+               CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+        FROM img_grid a JOIN img_grid b
+          ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
+        WHERE a.gx < 8),
+      img_hashes AS (
+        SELECT id,
+               CAST(SUM(CASE WHEN gy < 4
+                 THEN bit * (1::BIGINT << (gy*8+gx)) ELSE 0 END)
+                 AS BIGINT) AS h_hi,
+               CAST(SUM(CASE WHEN gy >= 4
+                 THEN bit * (1::BIGINT << ((gy-4)*8+gx)) ELSE 0 END)
+                 AS BIGINT) AS h_lo
+        FROM img_bits GROUP BY id)"""
+
+  /** CTE chain re-deriving the q145 audio corpus fingerprints — final
+    * CTE `aud_hashes` = (id, h_hi, h_lo); `off` shifts the id space
+    * (q146 keeps image and audio ids disjoint). Shared by q145/q146. */
+  private def audHashCtes(off: Long): String = s"""aud_src AS (
+        SELECT doc_id + $off AS id, doc_id % 50 AS g, doc_id // 50 AS v
+        FROM documents WHERE doc_id < 200),
+      aud_samples AS (
+        SELECT c.id, i,
+               (((c.g*73856093 + (i//256)*19349663) % 97) % 15 + 1)
+                 * ((i % 256) - 128)
+                 + CASE WHEN i % 997 = 0 THEN c.v ELSE 0 END AS s
+        FROM aud_src c, range(0, 16640) t(i)),
+      aud_energies AS (
+        SELECT id, i // 256 AS f, SUM(ABS(s)) AS e
+        FROM aud_samples GROUP BY id, i // 256),
+      aud_bits AS (
+        SELECT a.id, a.f,
+               CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+        FROM aud_energies a JOIN aud_energies b
+          ON a.id = b.id AND b.f = a.f + 1
+        WHERE a.f < 64),
+      aud_hashes AS (
+        SELECT id,
+               CAST(SUM(CASE WHEN f < 32
+                 THEN bit * (1::BIGINT << f) ELSE 0 END)
+                 AS BIGINT) AS h_hi,
+               CAST(SUM(CASE WHEN f >= 32
+                 THEN bit * (1::BIGINT << (f-32)) ELSE 0 END)
+                 AS BIGINT) AS h_lo
+        FROM aud_bits GROUP BY id)"""
+
+  /** Banded candidate pairs + Hamming over a (id, h_hi, h_lo) CTE —
+    * the SQL twin of [[Multimodal.dhashNearDupPairs]]; emits
+    * `<p>bands` and `<p>cand`. */
+  private def bandPairCtes(src: String, p: String): String = s"""
+      ${p}bands AS (
+        SELECT id, h_hi, h_lo, t.band,
+               CASE t.band WHEN 0 THEN h_hi // 65536
+                           WHEN 1 THEN h_hi % 65536
+                           WHEN 2 THEN h_lo // 65536
+                           ELSE h_lo % 65536 END AS key
+        FROM $src, range(0,4) t(band)),
+      ${p}cand AS (
+        SELECT DISTINCT l.id AS a, r.id AS b,
+               bit_count(xor(l.h_hi, r.h_hi))
+                 + bit_count(xor(l.h_lo, r.h_lo)) AS hamming
+        FROM ${p}bands l JOIN ${p}bands r
+          ON l.band = r.band AND l.key = r.key AND l.id < r.id)"""
+
   /** q143 — image perceptual-hash near-dup, the multimodal analogue
     * of MinHash dedup (q28) on the REAL pixel path: full grayscale
     * PNGs (deflate-compressed IDAT) are synthesized per doc from an
@@ -224,48 +302,11 @@ object MultimodalQ {
       Multimodal.dhashNearDupPairs(hashes, "media_id", maxHamming = 12)
         .orderBy(col("a"), col("b"))
     },
-    Some("""
-      WITH imgs AS (
-        SELECT doc_id AS id, doc_id % 50 AS g, doc_id // 50 AS v,
-               32 + (doc_id % 50) % 5 AS w,
-               28 + (doc_id % 50) % 3 AS h
-        FROM documents WHERE doc_id < 200),
-      grid AS (
-        SELECT i.id, gx, gy,
-               (i.g*73 + ((gx*i.w)//9)*151 + ((gy*i.h)//8)*211
-                 + ((gx*i.w)//9)*((gy*i.h)//8)*31
-                 + i.v*((((gx*i.w)//9) + ((gy*i.h)//8)) % 2)) % 256 AS l
-        FROM imgs i, range(0,9) t1(gx), range(0,8) t2(gy)),
-      bits AS (
-        SELECT a.id, a.gy, a.gx,
-               CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
-        FROM grid a JOIN grid b
-          ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
-        WHERE a.gx < 8),
-      hashes AS (
-        SELECT id,
-               CAST(SUM(CASE WHEN gy < 4
-                 THEN bit * (1::BIGINT << (gy*8+gx)) ELSE 0 END)
-                 AS BIGINT) AS h_hi,
-               CAST(SUM(CASE WHEN gy >= 4
-                 THEN bit * (1::BIGINT << ((gy-4)*8+gx)) ELSE 0 END)
-                 AS BIGINT) AS h_lo
-        FROM bits GROUP BY id),
-      bands AS (
-        SELECT id, h_hi, h_lo, t.band,
-               CASE t.band WHEN 0 THEN h_hi // 65536
-                           WHEN 1 THEN h_hi % 65536
-                           WHEN 2 THEN h_lo // 65536
-                           ELSE h_lo % 65536 END AS key
-        FROM hashes, range(0,4) t(band)),
-      cand AS (
-        SELECT DISTINCT l.id AS a, r.id AS b,
-               bit_count(xor(l.h_hi, r.h_hi))
-                 + bit_count(xor(l.h_lo, r.h_lo)) AS hamming
-        FROM bands l JOIN bands r
-          ON l.band = r.band AND l.key = r.key AND l.id < r.id)
+    Some(s"""
+      WITH $imgHashCtes,
+      ${bandPairCtes("img_hashes", "img_")}
       SELECT a, b, CAST(hamming AS BIGINT) AS hamming
-      FROM cand WHERE hamming <= 12 ORDER BY a, b"""))
+      FROM img_cand WHERE hamming <= 12 ORDER BY a, b"""))
 
   /** q145 — audio fingerprint near-dup, completing near-dup across
     * the declared media kinds (image q143, audio here; video carries
@@ -309,49 +350,94 @@ object MultimodalQ {
       Multimodal.dhashNearDupPairs(hashes, "media_id", maxHamming = 12)
         .orderBy(col("a"), col("b"))
     },
-    Some("""
-      WITH clips AS (
-        SELECT doc_id AS id, doc_id % 50 AS g, doc_id // 50 AS v
-        FROM documents WHERE doc_id < 200),
-      samples AS (
-        SELECT c.id, i,
-               (((c.g*73856093 + (i//256)*19349663) % 97) % 15 + 1)
-                 * ((i % 256) - 128)
-                 + CASE WHEN i % 997 = 0 THEN c.v ELSE 0 END AS s
-        FROM clips c, range(0, 16640) t(i)),
-      energies AS (
-        SELECT id, i // 256 AS f, SUM(ABS(s)) AS e
-        FROM samples GROUP BY id, i // 256),
-      bits AS (
-        SELECT a.id, a.f,
-               CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
-        FROM energies a JOIN energies b
-          ON a.id = b.id AND b.f = a.f + 1
-        WHERE a.f < 64),
-      hashes AS (
-        SELECT id,
-               CAST(SUM(CASE WHEN f < 32
-                 THEN bit * (1::BIGINT << f) ELSE 0 END)
-                 AS BIGINT) AS h_hi,
-               CAST(SUM(CASE WHEN f >= 32
-                 THEN bit * (1::BIGINT << (f-32)) ELSE 0 END)
-                 AS BIGINT) AS h_lo
-        FROM bits GROUP BY id),
-      bands AS (
-        SELECT id, h_hi, h_lo, t.band,
-               CASE t.band WHEN 0 THEN h_hi // 65536
-                           WHEN 1 THEN h_hi % 65536
-                           WHEN 2 THEN h_lo // 65536
-                           ELSE h_lo % 65536 END AS key
-        FROM hashes, range(0,4) t(band)),
-      cand AS (
-        SELECT DISTINCT l.id AS a, r.id AS b,
-               bit_count(xor(l.h_hi, r.h_hi))
-                 + bit_count(xor(l.h_lo, r.h_lo)) AS hamming
-        FROM bands l JOIN bands r
-          ON l.band = r.band AND l.key = r.key AND l.id < r.id)
+    Some(s"""
+      WITH ${audHashCtes(0L)},
+      ${bandPairCtes("aud_hashes", "aud_")}
       SELECT a, b, CAST(hamming AS BIGINT) AS hamming
-      FROM cand WHERE hamming <= 12 ORDER BY a, b"""))
+      FROM aud_cand WHERE hamming <= 12 ORDER BY a, b"""))
 
-  val all: Seq[Qry] = Seq(q41, q42, q119, q133, q143, q145)
+  /** q146 — cross-modal media dedup CURATION: the q143 image corpus
+    * and the q145 audio corpus (ids offset disjoint) hashed through
+    * their real decode paths, near-dup pairs banded PER MODALITY
+    * (hashes of different kinds must never meet a band join — a
+    * chance image/audio band collision is not a duplicate), then ONE
+    * [[graft.operators.Components]] pass clusters both pair sets and
+    * each cluster keeps its min-id representative — the keep-one
+    * dedup step a multimodal training pipeline runs before packing.
+    * Emits (component, n_members): component IS the kept id (min
+    * label), so the row count is the surviving corpus size. Oracle
+    * re-derives both hash chains, both band joins, and the
+    * transitive closure (recursive CTE). */
+  val q146 = Qry(
+    "q146_media_dedup_curate",
+    (s: SparkSession, d: String) => {
+      val session = s
+      import session.implicits._
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+      val imgs = base.map { id =>
+        val g = (id % 50).toInt
+        val v = (id / 50).toInt
+        val payload = Multimodal.synthPngGray(32 + g % 5, 28 + g % 3,
+          (x, y) => (g * 73 + x * 151 + y * 211 + x * y * 31 +
+            v * ((x + y) % 2)) % 256)
+        Multimodal.MediaRecord(id, "image", payload, "synth")
+      }
+      val auds = base.map { id =>
+        val g = (id % 50).toInt
+        val v = (id / 50).toInt
+        val samples = Array.tabulate(65 * 256) { i =>
+          val a = (((g.toLong * 73856093L +
+            (i / 256).toLong * 19349663L) % 97L).toInt % 15) + 1
+          a * (i % 256 - 128) + (if (i % 997 == 0) v else 0)
+        }
+        Multimodal.MediaRecord(id + 1000L, "audio",
+          Multimodal.synthWavPcm(8000, samples), "synth")
+      }
+      val ih = Multimodal.dHash(imgs).toDF()
+        .select(col("media_id"), col("h_hi"), col("h_lo"))
+        .localCheckpoint(true)
+      val ah = Multimodal.audioFingerprint(auds).toDF()
+        .select(col("media_id"), col("h_hi"), col("h_lo"))
+        .localCheckpoint(true)
+      val pairs = Multimodal
+        .dhashNearDupPairs(ih, "media_id", maxHamming = 12)
+        .unionByName(Multimodal
+          .dhashNearDupPairs(ah, "media_id", maxHamming = 12))
+        .select(col("a"), col("b"))
+      val nodes = ih.select(col("media_id"))
+        .unionByName(ah.select(col("media_id")))
+      graft.operators.Components
+        .connectedComponents(nodes, "media_id", pairs, "a", "b")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("component"))
+    },
+    Some(s"""
+      WITH RECURSIVE $imgHashCtes,
+      ${audHashCtes(1000L)},
+      ${bandPairCtes("img_hashes", "img_")},
+      ${bandPairCtes("aud_hashes", "aud_")},
+      pairs AS (
+        SELECT a, b FROM img_cand WHERE hamming <= 12
+        UNION ALL
+        SELECT a, b FROM aud_cand WHERE hamming <= 12),
+      edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION SELECT b AS src, a AS dst FROM pairs),
+      nodes AS (
+        SELECT id FROM img_hashes
+        UNION ALL SELECT id FROM aud_hashes),
+      walk AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e
+          ON e.src = w.id),
+      comp AS (SELECT id, MIN(label) AS component
+               FROM walk GROUP BY id)
+      SELECT component, COUNT(*) AS n_members
+      FROM comp GROUP BY component ORDER BY component"""))
+
+  val all: Seq[Qry] = Seq(q41, q42, q119, q133, q143, q145, q146)
 }
