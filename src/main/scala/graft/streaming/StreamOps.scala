@@ -308,4 +308,41 @@ object StreamOps {
       .agg(count(lit(1)).as("n"),
         sum(col("uid")).as("sum_uid"),
         sum(col("k2")).as("sum_k2"))
+
+  /** Streaming media ingest — the multimodal twin of [[corpusIngest]]:
+    * each trigger's binary payloads are exact-deduplicated by content
+    * hash within the watermark (re-delivered bytes are dropped, state
+    * evicted at the watermark), header-probed with the SAME pure-JVM
+    * parsers as batch ([[graft.operators.Multimodal]] — ~50 bytes
+    * touched per record, no codec), and folded into one additive row
+    * per detected container format. Counts and byte sums are
+    * mergeable across triggers, so cross-batch totals equal the batch
+    * answer over the distinct payloads (the spec pins this). Run in
+    * `update` output mode.
+    *
+    * Scale shape: dedup state is hash-sized and watermark-bounded;
+    * the probe is a map-side byte walk; streaming state after the
+    * aggregate is one row per format. */
+  def mediaIngest(media: DataFrame, tsCol: String, binCol: String,
+      watermark: String): DataFrame = {
+    import media.sparkSession.implicits._
+    import graft.operators.Multimodal
+    val deduped = media
+      .withColumn("__h", md5(col(binCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+    deduped.select(col(binCol)).as[Array[Byte]]
+      .map { b =>
+        val fmt =
+          if (Multimodal.probePng(b).isDefined) "png"
+          else if (Multimodal.probeWav(b).isDefined) "wav"
+          else if (Multimodal.probeMp4(b).isDefined) "mp4"
+          else if (Multimodal.probeJpeg(b).isDefined) "jpeg"
+          else "unknown"
+        (fmt, b.length.toLong)
+      }
+      .toDF("format", "n_bytes")
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
+  }
 }

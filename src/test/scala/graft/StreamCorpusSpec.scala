@@ -69,6 +69,47 @@ class StreamCorpusSpec extends SparkSpec {
     assert(got("en")._1 == 2L) // the duplicate did not double-count
   }
 
+  test("streaming media ingest: per-format totals equal batch; dups dropped") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val png = Multimodal.synthPng(64, 48)
+    val wav = Multimodal.synthWav(8000, 1, 16, 100)
+    val jpeg = Multimodal.synthJpeg(32, 24)
+    val mp4 = Multimodal.synthMp4("isom", 1000, 5000L, 2)
+    val junk = "not media at all".getBytes("UTF-8")
+
+    val in = MemoryStream[(Timestamp, Array[Byte])]
+    val out = StreamOps.mediaIngest(in.toDF().toDF("ts", "payload"),
+      "ts", "payload", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("mingest")
+      .outputMode("update").start()
+
+    in.addData(
+      (ts("2024-01-01 00:00:00"), png),
+      (ts("2024-01-01 00:01:00"), wav),
+      (ts("2024-01-01 00:02:00"), junk))
+    q.processAllAvailable()
+    in.addData(
+      (ts("2024-01-01 00:03:00"), png), // exact re-delivery: dropped
+      (ts("2024-01-01 00:04:00"), jpeg),
+      (ts("2024-01-01 00:05:00"), mp4))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("mingest")
+      .groupBy($"format")
+      .agg(max(struct($"n", $"total_bytes")).as("m"))
+      .select($"format", $"m.n", $"m.total_bytes")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "png" -> ((1L, png.length.toLong)),
+      "wav" -> ((1L, wav.length.toLong)),
+      "jpeg" -> ((1L, jpeg.length.toLong)),
+      "mp4" -> ((1L, mp4.length.toLong)),
+      "unknown" -> ((1L, junk.length.toLong))), got.toString)
+  }
+
   test("streaming VARIANT ingest equals the batch aggregate across " +
       "micro-batch boundaries (q124's parse path per trigger)") {
     implicit val sqlCtx = spark.sqlContext
