@@ -45,7 +45,17 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("scaledata/sf1")
     val mult = args.lift(2).map(_.toInt).getOrElse(10)
+    val Known = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
     val onlyTables = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    // a typo'd table name silently generating NOTHING would hand a
+    // targeted scale bench a stale or absent table — fail at launch
+    onlyTables.foreach { ts =>
+      val unknown = ts -- Known
+      require(unknown.isEmpty, s"ScaleUp: unknown table(s) " +
+        s"${unknown.mkString(", ")} — known: " +
+        Known.toSeq.sorted.mkString(", "))
+    }
     def want(t: String): Boolean = onlyTables.forall(_.contains(t))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = Tables.configure(SparkSession.builder()

@@ -21,6 +21,17 @@ object Verify {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stale-state guard: outputs from a previous (possibly different-
+    // subset) run in the same dir would let the checker validate a
+    // mix of old and new results and still read green — start empty
+    val outRoot = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(outRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outRoot)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach {
       case (name, fn) =>

@@ -157,37 +157,51 @@ object Multimodal {
     None
   }
 
-  /** WAV/RIFF: "RIFF" size "WAVE", then a chunk walk for "fmt "
-    * (channels, sample rate, bits/sample) and "data" (payload size →
-    * duration = dataBytes / byteRate). probe() sees arbitrary
-    * payloads, so the walk must be hostile-input-safe: chunk sizes
-    * are RIFF u32 — read UNSIGNED into a Long offset (a signed read
-    * of 0xFFFFFFF8 is -8, turning the stride into a zero/negative
-    * increment = infinite loop or backwards walk), and bail unless
-    * the offset strictly advances. */
-  def probeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  /** ONE hostile-input-safe RIFF chunk walk serving [[probeWav]] and
+    * [[audioFingerprint]] (a single place for the parsing rules):
+    * chunk sizes are RIFF u32 — read UNSIGNED into a Long offset (a
+    * signed read of 0xFFFFFFF8 is -8, turning the stride into a
+    * zero/negative increment = infinite loop or backwards walk), and
+    * bail unless the offset strictly advances. The fmt chunk must
+    * DECLARE at least the 16 PCM bytes (a shorter declaration would
+    * read channels/bits out of the next chunk's bytes). The data
+    * chunk's declared size is NOT bounds-checked here — the probe
+    * contract keeps fields parsed before a truncated payload; sample
+    * READERS must bound-check before touching bytes.
+    * @return (fmt = (formatTag, channels, sampleRate, bitsPerSample),
+    *          data = (payload offset, declared bytes)) */
+  private def wavChunks(b: Array[Byte])
+      : (Option[(Int, Int, Int, Int)], Option[(Int, Long)]) = {
     if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
-      return None
+      return (None, None)
     var i = 12L
-    var fmt: Option[(Int, Int, Int)] = None
-    var dataBytes = -1L
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var data: Option[(Int, Long)] = None
     var ok = true
-    while (ok && i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+    while (ok && i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val p = i.toInt
       val id = tag(b, p)
       val size = le32(b, p + 4) & 0xFFFFFFFFL
-      if (id == "fmt " && p + 24 <= b.length)
-        fmt = Some((le16(b, p + 10), le32(b, p + 12), le16(b, p + 22)))
-      else if (id == "data")
-        dataBytes = size
+      if (id == "fmt " && size >= 16L && p + 24 <= b.length)
+        fmt = Some((le16(b, p + 8), le16(b, p + 10),
+          le32(b, p + 12), le16(b, p + 22)))
+      else if (id == "data" && data.isEmpty)
+        data = Some((p + 8, size))
       // chunks are word-aligned: odd sizes carry a pad byte
       val next = i + 8L + size + (size & 1L)
       if (next <= i) ok = false else i = next
     }
-    fmt.collect { case (ch, rate, bits) if dataBytes >= 0 &&
+    (fmt, data)
+  }
+
+  /** WAV/RIFF header probe: channels, sample rate, bits/sample, and
+    * duration (declared data bytes / byte rate) via [[wavChunks]]. */
+  def probeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    val (fmt, data) = wavChunks(b)
+    fmt.collect { case (_, ch, rate, bits) if data.nonEmpty &&
         ch > 0 && rate > 0 && bits > 0 =>
       val byteRate = rate.toLong * ch * bits / 8
-      (ch, rate, bits, dataBytes * 1000L / byteRate)
+      (ch, rate, bits, data.get._2 * 1000L / byteRate)
     }
   }
 
@@ -416,8 +430,10 @@ object Multimodal {
     * survive re-encoding and small amplitude edits. Packed as two
     * non-negative 32-bit halves (frames 0-31 → h_hi, 32-63 → h_lo)
     * feeding the same [[dhashNearDupPairs]] banded join as images.
-    * Non-WAV, non-mono, non-16-bit, or shorter-than-65-frame
-    * payloads are dropped (skip-bad-rows posture).
+    * Non-WAV, non-PCM (format tag ≠ 1 — a compressed codec's bytes
+    * are not samples), non-mono, non-16-bit, truncated-payload, or
+    * shorter-than-65-frame payloads are dropped (skip-bad-rows
+    * posture).
     *
     * Scale shape: one map-side decode pass, 16 bytes out per clip;
     * candidates come from the shared band join — never all-pairs. */
@@ -428,29 +444,14 @@ object Multimodal {
       rows.flatMap { r =>
         try {
           val b = r.payload
-          if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
-            None
-          else {
-            // hostile-input-safe chunk walk (the probeWav rules):
-            // unsigned sizes, strict advance
-            var i = 12L
-            var fmt: Option[(Int, Int)] = None // channels, bits
-            var data: Option[(Int, Long)] = None // offset, bytes
-            var ok = true
-            while (ok && i + 8 <= b.length &&
-                (fmt.isEmpty || data.isEmpty)) {
-              val p = i.toInt
-              val id = tag(b, p)
-              val size = le32(b, p + 4) & 0xFFFFFFFFL
-              if (id == "fmt " && p + 24 <= b.length)
-                fmt = Some((le16(b, p + 10), le16(b, p + 22)))
-              else if (id == "data" && p + 8 + size <= b.length)
-                data = Some((p + 8, size))
-              val next = i + 8L + size + (size & 1L)
-              if (next <= i) ok = false else i = next
-            }
-            (fmt, data) match {
-              case (Some((1, 16)), Some((off, bytes))) =>
+          // shared hostile-input-safe walk; PCM ONLY (format tag 1 —
+          // a compressed codec's bytes are not samples), mono,
+          // 16-bit, and the declared payload must actually be
+          // present (the walk does not bounds-check data for the
+          // probe's sake; a sample reader must)
+          wavChunks(b) match {
+              case (Some((1, 1, _, 16)), Some((off, bytes)))
+                  if off + bytes <= b.length =>
                 val n = (bytes / 2).toInt
                 if (n < (64 + 1) * frame) None
                 else {
@@ -481,7 +482,6 @@ object Multimodal {
                   Some(AudioHash(r.media_id, n.toLong, hi, lo))
                 }
               case _ => None
-            }
           }
         } catch { case scala.util.control.NonFatal(_) => None }
       }

@@ -187,6 +187,37 @@ object MultimodalQ {
       FROM documents WHERE doc_id < 200
       ORDER BY media_id"""))
 
+  /** The q143/q146 image corpus generator — the ONE Scala source of
+    * the pixel formula whose SQL twin is [[imgHashCtes]]; editing
+    * either without the other breaks the gate in both queries, which
+    * is the point. */
+  private def imgMedia(id: Long): Multimodal.MediaRecord = {
+    val g = (id % 50).toInt
+    val v = (id / 50).toInt
+    val payload = Multimodal.synthPngGray(32 + g % 5, 28 + g % 3,
+      (x, y) => (g * 73 + x * 151 + y * 211 + x * y * 31 +
+        v * ((x + y) % 2)) % 256)
+    Multimodal.MediaRecord(id, "image", payload, "synth")
+  }
+
+  /** The q145/q146 audio corpus generator — SQL twin [[audHashCtes]];
+    * `off` shifts the id space (q146 keeps modalities disjoint). */
+  private def audMedia(id: Long, off: Long): Multimodal.MediaRecord = {
+    val g = (id % 50).toInt
+    val v = (id / 50).toInt
+    // per-frame amplitude from a large-coefficient prime mix —
+    // pseudo-random across (g, f), so distinct groups get
+    // uncorrelated gradient signs; ~1/15 of adjacent frames tie on
+    // amplitude, and there the sparse ±v perturbation decides the bit
+    val samples = Array.tabulate(65 * 256) { i =>
+      val a = (((g.toLong * 73856093L +
+        (i / 256).toLong * 19349663L) % 97L).toInt % 15) + 1
+      a * (i % 256 - 128) + (if (i % 997 == 0) v else 0)
+    }
+    Multimodal.MediaRecord(id + off, "audio",
+      Multimodal.synthWavPcm(8000, samples), "synth")
+  }
+
   /** CTE chain re-deriving the q143 image corpus dHashes — final CTE
     * `img_hashes` = (id, h_hi, h_lo). Shared by q143/q146. */
   private val imgHashCtes = """img_src AS (
@@ -285,16 +316,7 @@ object MultimodalQ {
       val media = Tables.documents(s, d)
         .filter(col("doc_id") < 200)
         .select(col("doc_id")).as[Long]
-        .map { id =>
-          val g = (id % 50).toInt
-          val v = (id / 50).toInt
-          val w = 32 + g % 5
-          val h = 28 + g % 3
-          val payload = Multimodal.synthPngGray(w, h, (x, y) =>
-            (g * 73 + x * 151 + y * 211 + x * y * 31 +
-              v * ((x + y) % 2)) % 256)
-          Multimodal.MediaRecord(id, "image", payload, "synth")
-        }
+        .map(imgMedia _)
       // hashes feed BOTH sides of the band self-join — checkpoint so
       // the encode→decode→hash pass runs once (the q128 pattern; at
       // scale you materialize the 16-byte hashes, never decode twice)
@@ -329,22 +351,7 @@ object MultimodalQ {
       val media = Tables.documents(s, d)
         .filter(col("doc_id") < 200)
         .select(col("doc_id")).as[Long]
-        .map { id =>
-          val g = (id % 50).toInt
-          val v = (id / 50).toInt
-          // per-frame amplitude from a large-coefficient prime mix —
-          // pseudo-random across (g, f), so distinct groups get
-          // uncorrelated gradient signs; ~1/15 of adjacent frames tie
-          // on amplitude, and there the sparse ±v perturbation decides
-          // the bit — same-group clips land a few Hamming bits apart
-          val samples = Array.tabulate(65 * 256) { i =>
-            val a = (((g.toLong * 73856093L +
-              (i / 256).toLong * 19349663L) % 97L).toInt % 15) + 1
-            a * (i % 256 - 128) + (if (i % 997 == 0) v else 0)
-          }
-          Multimodal.MediaRecord(id, "audio",
-            Multimodal.synthWavPcm(8000, samples), "synth")
-        }
+        .map(audMedia(_, 0L))
       val hashes = Multimodal.audioFingerprint(media).toDF()
         .localCheckpoint(true)
       Multimodal.dhashNearDupPairs(hashes, "media_id", maxHamming = 12)
@@ -376,25 +383,8 @@ object MultimodalQ {
       val base = Tables.documents(s, d)
         .filter(col("doc_id") < 200)
         .select(col("doc_id")).as[Long]
-      val imgs = base.map { id =>
-        val g = (id % 50).toInt
-        val v = (id / 50).toInt
-        val payload = Multimodal.synthPngGray(32 + g % 5, 28 + g % 3,
-          (x, y) => (g * 73 + x * 151 + y * 211 + x * y * 31 +
-            v * ((x + y) % 2)) % 256)
-        Multimodal.MediaRecord(id, "image", payload, "synth")
-      }
-      val auds = base.map { id =>
-        val g = (id % 50).toInt
-        val v = (id / 50).toInt
-        val samples = Array.tabulate(65 * 256) { i =>
-          val a = (((g.toLong * 73856093L +
-            (i / 256).toLong * 19349663L) % 97L).toInt % 15) + 1
-          a * (i % 256 - 128) + (if (i % 997 == 0) v else 0)
-        }
-        Multimodal.MediaRecord(id + 1000L, "audio",
-          Multimodal.synthWavPcm(8000, samples), "synth")
-      }
+      val imgs = base.map(imgMedia _)
+      val auds = base.map(audMedia(_, 1000L))
       val ih = Multimodal.dHash(imgs).toDF()
         .select(col("media_id"), col("h_hi"), col("h_lo"))
         .localCheckpoint(true)

@@ -331,17 +331,12 @@ object StreamOps {
       .withColumn("__h", md5(col(binCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__h")
-    deduped.select(col(binCol)).as[Array[Byte]]
-      .map { b =>
-        val fmt =
-          if (Multimodal.probePng(b).isDefined) "png"
-          else if (Multimodal.probeWav(b).isDefined) "wav"
-          else if (Multimodal.probeMp4(b).isDefined) "mp4"
-          else if (Multimodal.probeJpeg(b).isDefined) "jpeg"
-          else "unknown"
-        (fmt, b.length.toLong)
-      }
-      .toDF("format", "n_bytes")
+    // classification runs through the ACTUAL batch probe operator —
+    // one precedence/parsing implementation for batch and stream, so
+    // the cross-batch-equals-batch contract can't drift
+    val records = deduped.select(col(binCol)).as[Array[Byte]]
+      .map(b => Multimodal.MediaRecord(0L, "", b, ""))
+    Multimodal.probe(records).toDF()
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
   }

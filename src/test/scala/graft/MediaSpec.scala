@@ -390,12 +390,17 @@ class MediaSpec extends SparkSpec {
     val shortClip = Multimodal.synthWavPcm(8000, Array.fill(1000)(5))
     val stereo = Multimodal.synthWav(8000, 2, 16, 65 * 256)
     val eightBit = Multimodal.synthWav(8000, 1, 8, 65 * 256)
+    // format tag 0xFFFE (EXTENSIBLE) declaring mono/16-bit: the bytes
+    // are NOT raw PCM samples and must not be fingerprinted as such
+    val nonPcm = good.clone()
+    nonPcm(20) = 0xFE.toByte; nonPcm(21) = 0xFF.toByte
     val media = Seq(
       MediaRecord(1L, "audio", good, "t"),
       MediaRecord(2L, "audio", shortClip, "t"),
       MediaRecord(3L, "audio", stereo, "t"),
       MediaRecord(4L, "audio", eightBit, "t"),
-      MediaRecord(5L, "audio", "not a wav".getBytes("UTF-8"), "t")).toDS()
+      MediaRecord(5L, "audio", "not a wav".getBytes("UTF-8"), "t"),
+      MediaRecord(6L, "audio", nonPcm, "t")).toDS()
     assert(Multimodal.audioFingerprint(media).collect()
       .map(_.media_id).toList == List(1L))
   }
