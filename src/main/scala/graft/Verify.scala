@@ -23,10 +23,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // stale-state guard: outputs from a previous (possibly different-
     // subset) run in the same dir would let the checker validate a
-    // mix of old and new results and still read green — start empty
+    // mix of old and new results and still read green — start empty.
+    // But refuse to wipe a directory that is neither empty nor a prior
+    // verify run (no oracle_sql.json marker): with positional args a
+    // swapped (sfDir, outDir) would otherwise silently and
+    // irrecoverably delete real data.
     val outRoot = java.nio.file.Paths.get(outDir)
     if (java.nio.file.Files.exists(outRoot)) {
       import scala.jdk.CollectionConverters._
+      val entries = java.nio.file.Files.list(outRoot).iterator().asScala.toSeq
+      val isPriorRun =
+        entries.isEmpty || java.nio.file.Files.exists(outRoot.resolve("oracle_sql.json"))
+      if (!isPriorRun) {
+        System.err.println(
+          s"[verify] refusing to wipe $outDir: not empty and no " +
+            "oracle_sql.json marker — is this really the output dir?")
+        sys.exit(2)
+      }
       java.nio.file.Files.walk(outRoot)
         .sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala

@@ -195,11 +195,16 @@ object Multimodal {
   }
 
   /** WAV/RIFF header probe: channels, sample rate, bits/sample, and
-    * duration (declared data bytes / byte rate) via [[wavChunks]]. */
+    * duration (declared data bytes / byte rate) via [[wavChunks]].
+    * The guard requires rate*ch*bits >= 8: a crafted fmt chunk can
+    * declare e.g. ch=1 rate=1 bits=1, whose integer byte rate
+    * truncates to 0 and would turn the duration division into an
+    * ArithmeticException on one hostile payload. */
   def probeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     val (fmt, data) = wavChunks(b)
     fmt.collect { case (_, ch, rate, bits) if data.nonEmpty &&
-        ch > 0 && rate > 0 && bits > 0 =>
+        ch > 0 && rate > 0 && bits > 0 &&
+        rate.toLong * ch * bits >= 8L =>
       val byteRate = rate.toLong * ch * bits / 8
       (ch, rate, bits, data.get._2 * 1000L / byteRate)
     }

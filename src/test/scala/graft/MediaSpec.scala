@@ -90,6 +90,25 @@ class MediaSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("probeWav rejects a fmt chunk whose declared byte rate truncates to 0") {
+    // ch=1, rate=1, bits=1: rate*ch*bits/8 = 0 in integer math — an
+    // unguarded duration division would throw ArithmeticException on
+    // this single payload (and kill a whole streaming micro-batch)
+    val out = new ByteArrayOutputStream()
+    def asc(s: String) = out.write(s.getBytes("US-ASCII"))
+    def w16(v: Int) = out.write(Array(v.toByte, (v >>> 8).toByte))
+    def w32(v: Int) = out.write(Array(v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte))
+    asc("RIFF"); w32(36); asc("WAVE")
+    asc("fmt "); w32(16)
+    w16(1); w16(1); w32(1); w32(0); w16(1); w16(1) // tag=1 ch=1 rate=1 bits=1
+    asc("data"); w32(8); out.write(new Array[Byte](8))
+    val b = out.toByteArray
+    assert(Multimodal.probeWav(b).isEmpty) // guarded, not thrown
+    // and the full probe path (what streaming ingest calls) survives too
+    assert(probeOne(b).format == "unknown")
+  }
+
   test("probeWav survives a hostile chunk size that reads as -8 signed") {
     // 0xFFFFFFF8 signed is -8: a signed walk would stride by ZERO
     // (8 + size + pad = 0) and loop forever on this payload

@@ -63,6 +63,28 @@ class QualitySpec extends SparkSpec {
     assert(rows.values.forall(identity), s"sketch out of band: $rows")
   }
 
+  test("profile: raw sketch relative error recorded per column (q134 diagnostic)") {
+    // q134's driver-hashed contract is only the within-15%-band
+    // BOOLEAN of each engine's own sketch; if an estimator drifts
+    // across versions the hash gate fails without saying by how much.
+    // This spec records the raw Spark-side relative error so a band
+    // breach is diagnosable here first, with the number in the
+    // failure message.
+    val li = Tables.lineitem(spark, sf())
+    val cols = Seq("l_orderkey", "l_quantity", "l_discount", "l_returnflag")
+    val errs = cols.map { c =>
+      val (est, exact) = li
+        .agg(approx_count_distinct(col(c)), countDistinct(col(c)))
+        .as[(Long, Long)].collect().head
+      val rel = math.abs(est - exact).toDouble / exact
+      info(f"q134 sketch diag: $c%-12s exact=$exact%d est=$est%d rel_err=$rel%.4f")
+      c -> rel
+    }
+    errs.foreach { case (c, rel) =>
+      assert(rel <= 0.15, f"HLL sketch for $c drifted out of q134's 15%% band: rel_err=$rel%.4f")
+    }
+  }
+
   test("profile: duplicate column across the two lists fails fast") {
     val li = Tables.lineitem(spark, sf())
     val e = intercept[IllegalArgumentException] {
