@@ -76,6 +76,16 @@ object Multimodal {
       h_hi: Long,
       h_lo: Long)
 
+  /** 64-bit video fingerprint (frame-energy delta hash over `mdat`
+    * frame payloads) in the same two-half layout as [[ImageDHash]] /
+    * [[AudioHash]], so the banded near-dup join is shared across all
+    * three media kinds. */
+  final case class VideoHash(
+      media_id: Long,
+      n_frames: Long,
+      h_hi: Long,
+      h_lo: Long)
+
   /** Wrap any table with a binary column into media records. */
   def asMedia(df: DataFrame, idCol: String, binCol: String,
       kindCol: String, sourceCol: String): Dataset[MediaRecord] = {
@@ -210,44 +220,51 @@ object Multimodal {
     }
   }
 
-  /** MP4/ISO-BMFF (the declared `video` kind): a box walk — each box
-    * is [u32 size][4cc type][payload], size INCLUDING the 8-byte
+  /** ONE hostile-input-safe ISO-BMFF box walk serving [[probeMp4]]
+    * and [[videoFingerprint]] (the [[wavChunks]] pattern for the mp4
+    * kind): walks children of `[from, until)`; each box is
+    * [u32 size][4cc type][payload], size INCLUDING the 8-byte
     * header; size==1 switches to a u64 largesize, size==0 runs to
-    * EOF. We read `ftyp` (major brand) at top level, then inside
-    * `moov`: `mvhd` (v0 u32 / v1 u64 timescale+duration → duration
-    * in ms) and the `trak` child count. Same hostile-input rules as
-    * the RIFF walk: sizes go through unsigned-Long offsets and every
-    * step must strictly advance, or we bail with what we have.
+    * EOF. Sizes go through unsigned-Long offsets and every step must
+    * strictly advance, or we bail with what we have — a crafted size
+    * can't loop the walk or stride it backwards. `visit` gets
+    * (type, bodyFrom, bodyUntil) with bounds already validated. */
+  private def mp4Walk(b: Array[Byte], from: Long, until: Long)(
+      visit: (String, Long, Long) => Unit): Unit = {
+    var i = from
+    var ok = true
+    while (ok && i + 8 <= until) {
+      val p = i.toInt
+      val raw = be32(b, p) & 0xFFFFFFFFL
+      val typ = tag(b, p + 4)
+      val (size, hdr) =
+        if (raw == 1L && i + 16 <= until) {
+          val hi = be32(b, p + 8) & 0xFFFFFFFFL
+          val lo = be32(b, p + 12) & 0xFFFFFFFFL
+          ((hi << 32) | lo, 16L)
+        } else if (raw == 0L) (until - i, 8L)
+        else (raw, 8L)
+      val next = i + size
+      if (size < hdr || next > until || next <= i) ok = false
+      else {
+        visit(typ, i + hdr, next)
+        i = next
+      }
+    }
+  }
+
+  /** MP4/ISO-BMFF (the declared `video` kind): [[mp4Walk]] reading
+    * `ftyp` (major brand) at top level, then inside `moov`: `mvhd`
+    * (v0 u32 / v1 u64 timescale+duration → duration in ms) and the
+    * `trak` child count.
     *
     * @return (major_brand, duration_ms, n_tracks) */
   def probeMp4(b: Array[Byte]): Option[(String, Long, Int)] = {
     if (b.length < 16 || tag(b, 4) != "ftyp") return None
     val end = b.length.toLong
-    // walk children of [from, until); visit gets (type, bodyFrom,
-    // bodyUntil) with bounds already clamped and validated
     def walk(from: Long, until: Long)(
-        visit: (String, Long, Long) => Unit): Unit = {
-      var i = from
-      var ok = true
-      while (ok && i + 8 <= until) {
-        val p = i.toInt
-        val raw = be32(b, p) & 0xFFFFFFFFL
-        val typ = tag(b, p + 4)
-        val (size, hdr) =
-          if (raw == 1L && i + 16 <= until) {
-            val hi = be32(b, p + 8) & 0xFFFFFFFFL
-            val lo = be32(b, p + 12) & 0xFFFFFFFFL
-            ((hi << 32) | lo, 16L)
-          } else if (raw == 0L) (until - i, 8L)
-          else (raw, 8L)
-        val next = i + size
-        if (size < hdr || next > until || next <= i) ok = false
-        else {
-          visit(typ, i + hdr, next)
-          i = next
-        }
-      }
-    }
+        visit: (String, Long, Long) => Unit): Unit =
+      mp4Walk(b, from, until)(visit)
     var brand: Option[String] = None
     var durMs: Option[Long] = None
     var tracks = 0
@@ -493,8 +510,78 @@ object Multimodal {
     }
   }
 
+  /** Video fingerprint — the content-level near-dup hash for the
+    * video kind, closing the header-identity gap (probeMp4 reads
+    * `ftyp/mvhd/trak`, so two re-encodes of one clip look distinct):
+    * walk the REAL ISO-BMFF box structure ([[mp4Walk]] — the same
+    * hostile-input rules as the probe), take the first top-level
+    * `mdat` payload as consecutive fixed-size frames, fold each
+    * frame into an energy (Σ unsigned byte values — integer,
+    * order-free), then bit f = [E_f < E_{f+1}] — 64 energy-gradient
+    * bits that survive global brightness/amplitude rescales and
+    * small per-frame edits, exactly the invariance argument of
+    * [[dHash]] (row gradients) and [[audioFingerprint]] (frame
+    * energy gradients). Packed as two non-negative 32-bit halves
+    * feeding the shared [[dhashNearDupPairs]] banded join.
+    * Non-MP4, mdat-less, or shorter-than-65-frame payloads are
+    * dropped (skip-bad-rows posture).
+    *
+    * Scale shape: one map-side byte pass, 16 bytes out per clip;
+    * candidates come from the shared band join — never all-pairs. */
+  def videoFingerprint(media: Dataset[MediaRecord],
+      frameBytes: Int = 256): Dataset[VideoHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val b = r.payload
+          if (b.length < 16 || tag(b, 4) != "ftyp") None
+          else {
+            // first top-level mdat only — trailing boxes (free,
+            // another mdat) don't change the fingerprint
+            var mdat: Option[(Long, Long)] = None
+            mp4Walk(b, 0L, b.length.toLong) { (typ, from, to) =>
+              if (typ == "mdat" && mdat.isEmpty) mdat = Some((from, to))
+            }
+            mdat.flatMap { case (from, to) =>
+              val n = ((to - from) / frameBytes).toInt
+              if (n < 65) None
+              else {
+                val e = new Array[Long](65)
+                var f = 0
+                while (f < 65) {
+                  var acc = 0L
+                  var k = 0
+                  val base = from.toInt + f * frameBytes
+                  while (k < frameBytes) {
+                    acc += (b(base + k) & 0xff)
+                    k += 1
+                  }
+                  e(f) = acc
+                  f += 1
+                }
+                var hi = 0L
+                var lo = 0L
+                f = 0
+                while (f < 64) {
+                  if (e(f) < e(f + 1)) {
+                    if (f < 32) hi |= 1L << f
+                    else lo |= 1L << (f - 32)
+                  }
+                  f += 1
+                }
+                Some(VideoHash(r.media_id, n.toLong, hi, lo))
+              }
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
   /** Near-dup media pairs by banded Hamming distance over any 64-bit
-    * two-half hash ([[ImageDHash]] and [[AudioHash]] share it) — the
+    * two-half hash ([[ImageDHash]], [[AudioHash]] and [[VideoHash]]
+    * share it) — the
     * [[Dedup]] LSH shape on the 64-bit hash: the hash splits into
     * four 16-bit bands, candidates are pairs agreeing EXACTLY on at
     * least one band (an equi-join on (band, key) — any pair within
@@ -644,10 +731,15 @@ object Multimodal {
     * holding an mvhd v0 (real timescale/duration, identity matrix,
     * next_track_ID) and one spec-sized zero-filled `tkhd`-bearing
     * `trak` per track — enough structure for any header-level
-    * reader, no media data (the PNG-without-IDAT posture).
-    * Layout is deterministic: total bytes = 136 + 100·nTracks. */
+    * reader, no media data by default (the PNG-without-IDAT
+    * posture). Layout is deterministic: total bytes =
+    * 136 + 100·nTracks (+ 8 + mdat.length when media data is
+    * given — a trailing `mdat` box carrying the caller's frame
+    * payload, the video counterpart of [[synthWavPcm]]'s real
+    * samples, feeding [[videoFingerprint]]). */
   def synthMp4(brand: String, timescale: Int, duration: Long,
-      nTracks: Int): Array[Byte] = {
+      nTracks: Int, mdat: Array[Byte] = Array.emptyByteArray)
+      : Array[Byte] = {
     require(brand.length == 4, s"brand must be a 4cc, got '$brand'")
     def box(typ: String, body: Array[Byte]): Array[Byte] = {
       val size = 8 + body.length
@@ -675,7 +767,8 @@ object Multimodal {
       System.arraycopy(u32(tid.toLong), 0, tkhd, 12, 4)
       box("trak", box("tkhd", tkhd))
     }
-    ftyp ++ box("moov", mvhd ++ traks.flatten)
+    val head = ftyp ++ box("moov", mvhd ++ traks.flatten)
+    if (mdat.isEmpty) head else head ++ box("mdat", mdat)
   }
 
   /** Minimal VALID JPEG/JFIF: SOI, APP0 JFIF (version 1.1, aspect

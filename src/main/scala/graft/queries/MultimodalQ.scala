@@ -218,6 +218,25 @@ object MultimodalQ {
       Multimodal.synthWavPcm(8000, samples), "synth")
   }
 
+  /** The q147/q146 video corpus generator — SQL twin [[vidHashCtes]];
+    * `off` shifts the id space (q146 keeps modalities disjoint). Each
+    * clip is a VALID ISO-BMFF container whose `mdat` carries 65
+    * frames of 256 deterministic bytes: per-frame amplitude from the
+    * same prime-mix family as [[audMedia]] times a 0..15 byte ramp,
+    * plus the sparse ±v replica perturbation — same-group clips are
+    * near-identical, not equal, videos. */
+  private def vidMedia(id: Long, off: Long): Multimodal.MediaRecord = {
+    val g = (id % 50).toInt
+    val v = (id / 50).toInt
+    val mdat = Array.tabulate(65 * 256) { i =>
+      val a = (((g.toLong * 73856093L +
+        (i / 256).toLong * 19349663L) % 97L).toInt % 15) + 1
+      (a * (i % 256 % 16) + (if (i % 997 == 0) v else 0)).toByte
+    }
+    Multimodal.MediaRecord(id + off, "video",
+      Multimodal.synthMp4("isom", 1000, 65000L, 1, mdat), "synth")
+  }
+
   /** CTE chain re-deriving the q143 image corpus dHashes — final CTE
     * `img_hashes` = (id, h_hi, h_lo). Shared by q143/q146. */
   private val imgHashCtes = """img_src AS (
@@ -277,6 +296,40 @@ object MultimodalQ {
                  THEN bit * (1::BIGINT << (f-32)) ELSE 0 END)
                  AS BIGINT) AS h_lo
         FROM aud_bits GROUP BY id)"""
+
+  /** CTE chain re-deriving the q147 video corpus fingerprints — final
+    * CTE `vid_hashes` = (id, h_hi, h_lo); `off` shifts the id space
+    * (q146 keeps the three modalities disjoint). Shared by
+    * q147/q146. All byte values are non-negative (0..228), so frame
+    * energy is a plain SUM — no ABS leg like audio's signed
+    * samples. */
+  private def vidHashCtes(off: Long): String = s"""vid_src AS (
+        SELECT doc_id + $off AS id, doc_id % 50 AS g, doc_id // 50 AS v
+        FROM documents WHERE doc_id < 200),
+      vid_bytes AS (
+        SELECT c.id, i,
+               (((c.g*73856093 + (i//256)*19349663) % 97) % 15 + 1)
+                 * ((i % 256) % 16)
+                 + CASE WHEN i % 997 = 0 THEN c.v ELSE 0 END AS s
+        FROM vid_src c, range(0, 16640) t(i)),
+      vid_energies AS (
+        SELECT id, i // 256 AS f, SUM(s) AS e
+        FROM vid_bytes GROUP BY id, i // 256),
+      vid_bits AS (
+        SELECT a.id, a.f,
+               CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+        FROM vid_energies a JOIN vid_energies b
+          ON a.id = b.id AND b.f = a.f + 1
+        WHERE a.f < 64),
+      vid_hashes AS (
+        SELECT id,
+               CAST(SUM(CASE WHEN f < 32
+                 THEN bit * (1::BIGINT << f) ELSE 0 END)
+                 AS BIGINT) AS h_hi,
+               CAST(SUM(CASE WHEN f >= 32
+                 THEN bit * (1::BIGINT << (f-32)) ELSE 0 END)
+                 AS BIGINT) AS h_lo
+        FROM vid_bits GROUP BY id)"""
 
   /** Banded candidate pairs + Hamming over a (id, h_hi, h_lo) CTE —
     * the SQL twin of [[Multimodal.dhashNearDupPairs]]; emits
@@ -363,18 +416,52 @@ object MultimodalQ {
       SELECT a, b, CAST(hamming AS BIGINT) AS hamming
       FROM aud_cand WHERE hamming <= 12 ORDER BY a, b"""))
 
-  /** q146 — cross-modal media dedup CURATION: the q143 image corpus
-    * and the q145 audio corpus (ids offset disjoint) hashed through
-    * their real decode paths, near-dup pairs banded PER MODALITY
-    * (hashes of different kinds must never meet a band join — a
-    * chance image/audio band collision is not a duplicate), then ONE
-    * [[graft.operators.Components]] pass clusters both pair sets and
-    * each cluster keeps its min-id representative — the keep-one
-    * dedup step a multimodal training pipeline runs before packing.
-    * Emits (component, n_members): component IS the kept id (min
-    * label), so the row count is the surviving corpus size. Oracle
-    * re-derives both hash chains, both band joins, and the
-    * transitive closure (recursive CTE). */
+  /** q147 — video content fingerprint near-dup, completing near-dup
+    * across ALL declared media kinds (image q143, audio q145, video
+    * here — previously the video kind carried only header identity
+    * via q119's probe, so two re-encoded variants of one clip read
+    * as distinct): VALID ISO-BMFF containers whose `mdat` carries
+    * 65 deterministic 256-byte frames are synthesized per doc,
+    * walked back through the real hostile-input-safe box walk by
+    * [[Multimodal.videoFingerprint]] (65 frame energies → 64
+    * gradient bits), and paired by the SAME banded Hamming join as
+    * images and audio. The oracle replays frame-byte synthesis,
+    * energy folding, bit packing, banding, and Hamming
+    * arithmetically — any defect in the mp4 encoder, the box walk,
+    * the mdat framing, or the banding breaks the match. */
+  val q147 = Qry(
+    "q147_video_fingerprint_neardup",
+    (s: SparkSession, d: String) => {
+      val session = s
+      import session.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map(vidMedia(_, 0L))
+      val hashes = Multimodal.videoFingerprint(media).toDF()
+        .localCheckpoint(true)
+      Multimodal.dhashNearDupPairs(hashes, "media_id", maxHamming = 12)
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH ${vidHashCtes(0L)},
+      ${bandPairCtes("vid_hashes", "vid_")}
+      SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+      FROM vid_cand WHERE hamming <= 12 ORDER BY a, b"""))
+
+  /** q146 — cross-modal media dedup CURATION: the q143 image corpus,
+    * the q145 audio corpus, and the q147 video corpus (ids offset
+    * disjoint) hashed through their real decode paths, near-dup
+    * pairs banded PER MODALITY (hashes of different kinds must never
+    * meet a band join — a chance image/audio/video band collision is
+    * not a duplicate), then ONE [[graft.operators.Components]] pass
+    * clusters all three pair sets and each cluster keeps its min-id
+    * representative — the keep-one dedup step a multimodal training
+    * pipeline runs before packing. Emits (component, n_members):
+    * component IS the kept id (min label), so the row count is the
+    * surviving corpus size. Oracle re-derives all three hash chains,
+    * all three band joins, and the transitive closure (recursive
+    * CTE). */
   val q146 = Qry(
     "q146_media_dedup_curate",
     (s: SparkSession, d: String) => {
@@ -385,19 +472,26 @@ object MultimodalQ {
         .select(col("doc_id")).as[Long]
       val imgs = base.map(imgMedia _)
       val auds = base.map(audMedia(_, 1000L))
+      val vids = base.map(vidMedia(_, 2000L))
       val ih = Multimodal.dHash(imgs).toDF()
         .select(col("media_id"), col("h_hi"), col("h_lo"))
         .localCheckpoint(true)
       val ah = Multimodal.audioFingerprint(auds).toDF()
         .select(col("media_id"), col("h_hi"), col("h_lo"))
         .localCheckpoint(true)
+      val vh = Multimodal.videoFingerprint(vids).toDF()
+        .select(col("media_id"), col("h_hi"), col("h_lo"))
+        .localCheckpoint(true)
       val pairs = Multimodal
         .dhashNearDupPairs(ih, "media_id", maxHamming = 12)
         .unionByName(Multimodal
           .dhashNearDupPairs(ah, "media_id", maxHamming = 12))
+        .unionByName(Multimodal
+          .dhashNearDupPairs(vh, "media_id", maxHamming = 12))
         .select(col("a"), col("b"))
       val nodes = ih.select(col("media_id"))
         .unionByName(ah.select(col("media_id")))
+        .unionByName(vh.select(col("media_id")))
       graft.operators.Components
         .connectedComponents(nodes, "media_id", pairs, "a", "b")
         .groupBy(col("component"))
@@ -407,18 +501,23 @@ object MultimodalQ {
     Some(s"""
       WITH RECURSIVE $imgHashCtes,
       ${audHashCtes(1000L)},
+      ${vidHashCtes(2000L)},
       ${bandPairCtes("img_hashes", "img_")},
       ${bandPairCtes("aud_hashes", "aud_")},
+      ${bandPairCtes("vid_hashes", "vid_")},
       pairs AS (
         SELECT a, b FROM img_cand WHERE hamming <= 12
         UNION ALL
-        SELECT a, b FROM aud_cand WHERE hamming <= 12),
+        SELECT a, b FROM aud_cand WHERE hamming <= 12
+        UNION ALL
+        SELECT a, b FROM vid_cand WHERE hamming <= 12),
       edges AS (
         SELECT a AS src, b AS dst FROM pairs
         UNION SELECT b AS src, a AS dst FROM pairs),
       nodes AS (
         SELECT id FROM img_hashes
-        UNION ALL SELECT id FROM aud_hashes),
+        UNION ALL SELECT id FROM aud_hashes
+        UNION ALL SELECT id FROM vid_hashes),
       walk AS (
         SELECT id, id AS label FROM nodes
         UNION
@@ -429,5 +528,5 @@ object MultimodalQ {
       SELECT component, COUNT(*) AS n_members
       FROM comp GROUP BY component ORDER BY component"""))
 
-  val all: Seq[Qry] = Seq(q41, q42, q119, q133, q143, q145, q146)
+  val all: Seq[Qry] = Seq(q41, q42, q119, q133, q143, q145, q146, q147)
 }

@@ -445,6 +445,74 @@ class MediaSpec extends SparkSpec {
       .map(_.media_id).toList == List(4L))
   }
 
+  test("videoFingerprint: known-answer hash on strictly increasing frame energy") {
+    // 65 frames of 256 bytes; frame f is a constant fill of value f
+    // -> E_f = 256*f, strictly increasing -> every gradient bit set
+    val mdat = Array.tabulate(65 * 256)(i => (i / 256).toByte)
+    val media = Seq(MediaRecord(1L, "video",
+      Multimodal.synthMp4("isom", 1000, 65000L, 1, mdat), "t")).toDS()
+    val h = Multimodal.videoFingerprint(media).collect().head
+    assert(h.n_frames == 65L)
+    assert(h.h_hi == 0xFFFFFFFFL && h.h_lo == 0xFFFFFFFFL)
+  }
+
+  test("videoFingerprint pairs a planted re-encoded variant, separates noise") {
+    def clip(amp: Int => Int): Array[Byte] = {
+      val mdat = Array.tabulate(65 * 256)(i => amp(i / 256).toByte)
+      Multimodal.synthMp4("isom", 1000, 65000L, 1, mdat)
+    }
+    def baseAmp(f: Int): Int = (f * 7 % 13) + 1
+    val base = clip(baseAmp)
+    // ONE frame's fill edited (a localized glitch): flips exactly the
+    // two gradient bits touching frame 20, everything else untouched
+    val near = clip(f => if (f == 20) 4 else baseAmp(f))
+    val far = clip(f => (f * 11 % 29) + 1)
+    val media = Seq(
+      MediaRecord(1L, "video", base, "t"),
+      MediaRecord(2L, "video", near, "t"),
+      MediaRecord(3L, "video", far, "t")).toDS()
+    val hashes = Multimodal.videoFingerprint(media).toDF()
+    val pairs = Multimodal
+      .dhashNearDupPairs(hashes, "media_id", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toList
+    assert(pairs.exists { case (a, b, hm) =>
+      a == 1L && b == 2L && hm >= 1 && hm <= 2 },
+      s"planted near-dup not found at small nonzero Hamming: $pairs")
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L },
+      s"unrelated clip paired: $pairs")
+  }
+
+  test("videoFingerprint drops mdat-less/short/garbage payloads, survives hostile sizes") {
+    val good = Multimodal.synthMp4("isom", 1000, 65000L, 1,
+      Array.tabulate(65 * 256)(i => (i % 100).toByte))
+    val noMdat = Multimodal.synthMp4("isom", 1000, 65000L, 1)
+    val shortClip = Multimodal.synthMp4("isom", 1000, 1000L, 1,
+      new Array[Byte](256)) // one frame — under the 65-frame floor
+    // hostile: mdat box size field lies far past EOF — the walk must
+    // refuse the box (next > until), not read out of bounds
+    val lying = good.clone()
+    val mdatOff = good.length - (8 + 65 * 256)
+    lying(mdatOff) = 0x7F.toByte; lying(mdatOff + 1) = 0x7F.toByte
+    lying(mdatOff + 2) = 0x7F.toByte; lying(mdatOff + 3) = 0x7F.toByte
+    val media = Seq(
+      MediaRecord(1L, "video", good, "t"),
+      MediaRecord(2L, "video", noMdat, "t"),
+      MediaRecord(3L, "video", shortClip, "t"),
+      MediaRecord(4L, "video", "not an mp4".getBytes("UTF-8"), "t"),
+      MediaRecord(5L, "video", lying, "t")).toDS()
+    assert(Multimodal.videoFingerprint(media).collect()
+      .map(_.media_id).toList == List(1L))
+  }
+
+  test("probeMp4 still parses headers of an mdat-carrying container") {
+    val b = Multimodal.synthMp4("isom", 1000, 65000L, 2,
+      Array.tabulate(65 * 256)(_.toByte))
+    assert(Multimodal.probeMp4(b).contains(("isom", 65000L, 2)))
+    assert(probeOne(b).format == "mp4")
+    assert(probeOne(b).duration_ms.contains(65000L))
+  }
+
   test("dHash drops undecodable/sub-grid payloads; identical images collide") {
     val solid = realPng(20, 16, 0x336699) // RGB path, all gradients flat
     val tiny = Multimodal.synthPngGray(8, 8, (x, _) => x * 10)
