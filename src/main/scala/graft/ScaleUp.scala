@@ -46,7 +46,8 @@ object ScaleUp {
     val dst = args.lift(1).getOrElse("scaledata/sf1")
     val mult = args.lift(2).map(_.toInt).getOrElse(10)
     val Known = Set("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+      "orders", "lineitem", "events", "documents", "embeddings",
+      "embeddings_planted")
     val onlyTables = args.lift(3).map(_.split(",").map(_.trim).toSet)
     // a typo'd table name silently generating NOTHING would hand a
     // targeted scale bench a stale or absent table — fail at launch
@@ -102,6 +103,18 @@ object ScaleUp {
                 t.as("t")))),
             s => s("t")),
           " ")))
+
+    // embeddings_planted is GENERATED, not replicated: the planted-
+    // neighborhood ANN fixture ([[graft.operators.Planted]]) at
+    // scale — 1000 well-separated clusters whose membership is the
+    // provable ground truth recall is measured against (the driver's
+    // near-random embeddings cap recall@10 at ~0.3 regardless of
+    // index quality). Only written when explicitly requested in the
+    // tables arg, so existing replication runs are byte-identical.
+    if (onlyTables.exists(_.contains("embeddings_planted")))
+      write("embeddings_planted",
+        operators.Planted.vectors(spark, nClusters = 1000,
+          perCluster = 100 * mult, dim = 64))
 
     replicate("embeddings", (df, i) =>
       if (i == 0) df
