@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   *    timestamp.
   *  - Path mining groups each user's events once (the per-user
   *    event list is the only super-row state — bounded by per-user
-  *    activity; at 100 TB sessionize first and key by session), then
-  *    n-grams the type sequence MAP-SIDE ([[TextOps.grams]]) and
-  *    counts paths in one partial-aggregable shuffle.
+  *    activity), then n-grams the type sequence MAP-SIDE
+  *    ([[TextOps.grams]]) and counts paths in one partial-aggregable
+  *    shuffle. At 100 TB a lifetime-keyed list is the wrong state
+  *    bound (one always-on user owns an unbounded super-row) —
+  *    [[topPathsSessionized]] is that form: sessionize first, key
+  *    the list by (user, session), so state is bounded by session
+  *    length and paths never span an inactivity gap.
   *
   * Determinism: all time arithmetic is integer microseconds
   * (`unix_micros`), sequence order ties break on the event id, and
@@ -61,6 +65,41 @@ object Journeys {
       tsCol: String, tiebreakCol: String, n: Int, k: Int): DataFrame = {
     val seqs = events
       .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("t"), col(tiebreakCol).as("i"),
+        col(typeCol).as("y")))).as("s"))
+      .select(transform(col("s"), x => x.getField("y")).as("types"))
+    seqs.select(explode(TextOps.grams(col("types"), n)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("g"))
+      .limit(k)
+      .select(translate(col("g"), "\u001f", ">").as("path"), col("n"))
+  }
+
+  /** [[topPaths]] with its 100 TB state bound made real: events are
+    * gap-sessionized first ([[Sessionize.withSessionId]]) and the
+    * collected type sequence is keyed by (user, SESSION), so the
+    * largest super-row is one session's events — bounded by the gap
+    * contract — instead of one user's lifetime activity, and no
+    * n-gram ever spans an inactivity gap (a path interrupted by
+    * `gapSec` of silence is two journeys, not one).
+    *
+    * Scale shape: ONE shuffle on the user key serves both the
+    * session-id window and the (user, session) grouping — hash
+    * partitioning on user already co-locates (user, session), so
+    * Catalyst plans no second exchange; everything after the
+    * collect_list is [[topPaths]]'s map-side gram + one
+    * partial-aggregable count shuffle.
+    * @return (path, n) with path the '>'-joined type n-gram */
+  def topPathsSessionized(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tiebreakCol: String,
+      gapSec: Long, n: Int, k: Int): DataFrame = {
+    val sess = Sessionize.withSessionId(
+      events.select(col(userCol), col(typeCol), col(tsCol),
+        col(tiebreakCol)),
+      userCol, tsCol, gapSec)
+    val seqs = sess
+      .groupBy(col(userCol), col("session_id"))
       .agg(sort_array(collect_list(struct(
         col(tsCol).as("t"), col(tiebreakCol).as("i"),
         col(typeCol).as("y")))).as("s"))

@@ -286,5 +286,54 @@ object EventsQ {
       SELECT replace(gram, chr(31), '>') AS path, n FROM top
       ORDER BY n DESC, gram"""))
 
-  val all: Seq[Qry] = Seq(q35, q36, q37, q38, q72, q139, q140)
+  /** q148 — sessionized frequent paths ([[graft.operators.Journeys
+    * .topPathsSessionized]]): q140's path mining with the 100 TB
+    * state bound made real — events are gap-sessionized (q37's
+    * 6-hour contract) and sequences keyed by (user, session), so the
+    * largest collected list is one session and no 3-gram spans an
+    * inactivity gap. The oracle replays session assignment (lag →
+    * boundary flag → running sum) AND the per-session gram counting,
+    * so both the boundary semantics and the path algebra gate. */
+  val q148 = Qry(
+    "q148_session_paths",
+    (s: SparkSession, d: String) =>
+      graft.operators.Journeys.topPathsSessionized(
+        Tables.events(s, d), "user_id", "event_type", "ts",
+        tiebreakCol = "event_id", gapSec = 21600L, n = 3, k = 10),
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               event_id,
+               CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id ORDER BY
+                              CAST(ts AS TIMESTAMP)) IS NULL THEN 1
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                      - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id ORDER BY
+                              CAST(ts AS TIMESTAMP))
+                      > CAST(21600 AS BIGINT) * 1000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events),
+      sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM flagged),
+      seqs AS (
+        SELECT list(event_type ORDER BY ts, event_id) AS types
+        FROM sess GROUP BY user_id, session_id),
+      g AS (
+        SELECT unnest(list_transform(
+                 list_filter(list_zip(types, types[2:], types[3:]),
+                   p -> p[3] IS NOT NULL),
+                 p -> p[1] || chr(31) || p[2] || chr(31) || p[3]))
+               AS gram
+        FROM seqs),
+      top AS (
+        SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
+        ORDER BY n DESC, gram LIMIT 10)
+      SELECT replace(gram, chr(31), '>') AS path, n FROM top
+      ORDER BY n DESC, gram"""))
+
+  val all: Seq[Qry] = Seq(q35, q36, q37, q38, q72, q139, q140, q148)
 }

@@ -71,4 +71,51 @@ class JourneysSpec extends SparkSpec {
     // on the gram text
     assert(got === List(("a>b>c", 2L), ("b>c>d", 2L)))
   }
+
+  test("topPathsSessionized: no gram spans an inactivity gap") {
+    // user 1: a,b,c then a 100s silence, then d,e,f — with gap=60s
+    // that is TWO sessions: grams a>b>c and d>e>f, and crucially NOT
+    // b>c>d or c>d>e (the lifetime-keyed topPaths emits both)
+    val events = ev(Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "c", 3L),
+      (1L, 103L, "d", 4L), (1L, 104L, "e", 5L), (1L, 105L, "f", 6L)))
+    val sessioned = Journeys.topPathsSessionized(events, "user_id",
+        "event_type", "ts", "event_id", gapSec = 60L, n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(sessioned === List(("a>b>c", 1L), ("d>e>f", 1L)))
+    val lifetime = Journeys.topPaths(events, "user_id", "event_type",
+        "ts", "event_id", n = 3, k = 10)
+      .collect().map(_.getString(0)).toList
+    assert(lifetime.contains("b>c>d") && lifetime.contains("c>d>e"),
+      "fixture does not exercise the boundary (lifetime form should span it)")
+  }
+
+  test("topPathsSessionized with a gap wider than the data equals topPaths") {
+    val events = ev(Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "c", 3L),
+      (1L, 4L, "d", 4L),
+      (2L, 1L, "b", 5L), (2L, 2L, "c", 6L), (2L, 3L, "d", 7L),
+      (3L, 9L, "a", 8L), (3L, 9L, "b", 9L), (3L, 9L, "c", 10L)))
+    val a = Journeys.topPaths(events, "user_id", "event_type", "ts",
+        "event_id", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val b = Journeys.topPathsSessionized(events, "user_id",
+        "event_type", "ts", "event_id", gapSec = 1000000L, n = 3,
+        k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(a === b)
+  }
+
+  test("topPathsSessionized plans ONE exchange on the user key before grams") {
+    val events = ev(Seq((1L, 1L, "a", 1L), (1L, 2L, "b", 2L)))
+    val plan = Journeys.topPathsSessionized(events, "user_id",
+        "event_type", "ts", "event_id", gapSec = 60L, n = 3, k = 10)
+      .queryExecution.executedPlan.toString
+    // the (user, session) groupBy must reuse the session window's
+    // user-hash partitioning — exchanges: one for the window, one
+    // for the global gram count, none between
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges <= 2, s"unexpected extra shuffle:\n$plan")
+  }
 }
