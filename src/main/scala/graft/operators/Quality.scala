@@ -130,16 +130,36 @@ object Quality {
     * aggregate does not short-circuit the aggregation work). The
     * histogram itself is k rows.
     *
+    * The pre-binning leg is BUILT IN for continuous columns: with
+    * `preBinCell` > 0 every value first snaps DOWN to its grid cell
+    * edge floor(v / cell) · cell (one identical IEEE div/floor/mul
+    * chain in any engine), and the histogram runs over cell edges —
+    * cardinality is bounded by the value range over the cell width
+    * regardless of how many raw distinct values exist, which is
+    * exactly what catalog stats collectors do before building
+    * equi-depth bounds. lo/hi then report grid edges (the bucket's
+    * lowest/highest occupied cell), and depth balance holds at cell
+    * granularity: a cell heavier than n/k spans its bucket alone,
+    * like any heavy value.
+    *
     * @param maxDistinct cardinality ceiling for the guard
     *        (default 2M ≈ tens of MB of window state); pass 0 to
     *        skip the probe when the caller has already bounded it
+    * @param preBinCell grid cell width for continuous columns
+    *        (0 = exact values; the guard still enforces the
+    *        POST-binning cardinality)
     * @return (bucket, lo, hi, n_rows) sorted by bucket */
   def equiDepthHistogram(df: DataFrame, column: String, k: Int,
-      maxDistinct: Int = 2000000): DataFrame = {
+      maxDistinct: Int = 2000000, preBinCell: Double = 0.0)
+      : DataFrame = {
     require(k >= 1, s"equiDepthHistogram: k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
+    val v =
+      if (preBinCell > 0)
+        floor(col(column) / lit(preBinCell)) * lit(preBinCell)
+      else col(column)
     val freq = df.filter(col(column).isNotNull)
-      .groupBy(col(column).as("v")).agg(count(lit(1)).as("c"))
+      .groupBy(v.as("v")).agg(count(lit(1)).as("c"))
     if (maxDistinct > 0) {
       val probed = freq.limit(maxDistinct + 1).count()
       require(probed <= maxDistinct,

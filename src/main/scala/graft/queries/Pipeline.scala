@@ -697,7 +697,45 @@ object Pipeline {
           ORDER BY col_name, bucket"""
     })
 
+  /** q149 — equi-depth histogram over a CONTINUOUS column
+    * (l_extendedprice: ~tens of thousands of distinct doubles at
+    * sf0.01, unbounded at scale), exercising the pre-binning leg
+    * q142's dictionary columns never touch: values snap down to a
+    * 100-unit grid cell edge first (floor(v/100)·100 — one
+    * identical IEEE chain in both engines), bounding the window
+    * cardinality by the price RANGE, not the row count; the
+    * equi-depth integer construction then runs over cell edges.
+    * Same hashable contract as q142 (integer buckets, double grid
+    * edges, exact counts). */
+  val q149 = Qry(
+    "q149_equidepth_binned",
+    (s: SparkSession, d: String) =>
+      graft.operators.Quality.equiDepthHistogram(
+          Tables.lineitem(s, d), "l_extendedprice", k = 8,
+          preBinCell = 100.0)
+        .select(col("bucket"),
+          col("lo").cast("double").as("lo"),
+          col("hi").cast("double").as("hi"), col("n_rows"))
+        .orderBy(col("bucket")),
+    Some("""
+      SELECT bucket,
+             CAST(MIN(v) AS DOUBLE) AS lo,
+             CAST(MAX(v) AS DOUBLE) AS hi,
+             CAST(SUM(c) AS BIGINT) AS n_rows
+      FROM (
+        SELECT v, c,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) * 8
+                 // CAST(SUM(c) OVER () AS BIGINT) AS bucket
+        FROM (SELECT FLOOR(l_extendedprice / 100.0) * 100.0 AS v,
+                     COUNT(*) AS c
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+              GROUP BY 1))
+      GROUP BY bucket
+      ORDER BY bucket"""))
+
   val all: Seq[Qry] =
     Seq(q63, q64, q65, q67, q68, q74, q75, q76, q117, q122, q128, q134,
-      q142)
+      q142, q149)
 }

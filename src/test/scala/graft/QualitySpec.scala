@@ -121,4 +121,23 @@ class QualitySpec extends SparkSpec {
         r.getLong(3))).toList
     assert(got === List((0L, 3, 7, 3L)))
   }
+
+  test("equiDepthHistogram: pre-binning bounds cardinality past the guard") {
+    // 1000 distinct continuous values would trip maxDistinct = 100;
+    // a 10-unit grid folds them to 100 cells and the histogram runs
+    val df = (0 until 1000).map(i => i + 0.25).toDF("x")
+    intercept[IllegalArgumentException] {
+      Quality.equiDepthHistogram(df, "x", 4, maxDistinct = 100)
+        .collect()
+    }
+    val got = Quality.equiDepthHistogram(df, "x", 4,
+        maxDistinct = 100, preBinCell = 10.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDouble(2), r.getLong(3))).toList
+    // 100 cells x 10 rows, k=4 -> 25 cells per bucket, grid-edge
+    // bounds; depth is exactly n/k at cell granularity
+    assert(got === List(
+      (0L, 0.0, 240.0, 250L), (1L, 250.0, 490.0, 250L),
+      (2L, 500.0, 740.0, 250L), (3L, 750.0, 990.0, 250L)))
+  }
 }
