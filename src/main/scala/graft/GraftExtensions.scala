@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression,
   ExpressionInfo}
 
-import graft.functions.{Hilbert2D, ShingleNGrams, VecDot,
+import graft.functions.{Hilbert2D, HilbertN, ShingleNGrams, VecDot,
   VectorizeDotProduct}
 
 /** Engine extension point (SparkSessionExtensions): registers the
@@ -70,6 +70,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"hilbert2d: bits must be an int literal, got $v")
         }
         Hilbert2D(children.head, children(1), bits)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbertn"),
+      new ExpressionInfo(classOf[HilbertN].getName, "hilbertn"),
+      (children: Seq[Expression]) => {
+        require(children.size >= 2,
+          s"hilbertn expects (bits, x1, ..., xn), got ${children.size}")
+        val bitsExpr = children.head
+        require(bitsExpr.foldable,
+          s"hilbertn: bits must be a literal, got ${bitsExpr.sql}")
+        val bits = bitsExpr.eval() match {
+          case i: Int => i
+          case l: Long if l.isValidInt => l.toInt
+          case v => throw new IllegalArgumentException(
+            s"hilbertn: bits must be an int literal, got $v")
+        }
+        HilbertN(children.tail, bits)
       }))
     ext.injectOptimizerRule(_ => VectorizeDotProduct)
   }

@@ -335,5 +335,106 @@ object LayoutQ {
              MAX(y) - MIN(y) AS y_span
       FROM keyed GROUP BY hbucket ORDER BY hbucket"""))
 
-  val all: Seq[Qry] = Seq(q106, q108, q116, q125, q132, q141)
+  /** q150 — 3-D Hilbert locality audit ([[graft.functions.HilbertN]],
+    * Skilling's transpose algorithm): the q132 Morton-3D audit on the
+    * Hilbert key — (partkey, suppkey, orderkey) mod 1024 indexed on
+    * the 10-bit 3-D curve, bucketed by the high 6 index bits (64
+    * contiguous key ranges = two full curve levels), each bucket's
+    * per-axis span measured. Every span comes back ≤ 255 (the
+    * 2^(10-2) cell bound) on all THREE axes at once, with Hilbert's
+    * no-seam-jump adjacency on top (`HilbertSpec` proves point-level
+    * 3-D adjacency exhaustively). The DuckDB oracle re-derives the
+    * full Skilling arithmetic: the top-down undo pass as a recursive
+    * CTE over bit levels (the sequential axis sweep unrolled into
+    * nested derived tables), then Gray decode, the parity-fix XOR
+    * fold, and the bit interleave as generated closed-form columns —
+    * the entire curve recomputed, not trusted.
+    *
+    * Scale shape: the key is one codegen'd per-row loop (no
+    * exchange); the audit groupBy carries 64 keys. */
+  val q150 = Qry(
+    "q150_hilbert3d",
+    (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .select(
+          (col("l_partkey").cast("long") % 1024).as("x"),
+          (col("l_suppkey").cast("long") % 1024).as("y"),
+          (col("l_orderkey").cast("long") % 1024).as("w"))
+        .withColumn("h", ZOrder.hilbertN(
+          Seq(col("x"), col("y"), col("w")), bits = 10))
+        .withColumn("hbucket", expr("h div 16777216"))
+        .groupBy(col("hbucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          (max(col("x")) - min(col("x"))).as("x_span"),
+          (max(col("y")) - min(col("y"))).as("y_span"),
+          (max(col("w")) - min(col("w"))).as("w_span"))
+        .orderBy(col("hbucket"))
+    },
+    Some {
+      // Skilling pass 1 at one level s, axes swept IN ORDER with
+      // x0 threaded through: nested derived tables build a0 (after
+      // axis 0), then b0/b1 (after axis 1), then c0/c2 (after axis 2)
+      val undoStep = """
+        SELECT px, py, pw, c0 AS hx0, b1 AS hx1, c2 AS hx2, s // 2 AS s
+        FROM (
+          SELECT px, py, pw, b1, s,
+                 CASE WHEN (hx2 & s) > 0 THEN xor(b0, s - 1)
+                      ELSE xor(b0, xor(b0, hx2) & (s - 1)) END AS c0,
+                 CASE WHEN (hx2 & s) > 0 THEN hx2
+                      ELSE xor(hx2, xor(b0, hx2) & (s - 1)) END AS c2
+          FROM (
+            SELECT px, py, pw, hx2, s,
+                   CASE WHEN (hx1 & s) > 0 THEN xor(a0, s - 1)
+                        ELSE xor(a0, xor(a0, hx1) & (s - 1)) END AS b0,
+                   CASE WHEN (hx1 & s) > 0 THEN hx1
+                        ELSE xor(hx1, xor(a0, hx1) & (s - 1)) END AS b1
+            FROM (
+              SELECT px, py, pw, hx1, hx2, s,
+                     CASE WHEN (hx0 & s) > 0 THEN xor(hx0, s - 1)
+                          ELSE hx0 END AS a0
+              FROM hil WHERE s > 1)))"""
+      // pass 3: t = XOR over set bits j>=1 of gray-decoded axis 2
+      val tExpr = (1 to 9).map(j =>
+        s"CASE WHEN (g2 & ${1L << j}) > 0 THEN ${(1L << j) - 1} ELSE 0 END")
+        .reduce((a, b) => s"xor($a, $b)")
+      // pass 4: interleave — axis i's bit j lands at 3*j + (2 - i)
+      val dExpr = (0 until 10).flatMap(j => Seq(
+        s"((f0 >> $j) & 1) * ${1L << (3 * j + 2)}",
+        s"((f1 >> $j) & 1) * ${1L << (3 * j + 1)}",
+        s"((f2 >> $j) & 1) * ${1L << (3 * j)}")).mkString(" + ")
+      s"""
+      WITH RECURSIVE pts AS (
+        SELECT CAST(l_partkey AS BIGINT) % 1024 AS x,
+               CAST(l_suppkey AS BIGINT) % 1024 AS y,
+               CAST(l_orderkey AS BIGINT) % 1024 AS w
+        FROM lineitem),
+      hil AS (
+        SELECT x AS px, y AS py, w AS pw,
+               x AS hx0, y AS hx1, w AS hx2,
+               CAST(512 AS BIGINT) AS s
+        FROM pts
+        UNION ALL
+        $undoStep),
+      graycoded AS (
+        SELECT px, py, pw, hx0,
+               xor(hx1, hx0) AS g1,
+               xor(hx2, xor(hx1, hx0)) AS g2
+        FROM hil WHERE s = 1),
+      fixed AS (
+        SELECT px, py, pw,
+               xor(hx0, t) AS f0, xor(g1, t) AS f1, xor(g2, t) AS f2
+        FROM (SELECT *, $tExpr AS t FROM graycoded)),
+      keyed AS (
+        SELECT px AS x, py AS y, pw AS w,
+               CAST($dExpr AS BIGINT) // 16777216 AS hbucket
+        FROM fixed)
+      SELECT hbucket, COUNT(*) AS n,
+             MAX(x) - MIN(x) AS x_span,
+             MAX(y) - MIN(y) AS y_span,
+             MAX(w) - MIN(w) AS w_span
+      FROM keyed GROUP BY hbucket ORDER BY hbucket"""
+    })
+
+  val all: Seq[Qry] = Seq(q106, q108, q116, q125, q132, q141, q150)
 }

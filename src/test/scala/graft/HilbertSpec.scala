@@ -89,4 +89,69 @@ class HilbertSpec extends SparkSpec {
       .select("h").as[Long].collect().toList
     assert(viaEval === viaDf)
   }
+
+  // ---- HilbertN (Skilling's N-dimensional transpose form) --------
+
+  test("hilbertN at dims=2 reproduces Hilbert2D bit-for-bit (full 32x32)") {
+    val n = 32
+    val both = (for (x <- 0 until n; y <- 0 until n)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+      .withColumn("h2", ZOrder.hilbert2d(col("x"), col("y"), 5))
+      .withColumn("hn", ZOrder.hilbertN(Seq(col("x"), col("y")), 5))
+    assert(both.filter(col("h2") =!= col("hn")).count() === 0L)
+  }
+
+  test("hilbertN dims=3 is bijective and unit-step adjacent on the 8^3 grid") {
+    val n = 8
+    val pts = (for (x <- 0 until n; y <- 0 until n; z <- 0 until n)
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+      .withColumn("h",
+        ZOrder.hilbertN(Seq(col("x"), col("y"), col("z")), 3))
+      .collect().map(r => (r.getLong(3),
+        (r.getLong(0), r.getLong(1), r.getLong(2))))
+      .sortBy(_._1)
+    assert(pts.map(_._1).toList === (0L until (n.toLong * n * n)).toList,
+      "3-D index is not a bijection onto 0..n^3-1")
+    pts.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      val manhattan = math.abs(a._1 - b._1) + math.abs(a._2 - b._2) +
+        math.abs(a._3 - b._3)
+      assert(manhattan === 1L,
+        s"consecutive 3-D indices not grid-neighbors: $a -> $b")
+    }
+  }
+
+  test("hilbertN interpreted eval agrees with the codegen'd path (3-D)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val viaEval = (for (x <- 0L until 4L; y <- 0L until 4L;
+        z <- 0L until 4L) yield
+      graft.functions.HilbertN(
+          Seq(Literal(x), Literal(y), Literal(z)), 2)
+        .eval(null).asInstanceOf[Long]).toList
+    val viaDf = (for (x <- 0L until 4L; y <- 0L until 4L;
+        z <- 0L until 4L) yield (x, y, z)).toDF("x", "y", "z")
+      .withColumn("h",
+        ZOrder.hilbertN(Seq(col("x"), col("y"), col("z")), 2))
+      .orderBy("x", "y", "z").select("h").as[Long].collect().toList
+    assert(viaEval === viaDf)
+  }
+
+  test("hilbertN out-of-range/null coordinates yield NULL; bad arity fails") {
+    val df = Seq((8L, 0L, 0L), (-1L, 5L, 2L), (3L, 3L, 3L))
+      .toDF("x", "y", "z")
+      .withColumn("h",
+        ZOrder.hilbertN(Seq(col("x"), col("y"), col("z")), 3))
+    val got = df.select("h").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.count(_.isEmpty) === 2 && got.count(_.isDefined) === 1)
+    intercept[Exception] {
+      spark.sql("SELECT hilbertn(10)").collect()
+    }
+    intercept[Exception] {
+      // dims*bits > 63 must be rejected
+      Seq((1L, 1L, 1L)).toDF("x", "y", "z")
+        .withColumn("h",
+          ZOrder.hilbertN(Seq(col("x"), col("y"), col("z")), 22))
+        .collect()
+    }
+  }
 }
