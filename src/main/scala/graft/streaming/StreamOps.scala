@@ -284,6 +284,86 @@ object StreamOps {
         sum(floor(col("__q") * lit(1e6) + lit(0.5))).as("sum_qm"))
   }
 
+  /** One micro-batch of the NEAR-dup admission gate — the q112
+    * cross-corpus LSH (batch bands vs historical index,
+    * [[graft.operators.Dedup.lshNearDupPairsAcross]]) composed into
+    * the streaming ingest path, so near-duplicates (not just exact
+    * re-deliveries) are rejected at ingest:
+    *
+    *  1. intra-batch near-dups drop first-wins by id
+    *     ([[graft.operators.Dedup.lshNearDupPairs]] pairs carry
+    *     a < b; every b-side doc is rejected);
+    *  2. survivors band-join AGAINST the historical index — never
+    *     index×index — and any batch doc within `minJaccard` of an
+    *     indexed doc is rejected (an exact replay scores 1.0, so
+    *     the gate is also restart/replay idempotent);
+    *  3. admitted docs APPEND to the index, so a near-dup arriving
+    *     in a LATER micro-batch meets its original through the
+    *     stream-static re-read and is dropped.
+    *
+    * Scale shape: the index never rescans its text — only its band
+    * keys meet the batch (q112's contract; at 100 TB the banded
+    * projection is a precomputed table). Per-trigger work is
+    * O(batch + matching buckets).
+    * @return the admitted rows (already appended to `indexDir`) */
+  def admitNearDupBatch(batch: DataFrame, idCol: String,
+      textCol: String, indexDir: String, n: Int, k: Int, bands: Int,
+      minJaccard: Double): DataFrame = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val b = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val intraRejects = Dedup.lshNearDupPairs(
+        b, idCol, textCol, n, k, bands, minJaccard)
+      .select(col("b").as(idCol)).distinct()
+    val survivors = b.join(intraRejects, Seq(idCol), "left_anti")
+    val index =
+      try spark.read.parquet(indexDir)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          b.schema)
+      }
+    val indexRejects = Dedup.lshNearDupPairsAcross(
+        survivors, index, idCol, textCol, n, k, bands, minJaccard)
+      .select(col("a").as(idCol)).distinct()
+    val admitted = survivors
+      .join(indexRejects, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    admitted.write.mode("append").parquet(indexDir)
+    admitted
+  }
+
+  /** Streaming near-dup admission — [[corpusIngest]]'s exact
+    * watermark dedup upgraded to NEAR-dup rejection: exact
+    * re-deliveries drop in watermark-bounded state
+    * (`dropDuplicatesWithinWatermark` — evicted at the horizon, so
+    * streaming state never grows past it), then each micro-batch
+    * runs [[admitNearDupBatch]] against the growing on-disk index.
+    * Long-term memory lives in the INDEX TABLE, not the state
+    * store — the architecture that runs forever: state is
+    * watermark-bounded, the index is a plain parquet relation any
+    * batch job can also read or compact. */
+  def startNearDupAdmission(docs: DataFrame, tsCol: String,
+      idCol: String, textCol: String, watermark: String,
+      indexDir: String, checkpointDir: String, n: Int, k: Int,
+      bands: Int, minJaccard: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .withColumn("__h", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        admitNearDupBatch(batch.toDF(), idCol, textCol, indexDir,
+          n, k, bands, minJaccard)
+        ()
+      }
+      .start()
+
   /** Streaming VARIANT ingest — q124's semi-structured parse path
     * running per micro-batch: each record's JSON payload is parsed
     * ONCE to a Spark-4 VARIANT, typed fields come out through

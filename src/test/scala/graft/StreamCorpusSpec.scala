@@ -147,4 +147,59 @@ class StreamCorpusSpec extends SparkSpec {
     assert(got.contains(("click", 3L, 42L, 20L)), got)
     assert(got.size == 3)
   }
+
+  test("streaming near-dup admission: a near-dup in a LATER micro-batch " +
+      "is rejected against the index; state stays watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("neardup").toString
+    val indexDir = s"$dir/index"
+    val ckpt = s"$dir/ckpt"
+
+    // base doc: 30 tokens; near: ONE token edited (shingle Jaccard
+    // well above 0.7); far: unrelated tokens
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = (1 to 30).map(i => if (i == 15) "EDIT" else s"w$i")
+      .mkString(" ")
+    val far = (1 to 30).map(i => s"z$i").mkString(" ")
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.startNearDupAdmission(
+      in.toDF().toDF("ts", "doc_id", "text"),
+      "ts", "doc_id", "text", watermark = "10 minutes",
+      indexDir = indexDir, checkpointDir = ckpt,
+      n = 3, k = 8, bands = 4, minJaccard = 0.7)
+
+    in.addData((ts("2024-01-01 00:00:00"), 1L, base))
+    q.processAllAvailable()
+    in.addData(
+      (ts("2024-01-01 00:01:00"), 2L, near),  // near-dup of batch-1 doc
+      (ts("2024-01-01 00:02:00"), 3L, far),   // genuinely new
+      (ts("2024-01-01 00:03:00"), 4L, base))  // exact replay of doc 1
+    q.processAllAvailable()
+    // intra-batch near-dup: 6 arrives with 5 in ONE batch — first
+    // (lower id) wins
+    val v = (1 to 30).map(i => s"v$i").mkString(" ")
+    val vNear = (1 to 30).map(i => if (i == 7) "X" else s"v$i")
+      .mkString(" ")
+    in.addData(
+      (ts("2024-01-01 00:04:00"), 5L, v),
+      (ts("2024-01-01 00:05:00"), 6L, vNear))
+    q.processAllAvailable()
+    // the only streaming STATE is the exact-hash watermark dedup —
+    // near-dup memory lives in the index table, which is why state
+    // cannot grow past the horizon
+    val progress = q.lastProgress
+    q.stop()
+
+    val admitted = spark.read.parquet(indexDir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 3L, 5L),
+      s"admitted $admitted — expected near-dup 2, exact replay 4, " +
+        "and intra-batch near-dup 6 all rejected")
+    assert(progress.stateOperators.nonEmpty &&
+      progress.stateOperators.head.operatorName
+        .contains("dedupeWithinWatermark"),
+      "exact dedup state operator missing from the streaming plan")
+  }
 }
