@@ -364,6 +364,36 @@ object StreamOps {
       }
       .start()
 
+  /** Maintenance pass for the [[startNearDupAdmission]] index: the
+    * per-trigger appends leave one small parquet file per micro-batch
+    * (the classic streaming-writer small-files drag —
+    * [[graft.operators.Compaction]]'s object doc), so a long-lived
+    * admission index must be periodically rewritten. Compacts to a
+    * sibling directory then swaps via two renames, preserving content
+    * exactly — admission decisions are identical before and after
+    * (the spec proves a pre-compaction doc still rejects its
+    * near-dups afterwards). Run between triggers (the gate re-reads
+    * the index per micro-batch; a swap mid-trigger could hand one
+    * batch a partial listing — same contract as any external table
+    * rewrite under a stream-static join). */
+  def compactAdmissionIndex(spark: SparkSession, indexDir: String,
+      targetBytes: Long): graft.operators.Compaction.Stats = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(indexDir + ".compacting")
+    val old = new Path(indexDir + ".old")
+    val dst = new Path(indexDir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(tmp) && !fs.exists(old),
+      s"stale $tmp / $old from an interrupted compaction — resolve " +
+        "manually before compacting again")
+    val stats = graft.operators.Compaction.compactParquet(
+      spark, indexDir, tmp.toString, targetBytes)
+    require(fs.rename(dst, old), s"rename $dst -> $old failed")
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    fs.delete(old, true)
+    stats
+  }
+
   /** Streaming VARIANT ingest — q124's semi-structured parse path
     * running per micro-batch: each record's JSON payload is parsed
     * ONCE to a Spark-4 VARIANT, typed fields come out through

@@ -202,4 +202,45 @@ class StreamCorpusSpec extends SparkSpec {
         .contains("dedupeWithinWatermark"),
       "exact dedup state operator missing from the streaming plan")
   }
+
+  test("admission index compaction: fewer files, identical content, " +
+      "identical admission decisions") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("neardup_compact").toString
+    val indexDir = s"$dir/index"
+    def doc(tag: String, edit: Int => String = null) =
+      (1 to 30).map(i =>
+        if (edit != null && i == 9) edit(i) else s"$tag$i")
+        .mkString(" ")
+    // five single-doc admissions -> five small parquet appends
+    (1 to 5).foreach { i =>
+      StreamOps.admitNearDupBatch(
+        Seq((i.toLong, doc(s"t${i}_"))).toDF("doc_id", "text"),
+        "doc_id", "text", indexDir, n = 3, k = 8, bands = 4,
+        minJaccard = 0.7)
+    }
+    val before = spark.read.parquet(indexDir)
+      .as[(Long, String)].collect().toSet
+    val filesBefore = new java.io.File(indexDir)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesBefore >= 5, s"expected >=5 small files, $filesBefore")
+
+    val stats = StreamOps.compactAdmissionIndex(spark, indexDir,
+      targetBytes = 1L << 30)
+    assert(stats.after == 1 && stats.before == filesBefore)
+    val after = spark.read.parquet(indexDir)
+      .as[(Long, String)].collect().toSet
+    assert(after == before, "compaction changed index content")
+
+    // a near-dup of a PRE-compaction doc must still be rejected, and
+    // a genuinely new doc admitted, through the compacted index
+    val admitted = StreamOps.admitNearDupBatch(
+      Seq((100L, doc("t3_", _ => "EDIT")),   // near-dup of doc 3
+        (101L, doc("fresh_"))).toDF("doc_id", "text"),
+      "doc_id", "text", indexDir, n = 3, k = 8, bands = 4,
+      minJaccard = 0.7)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(admitted == Set(101L),
+      s"post-compaction admission wrong: $admitted")
+  }
 }
