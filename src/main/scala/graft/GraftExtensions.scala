@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression,
   ExpressionInfo}
 
-import graft.functions.{Hilbert2D, HilbertN, ShingleNGrams, VecDot,
-  VectorizeDotProduct}
+import graft.functions.{Hilbert2D, HilbertN, PqAssign, ShingleNGrams,
+  VecDot, VectorizeDotProduct}
 
 /** Engine extension point (SparkSessionExtensions): registers the
   * native [[graft.functions.VecDot]] kernel as SQL function
@@ -87,6 +87,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"hilbertn: bits must be an int literal, got $v")
         }
         HilbertN(children.tail, bits)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_assign"),
+      new ExpressionInfo(classOf[PqAssign].getName, "pq_assign"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          s"pq_assign expects (emb, codebook, subDim, k), got " +
+            s"${children.size}")
+        def intConst(e: Expression, what: String): Int = {
+          require(e.foldable,
+            s"pq_assign: $what must be a literal, got ${e.sql}")
+          e.eval() match {
+            case i: Int => i
+            case l: Long if l.isValidInt => l.toInt
+            case v => throw new IllegalArgumentException(
+              s"pq_assign: $what must be an int literal, got $v")
+          }
+        }
+        val cbE = children(1)
+        require(cbE.foldable,
+          s"pq_assign: codebook must be a nested float-array " +
+            s"literal, got ${cbE.sql}")
+        val ad = cbE.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cb = (0 until ad.numElements())
+          .map(i => ad.getArray(i).toFloatArray()).toArray
+        PqAssign(children.head, cb,
+          intConst(children(2), "subDim"), intConst(children(3), "k"))
       }))
     ext.injectOptimizerRule(_ => VectorizeDotProduct)
   }
