@@ -255,6 +255,79 @@ object StreamOps {
       }
   }
 
+  /** One closed session's journey: the '>'-joined type n-grams of the
+    * session's (ts, event-id)-ordered event sequence — q148's gram
+    * semantics per session, emitted as the session closes. */
+  final case class SessionPaths(key: Long, start: Timestamp,
+      end: Timestamp, nEvents: Long, paths: Seq[String])
+  // public: the state encoder's generated code must see the ctor
+  final case class SessPathsState(start: Long, end: Long,
+      evs: Seq[(Long, Long, String)]) // (tsMs, eventId, type)
+
+  /** Streaming twin of [[graft.operators.Journeys
+    * .topPathsSessionized]] (q148): gap-sessionize per key with
+    * `flatMapGroupsWithState` + event-time timeout, carrying the
+    * session's event list in state, and emit each CLOSED session's
+    * type n-grams — the per-key state is bounded by one session's
+    * events (the q148 contract, here enforced by the state store:
+    * a session closes either at an in-batch gap or when the
+    * watermark passes end-of-gap, and its state is dropped).
+    * Ordering inside a session is (ts, event-id) exactly as batch;
+    * late events beyond the watermark are dropped by the engine
+    * before they reach the operator (standard watermark contract).
+    * Downstream path COUNTING is plain additive aggregation over the
+    * emitted rows (batch or another query); this operator owns the
+    * stateful part. Run in `append` output mode.
+    * @param events (key, ts, event_id, event_type) */
+  def sessionPathsStream(
+      events: Dataset[(Long, Timestamp, Long, String)],
+      gapMs: Long, n: Int): Dataset[SessionPaths] = {
+    import events.sparkSession.implicits._
+    def grams(evs: Seq[(Long, Long, String)]): Seq[String] =
+      evs.sortBy(e => (e._1, e._2)).map(_._3)
+        .sliding(n).filter(_.size == n).map(_.mkString(">")).toSeq
+    def close(key: Long, s: SessPathsState): SessionPaths =
+      SessionPaths(key, new Timestamp(s.start), new Timestamp(s.end),
+        s.evs.size.toLong, grams(s.evs))
+    events
+      .toDF("key", "ts", "event_id", "event_type")
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessPathsState, SessionPaths](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Timestamp, Long, String)],
+         state: GroupState[SessPathsState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(close(key, s))
+          } else {
+            // order within the batch by (ts, event_id) so in-batch
+            // gap decisions see events in event-time order
+            val batch = rows.toSeq
+              .map(r => (r._2.getTime, r._3, r._4))
+              .sortBy(e => (e._1, e._2))
+            val closed = scala.collection.mutable.Buffer[SessionPaths]()
+            var cur = state.getOption.orNull
+            batch.foreach { case e @ (t, _, _) =>
+              cur match {
+                case null => cur = SessPathsState(t, t, Seq(e))
+                case s if t - s.end <= gapMs =>
+                  cur = SessPathsState(s.start, math.max(s.end, t),
+                    s.evs :+ e)
+                case s =>
+                  closed += close(key, s)
+                  cur = SessPathsState(t, t, Seq(e))
+              }
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.end + gapMs)
+            closed.iterator
+          }
+      }
+  }
+
   /** Composed streaming corpus ingest — the batch curation pipeline
     * (quality gate → exact dedup → per-lang stats, q57/q98) running
     * incrementally: each micro-batch of documents is quality-gated,

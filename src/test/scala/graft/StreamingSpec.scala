@@ -131,4 +131,85 @@ class StreamingSpec extends SparkSpec {
       .select($"nEvents".as[Long]).collect().toSeq
     assert(done.contains(2L)) // first session (2 events) closed
   }
+
+  test("sessionPathsStream emits q148's per-session grams as sessions close") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val out = StreamOps.sessionPathsStream(in.toDS(),
+      gapMs = 5 * 60 * 1000L, n = 3)
+    val q = out.writeStream.format("memory").queryName("spaths")
+      .outputMode("append").start()
+    // user 1's first session SPANS two micro-batches (a,b then c,d);
+    // user 2 has a 3-event session in batch 1
+    in.addData(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 00:02:00"), 2L, "b"),
+      (2L, ts("2024-01-01 00:00:00"), 3L, "x"),
+      (2L, ts("2024-01-01 00:01:00"), 4L, "y"),
+      (2L, ts("2024-01-01 00:02:00"), 5L, "z"))
+    processAll(q)
+    in.addData(
+      (1L, ts("2024-01-01 00:03:00"), 6L, "c"),
+      (1L, ts("2024-01-01 00:04:00"), 7L, "d"))
+    processAll(q)
+    // in-batch gap: the next user-1 event is > 5 min after "d", so
+    // the first session closes at the gap with grams a>b>c, b>c>d —
+    // crucially NOT d>e>f spanning the gap
+    in.addData(
+      (1L, ts("2024-01-01 01:00:00"), 8L, "e"),
+      (1L, ts("2024-01-01 01:01:00"), 9L, "f"))
+    processAll(q)
+    // jump event time far forward for both keys → watermark closes
+    // the remaining open sessions
+    in.addData((1L, ts("2024-01-01 09:00:00"), 10L, "g"),
+      (2L, ts("2024-01-01 09:00:00"), 11L, "g"))
+    processAll(q)
+    in.addData((1L, ts("2024-01-01 18:00:00"), 12L, "h"),
+      (2L, ts("2024-01-01 18:00:00"), 13L, "h"))
+    processAll(q)
+    q.stop()
+
+    val sessions = spark.table("spaths")
+      .select($"key", $"nEvents", $"paths")
+      .as[(Long, Long, Seq[String])].collect().toSeq
+    // user 1 session 1 crossed the micro-batch boundary intact
+    assert(sessions.exists { case (k, ne, p) =>
+      k == 1L && ne == 4L && p == Seq("a>b>c", "b>c>d") },
+      s"cross-batch session wrong: $sessions")
+    // user 2's batch-1 session closed by watermark with one gram
+    assert(sessions.exists { case (k, ne, p) =>
+      k == 2L && ne == 3L && p == Seq("x>y>z") }, sessions.toString)
+    // no gram spans the 56-minute gap
+    assert(!sessions.exists(_._3.exists(_.contains("d>e"))),
+      s"gram spanned an inactivity gap: $sessions")
+    // sub-n sessions emit zero grams (e.g. the 2-event e,f session)
+    assert(sessions.exists { case (k, ne, p) =>
+      k == 1L && ne == 2L && p.isEmpty }, sessions.toString)
+
+    // closed-session grams match the BATCH operator on the same
+    // events (restricted to sessions the stream has closed)
+    val batchPaths = graft.operators.Journeys.topPathsSessionized(
+        Seq(
+          (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+          (1L, ts("2024-01-01 00:02:00"), 2L, "b"),
+          (2L, ts("2024-01-01 00:00:00"), 3L, "x"),
+          (2L, ts("2024-01-01 00:01:00"), 4L, "y"),
+          (2L, ts("2024-01-01 00:02:00"), 5L, "z"),
+          (1L, ts("2024-01-01 00:03:00"), 6L, "c"),
+          (1L, ts("2024-01-01 00:04:00"), 7L, "d"),
+          (1L, ts("2024-01-01 01:00:00"), 8L, "e"),
+          (1L, ts("2024-01-01 01:01:00"), 9L, "f"))
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "event_type", "ts", "event_id",
+        gapSec = 300L, n = 3, k = 100)
+      .as[(String, Long)].collect().toMap
+    val streamed = sessions.filter(s => s._1 <= 2L)
+      .flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    // drop the closer-event sessions (g/h) the batch frame lacks
+    val expected = batchPaths
+    assert(streamed.filter { case (p, _) => expected.contains(p) }
+      == expected,
+      s"stream grams $streamed vs batch $expected")
+  }
 }
