@@ -91,4 +91,75 @@ object ZOrder {
   def hilbertN(cols: Seq[Column], bits: Int): Column =
     call_function("hilbertn",
       (lit(bits) +: cols.map(_.cast("long"))): _*)
+
+  /** Inverse of [[graft.functions.HilbertN]] — Skilling's
+    * TransposeToAxes direction, driver-side: the coordinates of a
+    * curve index. Used by [[hilbertCoveringBuckets]] to turn a key
+    * range back into a spatial cell; proven an exact inverse in
+    * `HilbertSpec`. */
+  def hilbertDecode(bits: Int, dims: Int, index: Long): Array[Long] = {
+    require(dims >= 1 && bits >= 1 && dims * bits <= 63)
+    // un-interleave: index bit dims*j + (dims-1-i) -> axis i bit j
+    val x = new Array[Long](dims)
+    var j = bits - 1
+    var p = dims * bits - 1
+    while (j >= 0) {
+      var i = 0
+      while (i < dims) {
+        x(i) |= ((index >> p) & 1L) << j
+        p -= 1
+        i += 1
+      }
+      j -= 1
+    }
+    // Skilling: transpose -> axes
+    val m = 1L << (bits - 1)
+    var t = x(dims - 1) >> 1
+    var i = dims - 1
+    while (i >= 1) { x(i) ^= x(i - 1); i -= 1 }
+    x(0) ^= t
+    var q = 2L
+    while (q != m * 2 && m > 1) {
+      val pp = q - 1
+      i = dims - 1
+      while (i >= 0) {
+        if ((x(i) & q) != 0) x(0) ^= pp
+        else {
+          t = (x(0) ^ x(i)) & pp
+          x(0) ^= t; x(i) ^= t
+        }
+        i -= 1
+      }
+      q <<= 1
+    }
+    x
+  }
+
+  /** Read-path planning for a Hilbert-keyed layout: the bucket ids
+    * whose spatial cell intersects an axis-aligned query box — the
+    * partition-pruning list a lakehouse planner derives from the
+    * CURVE, not from data. A bucket = the top dims·`bucketLevels`
+    * index bits, which is one aligned curve subtree = one axis-
+    * aligned cell of width 2^(bits−bucketLevels) per axis (decode
+    * the subtree's first index, snap each coordinate down to the
+    * cell grid). Filter `col("hbucket").isin(buckets…)` then prunes
+    * partitions/files statically; every result row is still
+    * verified by the residual predicate, so an over-approximation
+    * can never corrupt results.
+    * @param box per-dimension inclusive (lo, hi) */
+  def hilbertCoveringBuckets(bits: Int, dims: Int, bucketLevels: Int,
+      box: Seq[(Long, Long)]): Seq[Long] = {
+    require(box.size == dims, s"box must have $dims (lo,hi) pairs")
+    require(bucketLevels >= 1 && bucketLevels <= bits)
+    val width = 1L << (bits - bucketLevels)
+    val shift = dims * (bits - bucketLevels)
+    (0L until (1L << (dims * bucketLevels))).filter { b =>
+      val corner = hilbertDecode(bits, dims, b << shift)
+      corner.indices.forall { i =>
+        val lo = (corner(i) / width) * width
+        val hi = lo + width - 1
+        box(i)._1 <= hi && box(i)._2 >= lo
+      }
+    }
+  }
 }

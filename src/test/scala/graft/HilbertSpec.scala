@@ -135,6 +135,50 @@ class HilbertSpec extends SparkSpec {
     assert(viaEval === viaDf)
   }
 
+  test("hilbertDecode is the exact inverse of hilbertN (2-D and 3-D, exhaustive)") {
+    val enc3 = (for (x <- 0L until 8L; y <- 0L until 8L;
+        z <- 0L until 8L) yield (x, y, z)).toDF("x", "y", "z")
+      .withColumn("h",
+        ZOrder.hilbertN(Seq(col("x"), col("y"), col("z")), 3))
+      .collect().map(r => (r.getLong(3),
+        Array(r.getLong(0), r.getLong(1), r.getLong(2))))
+    enc3.foreach { case (h, p) =>
+      assert(ZOrder.hilbertDecode(3, 3, h).sameElements(p),
+        s"decode($h) != ${p.toList}")
+    }
+    val enc2 = (for (x <- 0L until 32L; y <- 0L until 32L)
+      yield (x, y)).toDF("x", "y")
+      .withColumn("h", ZOrder.hilbert2d(col("x"), col("y"), 5))
+      .collect().map(r => (r.getLong(2),
+        Array(r.getLong(0), r.getLong(1))))
+    enc2.foreach { case (h, p) =>
+      assert(ZOrder.hilbertDecode(5, 2, h).sameElements(p),
+        s"2-D decode($h) != ${p.toList}")
+    }
+  }
+
+  test("hilbertCoveringBuckets: every point's bucket is in its box's cover") {
+    // for random-ish boxes, any grid point inside the box must land
+    // in a covered bucket (no false pruning — the safety property)
+    val bits = 5; val dims = 2; val levels = 2
+    val shift = dims * (bits - levels)
+    for (seed <- 1 to 5) {
+      val lo = (seed * 3 % 20).toLong
+      val box = Seq((lo, lo + 9L), ((seed * 7 % 18).toLong,
+        (seed * 7 % 18).toLong + 11L))
+      val cover = ZOrder.hilbertCoveringBuckets(bits, dims, levels,
+        box).toSet
+      for (x <- box(0)._1 to box(0)._2; y <- box(1)._1 to box(1)._2) {
+        val h = graft.functions.HilbertN(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(x),
+          org.apache.spark.sql.catalyst.expressions.Literal(y)), bits)
+          .eval(null).asInstanceOf[Long]
+        assert(cover.contains(h >> shift),
+          s"point ($x,$y) bucket ${h >> shift} missing from cover of $box")
+      }
+    }
+  }
+
   test("hilbertN out-of-range/null coordinates yield NULL; bad arity fails") {
     val df = Seq((8L, 0L, 0L), (-1L, 5L, 2L), (3L, 3L, 3L))
       .toDF("x", "y", "z")

@@ -123,4 +123,40 @@ class PruningSpec extends SparkSpec {
     assert(q.count() ==
       Tables.documents(spark, sf()).filter($"lang" === "en").count())
   }
+
+  test("Hilbert-bucketed layout: covering buckets prune partitions, box answer exact") {
+    import graft.operators.ZOrder
+    val (bits, dims, levels) = (6, 3, 2) // 64-grid, 64 buckets of 16^3 cells
+    val d = Files.createTempDirectory("graft-hilbert").toString
+    // deterministic point cloud on the 64^3 grid — hashed per axis
+    // (linear `id*p % 64` coords are all functions of id mod 64:
+    // 64 collinear triples, not a cloud)
+    val pts = spark.range(20000).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(64)).as("x"),
+        pmod(xxhash64(col("id"), lit(2)), lit(64)).as("y"),
+        pmod(xxhash64(col("id"), lit(3)), lit(64)).as("w"))
+      .withColumn("h", ZOrder.hilbertN(Seq(col("x"), col("y"), col("w")), bits))
+      .withColumn("hbucket", expr(s"h div ${1L << (dims * (bits - levels))}"))
+    pts.write.mode("overwrite").partitionBy("hbucket").parquet(s"$d/pts")
+
+    val box = Seq((4L, 19L), (8L, 23L), (0L, 15L))
+    val buckets = ZOrder.hilbertCoveringBuckets(bits, dims, levels, box)
+    // the planner list comes from the CURVE alone - a strict subset
+    assert(buckets.nonEmpty && buckets.size < (1 << (dims * levels)),
+      s"covering set should prune: ${buckets.size} of 64")
+
+    val boxFilter = col("x").between(box(0)._1, box(0)._2) &&
+      col("y").between(box(1)._1, box(1)._2) &&
+      col("w").between(box(2)._1, box(2)._2)
+    val pruned = spark.read.parquet(s"$d/pts")
+      .filter(col("hbucket").isin(buckets: _*) && boxFilter)
+    val plan = pruned.queryExecution.explainString(FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*hbucket".r.findFirstIn(plan).isDefined,
+      s"bucket list did not reach PartitionFilters:\n$plan")
+    // exactness: the residual predicate keeps the answer identical to
+    // a full scan - the covering set can over-approximate, never lose
+    val full = spark.read.parquet(s"$d/pts").filter(boxFilter)
+    assert(pruned.count() == full.count() && full.count() > 0,
+      s"pruned ${pruned.count()} vs full ${full.count()}")
+  }
 }
