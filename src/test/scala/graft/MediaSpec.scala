@@ -483,6 +483,36 @@ class MediaSpec extends SparkSpec {
       s"unrelated clip paired: $pairs")
   }
 
+  test("video/audio fingerprints are invariant under a global amplitude rescale") {
+    // the re-encode invariance claim made precise: scaling every
+    // frame's magnitude by a constant preserves every energy
+    // GRADIENT sign, so the 64-bit hash is identical — exactly what
+    // survives a transcode that rescales levels uniformly
+    def vclip(scale: Int): Array[Byte] = {
+      val mdat = Array.tabulate(65 * 256) { i =>
+        (((i / 256) % 13 + 1) * scale * (i % 256 % 4)).toByte
+      }
+      Multimodal.synthMp4("isom", 1000, 65000L, 1, mdat)
+    }
+    val vm = Seq(
+      MediaRecord(1L, "video", vclip(1), "t"),
+      MediaRecord(2L, "video", vclip(2), "t")).toDS()
+    val vh = Multimodal.videoFingerprint(vm).collect()
+      .map(h => (h.h_hi, h.h_lo)).distinct
+    assert(vh.length == 1, s"video hash changed under 2x rescale: $vh")
+
+    def aclip(scale: Int): Array[Byte] = Multimodal.synthWavPcm(8000,
+      Array.tabulate(65 * 256) { i =>
+        ((i / 256) % 13 + 1) * scale * (if (i % 2 == 0) 1 else -1)
+      })
+    val am = Seq(
+      MediaRecord(1L, "audio", aclip(1), "t"),
+      MediaRecord(2L, "audio", aclip(3), "t")).toDS()
+    val ah = Multimodal.audioFingerprint(am).collect()
+      .map(h => (h.h_hi, h.h_lo)).distinct
+    assert(ah.length == 1, s"audio hash changed under 3x rescale: $ah")
+  }
+
   test("videoFingerprint drops mdat-less/short/garbage payloads, survives hostile sizes") {
     val good = Multimodal.synthMp4("isom", 1000, 65000L, 1,
       Array.tabulate(65 * 256)(i => (i % 100).toByte))
