@@ -99,6 +99,31 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.8, f"IVF-PQ recall@10 = $r%.3f < 0.8")
   }
 
+  test("MUTATION: a sabotaged router (wrong cells) collapses IVF recall " +
+      "while the quantizer is intact") {
+    // perspective diversity for the tripwire: the first mutation
+    // breaks QUANTIZATION; this one breaks ROUTING — probes point
+    // every query at the wrong cell, so even perfect codes cannot
+    // recover the planted neighbors. A regression in either half of
+    // the composed index now has its own failing signal.
+    val e = corpus
+    val cb0 = Pq.codebook(e, "vec_id", "embedding",
+      subs = Subs, subDim = SubDim, k = C)
+    val cb = Pq.refine(e, "vec_id", "embedding", cb0, subDim = SubDim)
+    val enc = Pq.encode(e, "vec_id", "embedding", cb, subDim = SubDim)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val wrongProbes = e.select(col("vec_id"),
+      ((col("label") + 1) % C).as("label"))
+    val est = Pq.adcTopKInCells(e, "vec_id", "embedding",
+      enc, "vec_id", "label", wrongProbes, cb, subDim = SubDim, k = 10)
+    val exact = Pq.exactTopK(e, "vec_id", "embedding",
+      e, "vec_id", "embedding", k = 10)
+    val r = recall10(est, exact)
+    info(f"wrong-cell routing recall@10 = $r%.3f")
+    assert(r < 0.3, f"IVF routing sabotage still scored $r%.3f — " +
+      "the recall assertion cannot detect a broken router")
+  }
+
   test("MUTATION: a sabotaged (all-zero) codebook drives recall@10 below 0.3") {
     // proves the >= 0.8 assertions can fail: collapse every centroid
     // to the origin — codes lose all information, ADC estimates
