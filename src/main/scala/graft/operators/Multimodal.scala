@@ -579,6 +579,71 @@ object Multimodal {
     }
   }
 
+  /** Frame-energy gradient sign SEQUENCE of an mdat-carrying
+    * container, as a space-joined '0'/'1' token string — the
+    * TRIM-robust companion to [[videoFingerprint]]. The fixed-64-
+    * frame fingerprint is position-anchored: trimming a few frames
+    * shifts every later energy slot and scatters the Hamming
+    * distance, so two cuts of one clip read as distinct. The sign
+    * SEQUENCE treats frames as tokens instead, and trim-robust
+    * candidate generation is exactly the text machinery:
+    * [[Dedup.lshNearDupPairs]] over shingles of consecutive sign
+    * tokens — a shared run of frames survives anywhere in the clip,
+    * like a shared phrase in a document. (The cross-modal reuse is
+    * the point: video near-dup under trimming IS the n-gram
+    * near-dup problem on the gradient alphabet.)
+    *
+    * Scale shape: one map-side byte pass per clip emitting a string
+    * of (frames−1) tokens; everything downstream is the standard
+    * banded LSH — never all-pairs.
+    * @return (media_id, sign_text) — clips without an mdat or with
+    *         fewer than 2 full frames are dropped */
+  def videoEnergySigns(media: Dataset[MediaRecord],
+      frameBytes: Int = 256): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val b = r.payload
+          if (b.length < 16 || tag(b, 4) != "ftyp") None
+          else {
+            var mdat: Option[(Long, Long)] = None
+            mp4Walk(b, 0L, b.length.toLong) { (typ, from, to) =>
+              if (typ == "mdat" && mdat.isEmpty) mdat = Some((from, to))
+            }
+            mdat.flatMap { case (from, to) =>
+              val n = ((to - from) / frameBytes).toInt
+              if (n < 2) None
+              else {
+                val e = new Array[Long](n)
+                var f = 0
+                while (f < n) {
+                  var acc = 0L
+                  var k = 0
+                  val base = from.toInt + f * frameBytes
+                  while (k < frameBytes) {
+                    acc += (b(base + k) & 0xff)
+                    k += 1
+                  }
+                  e(f) = acc
+                  f += 1
+                }
+                val sb = new StringBuilder((n - 1) * 2)
+                f = 0
+                while (f < n - 1) {
+                  if (f > 0) sb.append(' ')
+                  sb.append(if (e(f) < e(f + 1)) '1' else '0')
+                  f += 1
+                }
+                Some((r.media_id, sb.toString))
+              }
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }.toDF("media_id", "sign_text")
+  }
+
   /** Near-dup media pairs by banded Hamming distance over any 64-bit
     * two-half hash ([[ImageDHash]], [[AudioHash]] and [[VideoHash]]
     * share it) — the

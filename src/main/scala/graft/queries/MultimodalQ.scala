@@ -528,5 +528,97 @@ object MultimodalQ {
       SELECT component, COUNT(*) AS n_members
       FROM comp GROUP BY component ORDER BY component"""))
 
-  val all: Seq[Qry] = Seq(q41, q42, q119, q133, q143, q145, q146, q147)
+  /** The q151 trimmed-variant video corpus — 80 frames, each variant
+    * v starting at CONTENT frame 3·v (a head-trim of 3·v frames with
+    * a fresh 3·v-frame tail): same-group variants share a long run
+    * of identical frames at DIFFERENT positions, which is exactly
+    * the case the fixed-position q147 fingerprint cannot pair (every
+    * energy slot shifts) and the sign-shingle path must.
+    *
+    * The amplitude step is g-DEPENDENT (the 13·g·cf cross term):
+    * the q147 family's fixed step-6 orbit mod 97 makes every group's
+    * sign sequence a PHASE SHIFT of one master sequence — harmless
+    * for position-anchored hashes, but a shingle matcher is
+    * shift-invariant by design and would correctly pair the whole
+    * corpus (a degenerate fixture, first cut measured 17k of 19.9k
+    * possible pairs). Distinct steps give distinct orbits: only
+    * true same-group trims share runs. */
+  private def vidTrimMedia(id: Long): Multimodal.MediaRecord = {
+    val g = (id % 50).toInt
+    val v = (id / 50).toInt
+    val mdat = Array.tabulate(80 * 256) { i =>
+      val cf = i / 256 + 3 * v
+      val a = (((g.toLong * 31L + cf.toLong * 17L +
+        13L * g * cf) % 97L).toInt % 15) + 1
+      (a * (i % 256 % 16)).toByte
+    }
+    Multimodal.MediaRecord(id, "video",
+      Multimodal.synthMp4("isom", 1000, 80000L, 1, mdat), "synth")
+  }
+
+  /** q151 — TRIM-robust video near-dup: the frame-energy gradient
+    * sign sequence ([[Multimodal.videoEnergySigns]]) as a token
+    * string, pushed through the standard text MinHash-LSH
+    * ([[graft.operators.Dedup.lshNearDupPairs]], 16-frame shingles).
+    * q147's 64-bit fingerprint is position-anchored — a 3-frame head
+    * trim shifts every energy slot and scatters the Hamming
+    * distance — while a shared frame RUN survives shingling anywhere
+    * in the clip, exactly like a shared phrase in a document. The
+    * cross-modal reuse is the point: video near-dup under trimming
+    * IS n-gram near-dup on the gradient alphabet, and the oracle
+    * replays the whole chain — frame synthesis → energies → signs →
+    * shingles → minhash → bands → exact Jaccard — with the SAME
+    * shared SQL builders the text queries use (the engines cannot
+    * drift apart per modality). */
+  val q151 = Qry(
+    "q151_video_trim_neardup",
+    (s: SparkSession, d: String) => {
+      val session = s
+      import session.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map(vidTrimMedia _)
+      val signs = Multimodal.videoEnergySigns(media)
+        .localCheckpoint(true)
+      graft.operators.Dedup.lshNearDupPairs(signs, "media_id",
+          "sign_text", n = 16, k = 8, bands = 4, minJaccard = 0.5)
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH vidt_src AS (
+        SELECT doc_id AS id, doc_id % 50 AS g, doc_id // 50 AS v
+        FROM documents WHERE doc_id < 200),
+      vidt_sign AS (
+        SELECT c.id, t.f,
+               CASE WHEN (((c.g*31 + (t.f + 3*c.v)*17
+                        + 13*c.g*(t.f + 3*c.v)) % 97) % 15 + 1)
+                      < (((c.g*31 + (t.f + 3*c.v + 1)*17
+                        + 13*c.g*(t.f + 3*c.v + 1)) % 97) % 15 + 1)
+                    THEN '1' ELSE '0' END AS s
+        FROM vidt_src c, range(0, 79) t(f)),
+      vidt_text AS (
+        SELECT id, string_agg(s, ' ' ORDER BY f) AS text
+        FROM vidt_sign GROUP BY id),
+      sh AS (
+        SELECT id, ${DedupQ.shinglesSql(16)} AS shingles
+        FROM vidt_text),
+      sh2 AS (SELECT id, shingles FROM sh WHERE len(shingles) > 0),
+      sigs AS (
+        SELECT id, shingles, ${DedupQ.minhashSql(8)} AS sig FROM sh2),
+      banded AS (
+        SELECT id, shingles,
+               unnest(${DedupQ.bandKeysSql(4, 2)}) AS band_key
+        FROM sigs),
+      pairs AS (
+        SELECT l.id AS a, r.id AS b,
+               FIRST(l.shingles) AS sh_a, FIRST(r.shingles) AS sh_b
+        FROM banded l JOIN banded r ON l.band_key = r.band_key
+        WHERE l.id < r.id GROUP BY l.id, r.id)
+      SELECT a, b, ROUND(${DedupQ.jaccardSql}, 6) AS jaccard
+      FROM pairs WHERE ROUND(${DedupQ.jaccardSql}, 6) >= 0.5
+      ORDER BY a, b"""))
+
+  val all: Seq[Qry] =
+    Seq(q41, q42, q119, q133, q143, q145, q146, q147, q151)
 }

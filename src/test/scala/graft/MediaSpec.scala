@@ -535,6 +535,38 @@ class MediaSpec extends SparkSpec {
       .map(_.media_id).toList == List(1L))
   }
 
+  test("trimmed clip: invisible to the fixed-position fingerprint, " +
+      "found by the sign-shingle path") {
+    // base: 80 frames of varying fill; trimmed: the same content
+    // starting 5 frames later (head-trim + fresh tail) — a cut of
+    // the same footage
+    def clip(off: Int): Array[Byte] = {
+      val mdat = Array.tabulate(80 * 256) { i =>
+        val cf = i / 256 + off
+        (((cf * cf * 7 + cf * 3) % 13 + 1) * (i % 256 % 4)).toByte
+      }
+      Multimodal.synthMp4("isom", 1000, 80000L, 1, mdat)
+    }
+    val media = Seq(
+      MediaRecord(1L, "video", clip(0), "t"),
+      MediaRecord(2L, "video", clip(5), "t")).toDS()
+    // fixed-position fingerprint: the 5-frame shift scatters the
+    // Hamming distance far past the near-dup band
+    val fp = Multimodal.videoFingerprint(media).toDF()
+    val fpPairs = Multimodal
+      .dhashNearDupPairs(fp, "media_id", maxHamming = 12).count()
+    assert(fpPairs == 0L,
+      "position-anchored fingerprint unexpectedly paired a trim")
+    // sign-shingle path: the shared 75-frame run survives shingling
+    val signs = Multimodal.videoEnergySigns(media)
+    val pairs = graft.operators.Dedup.lshNearDupPairs(signs,
+        "media_id", "sign_text", n = 16, k = 8, bands = 4,
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toList == List((1L, 2L)),
+      s"trimmed pair not found by sign shingles: ${pairs.toList}")
+  }
+
   test("probeMp4 still parses headers of an mdat-carrying container") {
     val b = Multimodal.synthMp4("isom", 1000, 65000L, 2,
       Array.tabulate(65 * 256)(_.toByte))
