@@ -681,6 +681,55 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Cross-corpus variant of [[dhashNearDupPairs]] — candidates pair
+    * a LEFT hash with a RIGHT hash only (never left-left or
+    * right-right), the incremental-ingest shape where a new batch
+    * dedups AGAINST a historical index without re-pairing the index
+    * with itself ([[Dedup.lshNearDupPairsAcross]]'s contract on the
+    * 64-bit two-half layout). Note what the index side is: 16 bytes
+    * of hash per item, never payloads — media near-dup memory at
+    * scale is a hash relation.
+    * @return (a = left id, b = right id, hamming ≤ maxHamming) */
+  def dhashNearDupPairsAcross(left: DataFrame, right: DataFrame,
+      idCol: String, maxHamming: Int): DataFrame = {
+    def banded(df: DataFrame) = df.select(col(idCol).as("__id"),
+      col("h_hi"), col("h_lo"),
+      posexplode(array(
+        expr("h_hi div 65536"), expr("h_hi % 65536"),
+        expr("h_lo div 65536"), expr("h_lo % 65536")))
+        .as(Seq("band", "key")))
+    val l = banded(left).select(col("__id").as("a"), col("band"),
+      col("key"), col("h_hi").as("hi_a"), col("h_lo").as("lo_a"))
+    val r = banded(right).select(col("__id").as("b"), col("band"),
+      col("key"), col("h_hi").as("hi_b"), col("h_lo").as("lo_b"))
+    l.join(r, Seq("band", "key"))
+      .select(col("a"), col("b"),
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** One fingerprint row per media record, dispatched by CONTENT
+    * (each decode path drops payloads that are not its container, so
+    * a record lands in at most one kind): dHash for raster images,
+    * frame-energy hashes for audio and video — all in the shared
+    * two-half layout, tagged with the detected kind so downstream
+    * band joins can stay per-modality.
+    * @return (media_id, kind, h_hi, h_lo) */
+  def mediaFingerprints(media: Dataset[MediaRecord]): DataFrame = {
+    val img = dHash(media).toDF()
+      .select(col("media_id"), lit("image").as("kind"),
+        col("h_hi"), col("h_lo"))
+    val aud = audioFingerprint(media).toDF()
+      .select(col("media_id"), lit("audio").as("kind"),
+        col("h_hi"), col("h_lo"))
+    val vid = videoFingerprint(media).toDF()
+      .select(col("media_id"), lit("video").as("kind"),
+        col("h_hi"), col("h_lo"))
+    img.unionByName(aud).unionByName(vid)
+  }
+
   // ---- container encoders (for corpora + encode→probe checks) -----
 
   private def pngChunk(typ: String, body: Array[Byte]): Array[Byte] = {

@@ -437,6 +437,86 @@ object StreamOps {
       }
       .start()
 
+  /** One micro-batch of the MEDIA near-dup admission gate — the
+    * multimodal twin of [[admitNearDupBatch]], and the cross-modal
+    * closing of the q146 curation loop at INGEST time: every
+    * payload is fingerprinted by content ([[graft.operators
+    * .Multimodal.mediaFingerprints]] — dHash / frame-energy hashes
+    * in the shared two-half layout), near-dups drop intra-batch and
+    * against the on-disk hash index PER MODALITY (kinds never meet
+    * a band join — a chance image/audio band collision is not a
+    * duplicate), and admitted items append their 16-byte hashes to
+    * the index. The index side holds HASHES ONLY, never payloads:
+    * media near-dup memory at scale is a hash relation, so the gate
+    * scans bytes once at ingest and never again. Replay-idempotent:
+    * an exact payload replay hashes identically (Hamming 0).
+    * @return the admitted (media_id, kind, h_hi, h_lo) rows */
+  def admitMediaBatch(batch: org.apache.spark.sql.Dataset[
+        graft.operators.Multimodal.MediaRecord],
+      indexDir: String, maxHamming: Int): DataFrame = {
+    import graft.operators.Multimodal
+    val spark = batch.sparkSession
+    val kinds = Seq("image", "audio", "video")
+    val h = Multimodal.mediaFingerprints(batch).localCheckpoint(true)
+    val intraRejects = kinds.map { k =>
+      Multimodal.dhashNearDupPairs(
+          h.filter(col("kind") === k), "media_id", maxHamming)
+        .select(col("b").as("media_id"))
+    }.reduce(_ unionByName _).distinct()
+    val survivors = h.join(intraRejects, Seq("media_id"), "left_anti")
+      .localCheckpoint(true)
+    val index =
+      try spark.read.parquet(indexDir)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          h.schema)
+      }
+    val indexRejects = kinds.map { k =>
+      Multimodal.dhashNearDupPairsAcross(
+          survivors.filter(col("kind") === k),
+          index.filter(col("kind") === k), "media_id", maxHamming)
+        .select(col("a").as("media_id"))
+    }.reduce(_ unionByName _).distinct()
+    val admitted = survivors
+      .join(indexRejects, Seq("media_id"), "left_anti")
+      .localCheckpoint(true)
+    admitted.write.mode("append").parquet(indexDir)
+    admitted
+  }
+
+  /** Streaming media near-dup admission — [[mediaIngest]]'s exact
+    * content-hash dedup upgraded to NEAR-dup rejection, mirroring
+    * [[startNearDupAdmission]]: exact re-deliveries die in
+    * watermark-bounded state, then each micro-batch runs
+    * [[admitMediaBatch]] against the growing on-disk hash index.
+    * @param media (tsCol, idCol, binCol) stream */
+  def startMediaAdmission(media: DataFrame, tsCol: String,
+      idCol: String, binCol: String, watermark: String,
+      indexDir: String, checkpointDir: String, maxHamming: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media
+      .withColumn("__h", md5(col(binCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val records = batch.select(
+            col(idCol).cast("long").as("media_id"),
+            lit("").as("kind"), col(binCol).as("payload"),
+            lit("stream").as("source"))
+          .as[graft.operators.Multimodal.MediaRecord]
+        admitMediaBatch(records, indexDir, maxHamming)
+        ()
+      }
+      .start()
+
   /** Maintenance pass for the [[startNearDupAdmission]] index: the
     * per-trigger appends leave one small parquet file per micro-batch
     * (the classic streaming-writer small-files drag —

@@ -203,6 +203,52 @@ class StreamCorpusSpec extends SparkSpec {
       "exact dedup state operator missing from the streaming plan")
   }
 
+  test("streaming MEDIA admission: near-dup image/audio in later batches " +
+      "rejected per modality against the hash index") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("media_admit").toString
+    val (indexDir, ckpt) = (s"$dir/index", s"$dir/ckpt")
+
+    def png(v: Int): Array[Byte] =
+      Multimodal.synthPngGray(32, 28, (x, y) =>
+        (x * 151 + y * 211 + v * ((x + y) % 2)) % 256)
+    def wav(edit: Boolean): Array[Byte] =
+      Multimodal.synthWavPcm(8000, Array.tabulate(65 * 256) { i =>
+        val f = i / 256
+        val a = if (edit && f == 20) 4 else (f * 7 % 13) + 1
+        a * (if (i % 2 == 0) 1 else -1)
+      })
+    def far: Array[Byte] =
+      Multimodal.synthPngGray(32, 28, (x, y) => (x * 31 + y * 97) % 256)
+
+    val in = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val q = StreamOps.startMediaAdmission(
+      in.toDF().toDF("ts", "media_id", "payload"),
+      "ts", "media_id", "payload", watermark = "10 minutes",
+      indexDir = indexDir, checkpointDir = ckpt, maxHamming = 12)
+
+    in.addData(
+      (ts("2024-01-01 00:00:00"), 1L, png(0)),
+      (ts("2024-01-01 00:00:30"), 2L, wav(false)))
+    q.processAllAvailable()
+    in.addData(
+      (ts("2024-01-01 00:01:00"), 3L, png(2)),      // near-dup of 1
+      (ts("2024-01-01 00:02:00"), 4L, wav(true)),   // near-dup of 2
+      (ts("2024-01-01 00:03:00"), 5L, png(0)),      // exact replay of 1
+      (ts("2024-01-01 00:04:00"), 6L, far))         // genuinely new
+    q.processAllAvailable()
+    q.stop()
+
+    val admitted = spark.read.parquet(indexDir)
+      .select($"media_id", $"kind").as[(Long, String)].collect().toSet
+    assert(admitted == Set((1L, "image"), (2L, "audio"), (6L, "image")),
+      s"media admission wrong: $admitted")
+    // the index holds 16-byte hashes, never payloads
+    assert(!spark.read.parquet(indexDir).columns.contains("payload"))
+  }
+
   test("admission index compaction: fewer files, identical content, " +
       "identical admission decisions") {
     val dir = java.nio.file.Files
