@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level curation signals for LLM training-data pipelines —
@@ -116,5 +117,54 @@ object Corpus {
       .withColumn("bin",
         floor((col("__cum") - col("__ntok")) / lit(window))
           .cast("long"))
+  }
+
+  /** GPT-style concat-and-split sequence packing: within each shard,
+    * documents are concatenated in a deterministic shuffled order and
+    * the token stream is cut into fixed `seqLen`-token sequences —
+    * documents CROSS sequence boundaries (unlike [[packBins]], which
+    * assigns whole documents to bins). Returns one row per
+    * (doc × sequence) overlap, the relation a batch loader or a
+    * boundary-statistics pass aggregates.
+    *
+    * Scale shape: the prefix-sum window partitions on the SHARD key
+    * (pretraining shards are how real pipelines bound this — there is
+    * never a corpus-global token offset), so offsets are per-shard
+    * per-key sorted scans after one shard exchange; the row fan-out
+    * is ⌈ntok/seqLen⌉+1 per doc, map-side. Empty docs are dropped
+    * (they occupy no tokens and would straddle nothing).
+    *
+    * @return (shard, doc = idCol, seq, tok_start, tok_end, seq_tokens,
+    *         starts_here): tok_start/tok_end are the doc's half-open
+    *         offsets in the shard stream, seq_tokens the tokens the
+    *         doc contributes to THIS sequence, starts_here 1 iff the
+    *         doc's first token lies in this sequence
+    */
+  def packSequences(docs: DataFrame, shardCol: Column, orderCol: Column,
+      idCol: String, tokenCol: Column, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window
+      .partitionBy(col("__shard")).orderBy(col("__ord"), col(idCol))
+    val s = lit(seqLen.toLong)
+    docs
+      .withColumn("__shard", shardCol)
+      .withColumn("__ord", orderCol)
+      .withColumn("__ntok", tokenCol.cast("long"))
+      .filter(col("__ntok") > 0)
+      .withColumn("__start",
+        coalesce(sum(col("__ntok"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__end", col("__start") + col("__ntok"))
+      .select(col("__shard").as("shard"), col(idCol),
+        col("__start").as("tok_start"), col("__end").as("tok_end"),
+        explode(sequence(
+          floor(col("__start") / s).cast("long"),
+          floor((col("__end") - lit(1L)) / s).cast("long"))).as("seq"))
+      .withColumn("seq_tokens",
+        least(col("tok_end"), (col("seq") + lit(1L)) * s) -
+          greatest(col("tok_start"), col("seq") * s))
+      .withColumn("starts_here",
+        when(floor(col("tok_start") / s).cast("long") === col("seq"), 1L)
+          .otherwise(0L))
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for LLM training-data pipelines
@@ -152,6 +153,50 @@ object Dedup {
       .select(col("a"), col("b"),
         round(setJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Cross-document duplicated-span extraction — the exact-substring
+    * dedup pass of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022), re-expressed relationally: every
+    * n-token window is hashed at every position; a window instance is
+    * DUPLICATED iff the same hash occurs in at least one OTHER
+    * document (min ≠ max doc over the hash partition — intra-doc-only
+    * repeats do NOT qualify, unlike q120's multiset window count);
+    * duplicated windows [pos, pos+n) then coalesce per document into
+    * maximal duplicated token intervals via [[Intervals.merge]] —
+    * exactly the spans a removal pass would cut.
+    *
+    * Scale shape: suffix arrays don't distribute, but this does —
+    * explode is map-side; ONE hash-partition exchange carries the
+    * cross-doc flag (min/max doc, no distinct count); the interval
+    * merge runs per-doc (one doc-key exchange whose partitioning the
+    * final groupBy reuses). Hot boilerplate window hashes are the
+    * same documented skew as q81/q120: two-level (hash, doc-bucket)
+    * partial min/max at 100 TB.
+    *
+    * @return one row per maximal duplicated span:
+    *         (doc, m_start, m_end, n_source) — token positions,
+    *         half-open, n_source = windows merged into the span
+    */
+  def crossDocDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val wins = docs
+      .select(col(idCol).as("doc"),
+        posexplode(
+          when(size(toks) < n, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0), size(toks) - lit(n)),
+              i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))))
+      .toDF("doc", "pos", "h")
+    val wh = Window.partitionBy(col("h"))
+    val dup = wins
+      .withColumn("dmin", min(col("doc")).over(wh))
+      .withColumn("dmax", max(col("doc")).over(wh))
+      .filter(col("dmin") =!= col("dmax"))
+      .select(col("doc"), col("pos").cast("long").as("s0"),
+        (col("pos") + lit(n)).cast("long").as("e0"))
+    Intervals.merge(dup, "doc", "s0", "e0", "s0")
   }
 
   /** 16-bit SimHash over the token multiset: bit b of the hash is set

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Qry, Tables}
-import graft.operators.{Corpus, Splits, TextOps}
+import graft.operators.{Corpus, Dedup, Splits, TextOps}
 import Q._
 
 /** Corpus-curation queries (the cross-document LLM-pipeline passes
@@ -655,7 +655,197 @@ object CorpusQ {
                FILTER (WHERE keep), '')) AS kept_md5
       FROM marked GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Cross-document maximal duplicated spans (q152) — the
+    * exact-substring dedup pass (Lee et al. 2022) that q120 only
+    * measures window-wise: 10-token windows shared by ≥2 DISTINCT
+    * documents (intra-doc repeats don't qualify) coalesce into
+    * maximal duplicated token intervals per doc
+    * ([[graft.operators.Dedup.crossDocDupSpans]] →
+    * [[graft.operators.Intervals.merge]]), i.e. exactly the spans a
+    * removal pass would cut. The fixture plants mashup docs
+    * (id+20000): a 30-token slice of the source doc, a shared
+    * boilerplate sentence, then a second 30-token slice — so source
+    * docs must report TWO separated spans while the mashups fuse
+    * slices and boilerplate into wider ones.
+    *
+    * Scale shape: one window-hash exchange (min/max doc — no distinct
+    * count), then doc-partitioned interval windows; the trailing
+    * length join is doc-keyed on the same partitioning. Hot
+    * boilerplate hashes = the q81/q120 documented skew. */
+  val q152 = Qry(
+    "q152_crossdoc_spans",
+    (s: SparkSession, d: String) => {
+      val boiler = "click here now to claim your free prize " +
+        "offer terms apply today"
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val toksB = TextOps.tokens(col("text"))
+      val mash = base
+        .filter(col("doc_id") < 30 && size(toksB) >= 91)
+        .select((col("doc_id") + lit(20000L)).as("doc_id"),
+          concat_ws(" ",
+            concat_ws(" ", slice(toksB, 12, 30)),
+            lit(boiler),
+            concat_ws(" ", slice(toksB, 62, 30))).as("text"))
+      val corpus = base.unionByName(mash)
+      val lens = corpus.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      Dedup.crossDocDupSpans(corpus, "doc_id", "text", n = 10)
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("m_end") - col("m_start")).as("dup_tokens"),
+          max(col("m_end") - col("m_start")).as("longest"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                struct(col("m_start"), col("m_end")))),
+              x => concat(x.getField("m_start").cast("string"),
+                lit(":"), x.getField("m_end").cast("string"))),
+            ",")).as("spans_md5"))
+        .join(lens, Seq("doc_id"))
+        .select(col("doc_id"), col("n_toks"), col("n_spans"),
+          col("dup_tokens"), col("longest"), col("spans_md5"),
+          r6(col("dup_tokens").cast("double") / col("n_toks"))
+            .as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id,
+               array_to_string(list_slice($Toks, 12, 41), ' ')
+                 || ' click here now to claim your free prize offer terms apply today '
+                 || array_to_string(list_slice($Toks, 62, 91), ' ')
+                 AS text
+        FROM base WHERE doc_id < 30 AND len($Toks) >= 91),
+      t AS (SELECT doc_id, $Toks AS toks FROM corpus),
+      w AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) < 10 THEN []::BIGINT[]
+                 ELSE range(0, len(toks) - 10 + 1) END) AS pos,
+               unnest(CASE WHEN len(toks) < 10 THEN []::VARCHAR[]
+                 ELSE list_transform(range(0, len(toks) - 10 + 1),
+                   i -> md5(array_to_string(
+                     list_slice(toks, i + 1, i + 10), ' ')))
+                 END) AS h
+        FROM t),
+      dup AS (
+        SELECT doc_id, pos AS s0, pos + 10 AS e0
+        FROM (
+          SELECT doc_id, pos,
+                 MIN(doc_id) OVER (PARTITION BY h) AS dmin,
+                 MAX(doc_id) OVER (PARTITION BY h) AS dmax
+          FROM w)
+        WHERE dmin <> dmax),
+      flagged AS (
+        SELECT doc_id, s0, e0,
+               CASE WHEN MAX(e0) OVER (
+                      PARTITION BY doc_id ORDER BY s0
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                 OR s0 > MAX(e0) OVER (
+                      PARTITION BY doc_id ORDER BY s0
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_grp
+        FROM dup),
+      labeled AS (
+        SELECT doc_id, s0, e0,
+               SUM(new_grp) OVER (
+                 PARTITION BY doc_id ORDER BY s0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS grp
+        FROM flagged),
+      merged AS (
+        SELECT doc_id, grp, MIN(s0) AS m_start, MAX(e0) AS m_end
+        FROM labeled GROUP BY doc_id, grp),
+      perdoc AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+               CAST(SUM(m_end - m_start) AS BIGINT) AS dup_tokens,
+               MAX(m_end - m_start) AS longest,
+               md5(string_agg(
+                 CAST(m_start AS VARCHAR) || ':' ||
+                 CAST(m_end AS VARCHAR), ',' ORDER BY m_start))
+                 AS spans_md5
+        FROM merged GROUP BY doc_id),
+      lens AS (SELECT doc_id, len(toks) AS n_toks FROM t)
+      SELECT p.doc_id, CAST(l.n_toks AS BIGINT) AS n_toks, p.n_spans,
+             p.dup_tokens, p.longest, p.spans_md5,
+             ${r6Sql("CAST(p.dup_tokens AS DOUBLE) / l.n_toks")}
+               AS dup_frac
+      FROM perdoc p JOIN lens l USING (doc_id)
+      ORDER BY p.doc_id"""))
+
+  /** Sequence-packing boundary statistics (q153) — the GPT-style
+    * concat-and-split pack ([[graft.operators.Corpus.packSequences]]):
+    * docs concatenate in md5-shuffled order within 4 shards, the
+    * stream is cut into 256-token sequences, and each sequence
+    * reports how many documents touch it, how many START in it, its
+    * token fill, and an order-pinning md5 of the contributing doc
+    * ids. Unlike q87 (whole-doc bin assignment) documents here CROSS
+    * sequence boundaries — the relation a pretraining batch loader
+    * actually materializes.
+    *
+    * Scale shape: offsets are a per-SHARD prefix-sum window (one
+    * shard exchange; there is never a corpus-global offset), fan-out
+    * is map-side, and the final groupBy re-partitions on
+    * (shard, seq) — bounded keys. */
+  val q153 = Qry(
+    "q153_pack_sequences",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+      Corpus.packSequences(docs,
+          Splits.hashBucket(col("doc_id")) % 4,
+          md5(concat(lit("pack:"), col("doc_id").cast("string"))),
+          "doc_id", TextOps.tokenCount(col("text")), seqLen = 256)
+        .groupBy(col("shard"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("starts_here")).as("n_starts"),
+          sum(col("seq_tokens")).as("seq_tokens"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                struct(col("tok_start"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")),
+            ",")).as("docs_md5"))
+        .orderBy(col("shard"), col("seq"))
+    },
+    Some(s"""
+      WITH tc AS (
+        SELECT doc_id, len($Toks) AS ntok,
+               ${bucketSql("doc_id")} % 4 AS shard,
+               md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents
+        WHERE doc_id < 400 AND len($Toks) > 0),
+      o AS (
+        SELECT shard, doc_id,
+               CAST(COALESCE(SUM(ntok) OVER (
+                 PARTITION BY shard ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS tok_start,
+               CAST(COALESCE(SUM(ntok) OVER (
+                 PARTITION BY shard ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) + ntok AS BIGINT) AS tok_end
+        FROM tc),
+      fan AS (
+        SELECT shard, doc_id, tok_start, tok_end,
+               unnest(range(tok_start // 256, (tok_end - 1) // 256 + 1))
+                 AS seq
+        FROM o)
+      SELECT shard, seq, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN tok_start // 256 = seq THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_starts,
+             CAST(SUM(LEAST(tok_end, (seq + 1) * 256) -
+                      GREATEST(tok_start, seq * 256)) AS BIGINT)
+               AS seq_tokens,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY tok_start, doc_id)) AS docs_md5
+      FROM fan GROUP BY shard, seq ORDER BY shard, seq"""))
+
   val all: Seq[Qry] =
     Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104,
-      q120, q123)
+      q120, q123, q152, q153)
 }

@@ -140,4 +140,72 @@ class CorpusSpec extends SparkSpec {
     // group a: starts 0, 600 -> bins 0, 1; group b: start 0 -> bin 0
     assert(bins == Map(1L -> 0L, 3L -> 1L, 2L -> 0L))
   }
+
+  // ---- crossDocDupSpans (q152) ----------------------------------
+
+  private def toks(prefix: String, from: Int, until: Int): String =
+    (from until until).map(i => s"$prefix$i").mkString(" ")
+
+  test("crossDocDupSpans merges shared windows into maximal spans") {
+    // A = a0..a29; B embeds A's tokens 5..20 at positions 3..18;
+    // C repeats its own 10-gram twice (intra-doc only).
+    val docs = Seq(
+      (1L, toks("a", 0, 30)),
+      (2L, "x0 x1 x2 " + toks("a", 5, 21) + " y0 y1"),
+      (3L, toks("r", 0, 10) + " " + toks("r", 0, 10)))
+      .toDF("doc_id", "text")
+    val spans = Dedup.crossDocDupSpans(docs, "doc_id", "text", n = 10)
+      .select(col("doc"), col("m_start"), col("m_end"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    // A: shared windows start 5..11 -> [5, 21); B: start 3..9 -> [3, 19)
+    assert(spans == Seq((1L, 5L, 21L), (2L, 3L, 19L)))
+  }
+
+  test("crossDocDupSpans keeps separated spans separate") {
+    // D borrows A's tokens 0..13 AND 17..30 around unique filler, so
+    // A must report two maximal spans with the [13,17) gap intact.
+    val docs = Seq(
+      (1L, toks("a", 0, 30)),
+      (2L, toks("a", 0, 13) + " " + toks("f", 0, 12) + " " +
+        toks("a", 17, 30)))
+      .toDF("doc_id", "text")
+    val byDoc = Dedup.crossDocDupSpans(docs, "doc_id", "text", n = 10)
+      .select(col("doc"), col("m_start"), col("m_end"))
+      .as[(Long, Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sorted)
+      .toMap
+    assert(byDoc(1L) == Seq((0L, 13L), (17L, 30L)))
+  }
+
+  // ---- packSequences (q153) -------------------------------------
+
+  test("packSequences splits the concatenated stream exactly") {
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 5L), (4L, 2L), (5L, 6L))
+      .toDF("doc_id", "ntok")
+    val rows = Corpus.packSequences(docs, lit(0), col("doc_id"),
+        "doc_id", col("ntok"), seqLen = 4)
+      .select(col("seq"), col("doc_id"), col("seq_tokens"),
+        col("starts_here"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    // offsets: d1 [0,3) d2 [3,7) d3 [7,12) d4 [12,14) d5 [14,20)
+    assert(rows == Seq(
+      (0L, 1L, 3L, 1L), (0L, 2L, 1L, 1L),
+      (1L, 2L, 3L, 0L), (1L, 3L, 1L, 1L),
+      (2L, 3L, 4L, 0L),
+      (3L, 4L, 2L, 1L), (3L, 5L, 2L, 1L),
+      (4L, 5L, 4L, 0L)))
+  }
+
+  test("packSequences conserves tokens and drops empty docs") {
+    val docs = Seq((1L, 7L), (2L, 0L), (3L, 9L)).toDF("doc_id", "ntok")
+    val out = Corpus.packSequences(docs, lit(0), col("doc_id"),
+      "doc_id", col("ntok"), seqLen = 4)
+    assert(out.agg(sum(col("seq_tokens"))).as[Long].head() == 16L)
+    assert(out.filter(col("doc_id") === 2L).count() == 0L)
+    // every sequence except the last is exactly full
+    val fills = out.groupBy(col("seq"))
+      .agg(sum(col("seq_tokens")).as("t"))
+      .orderBy(col("seq")).as[(Long, Long)].collect().toSeq
+    assert(fills.init.forall(_._2 == 4L) && fills.last._2 == 4L)
+  }
 }
