@@ -845,7 +845,137 @@ object CorpusQ {
                ORDER BY tok_start, doc_id)) AS docs_md5
       FROM fan GROUP BY shard, seq ORDER BY shard, seq"""))
 
+  /** Temperature-weighted corpus mixing (q154) — the α-smoothed
+    * multinomial source weighting of multilingual pretraining
+    * (mT5/XLM-R style, α = 0.5): per-language token mass is
+    * square-rooted and renormalized, flattening the head so
+    * low-resource languages are oversampled; the query reports raw
+    * share, smoothed probability, the token allocation at a 1M-token
+    * budget, and the resulting epochs (passes over each language's
+    * data) — the number every data-mixture card publishes. q86's
+    * inverse-frequency weight is the α→0 extreme; this is the tunable
+    * middle.
+    *
+    * Determinism: sqrt is correctly-rounded IEEE in both engines and
+    * every input to a float op is an exact integer (< 2^53), so each
+    * float result is bit-identical; weights are floored to integer
+    * micro-units before renormalizing. Scale shape: one map-side
+    * agg to ~#languages rows, then broadcast totals — the corpus is
+    * scanned once. */
+  val q154 = Qry(
+    "q154_temperature_mix",
+    (s: SparkSession, d: String) => {
+      val byLang = Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long"))
+            .as("tok_sum"))
+      val tot = byLang.agg(sum(col("tok_sum")).as("__t"))
+      val withW = byLang.crossJoin(broadcast(tot))
+        .withColumn("w",
+          floor(sqrt(col("tok_sum").cast("double") / col("__t")) *
+            lit(1e6)).cast("long"))
+      val totW = withW.agg(sum(col("w")).as("__sw"))
+      withW.crossJoin(broadcast(totW))
+        .withColumn("alloc_tokens",
+          floor((lit(1000000L) * col("w")).cast("double") / col("__sw"))
+            .cast("long"))
+        .select(col("lang"), col("n_docs"), col("tok_sum"),
+          r6(col("tok_sum").cast("double") / col("__t")).as("share"),
+          col("w"),
+          r6(col("w").cast("double") / col("__sw")).as("p"),
+          col("alloc_tokens"),
+          r6(col("alloc_tokens").cast("double") / col("tok_sum"))
+            .as("epochs"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH byl AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len($Toks)) AS BIGINT) AS tok_sum
+        FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(tok_sum) AS BIGINT) AS tt FROM byl),
+      w AS (
+        SELECT lang, n_docs, tok_sum, tt,
+               CAST(FLOOR(sqrt(CAST(tok_sum AS DOUBLE) / tt) * 1e6)
+                 AS BIGINT) AS w
+        FROM byl, t),
+      sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM w),
+      a AS (
+        SELECT w.*, sw.sw,
+               CAST(FLOOR(CAST(1000000 * w AS DOUBLE) / sw) AS BIGINT)
+                 AS alloc_tokens
+        FROM w, sw)
+      SELECT lang, n_docs, tok_sum,
+             ${r6Sql("CAST(tok_sum AS DOUBLE) / tt")} AS share,
+             w,
+             ${r6Sql("CAST(w AS DOUBLE) / sw")} AS p,
+             alloc_tokens,
+             ${r6Sql("CAST(alloc_tokens AS DOUBLE) / tok_sum")} AS epochs
+      FROM a ORDER BY lang"""))
+
+  /** Cross-corpus vocabulary overlap (q155) — pairwise Jaccard and
+    * containment of per-language token vocabularies, the corpus
+    * diagnostic behind contamination triage and tokenizer sizing
+    * (high containment of corpus B in corpus A means B adds few new
+    * types). Exact relational form: distinct (lang, token) pairs,
+    * self-joined on token with lang_a < lang_b.
+    *
+    * Scale shape: per-doc distinct before explode bounds fan-out;
+    * one (lang, token) distinct shuffle, then a token-keyed
+    * self-join whose per-token fan-out is (#corpora with the
+    * token)² — bounded by the corpus count squared, NOT by df, so it
+    * stays benign while corpora number dozens. At thousands of
+    * corpora the exact join would be replaced by per-corpus vocab
+    * HLL sketches + inclusion-exclusion (the q115/q134 machinery). */
+  val q155 = Qry(
+    "q155_vocab_overlap",
+    (s: SparkSession, d: String) => {
+      val vocab = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(array_distinct(TextOps.tokens(col("text"))))
+            .as("tok"))
+        .distinct()
+      val sizes = vocab.groupBy(col("lang"))
+        .agg(count(lit(1)).as("vsize"))
+      vocab.as("a").join(vocab.as("b"), Seq("tok"))
+        .filter(col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("lang").as("lang_a"),
+          col("vsize").as("size_a"))), Seq("lang_a"))
+        .join(broadcast(sizes.select(col("lang").as("lang_b"),
+          col("vsize").as("size_b"))), Seq("lang_b"))
+        .select(col("lang_a"), col("lang_b"),
+          col("size_a"), col("size_b"), col("inter"),
+          r6(col("inter").cast("double") /
+            (col("size_a") + col("size_b") - col("inter")))
+            .as("jaccard"),
+          r6(col("inter").cast("double") /
+            least(col("size_a"), col("size_b"))).as("containment"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    },
+    Some(s"""
+      WITH ex AS (
+        SELECT lang, unnest($Toks) AS tok FROM documents),
+      v AS (SELECT DISTINCT lang, tok FROM ex),
+      sizes AS (SELECT lang, COUNT(*) AS vsize FROM v GROUP BY lang),
+      pairs AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS inter
+        FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang
+        GROUP BY 1, 2)
+      SELECT p.lang_a, p.lang_b, sa.vsize AS size_a, sb.vsize AS size_b,
+             p.inter,
+             ${r6Sql("CAST(p.inter AS DOUBLE) / " +
+               "(sa.vsize + sb.vsize - p.inter)")} AS jaccard,
+             ${r6Sql("CAST(p.inter AS DOUBLE) / " +
+               "LEAST(sa.vsize, sb.vsize)")} AS containment
+      FROM pairs p
+      JOIN sizes sa ON sa.lang = p.lang_a
+      JOIN sizes sb ON sb.lang = p.lang_b
+      ORDER BY p.lang_a, p.lang_b"""))
+
   val all: Seq[Qry] =
     Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104,
-      q120, q123, q152, q153)
+      q120, q123, q152, q153, q154, q155)
 }

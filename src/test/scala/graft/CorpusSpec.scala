@@ -208,4 +208,44 @@ class CorpusSpec extends SparkSpec {
       .orderBy(col("seq")).as[(Long, Long)].collect().toSeq
     assert(fills.init.forall(_._2 == 4L) && fills.last._2 == 4L)
   }
+
+  // ---- temperature mixing / vocab overlap (q154/q155) -----------
+
+  test("temperature mixing flattens the source distribution") {
+    // α = 0.5 smoothing must give the low-resource corpus a higher
+    // sampling probability than its raw share, the high-resource one
+    // a lower, with epochs (oversampling) monotone against size.
+    val docs = Seq.tabulate(90)(i => (i.toLong, "big", "w " * 100)) ++
+      Seq.tabulate(10)(i => ((i + 90).toLong, "small", "w " * 100))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val byLang = df.groupBy(col("lang"))
+      .agg(sum(graft.operators.TextOps.tokenCount(col("text"))
+        .cast("long")).as("tok"))
+      .as[(String, Long)].collect().toMap
+    assert(byLang("big") == 9000L && byLang("small") == 1000L)
+    // smoothed weights: sqrt(0.9)=0.94868…, sqrt(0.1)=0.31622… →
+    // p(small) = 0.31622/1.26491 = 0.25 vs raw share 0.10
+    val w = math.floor(math.sqrt(0.1) * 1e6) +
+      math.floor(math.sqrt(0.9) * 1e6)
+    val pSmall = math.floor(math.sqrt(0.1) * 1e6) / w
+    assert(pSmall > 0.24 && pSmall < 0.26)
+  }
+
+  test("vocab overlap pairs are exact on a hand corpus") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma"),
+      (2L, "en", "beta delta"),
+      (3L, "fr", "beta gamma epsilon"))
+      .toDF("doc_id", "lang", "text")
+    val vocab = docs.select(col("lang"),
+        explode(array_distinct(
+          graft.operators.TextOps.tokens(col("text")))).as("tok"))
+      .distinct()
+    val inter = vocab.as("a").join(vocab.as("b"), Seq("tok"))
+      .filter(col("a.lang") < col("b.lang"))
+      .count()
+    // en vocab {alpha beta gamma delta}, fr {beta gamma epsilon} →
+    // intersection {beta gamma} = 2; jaccard 2/5, containment 2/3
+    assert(inter == 2L)
+  }
 }
