@@ -179,7 +179,15 @@ object Dedup {
     *         half-open, n_source = windows merged into the span
     */
   def crossDocDupSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int): DataFrame =
+    Intervals.merge(dupWindows(docs, idCol, textCol, n).drop("gmin"),
+      "doc", "s0", "e0", "s0")
+
+  /** Duplicated window instances [s0, e0) per doc, with `gmin` = the
+    * LOWEST doc id anywhere in the corpus carrying the same window —
+    * the "first occurrence" a keep-one removal pass preserves. */
+  private def dupWindows(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val wins = docs
       .select(col(idCol).as("doc"),
@@ -190,13 +198,39 @@ object Dedup {
               i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))))
       .toDF("doc", "pos", "h")
     val wh = Window.partitionBy(col("h"))
-    val dup = wins
+    wins
       .withColumn("dmin", min(col("doc")).over(wh))
       .withColumn("dmax", max(col("doc")).over(wh))
       .filter(col("dmin") =!= col("dmax"))
       .select(col("doc"), col("pos").cast("long").as("s0"),
-        (col("pos") + lit(n)).cast("long").as("e0"))
-    Intervals.merge(dup, "doc", "s0", "e0", "s0")
+        (col("pos") + lit(n)).cast("long").as("e0"),
+        col("dmin").as("gmin"))
+  }
+
+  /** [[crossDocDupSpans]] variant carrying ownership: each maximal
+    * span also reports `m_first` = the lowest corpus doc id holding
+    * ANY of its windows. A keep-first removal pass cuts a span from
+    * doc D iff `m_first < D` (the span's text was seen in an earlier
+    * document); spans whose every window first occurs in D survive.
+    * Same two-exchange shape as [[crossDocDupSpans]] — the merge is
+    * inlined because the extra min(gmin) rides the same per-doc
+    * window aggregation. */
+  def crossDocDupSpansOwned(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val dup = dupWindows(docs, idCol, textCol, n)
+    val w = Window.partitionBy(col("doc")).orderBy(col("s0"))
+    val prevMax = max(col("e0"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("_ng",
+        when(prevMax.isNull || col("s0") > prevMax, 1L).otherwise(0L))
+      .withColumn("_g", sum(col("_ng"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc"), col("_g"))
+      .agg(min(col("s0")).as("m_start"), max(col("e0")).as("m_end"),
+        min(col("gmin")).as("m_first"),
+        count(lit(1)).as("n_source"))
+      .drop("_g")
   }
 
   /** 16-bit SimHash over the token multiset: bit b of the hash is set

@@ -672,22 +672,54 @@ object CorpusQ {
     * count), then doc-partitioned interval windows; the trailing
     * length join is doc-keyed on the same partitioning. Hot
     * boilerplate hashes = the q81/q120 documented skew. */
+  /** The q152/q156 planted corpus: documents < 200 plus mashup docs
+    * (id+20000) built from two 30-token slices of a source doc around
+    * a shared boilerplate sentence. */
+  private def spanCorpus(s: SparkSession, d: String) = {
+    val boiler = "click here now to claim your free prize " +
+      "offer terms apply today"
+    val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val toksB = TextOps.tokens(col("text"))
+    val mash = base
+      .filter(col("doc_id") < 30 && size(toksB) >= 91)
+      .select((col("doc_id") + lit(20000L)).as("doc_id"),
+        concat_ws(" ",
+          concat_ws(" ", slice(toksB, 12, 30)),
+          lit(boiler),
+          concat_ws(" ", slice(toksB, 62, 30))).as("text"))
+    base.unionByName(mash)
+  }
+
+  /** DuckDB twin of [[spanCorpus]] + tokenization + per-position
+    * 10-token window hashes (CTEs `base`, `corpus`, `t`, `w`). */
+  private val SpanCorpusSql = s"""base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id,
+               array_to_string(list_slice($Toks, 12, 41), ' ')
+                 || ' click here now to claim your free prize offer terms apply today '
+                 || array_to_string(list_slice($Toks, 62, 91), ' ')
+                 AS text
+        FROM base WHERE doc_id < 30 AND len($Toks) >= 91),
+      t AS (SELECT doc_id, $Toks AS toks FROM corpus),
+      w AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) < 10 THEN []::BIGINT[]
+                 ELSE range(0, len(toks) - 10 + 1) END) AS pos,
+               unnest(CASE WHEN len(toks) < 10 THEN []::VARCHAR[]
+                 ELSE list_transform(range(0, len(toks) - 10 + 1),
+                   i -> md5(array_to_string(
+                     list_slice(toks, i + 1, i + 10), ' ')))
+                 END) AS h
+        FROM t)"""
+
   val q152 = Qry(
     "q152_crossdoc_spans",
     (s: SparkSession, d: String) => {
-      val boiler = "click here now to claim your free prize " +
-        "offer terms apply today"
-      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
-        .select(col("doc_id"), col("text"))
-      val toksB = TextOps.tokens(col("text"))
-      val mash = base
-        .filter(col("doc_id") < 30 && size(toksB) >= 91)
-        .select((col("doc_id") + lit(20000L)).as("doc_id"),
-          concat_ws(" ",
-            concat_ws(" ", slice(toksB, 12, 30)),
-            lit(boiler),
-            concat_ws(" ", slice(toksB, 62, 30))).as("text"))
-      val corpus = base.unionByName(mash)
+      val corpus = spanCorpus(s, d)
       val lens = corpus.select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
       Dedup.crossDocDupSpans(corpus, "doc_id", "text", n = 10)
@@ -710,28 +742,7 @@ object CorpusQ {
         .orderBy(col("doc_id"))
     },
     Some(s"""
-      WITH base AS (
-        SELECT doc_id, text FROM documents WHERE doc_id < 200),
-      corpus AS (
-        SELECT doc_id, text FROM base
-        UNION ALL
-        SELECT doc_id + 20000 AS doc_id,
-               array_to_string(list_slice($Toks, 12, 41), ' ')
-                 || ' click here now to claim your free prize offer terms apply today '
-                 || array_to_string(list_slice($Toks, 62, 91), ' ')
-                 AS text
-        FROM base WHERE doc_id < 30 AND len($Toks) >= 91),
-      t AS (SELECT doc_id, $Toks AS toks FROM corpus),
-      w AS (
-        SELECT doc_id,
-               unnest(CASE WHEN len(toks) < 10 THEN []::BIGINT[]
-                 ELSE range(0, len(toks) - 10 + 1) END) AS pos,
-               unnest(CASE WHEN len(toks) < 10 THEN []::VARCHAR[]
-                 ELSE list_transform(range(0, len(toks) - 10 + 1),
-                   i -> md5(array_to_string(
-                     list_slice(toks, i + 1, i + 10), ' ')))
-                 END) AS h
-        FROM t),
+      WITH $SpanCorpusSql,
       dup AS (
         SELECT doc_id, pos AS s0, pos + 10 AS e0
         FROM (
@@ -975,7 +986,124 @@ object CorpusQ {
       JOIN sizes sb ON sb.lang = p.lang_b
       ORDER BY p.lang_a, p.lang_b"""))
 
+  /** Keep-first duplicated-span REMOVAL with document reassembly
+    * (q156) — the pass q152 only reports: a maximal duplicated span
+    * is CUT from doc D iff any of its windows was first seen (lowest
+    * doc id) in an EARLIER document (`m_first < D`,
+    * [[graft.operators.Dedup.crossDocDupSpansOwned]]); the span's
+    * first-occurrence doc keeps its text. Documents are rebuilt from
+    * the surviving tokens — the q123 reassembly contract at span
+    * granularity. On the planted fixture the mashups are cut
+    * ENTIRELY (slice/boilerplate spans touch, and touching intervals
+    * merge), while source docs survive except the few whose text a
+    * lower-id document already carried.
+    *
+    * Scale shape: the same two exchanges as q152 produce the owned
+    * spans; the rebuild explodes tokens once (the removal pass must
+    * touch every token to rewrite text anyway) and anti-joins cut
+    * spans PER DOC — a doc-keyed sort-merge anti join with a bounded
+    * range predicate, never a cross join. */
+  val q156 = Qry(
+    "q156_crossdoc_removal",
+    (s: SparkSession, d: String) => {
+      val corpus = spanCorpus(s, d)
+      val lens = corpus.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      val cut = Dedup
+        .crossDocDupSpansOwned(corpus, "doc_id", "text", n = 10)
+        .filter(col("m_first") < col("doc"))
+        .select(col("doc"), col("m_start"), col("m_end"))
+      val cutAgg = cut.groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_cut_spans"),
+          sum(col("m_end") - col("m_start")).as("cut_tokens"))
+      val pos = corpus.select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))))
+        .toDF("doc_id", "p", "tok")
+      val keptAgg = pos.as("p").join(cut.as("c"),
+          col("p.doc_id") === col("c.doc") &&
+            col("p.p") >= col("c.m_start") &&
+            col("p.p") < col("c.m_end"),
+          "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("kept_tokens"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("p"), col("tok")))),
+              x => x.getField("tok")),
+            " ")).as("kept_md5"))
+      lens
+        .join(keptAgg, Seq("doc_id"), "left")
+        .join(cutAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+          coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $SpanCorpusSql,
+      dup AS (
+        SELECT doc_id, pos AS s0, pos + 10 AS e0, dmin
+        FROM (
+          SELECT doc_id, pos,
+                 MIN(doc_id) OVER (PARTITION BY h) AS dmin,
+                 MAX(doc_id) OVER (PARTITION BY h) AS dmax
+          FROM w)
+        WHERE dmin <> dmax),
+      flagged AS (
+        SELECT doc_id, s0, e0, dmin,
+               CASE WHEN MAX(e0) OVER (
+                      PARTITION BY doc_id ORDER BY s0
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                 OR s0 > MAX(e0) OVER (
+                      PARTITION BY doc_id ORDER BY s0
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_grp
+        FROM dup),
+      labeled AS (
+        SELECT doc_id, s0, e0, dmin,
+               SUM(new_grp) OVER (
+                 PARTITION BY doc_id ORDER BY s0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS grp
+        FROM flagged),
+      cut AS (
+        SELECT doc_id, MIN(s0) AS m_start, MAX(e0) AS m_end
+        FROM labeled GROUP BY doc_id, grp
+        HAVING MIN(dmin) < doc_id),
+      pos AS (
+        SELECT doc_id,
+               unnest(range(0, len(toks))) AS p,
+               unnest(toks) AS tok
+        FROM t),
+      kept AS (
+        SELECT p.doc_id, p.p, p.tok FROM pos p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM cut c
+          WHERE c.doc_id = p.doc_id
+            AND p.p >= c.m_start AND p.p < c.m_end)),
+      keptagg AS (
+        SELECT doc_id, COUNT(*) AS kept_tokens,
+               md5(string_agg(tok, ' ' ORDER BY p)) AS kept_md5
+        FROM kept GROUP BY doc_id),
+      cutagg AS (
+        SELECT doc_id, COUNT(*) AS n_cut_spans,
+               CAST(SUM(m_end - m_start) AS BIGINT) AS cut_tokens
+        FROM cut GROUP BY doc_id),
+      lens AS (SELECT doc_id, len(toks) AS n_toks FROM t)
+      SELECT l.doc_id, CAST(l.n_toks AS BIGINT) AS n_toks,
+             COALESCE(ca.n_cut_spans, 0) AS n_cut_spans,
+             COALESCE(ca.cut_tokens, 0) AS cut_tokens,
+             COALESCE(ka.kept_tokens, 0) AS kept_tokens,
+             COALESCE(ka.kept_md5, md5('')) AS kept_md5
+      FROM lens l
+      LEFT JOIN keptagg ka ON ka.doc_id = l.doc_id
+      LEFT JOIN cutagg ca ON ca.doc_id = l.doc_id
+      ORDER BY l.doc_id"""))
+
   val all: Seq[Qry] =
     Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104,
-      q120, q123, q152, q153, q154, q155)
+      q120, q123, q152, q153, q154, q155, q156)
 }

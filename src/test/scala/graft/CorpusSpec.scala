@@ -209,6 +209,22 @@ class CorpusSpec extends SparkSpec {
     assert(fills.init.forall(_._2 == 4L) && fills.last._2 == 4L)
   }
 
+  test("crossDocDupSpansOwned assigns first occurrence to the lowest doc") {
+    // B borrows A's tokens; the shared span's m_first must be A's id
+    // in BOTH docs, so a keep-first pass (m_first < doc) cuts only B.
+    val docs = Seq(
+      (1L, toks("a", 0, 30)),
+      (2L, "x0 x1 x2 " + toks("a", 5, 21) + " y0 y1"))
+      .toDF("doc_id", "text")
+    val spans = graft.operators.Dedup
+      .crossDocDupSpansOwned(docs, "doc_id", "text", n = 10)
+      .select(col("doc"), col("m_start"), col("m_end"), col("m_first"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(spans == Seq((1L, 5L, 21L, 1L), (2L, 3L, 19L, 1L)))
+    val cutDocs = spans.filter(s => s._4 < s._1).map(_._1)
+    assert(cutDocs == Seq(2L))
+  }
+
   // ---- temperature mixing / vocab overlap (q154/q155) -----------
 
   test("temperature mixing flattens the source distribution") {
