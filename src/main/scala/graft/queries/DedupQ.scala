@@ -338,5 +338,122 @@ object DedupQ {
       ORDER BY a, b""")
     })
 
-  val all: Seq[Qry] = Seq(q28, q29, q30, q112, q114)
+  /** LSH recall S-curve (q157) — the dedup pipeline measured against
+    * its own exact baseline: a perturbed-twin corpus (each doc joined
+    * by a copy with its first 1-8 leading tokens replaced by junk, so
+    * true pair similarity SPREADS across the Jaccard range instead of
+    * pinning at 1.0), exact all-pairs 2-gram Jaccard as ground truth
+    * on the bounded subset, and the q28 banding (k=6, 3 bands of 2)
+    * as the candidate generator. Reports, per Jaccard decile, how
+    * many true pairs exist and how many the bands surfaced — the
+    * empirical 1-(1-j²)³ S-curve every bands/rows tuning decision
+    * reads. Low deciles MUST show recall ≪ 1 (that is the curve
+    * working, not a bug); the dedup threshold lives on the high
+    * shoulder.
+    *
+    * Scale shape: the exact leg is the deliberately-bounded q30
+    * quadratic baseline (ground truth needs all pairs by
+    * definition); the candidate leg is the production band join. */
+  val q157 = Qry(
+    "q157_lsh_recall_curve",
+    (s: SparkSession, d: String) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+      val toksB = graft.operators.TextOps.tokens(col("text"))
+      // src_id rename before the +1000000 alias: BOTH engines'
+      // lateral-column-alias resolution would otherwise bind the
+      // junk-name doc_id to the new alias and diverge the minhashes
+      val m = col("src_id") % 8
+      val twin = base.select(col("doc_id").as("src_id"), col("text"))
+        .select(
+          (col("src_id") + lit(1000000L)).as("doc_id"),
+          concat_ws(" ",
+            concat_ws(" ", transform(
+              sequence(lit(1), (m + lit(1)).cast("int")),
+              i => concat(lit("j"), col("src_id").cast("string"),
+                lit("_"), i.cast("string")))),
+            concat_ws(" ",
+              slice(toksB, (m + lit(2)).cast("int"), size(toksB))))
+            .as("text"))
+      val corpus = base.unionByName(twin)
+      val sh = corpus.select(col("doc_id").as("id"),
+          Dedup.shingleSet(col("text"), 2).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+      val truth = sh.select(col("id").as("a"), col("shingles").as("sh_a"))
+        .crossJoin(
+          sh.select(col("id").as("b"), col("shingles").as("sh_b")))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(Dedup.setJaccard(col("sh_a"), col("sh_b")), 6).as("j"))
+        .filter(col("j") >= 0.05)
+      val banded = sh.select(col("id"),
+        explode(Dedup.bandKeys(
+          Dedup.minhashSignature(col("shingles"), K), BANDS, K / BANDS))
+          .as("band_key"))
+      val cand = banded.as("l").join(banded.as("r"), Seq("band_key"))
+        .select(col("l.id").as("a"), col("r.id").as("b"))
+        .filter(col("a") < col("b")).distinct()
+        .withColumn("is_cand", lit(1L))
+      truth.join(cand, Seq("a", "b"), "left")
+        .withColumn("bucket",
+          least(floor(col("j") * 10), lit(9L)).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("is_cand"), lit(0L))).as("n_candidates"))
+        .select(col("bucket"), col("n_pairs"), col("n_candidates"),
+          r6(col("n_candidates").cast("double") / col("n_pairs"))
+            .as("recall"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 60),
+      twin AS (
+        -- src_id avoids DuckDB's lateral alias resolution: a bare
+        -- doc_id here would bind to the +1000000 alias, diverging
+        -- the junk-token names (and thus the minhashes) from Spark
+        SELECT src_id + 1000000 AS doc_id,
+               array_to_string(list_concat(
+                 list_transform(range(1, (src_id % 8) + 2),
+                   i -> 'j' || CAST(src_id AS VARCHAR) || '_' ||
+                        CAST(i AS VARCHAR)),
+                 list_slice($toksSql, (src_id % 8) + 2, len($toksSql))),
+                 ' ') AS text
+        FROM (SELECT doc_id AS src_id, text FROM base)),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id, text FROM twin),
+      sh AS (
+        SELECT doc_id AS id, ${shinglesSql(2)} AS shingles FROM corpus),
+      shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+      truth AS (
+        SELECT l.id AS a, r.id AS b,
+               ROUND(CASE
+                 WHEN len(list_distinct(list_concat(l.shingles,
+                     r.shingles))) = 0 THEN 0.0
+                 ELSE len(list_intersect(l.shingles, r.shingles)) * 1.0
+                   / len(list_distinct(list_concat(l.shingles,
+                       r.shingles))) END, 6) AS j
+        FROM shf l CROSS JOIN shf r WHERE l.id < r.id),
+      trf AS (SELECT * FROM truth WHERE j >= 0.05),
+      sigs AS (
+        SELECT id, ${minhashSql(K)} AS sig FROM shf),
+      banded AS (
+        SELECT id, unnest(${bandKeysSql(BANDS, K / BANDS)}) AS band_key
+        FROM sigs),
+      cand AS (
+        SELECT DISTINCT l.id AS a, r.id AS b
+        FROM banded l JOIN banded r ON l.band_key = r.band_key
+        WHERE l.id < r.id)
+      SELECT LEAST(CAST(FLOOR(t.j * 10) AS INT), 9) AS bucket,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_candidates,
+             ${r6Sql("SUM(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END)" +
+               " * 1.0 / COUNT(*)")} AS recall
+      FROM trf t
+      LEFT JOIN cand c ON c.a = t.a AND c.b = t.b
+      GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Qry] = Seq(q28, q29, q30, q112, q114, q157)
 }
