@@ -1103,7 +1103,74 @@ object CorpusQ {
       LEFT JOIN cutagg ca ON ca.doc_id = l.doc_id
       ORDER BY l.doc_id"""))
 
+  /** Vocabulary growth curve (q158) — Heaps'-law diagnostics over
+    * crawl order: documents in 50-doc ingest batches, each batch
+    * reporting its token volume, distinct types, and the types whose
+    * corpus-wide FIRST occurrence lands in it, plus the cumulative
+    * vocabulary after the batch. A flattening new-type rate is how a
+    * crawl shows saturation (more data, no new language); a jump
+    * flags a domain shift — the monitoring curve behind "is more of
+    * this source still worth ingesting".
+    *
+    * Scale shape: one token-keyed shuffle for first occurrences
+    * (min doc id per type), one batch-keyed shuffle for per-batch
+    * stats; the running vocabulary total is a window over the
+    * ~(corpus/50) batch rows — agg-of-agg, never row-level. */
+  val q158 = Qry(
+    "q158_vocab_growth",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      val firsts = toks.groupBy(col("tok"))
+        .agg(min(col("doc_id")).as("f"))
+        .groupBy(floor(col("f") / 50).cast("long").as("batch"))
+        .agg(count(lit(1)).as("new_types"))
+      val stats = toks
+        .withColumn("batch", floor(col("doc_id") / 50).cast("long"))
+        .groupBy(col("batch"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_types"))
+      stats.join(firsts, Seq("batch"), "left")
+        .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+        .withColumn("cum_types",
+          sum(col("new_types")).over(Window.orderBy(col("batch"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("batch"), col("n_docs"), col("n_tokens"),
+          col("n_types"), col("new_types"), col("cum_types"),
+          r6(col("new_types").cast("double") / col("n_tokens"))
+            .as("novelty"))
+        .orderBy(col("batch"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest($Toks) AS tok FROM documents),
+      firsts AS (
+        SELECT CAST(FLOOR(MIN(doc_id) / 50) AS BIGINT) AS batch,
+               tok
+        FROM toks GROUP BY tok),
+      nt AS (
+        SELECT batch, COUNT(*) AS new_types FROM firsts
+        GROUP BY batch),
+      stats AS (
+        SELECT CAST(FLOOR(doc_id / 50) AS BIGINT) AS batch,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT tok) AS n_types
+        FROM toks GROUP BY 1)
+      SELECT s.batch, s.n_docs, s.n_tokens, s.n_types,
+             COALESCE(nt.new_types, 0) AS new_types,
+             CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY s.batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_types,
+             ${r6Sql(
+               "CAST(COALESCE(nt.new_types, 0) AS DOUBLE) / s.n_tokens")}
+               AS novelty
+      FROM stats s LEFT JOIN nt ON nt.batch = s.batch
+      ORDER BY s.batch"""))
+
   val all: Seq[Qry] =
     Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104,
-      q120, q123, q152, q153, q154, q155, q156)
+      q120, q123, q152, q153, q154, q155, q156, q158)
 }
