@@ -188,14 +188,15 @@ object Dedup {
     * the "first occurrence" a keep-one removal pass preserves. */
   private def dupWindows(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
+    // per-position window hashes via the native shingle kernel
+    // (multiset form — bit-equivalent to the transform/sequence/
+    // slice/concat_ws chain, one JIT'd call per row), md5 applied
+    // by a codegen'd transform; empty below n tokens by the kernel
+    // contract, so posexplode emits nothing for degenerate docs
     val wins = docs
       .select(col(idCol).as("doc"),
-        posexplode(
-          when(size(toks) < n, array().cast("array<string>"))
-            .otherwise(transform(
-              sequence(lit(0), size(toks) - lit(n)),
-              i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))))
+        posexplode(transform(Corpus.shingleList(col(textCol), n),
+          g => md5(g))))
       .toDF("doc", "pos", "h")
     val wh = Window.partitionBy(col("h"))
     wins

@@ -525,14 +525,11 @@ object CorpusQ {
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") < 50)
           .withColumn("doc_id", col("doc_id") + lit(10000L)))
-      val toks = TextOps.tokens(col("text"))
+      // window hashes via the native shingle kernel (multiset form,
+      // bit-equivalent to the transform/sequence/slice chain)
       val spans = corpus.select(col("doc_id"),
-        explode(
-          when(size(toks) < n, array().cast("array<string>"))
-            .otherwise(transform(
-              sequence(lit(0), size(toks) - lit(n)),
-              i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))
-            ))).as("h"))
+        explode(transform(Corpus.shingleList(col("text"), n),
+          g => md5(g))).as("h"))
       spans
         .withColumn("cnt",
           count(lit(1)).over(Window.partitionBy(col("h"))))
