@@ -410,8 +410,8 @@ object DedupQ {
         SELECT doc_id, text FROM documents WHERE doc_id < 60),
       twin AS (
         -- src_id avoids DuckDB's lateral alias resolution: a bare
-        -- doc_id here would bind to the +1000000 alias, diverging
-        -- the junk-token names (and thus the minhashes) from Spark
+        -- doc_id here would bind to the +1000000 alias and diverge
+        -- the junk-token names (and thus the minhashes) cross-engine
         SELECT src_id + 1000000 AS doc_id,
                array_to_string(list_concat(
                  list_transform(range(1, (src_id % 8) + 2),

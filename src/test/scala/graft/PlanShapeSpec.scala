@@ -351,11 +351,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q152: span extraction shuffles once on the window hash and once on the doc") {
+    val p = SparkEntry.queries("q152_crossdoc_spans")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // hash-flag exchange + doc exchange (reused by both interval
+    // windows AND the per-doc aggregates) + the final orderBy range
+    // exchange; the length join must broadcast, never shuffle
+    val hashParts = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashParts <= 2, s"extra content shuffle in q152:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q152 length join fell back to SMJ:\n$p")
+  }
+
+  test("q153: packing offsets shuffle only on the shard key") {
+    val p = SparkEntry.queries("q153_pack_sequences")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // shard exchange for the prefix-sum window + (shard, seq) agg
+    // exchange — a corpus-global offset would appear as an extra
+    // SinglePartition exchange before the window
+    val hashParts = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashParts <= 2, s"extra shuffle in q153:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q153 offsets went through a global window:\n$p")
+  }
+
   test("no unexpected cartesian products across the whole query surface") {
     // Deliberate bounded cross joins (documented quadratic baselines
     // over bounded subsets): q30 brute-force Jaccard, q34 embedding
-    // near-dup verification.
-    val bounded = Set("q30_ngram_jaccard", "q34_embed_neardup")
+    // near-dup verification, q157's exact ground-truth leg.
+    val bounded = Set("q30_ngram_jaccard", "q34_embed_neardup",
+      "q157_lsh_recall_curve")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)
       .filter { q =>
