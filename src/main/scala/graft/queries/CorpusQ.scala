@@ -869,36 +869,32 @@ object CorpusQ {
     * float result is bit-identical; weights are floored to integer
     * micro-units before renormalizing. Scale shape: one map-side
     * agg to ~#languages rows, then broadcast totals — the corpus is
-    * scanned once. */
-  val q154 = Qry(
-    "q154_temperature_mix",
-    (s: SparkSession, d: String) => {
-      val byLang = Tables.documents(s, d)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextOps.tokenCount(col("text")).cast("long"))
-            .as("tok_sum"))
-      val tot = byLang.agg(sum(col("tok_sum")).as("__t"))
-      val withW = byLang.crossJoin(broadcast(tot))
-        .withColumn("w",
-          floor(sqrt(col("tok_sum").cast("double") / col("__t")) *
-            lit(1e6)).cast("long"))
-      val totW = withW.agg(sum(col("w")).as("__sw"))
-      withW.crossJoin(broadcast(totW))
-        .withColumn("alloc_tokens",
-          floor((lit(1000000L) * col("w")).cast("double") / col("__sw"))
-            .cast("long"))
-        .select(col("lang"), col("n_docs"), col("tok_sum"),
-          r6(col("tok_sum").cast("double") / col("__t")).as("share"),
-          col("w"),
-          r6(col("w").cast("double") / col("__sw")).as("p"),
-          col("alloc_tokens"),
-          r6(col("alloc_tokens").cast("double") / col("tok_sum"))
-            .as("epochs"))
-        .orderBy(col("lang"))
-    },
-    Some(s"""
-      WITH byl AS (
+    * scanned once.
+    *
+    * Shared q154/q159 smoothed-mixture frame: per-language
+    * (lang, n_docs, tok_sum, __t, w, __sw, alloc_tokens) via the
+    * α = 0.5 chain (share → sqrt → micro-unit floor → renormalized
+    * allocation at a 1M-token budget). */
+  private def langMix(s: SparkSession, d: String) = {
+    val byLang = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long"))
+          .as("tok_sum"))
+    val tot = byLang.agg(sum(col("tok_sum")).as("__t"))
+    val withW = byLang.crossJoin(broadcast(tot))
+      .withColumn("w",
+        floor(sqrt(col("tok_sum").cast("double") / col("__t")) *
+          lit(1e6)).cast("long"))
+    val totW = withW.agg(sum(col("w")).as("__sw"))
+    withW.crossJoin(broadcast(totW))
+      .withColumn("alloc_tokens",
+        floor((lit(1000000L) * col("w")).cast("double") / col("__sw"))
+          .cast("long"))
+  }
+
+  /** DuckDB twin of [[langMix]] (CTEs `byl`, `t`, `w`, `sw`, `a`). */
+  private val LangMixSql = s"""byl AS (
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(len($Toks)) AS BIGINT) AS tok_sum
         FROM documents GROUP BY lang),
@@ -913,7 +909,23 @@ object CorpusQ {
         SELECT w.*, sw.sw,
                CAST(FLOOR(CAST(1000000 * w AS DOUBLE) / sw) AS BIGINT)
                  AS alloc_tokens
-        FROM w, sw)
+        FROM w, sw)"""
+
+  val q154 = Qry(
+    "q154_temperature_mix",
+    (s: SparkSession, d: String) => {
+      langMix(s, d)
+        .select(col("lang"), col("n_docs"), col("tok_sum"),
+          r6(col("tok_sum").cast("double") / col("__t")).as("share"),
+          col("w"),
+          r6(col("w").cast("double") / col("__sw")).as("p"),
+          col("alloc_tokens"),
+          r6(col("alloc_tokens").cast("double") / col("tok_sum"))
+            .as("epochs"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH $LangMixSql
       SELECT lang, n_docs, tok_sum,
              ${r6Sql("CAST(tok_sum AS DOUBLE) / tt")} AS share,
              w,
@@ -1167,7 +1179,83 @@ object CorpusQ {
       FROM stats s LEFT JOIN nt ON nt.batch = s.batch
       ORDER BY s.batch"""))
 
+  /** Mixture materialization (q159) — q154's epochs turned into a
+    * concrete oversampled dataset: each document of language l is
+    * replicated floor(epochs_l) times, plus one extra copy iff its
+    * salted hash bucket falls under the fractional part (in integer
+    * percent) — deterministic fractional oversampling, no RNG. The
+    * per-language rollup verifies the materialized token mass lands
+    * on the q154 allocation (achieved ≈ 1 up to the percent
+    * granularity of the fractional gate).
+    *
+    * Scale shape: the 5-row mixture frame broadcasts onto the corpus
+    * scan; the copy count is a map-side expression per doc (the
+    * actual replication at 100 TB is the same map-side explode) and
+    * the rollup is one ~#languages-key agg. */
+  val q159 = Qry(
+    "q159_mixture_materialize",
+    (s: SparkSession, d: String) => {
+      val e = col("alloc_tokens").cast("double") / col("tok_sum")
+      val mix = langMix(s, d)
+        .withColumn("k", floor(e).cast("long"))
+        .withColumn("f_pct",
+          floor((e - floor(e)) * lit(100)).cast("long"))
+        .select(col("lang"), col("k"), col("f_pct"),
+          col("alloc_tokens"))
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+      docs.join(broadcast(mix), Seq("lang"))
+        .withColumn("copies",
+          col("k") + when(
+            Splits.hashBucket(concat(lit("mix:"),
+              col("doc_id").cast("string"))) < col("f_pct"),
+            1L).otherwise(0L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          first(col("k")).as("epochs_floor"),
+          first(col("f_pct")).as("frac_pct"),
+          first(col("alloc_tokens")).as("alloc_tokens"),
+          sum(col("copies")).as("n_materialized"),
+          sum(col("ntok") * col("copies")).as("tok_materialized"))
+        .select(col("lang"), col("n_docs"), col("epochs_floor"),
+          col("frac_pct"), col("alloc_tokens"),
+          col("n_materialized"), col("tok_materialized"),
+          r6(col("tok_materialized").cast("double") /
+            col("alloc_tokens")).as("achieved"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH $LangMixSql,
+      p AS (
+        SELECT lang,
+               CAST(FLOOR(CAST(alloc_tokens AS DOUBLE) / tok_sum)
+                 AS BIGINT) AS k,
+               CAST(FLOOR((CAST(alloc_tokens AS DOUBLE) / tok_sum -
+                 FLOOR(CAST(alloc_tokens AS DOUBLE) / tok_sum)) * 100)
+                 AS BIGINT) AS f_pct,
+               alloc_tokens
+        FROM a),
+      d2 AS (
+        SELECT lang, doc_id, CAST(len($Toks) AS BIGINT) AS ntok
+        FROM documents),
+      m AS (
+        SELECT d2.lang, d2.ntok, p.k, p.f_pct, p.alloc_tokens,
+               p.k + CASE WHEN
+                 ${bucketSql("'mix:' || CAST(doc_id AS VARCHAR)")}
+                   < p.f_pct THEN 1 ELSE 0 END AS copies
+        FROM d2 JOIN p ON p.lang = d2.lang)
+      SELECT lang, COUNT(*) AS n_docs,
+             MIN(k) AS epochs_floor,
+             MIN(f_pct) AS frac_pct,
+             MIN(alloc_tokens) AS alloc_tokens,
+             CAST(SUM(copies) AS BIGINT) AS n_materialized,
+             CAST(SUM(ntok * copies) AS BIGINT) AS tok_materialized,
+             ${r6Sql("CAST(SUM(ntok * copies) AS DOUBLE)" +
+               " / MIN(alloc_tokens)")} AS achieved
+      FROM m GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Qry] =
     Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104,
-      q120, q123, q152, q153, q154, q155, q156, q158)
+      q120, q123, q152, q153, q154, q155, q156, q158, q159)
 }
