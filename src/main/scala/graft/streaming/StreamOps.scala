@@ -328,6 +328,48 @@ object StreamOps {
       }
   }
 
+  /** One packed document: the token range it occupies in its shard's
+    * unbounded concatenated stream, plus the fixed-length sequences
+    * it touches. */
+  final case class PackedDoc(shard: Int, docId: Long, tokStart: Long,
+      tokEnd: Long, seqFirst: Long, seqLast: Long)
+  final case class PackState(offset: Long)
+
+  /** Streaming twin of [[graft.operators.Corpus.packSequences]]
+    * (q153): per-shard token offsets carried across micro-batches so
+    * a pretraining batch loader can pack an UNBOUNDED document
+    * stream — each arriving doc is appended to its shard's token
+    * stream at the next free offset and reports which fixed-length
+    * sequences it lands in. State per shard is ONE long (the running
+    * offset) — nothing to evict, no watermark needed. Docs inside a
+    * micro-batch pack in doc-id order (trigger arrival order is not
+    * stable under retries; the sort makes replays deterministic);
+    * empty docs are dropped exactly as in batch. Run in `append`
+    * output mode.
+    * @param docs (shard, doc_id, n_tokens) */
+  def packSequencesStream(docs: Dataset[(Int, Long, Long)],
+      seqLen: Long): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    require(seqLen > 0, "seqLen must be positive")
+    docs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(Int, Long, Long)],
+         state: GroupState[PackState]) =>
+          var off = state.getOption.map(_.offset).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).filter(_._3 > 0)
+            .map { case (_, id, ntok) =>
+              val s = off
+              off += ntok
+              PackedDoc(shard, id, s, off, s / seqLen,
+                (off - 1) / seqLen)
+            }
+          state.update(PackState(off))
+          out.iterator
+      }
+  }
+
   /** Composed streaming corpus ingest — the batch curation pipeline
     * (quality gate → exact dedup → per-lang stats, q57/q98) running
     * incrementally: each micro-batch of documents is quality-gated,

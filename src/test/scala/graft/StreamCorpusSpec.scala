@@ -289,4 +289,52 @@ class StreamCorpusSpec extends SparkSpec {
     assert(admitted == Set(101L),
       s"post-compaction admission wrong: $admitted")
   }
+
+  test("packSequencesStream carries shard offsets across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, Long, Long)] // (shard, doc_id, ntok)
+    val out = StreamOps.packSequencesStream(in.toDS(), seqLen = 4L)
+    val q = out.writeStream.format("memory").queryName("pack")
+      .outputMode("append").start()
+
+    // the CorpusSpec batch example split across two triggers, plus
+    // an empty doc that must vanish and a second shard interleaved
+    in.addData((0, 1L, 3L), (0, 2L, 4L), (0, 3L, 5L), (1, 10L, 6L))
+    q.processAllAvailable()
+    in.addData((0, 4L, 2L), (0, 99L, 0L), (0, 5L, 6L), (1, 11L, 3L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("pack")
+      .as[StreamOps.PackedDoc].collect()
+      .map(p => (p.shard, p.docId) ->
+        ((p.tokStart, p.tokEnd, p.seqFirst, p.seqLast))).toMap
+    // shard 0 offsets continue 12 -> 14 -> 20 across the boundary,
+    // matching the batch packSequences example exactly
+    assert(got((0, 1L)) == ((0L, 3L, 0L, 0L)))
+    assert(got((0, 2L)) == ((3L, 7L, 0L, 1L)))
+    assert(got((0, 3L)) == ((7L, 12L, 1L, 2L)))
+    assert(got((0, 4L)) == ((12L, 14L, 3L, 3L)))
+    assert(got((0, 5L)) == ((14L, 20L, 3L, 4L)))
+    // shard 1 packs independently; empty doc 99 emitted nothing
+    assert(got((1, 10L)) == ((0L, 6L, 0L, 1L)))
+    assert(got((1, 11L)) == ((6L, 9L, 1L, 2L)))
+    assert(!got.contains((0, 99L)))
+
+    // the streamed ranges equal the batch operator fed in the same
+    // per-shard order (doc_id order here)
+    val batch = graft.operators.Corpus.packSequences(
+        Seq((0, 1L, 3L), (0, 2L, 4L), (0, 3L, 5L), (0, 4L, 2L),
+          (0, 99L, 0L), (0, 5L, 6L), (1, 10L, 6L), (1, 11L, 3L))
+          .toDF("shard", "doc_id", "ntok"),
+        col("shard"), col("doc_id"), "doc_id", col("ntok"), 4)
+      .select($"shard", $"doc_id", $"tok_start", $"tok_end")
+      .distinct()
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    batch.foreach { case (k, (s, e)) =>
+      assert(got(k)._1 == s && got(k)._2 == e,
+        s"stream/batch offset mismatch for $k")
+    }
+  }
 }
