@@ -170,5 +170,78 @@ object SeriesQ {
                AS share
       FROM m ORDER BY event_type, next_type"""))
 
-  val all: Seq[Qry] = Seq(q105, q107, q109)
+  /** Rolling anomaly flags with ZERO float ops (q160): each event is
+    * scored against the 20 events before it (per user, event-time
+    * order) — flagged when its deviation from the rolling mean
+    * exceeds 3 rolling standard deviations. The entire test runs in
+    * integer algebra on cent-snapped values: (v·n − s)² > 9·(n·q − s²)
+    * is (v − μ)² > 9σ² multiplied through by n², with s/q the rolling
+    * sum and sum-of-squares — no sqrt, no division, no float, so the
+    * flags are bit-identical on any engine and any partitioning.
+    * Windows shorter than 10 events are not scored (cold start).
+    *
+    * Scale shape: one user-key exchange; the rolling frame is a
+    * per-key sorted ROWS window (bounded 20-row state per row); the
+    * rollup reuses the same partitioning. */
+  val q160 = Qry(
+    "q160_rolling_anomaly",
+    (s: SparkSession, d: String) => {
+      val src = Tables.events(s, d)
+        .filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(-20, -1)
+      val scored = src
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", coalesce(sum(col("v")).over(w), lit(0L)))
+        .withColumn("q",
+          coalesce(sum(col("v") * col("v")).over(w), lit(0L)))
+        .withColumn("scored", col("n") >= 10)
+        .withColumn("anom",
+          col("scored") &&
+            (col("v") * col("n") - col("s")) *
+              (col("v") * col("n") - col("s")) >
+            lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      scored.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("scored"), 1L).otherwise(0L)).as("n_scored"),
+          sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"),
+          coalesce(min(when(col("anom"), col("event_id"))), lit(-1L))
+            .as("first_anomaly"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events WHERE user_id < 200),
+      roll AS (
+        SELECT user_id, event_id, v,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(COALESCE(SUM(v) OVER w, 0) AS BIGINT) AS s,
+               CAST(COALESCE(SUM(v * v) OVER w, 0) AS BIGINT) AS q
+        FROM src
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      flagged AS (
+        SELECT user_id, event_id,
+               n >= 10 AS scored,
+               n >= 10 AND
+                 (v * n - s) * (v * n - s) > 9 * (n * q - s * s)
+                 AS anom
+        FROM roll)
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN scored THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_scored,
+             CAST(SUM(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies,
+             COALESCE(MIN(CASE WHEN anom THEN event_id END), -1)
+               AS first_anomaly
+      FROM flagged GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[Qry] = Seq(q105, q107, q109, q160)
 }
