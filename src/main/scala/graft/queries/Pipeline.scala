@@ -735,7 +735,47 @@ object Pipeline {
       GROUP BY bucket
       ORDER BY bucket"""))
 
+  /** k-anonymity / l-diversity audit (q161) — the release-risk
+    * measurement that decides whether q74's coarsening went far
+    * enough: customers grouped by the quasi-identifier pair
+    * (nation, account-balance band); each group reports its size k
+    * (how many people share the identifier combination — re-identi-
+    * fication risk is 1/k) and its l-diversity over the sensitive
+    * market segment (a group whose members all share one segment
+    * leaks the attribute even at large k). Groups with k < 5 or
+    * l < 2 are flagged for suppression — the audit emits the
+    * decision, a generalization pass acts on it.
+    *
+    * Scale shape: one groupBy on the quasi-identifier (bounded
+    * cardinality by construction: nations × bands), countDistinct
+    * for l — a single exchange at any corpus size. */
+  val q161 = Qry(
+    "q161_k_anonymity",
+    (s: SparkSession, d: String) =>
+      Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nation"),
+          (floor(col("c_acctbal") / 1000d) * 1000)
+            .cast("long").as("bal_band"),
+          col("c_mktsegment"))
+        .groupBy(col("nation"), col("bal_band"))
+        .agg(count(lit(1)).as("k_size"),
+          countDistinct(col("c_mktsegment")).as("l_div"))
+        .select(col("nation"), col("bal_band"), col("k_size"),
+          col("l_div"),
+          (col("k_size") < 5 || col("l_div") < 2).as("suppress"))
+        .orderBy(col("nation"), col("bal_band")),
+    Some("""
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT)
+               AS bal_band,
+             COUNT(*) AS k_size,
+             COUNT(DISTINCT c_mktsegment) AS l_div,
+             (COUNT(*) < 5 OR COUNT(DISTINCT c_mktsegment) < 2)
+               AS suppress
+      FROM customer
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Qry] =
     Seq(q63, q64, q65, q67, q68, q74, q75, q76, q117, q122, q128, q134,
-      q142, q149)
+      q142, q149, q161)
 }
