@@ -15,5 +15,5 @@ object Registry {
       queries.ComponentsQ.all ++ queries.Pipeline.all ++
       queries.CorpusQ.all ++ queries.Stats.all ++
       queries.SeriesQ.all ++ queries.LayoutQ.all ++
-      queries.Signals.all
+      queries.Signals.all ++ queries.Changes.all
 }

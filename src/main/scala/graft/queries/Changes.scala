@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Qry, Tables}
+import graft.operators.{Attribution, Cdc, Splits}
+import Q._
+
+/** Operational-analytics change operators: CDC log apply (q162),
+  * multi-touch conversion attribution (q163), and pooled lag-k
+  * serial correlation (q164). All three keep money/values in exact
+  * integers until one final deterministic division.
+  */
+object Changes {
+
+  /** q162 — CDC merge apply ([[graft.operators.Cdc.mergeLatest]]):
+    * a deterministic change log manufactured from `orders` (base
+    * snapshot at seq 0, updates at seq 1/3, tombstones at seq 2, a
+    * delete-then-reinsert resurrection band) collapses to the final
+    * snapshot via the partial-aggregable struct-max, then a digest
+    * (counts + exact cent/key sums per (status, winning seq)) pins
+    * every surviving row's payload. Buckets are the md5 percent
+    * bucket every split/sample in the engine shares, so the oracle
+    * replays the log exactly:
+    *  - b<80: base insert; b<50: seq-1 update (+5% integer cents);
+    *    b∈[40,50): seq-2 delete; b∈[45,50): seq-3 re-insert
+    *    (cents+7); b<10: seq-3 second update (cents div 2);
+    *    b≥80: seq-1 fresh insert. */
+  val q162 = Qry(
+    "q162_cdc_merge",
+    (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("cents"),
+        Splits.hashBucket(col("o_orderkey")).as("b"))
+      def slice(cond: org.apache.spark.sql.Column, seq: Long,
+          op: String, cents: org.apache.spark.sql.Column) =
+        o.filter(cond).select(col("k"), lit(seq).as("seq"),
+          lit(op).as("op"), col("status"), cents.as("cents"))
+      val log = slice(col("b") < 80, 0L, "I", col("cents"))
+        .unionByName(slice(col("b") < 50, 1L, "U",
+          col("cents") + expr("cents div 20")))
+        .unionByName(slice(col("b") >= 80, 1L, "I", col("cents")))
+        .unionByName(slice(col("b") >= 40 && col("b") < 50, 2L, "D",
+          lit(0L)))
+        .unionByName(slice(col("b") >= 45 && col("b") < 50, 3L, "I",
+          col("cents") + lit(7L)))
+        .unionByName(slice(col("b") < 10, 3L, "U",
+          expr("cents div 2")))
+      Cdc.mergeLatest(log, Seq("k"), "seq", "op")
+        .groupBy(col("status"), col("last_seq"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("k")).as("sum_key"),
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .orderBy(col("status"), col("last_seq"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 AS cents,
+               ${bucketSql("o_orderkey")} AS b
+        FROM orders),
+      log AS (
+        SELECT k, 0 AS seq, 'I' AS op, status, cents
+        FROM o WHERE b < 80
+        UNION ALL
+        SELECT k, 1, 'U', status, cents + cents // 20
+        FROM o WHERE b < 50
+        UNION ALL
+        SELECT k, 1, 'I', status, cents FROM o WHERE b >= 80
+        UNION ALL
+        SELECT k, 2, 'D', status, 0 FROM o WHERE b >= 40 AND b < 50
+        UNION ALL
+        SELECT k, 3, 'I', status, cents + 7
+        FROM o WHERE b >= 45 AND b < 50
+        UNION ALL
+        SELECT k, 3, 'U', status, cents // 2 FROM o WHERE b < 10),
+      latest AS (
+        SELECT k, seq AS last_seq, op, status, cents
+        FROM log
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC)
+          = 1),
+      live AS (SELECT * FROM latest WHERE op <> 'D')
+      SELECT status, CAST(last_seq AS BIGINT) AS last_seq,
+             COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             CAST(SUM(k) AS BIGINT) AS sum_key,
+             MIN(k) AS min_key, MAX(k) AS max_key
+      FROM live GROUP BY status, last_seq
+      ORDER BY status, last_seq"""))
+
+  /** q163 — multi-touch attribution ([[graft.operators
+    * .Attribution.credits]]): purchases credit the click/view/signup
+    * touches in the preceding 3 days under first-touch, last-touch,
+    * and linear models simultaneously; untouched purchases land in
+    * `(direct)`. Per-channel rollup of exact cent/millicent
+    * integers — no floats anywhere. */
+  val q163 = Qry(
+    "q163_attribution",
+    (s: SparkSession, d: String) =>
+      Attribution.credits(Tables.events(s, d),
+          userCol = "user_id", idCol = "event_id", tsCol = "ts",
+          typeCol = "event_type", valueCol = "value",
+          convType = "purchase",
+          touchTypes = Seq("click", "view", "signup"),
+          lookbackMicros = 3L * 86400L * 1000000L)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_credits"),
+          sum(when(col("first_cents") > 0, 1L).otherwise(0L))
+            .as("n_first_wins"),
+          sum(col("first_cents")).as("first_cents"),
+          sum(col("last_cents")).as("last_cents"),
+          sum(col("linear_millis")).as("linear_millis"))
+        .orderBy(col("channel")),
+    Some("""
+      WITH base AS (
+        SELECT user_id AS u, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      conv AS (
+        SELECT u, event_id AS conv_id, t AS ct, cents
+        FROM base WHERE event_type = 'purchase'),
+      touch AS (
+        SELECT u, event_id AS touch_id, event_type AS channel,
+               t AS tt
+        FROM base
+        WHERE event_type IN ('click', 'view', 'signup')),
+      paired AS (
+        SELECT c.conv_id, c.cents, t.touch_id, t.channel, t.tt
+        FROM conv c LEFT JOIN touch t
+          ON t.u = c.u AND t.tt <= c.ct
+             AND t.tt > c.ct - 259200000000),
+      ranked AS (
+        SELECT conv_id, cents, channel,
+               COUNT(touch_id) OVER (PARTITION BY conv_id)
+                 AS n_touches,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                 ORDER BY tt ASC, touch_id ASC) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                 ORDER BY tt DESC, touch_id DESC) AS rn_last
+        FROM paired),
+      credits AS (
+        SELECT conv_id, cents, n_touches,
+               COALESCE(channel, '(direct)') AS channel,
+               CASE WHEN n_touches = 0 OR rn_first = 1 THEN cents
+                    ELSE 0 END AS first_cents,
+               CASE WHEN n_touches = 0 OR rn_last = 1 THEN cents
+                    ELSE 0 END AS last_cents,
+               CASE WHEN n_touches = 0 THEN cents * 1000
+                    ELSE (cents * 1000) // n_touches
+                    END AS linear_millis
+        FROM ranked)
+      SELECT channel, COUNT(*) AS n_credits,
+             CAST(SUM(CASE WHEN first_cents > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_first_wins,
+             CAST(SUM(first_cents) AS BIGINT) AS first_cents,
+             CAST(SUM(last_cents) AS BIGINT) AS last_cents,
+             CAST(SUM(linear_millis) AS BIGINT) AS linear_millis
+      FROM credits GROUP BY channel ORDER BY channel"""))
+
+  /** q164 — pooled lag-k serial correlation (k = 1..3): Pearson r
+    * over the within-user lag pairs of cent-snapped values, pooled
+    * per event_type. Moments are exact integer sums (widened to
+    * decimal(38,0) before the closing products so no scale can
+    * overflow); the only float ops are the final casts, two IEEE
+    * sqrts (correctly rounded by the standard), and one division —
+    * then r6 snapping. Lag pairs never span users, so the window
+    * partitions on (event_type, user_id) — per-key sorts, no global
+    * ordering, and the (type,k) rollup is partial-aggregable. */
+  val q164 = Qry(
+    "q164_autocorrelation",
+    (s: SparkSession, d: String) => {
+      val w = Window
+        .partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      def dec(c: org.apache.spark.sql.Column) =
+        c.cast("decimal(38,0)")
+      val lagged = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+        .withColumn("y1", lag(col("v"), 1).over(w))
+        .withColumn("y2", lag(col("v"), 2).over(w))
+        .withColumn("y3", lag(col("v"), 3).over(w))
+        .selectExpr("event_type", "v",
+          "stack(3, 1, y1, 2, y2, 3, y3) AS (k, y)")
+        .filter(col("y").isNotNull)
+      val m = lagged.groupBy(col("event_type"), col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("v") * col("y")).as("sxy"),
+          sum(col("v") * col("v")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      m.select(col("event_type"), col("k"), col("n").as("n_pairs"),
+          r6((dec(col("n")) * dec(col("sxy")) -
+              dec(col("sx")) * dec(col("sy"))).cast("double") /
+            (sqrt((dec(col("n")) * dec(col("sxx")) -
+                dec(col("sx")) * dec(col("sx"))).cast("double")) *
+             sqrt((dec(col("n")) * dec(col("syy")) -
+                dec(col("sy")) * dec(col("sy"))).cast("double"))))
+            .as("autocorr"))
+        .orderBy(col("event_type"), col("k"))
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT event_type, event_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events),
+      lagged AS (
+        SELECT event_type, v,
+               LAG(v, 1) OVER w AS y1, LAG(v, 2) OVER w AS y2,
+               LAG(v, 3) OVER w AS y3
+        FROM src
+        WINDOW w AS (PARTITION BY event_type, user_id
+                     ORDER BY t, event_id)),
+      pairs AS (
+        SELECT event_type, 1 AS k, v, y1 AS y FROM lagged
+        WHERE y1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, v, y2 FROM lagged WHERE y2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3, v, y3 FROM lagged
+        WHERE y3 IS NOT NULL),
+      m AS (
+        SELECT event_type, k, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(v) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(v * y) AS HUGEINT) AS sxy,
+               CAST(SUM(v * v) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS HUGEINT) AS syy
+        FROM pairs GROUP BY event_type, k)
+      SELECT event_type, k, CAST(n AS BIGINT) AS n_pairs,
+             ${r6Sql("""CAST(n * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE)))""")}
+               AS autocorr
+      FROM m ORDER BY event_type, k"""))
+
+  val all: Seq[Qry] = Seq(q162, q163, q164)
+}
