@@ -15,5 +15,6 @@ object Registry {
       queries.ComponentsQ.all ++ queries.Pipeline.all ++
       queries.CorpusQ.all ++ queries.Stats.all ++
       queries.SeriesQ.all ++ queries.LayoutQ.all ++
-      queries.Signals.all ++ queries.Changes.all
+      queries.Signals.all ++ queries.Changes.all ++
+      queries.Linkage.all
 }

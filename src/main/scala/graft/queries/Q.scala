@@ -58,4 +58,18 @@ object Q {
           substr(md5(CAST($id AS VARCHAR)), $i, 1)) - 1)"""
     s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 100)"
   }
+
+  /** DuckDB 16-bit integer from md5 nibbles `start..start+3` of the
+    * row id — the avalanche-mixed coordinate source q168 shares with
+    * its Spark side (`conv(substring(md5(id), start, 4), 16, 10)`).
+    * Linear (LCG-style) mixes are NOT a substitute here: their
+    * lattice structure puts derived 2-D points on a few widely
+    * separated hyperplanes and proximity fixtures go degenerate. */
+  def md5Hex16Sql(id: String, start: Int): String = {
+    def nib(i: Int) =
+      s"""(strpos('0123456789abcdef',
+          substr(md5(CAST($id AS VARCHAR)), $i, 1)) - 1)"""
+    s"(${nib(start)} * 4096 + ${nib(start + 1)} * 256 + " +
+      s"${nib(start + 2)} * 16 + ${nib(start + 3)})"
+  }
 }
