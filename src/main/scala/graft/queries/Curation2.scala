@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{Qry, Tables}
+import graft.operators.{Importance, Sq8}
+
+/** Second curation wave: DSIR-style importance weighting for data
+  * selection (q166) and int8 scalar-quantized similarity search with
+  * exact re-rank (q167). Both oracles replay the full arithmetic —
+  * hashed features, smoothing, quantization, integer dots — from the
+  * raw tables.
+  */
+object Curation2 {
+
+  private val B = 256
+
+  /** DuckDB bucket 0..255 from the first md5 byte of expression
+    * `g` — mirrors `conv(substring(md5(g), 1, 2), 16, 10)`. */
+  private def md5ByteSql(g: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($g), $i, 1)) - 1)"
+    s"((${nib(1)} * 16 + ${nib(2)}) % $B)"
+  }
+
+  /** q166 — hashed-bigram importance weights ([[graft.operators
+    * .Importance.hashedNgramWeights]]): English documents are the
+    * target domain; every document scores the count-weighted mean
+    * nano-ratio of target vs raw bucket probability over 256 hashed
+    * bigram buckets (add-one smoothed). The 25 most target-like
+    * documents surface — the selection step of importance
+    * resampling. Integer end to end except one pinned IEEE division
+    * per bucket. */
+  val q166 = Qry(
+    "q166_importance_weights",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      Importance.hashedNgramWeights(
+          docs.withColumn("tgt", col("lang") === "en"),
+          "doc_id", "text", "tgt", buckets = B)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .orderBy(col("imp_nano").desc, col("doc_id"))
+        .limit(25)
+        .select(col("doc_id"), col("lang"), col("n_feats"),
+          col("imp_nano"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang = 'en' AS tgt, ${Signals.Toks} AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, tgt,
+               unnest(${Signals.gramsSql("t", 2)}) AS g
+        FROM toks),
+      docb AS (
+        SELECT doc_id, tgt, ${md5ByteSql("g")} AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM g GROUP BY doc_id, tgt, b),
+      bt AS (
+        SELECT b, CAST(SUM(c) AS BIGINT) AS r_b,
+               CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT)
+                 AS t_b
+        FROM docb GROUP BY b),
+      tot AS (
+        SELECT CAST(SUM(r_b) AS BIGINT) AS rr,
+               CAST(SUM(t_b) AS BIGINT) AS tt
+        FROM bt),
+      rho AS (
+        SELECT b,
+               CAST(floor(
+                 CAST((t_b + 1) * (rr + $B) AS DOUBLE) /
+                 CAST((r_b + 1) * (tt + $B) AS DOUBLE) * 1e9 + 0.5)
+                 AS BIGINT) AS rho_nano
+        FROM bt, tot),
+      sc AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+               CAST(SUM(c * rho_nano) AS BIGINT) AS s
+        FROM docb JOIN rho USING (b) GROUP BY doc_id)
+      SELECT sc.doc_id, d.lang, n_feats, s // n_feats AS imp_nano
+      FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+      ORDER BY imp_nano DESC, sc.doc_id LIMIT 25"""))
+
+  /** q167 — int8 scalar-quantized ANN with exact re-rank
+    * ([[graft.operators.Sq8.searchTopK]]): absmax codes + integer
+    * dot nominate 20 candidates per query (4× less bandwidth than
+    * the float scan), the exact cosine re-ranks them to a top 5.
+    * Both the approximate rescaled score and the exact cosine are
+    * pinned, so the oracle catches a wrong quantizer OR a wrong
+    * re-rank. */
+  val q167 = Qry(
+    "q167_sq8_rerank",
+    (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      Sq8.searchTopK(e.filter(col("vec_id") < 8), e,
+          "vec_id", "embedding", m = 20, k = 5)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos"), 6).as("cos"),
+          round(col("adot"), 6).as("adot"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH coded AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id, embedding, scale,
+               CASE WHEN scale = 0
+                 THEN list_transform(embedding,
+                   x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale
+                     + 0.5) AS BIGINT))
+               END AS q
+        FROM coded),
+      cand AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+               a.embedding AS q_emb, b.embedding AS n_emb,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(list_zip(a.q, b.q),
+                       p -> p[1] * p[2])),
+                   (acc, x) -> acc + x) AS DOUBLE)
+                 * a.scale * b.scale / 16129.0 AS adot
+        FROM codes a JOIN codes b
+          ON a.vec_id < 8 AND a.vec_id <> b.vec_id),
+      appr AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY adot DESC, n_id) AS arank
+        FROM cand),
+      ex AS (
+        SELECT q_id, n_id, adot,
+               ${SimilarityQ.cosSql("q_emb", "n_emb")} AS cos
+        FROM appr WHERE arank <= 20),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cos DESC, n_id) AS rank
+        FROM ex)
+      SELECT q_id, rank, n_id,
+             ROUND(cos, 6) AS cos, ROUND(adot, 6) AS adot
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  val all: Seq[Qry] = Seq(q166, q167)
+}

@@ -18,15 +18,15 @@ object Signals {
 
   /** chr(31) — the gram separator [[graft.operators.TextOps.grams]]
     * uses; DuckDB spells it chr(31). */
-  private val GramSep = "chr(31)"
+  private[queries] val GramSep = "chr(31)"
 
-  private val Toks =
+  private[queries] val Toks =
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   /** DuckDB n-gram list via list_zip over shifted slices (zip pads
     * with NULL at the tail; the filter drops partial grams) —
     * the mirror of [[graft.operators.TextOps.grams]]. */
-  private def gramsSql(t: String, n: Int): String = n match {
+  private[queries] def gramsSql(t: String, n: Int): String = n match {
     case 1 => t
     case 2 =>
       s"""list_transform(

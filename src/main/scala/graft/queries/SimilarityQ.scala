@@ -25,7 +25,7 @@ object SimilarityQ {
             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
         (acc, x) -> acc + x)"""
 
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"""(${dotSql(a, b)} /
          (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"""
 
