@@ -375,6 +375,33 @@ class PlanShapeSpec extends SparkSpec {
       s"q153 offsets went through a global window:\n$p")
   }
 
+  test("q162: CDC merge is a partial-aggregable struct-max, not a window sort") {
+    val p = planAtScaleStats("q162_cdc_merge")
+    assert(!p.contains("Window"),
+      s"q162 merge regressed to a row_number window:\n$p")
+    // partial + final SortAggregate around one key exchange
+    val n = "SortAggregate".r.findAllIn(p).length
+    assert(n >= 2, s"q162 lost map-side pre-collapse:\n$p")
+  }
+
+  test("q163: attribution windows reuse the pairing join's user exchange") {
+    val p = planAtScaleStats("q163_attribution")
+    val hashParts = "Exchange hashpartitioning".r.findAllIn(p).length
+    // conv side + touch side + final channel rollup; the three
+    // per-conversation windows must NOT add a fourth
+    assert(hashParts <= 3, s"extra exchange in q163:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q163 pairing fell off the equi-join path:\n$p")
+  }
+
+  test("q168: proximity join is an equi-join on cells, never a nested loop") {
+    val p = planAtScaleStats("q168_geo_proximity")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q168 planned the quadratic theta-join:\n$p")
+  }
+
   test("no unexpected cartesian products across the whole query surface") {
     // Deliberate bounded cross joins (documented quadratic baselines
     // over bounded subsets): q30 brute-force Jaccard, q34 embedding
