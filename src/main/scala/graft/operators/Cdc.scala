@@ -27,11 +27,17 @@ object Cdc {
     *               ++ payload columns. (key, seq) unique; higher seq
     *               = later change; op `"D"` = delete tombstone (its
     *               payload is ignored), anything else upserts.
+    * @param keepTombstones when true, keys whose LAST change is a
+    *               delete stay in the output with `last_op = "D"` —
+    *               the persisted-snapshot form: an incremental apply
+    *               that DROPPED tombstones would let a late-arriving
+    *               lower-seq change resurrect a deleted key in a
+    *               later batch. Readers filter `last_op != "D"`.
     * @return one row per live key: keyCols, payload columns, plus
     *         `last_seq` (the winning change's seq) and `last_op`.
     */
   def mergeLatest(log: DataFrame, keyCols: Seq[String], seqCol: String,
-      opCol: String): DataFrame = {
+      opCol: String, keepTombstones: Boolean = false): DataFrame = {
     val payload = log.columns.toSeq
       .filterNot(c => keyCols.contains(c) || c == seqCol || c == opCol)
     val packed = struct(
@@ -39,8 +45,8 @@ object Cdc {
     val latest = log
       .groupBy(keyCols.map(col): _*)
       .agg(max(packed).as("__last"))
-    latest
-      .filter(col(s"__last.$opCol") =!= "D")
+    (if (keepTombstones) latest
+     else latest.filter(col(s"__last.$opCol") =!= "D"))
       .select(keyCols.map(col) ++
         payload.map(c => col(s"__last.$c").as(c)) ++
         Seq(col(s"__last.$seqCol").as("last_seq"),

@@ -243,5 +243,52 @@ object SeriesQ {
                AS first_anomaly
       FROM flagged GROUP BY user_id ORDER BY user_id"""))
 
-  val all: Seq[Qry] = Seq(q105, q107, q109, q160)
+  /** q169 — OHLC bars: per (event_type, day) candle — open/close by
+    * event-time order via `min_by`/`max_by` over a (t, event_id)
+    * struct (partial-aggregable — no window, no per-key sort; ties
+    * impossible on the unique tiebreak), high/low/volume/turnover as
+    * plain aggregates on cent-snapped integers. The downsampling
+    * primitive time-series stores call candles/bars.
+    *
+    * Scale shape: ONE partial-aggregable shuffle on the (type, day)
+    * composite — every map task emits one candle per key, so a 100 TB
+    * tick stream reduces to |types|·|days| rows without any ordered
+    * repartition. */
+  val q169 = Qry(
+    "q169_ohlc_bars",
+    (s: SparkSession, d: String) =>
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("t"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          min_by(col("cents"), struct(col("t"), col("event_id")))
+            .as("open"),
+          max(col("cents")).as("high"),
+          min(col("cents")).as("low"),
+          max_by(col("cents"), struct(col("t"), col("event_id")))
+            .as("close"),
+          count(lit(1)).as("n_trades"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("event_type"), col("day")),
+    Some("""
+      WITH src AS (
+        SELECT event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events)
+      SELECT event_type, day,
+             FIRST(cents ORDER BY t, event_id) AS open,
+             MAX(cents) AS high, MIN(cents) AS low,
+             LAST(cents ORDER BY t, event_id) AS close,
+             COUNT(*) AS n_trades,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM src GROUP BY event_type, day
+      ORDER BY event_type, day"""))
+
+  val all: Seq[Qry] = Seq(q105, q107, q109, q160, q169)
 }

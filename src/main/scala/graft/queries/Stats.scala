@@ -345,5 +345,112 @@ object Stats {
                AS kept_checksum
       FROM flagged GROUP BY cid ORDER BY cid"""))
 
-  val all: Seq[Qry] = Seq(q88, q89, q90, q92, q93, q101)
+  /** q170 — percentile sketch audit (the q134 in-band contract for
+    * QUANTILE sketches): exact discrete p25/p50/p75 of cent-snapped
+    * values per event_type, hashed, plus a boolean per percentile
+    * checking each engine's OWN approximate-quantile sketch (Spark
+    * `percentile_approx` / DuckDB `approx_quantile`) lands within a
+    * 2%-of-n rank band of the exact target. Sketch internals differ
+    * by engine, so only the band verdict is cross-checked — the
+    * exact values gate bit-for-bit.
+    *
+    * Scale shape: the exact side never globally sorts — it runs on
+    * the (type, value) FREQUENCY table (bounded by distinct cents ≈
+    * 33k per type, independent of row count), with a cumulative
+    * window over those bounded partitions; the q142 rank-free idea
+    * applied to percentile extraction. The sketch side is one
+    * partial-aggregable pass. */
+  val q170 = Qry(
+    "q170_percentile_sketch_audit",
+    (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val freq = src.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = freq.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = freq.withColumn("cum", sum(col("cnt")).over(w))
+        .join(broadcast(totals), Seq("event_type"))
+      val apx = src.groupBy(col("event_type"))
+        .agg(percentile_approx(col("cents"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+          .as("av"))
+        .select(col("event_type"), col("av")(0).as("av25"),
+          col("av")(1).as("av50"), col("av")(2).as("av75"))
+      cum.join(broadcast(apx), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= expr("(n + 3) div 4"),
+            col("cents"))).as("p25"),
+          min(when(col("cum") >= expr("(n + 1) div 2"),
+            col("cents"))).as("p50"),
+          min(when(col("cum") >= expr("(3 * n + 3) div 4"),
+            col("cents"))).as("p75"),
+          sum(when(col("cents") <= col("av25"), col("cnt"))
+            .otherwise(0L)).as("r25"),
+          sum(when(col("cents") <= col("av50"), col("cnt"))
+            .otherwise(0L)).as("r50"),
+          sum(when(col("cents") <= col("av75"), col("cnt"))
+            .otherwise(0L)).as("r75"))
+        .select(col("event_type"), col("n"),
+          col("p25"), col("p50"), col("p75"),
+          (abs(col("r25") - expr("(n + 3) div 4")) <=
+            greatest(expr("n div 50"), lit(5L))).as("ok25"),
+          (abs(col("r50") - expr("(n + 1) div 2")) <=
+            greatest(expr("n div 50"), lit(5L))).as("ok50"),
+          (abs(col("r75") - expr("(3 * n + 3) div 4")) <=
+            greatest(expr("n div 50"), lit(5L))).as("ok75"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      freq AS (
+        SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM src GROUP BY event_type, cents),
+      tot AS (
+        SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM freq GROUP BY event_type),
+      cum AS (
+        SELECT f.event_type, f.cents, f.cnt, t.n,
+               CAST(SUM(f.cnt) OVER (PARTITION BY f.event_type
+                 ORDER BY f.cents
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM freq f JOIN tot t USING (event_type)),
+      apx AS (
+        SELECT event_type,
+               CAST(approx_quantile(cents, 0.25) AS BIGINT) AS av25,
+               CAST(approx_quantile(cents, 0.50) AS BIGINT) AS av50,
+               CAST(approx_quantile(cents, 0.75) AS BIGINT) AS av75
+        FROM src GROUP BY event_type),
+      agg AS (
+        SELECT c.event_type, MAX(c.n) AS n,
+               MIN(CASE WHEN cum >= (n + 3) // 4 THEN cents END)
+                 AS p25,
+               MIN(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+                 AS p50,
+               MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN cents END)
+                 AS p75,
+               CAST(SUM(CASE WHEN cents <= av25 THEN cnt ELSE 0 END)
+                 AS BIGINT) AS r25,
+               CAST(SUM(CASE WHEN cents <= av50 THEN cnt ELSE 0 END)
+                 AS BIGINT) AS r50,
+               CAST(SUM(CASE WHEN cents <= av75 THEN cnt ELSE 0 END)
+                 AS BIGINT) AS r75
+        FROM cum c JOIN apx USING (event_type)
+        GROUP BY c.event_type)
+      SELECT event_type, n, p25, p50, p75,
+             ABS(r25 - (n + 3) // 4) <= GREATEST(n // 50, 5) AS ok25,
+             ABS(r50 - (n + 1) // 2) <= GREATEST(n // 50, 5) AS ok50,
+             ABS(r75 - (3 * n + 3) // 4) <= GREATEST(n // 50, 5)
+               AS ok75
+      FROM agg ORDER BY event_type"""))
+
+  val all: Seq[Qry] = Seq(q88, q89, q90, q92, q93, q101, q170)
 }
