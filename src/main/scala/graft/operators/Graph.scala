@@ -50,4 +50,49 @@ object Graph {
       .groupBy(col("g"))
       .agg(collect_set(col("i")).as("ps"))
       .filter(size(col("ps")) > 1)
+
+  /** Multi-source BFS hop distance, bounded at `maxHops`: label each
+    * reachable vertex with its minimum hop count from any source.
+    * The iterative-frontier graph primitive (level-synchronous BFS)
+    * that recursive SQL expresses with a recursive CTE.
+    *
+    * Scale shape: each level is ONE equi-join of the current
+    * frontier against the (checkpointed) symmetric edge list plus an
+    * anti-join against the visited set — all key-partitioned, no
+    * driver-side graph state; the frontier/visited frames checkpoint
+    * per level so the plan (and its lineage) stays O(1) deep. The
+    * per-level early-exit count is the only driver action, bounded
+    * by `maxHops`. First visit IS minimum hop (level-synchronous
+    * expansion), so no min-aggregation pass is needed at the end.
+    *
+    * @param edges  undirected edges (aCol, bCol)
+    * @param sources frame whose `srcCol` are the hop-0 vertices
+    * @return (id, hop) for every vertex within `maxHops` of a source
+    */
+  def bfsHops(edges: DataFrame, aCol: String, bCol: String,
+      sources: DataFrame, srcCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val sym = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"),
+        col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var frontier = sources.select(col(srcCol).as("id")).distinct()
+      .withColumn("hop", lit(0))
+      .localCheckpoint(true)
+    var visited = frontier
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      frontier = sym
+        .join(frontier.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+    }
+    visited
+  }
 }

@@ -444,5 +444,72 @@ object ComponentsQ {
       SELECT component, COUNT(*) AS n_events, MAX(id) AS max_id
       FROM assign GROUP BY component ORDER BY component"""))
 
-  val all: Seq[Qry] = Seq(q61, q94, q100, q103, q118, q130)
+  /** q171 — multi-source BFS hop distance ([[Graph.bfsHops]]): the
+    * level-synchronous iterative-frontier primitive, bounded at 4
+    * hops, over a SPARSE co-purchase graph (15% of orders, first 3
+    * lines — the full basket graph is near-complete at this scale
+    * and every vertex lands at hop 1). Parts 0-4 seed hop 0; the
+    * digest buckets every graph vertex by its min hop (-1 =
+    * unreached) with id sums pinning exact membership. The oracle
+    * re-walks the graph with a bounded recursive CTE and MIN(hop).
+    *
+    * Scale shape: each level is one frontier⋈edges equi-join + one
+    * anti-join against visited, all key-partitioned and checkpointed
+    * per level (O(1) plan depth); the only driver actions are the
+    * ≤ maxHops early-exit counts. */
+  val q171 = Qry(
+    "q171_bfs_hops",
+    (s: SparkSession, d: String) => {
+      import graft.operators.Splits
+      val li = Tables.lineitem(s, d)
+        .filter(Splits.hashBucket(col("l_orderkey")) < 15 &&
+          col("l_linenumber") <= 3)
+      val edges = Graph.coOccurrencePairs(li, "l_orderkey",
+          "l_partkey")
+        .select(col("src"), col("dst")).distinct()
+      val sources = Tables.part(s, d)
+        .filter(col("p_partkey") < 5).select(col("p_partkey"))
+      val hops = Graph.bfsHops(edges, "src", "dst",
+        sources, "p_partkey", maxHops = 4)
+      val nodes = edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id")))
+        .unionByName(sources.select(col("p_partkey").as("id")))
+        .distinct()
+      nodes.join(hops, Seq("id"), "left")
+        .withColumn("hop", coalesce(col("hop"), lit(-1)))
+        .groupBy(col("hop"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("hop"))
+    },
+    Some(s"""
+      WITH RECURSIVE li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        WHERE ${Q.bucketSql("l_orderkey")} < 15
+          AND l_linenumber <= 3),
+      e0 AS (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      src AS (SELECT p_partkey AS id FROM part WHERE p_partkey < 5),
+      walk AS (
+        SELECT id, 0 AS hop FROM src
+        UNION
+        SELECT e.dst, w.hop + 1
+        FROM walk w JOIN e0 e ON e.src = w.id WHERE w.hop < 4),
+      hops AS (SELECT id, MIN(hop) AS hop FROM walk GROUP BY id),
+      -- DISTINCT over UNION ALL, not bare UNION: under WITH
+      -- RECURSIVE, DuckDB 1.0 treats a UNION in a NON-recursive CTE
+      -- as UNION ALL (dedup is honored only in the recursive CTE
+      -- itself) — a bare UNION here left duplicate node rows
+      nodes AS (
+        SELECT DISTINCT id FROM (
+          SELECT src AS id FROM e0
+          UNION ALL SELECT id FROM src))
+      SELECT COALESCE(h.hop, -1) AS hop, COUNT(*) AS n,
+             CAST(SUM(n.id) AS BIGINT) AS sum_id,
+             MIN(n.id) AS min_id, MAX(n.id) AS max_id
+      FROM nodes n LEFT JOIN hops h ON h.id = n.id
+      GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Qry] = Seq(q61, q94, q100, q103, q118, q130, q171)
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Unit semantics for [[Graph.bfsHops]] (q171): min-hop labels,
+  * multi-source behavior, hop bound, and isolated vertices.
+  */
+class BfsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // path 1-2-3-4-5 plus a triangle 10-11-12 and isolated 99 via
+  // sources only
+  private def edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+    (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+
+  private def hops(srcs: Seq[Long], maxHops: Int) =
+    Graph.bfsHops(edges, "a", "b", srcs.toDF("id"), "id", maxHops)
+      .as[(Long, Int)].collect().toMap
+
+  test("single source labels min hop along the path") {
+    val h = hops(Seq(1L), 10)
+    assert(h === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+  }
+
+  test("maxHops bounds the expansion") {
+    val h = hops(Seq(1L), 2)
+    assert(h === Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("multi-source takes the minimum over sources") {
+    val h = hops(Seq(1L, 5L), 10)
+    assert(h(3L) === 2 && h(2L) === 1 && h(4L) === 1)
+  }
+
+  test("a source outside the edge set stays hop 0 and expands nowhere") {
+    val h = hops(Seq(99L), 10)
+    assert(h === Map(99L -> 0))
+  }
+
+  test("undirected: expansion crosses edges in both directions") {
+    val h = hops(Seq(12L), 10)
+    assert(h === Map(12L -> 0, 10L -> 1, 11L -> 1))
+  }
+}
