@@ -142,5 +142,96 @@ object Curation2 {
              ROUND(cos, 6) AS cos, ROUND(adot, 6) AS adot
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
 
-  val all: Seq[Qry] = Seq(q166, q167)
+  /** q173 — contrastive triplet mining: for each anchor, the hardest
+    * positive (exact top-1 cosine neighbor) plus four deterministic
+    * hash-picked random negatives — the (anchor, positive, negatives)
+    * batches an embedding-training pipeline samples. Negatives come
+    * from md5("anchor#j") mod corpus-size (vec_ids are contiguous by
+    * the testdata contract; a rank join replaces the modulo when ids
+    * are sparse), skipping collisions with the anchor or its
+    * positive. Every cosine is pinned, so the oracle catches a wrong
+    * neighbor AND a wrong sampler.
+    *
+    * Scale shape: the positive leg is the documented bounded brute
+    * baseline (LSH/IVF/PQ are the corpus-scale paths); the negative
+    * leg is a map-side hash + one broadcast-size join back to
+    * vectors + the pair-cosine evaluation — linear in anchors. */
+  val q173 = Qry(
+    "q173_contrastive_triplets",
+    (s: SparkSession, d: String) => {
+      import graft.operators.Similarity
+      val e = Tables.embeddings(s, d)
+      val nTab = e.agg(count(lit(1)).as("nn"))
+      val anchors = e.filter(col("vec_id") < 30)
+      val pos = Similarity.topKBrute(anchors, e, "vec_id",
+          "embedding", k = 1)
+        .select(col("q_id").as("a_id"), col("n_id").as("pos_id"),
+          col("cos").as("pos_cos"))
+      val negs = anchors.select(col("vec_id").as("a_id"))
+        .crossJoin(broadcast(nTab))
+        .select(col("a_id"), col("nn"),
+          explode(expr("sequence(1, 4)")).as("j"))
+        .select(col("a_id"), col("j"),
+          (conv(substring(md5(concat(col("a_id").cast("string"),
+              lit("#"), col("j").cast("string"))), 1, 8), 16, 10)
+            .cast("bigint") % col("nn")).as("neg_id"))
+      val withPos = negs.join(pos, Seq("a_id"))
+        .filter(col("neg_id") =!= col("a_id") &&
+          col("neg_id") =!= col("pos_id"))
+      val aEmb = e.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      val nEmb = e.select(col("vec_id").as("neg_id"),
+        col("embedding").as("n_emb"))
+      val negRows = withPos
+        .join(aEmb, Seq("a_id")).join(nEmb, Seq("neg_id"))
+        .select(col("a_id"), lit("neg").as("role"), col("j"),
+          col("neg_id").as("other_id"),
+          round(Similarity.cosine(col("a_emb"), col("n_emb")), 6)
+            .as("cos"))
+      val posRows = pos.select(col("a_id"), lit("pos").as("role"),
+        lit(0).as("j"), col("pos_id").as("other_id"),
+        round(col("pos_cos"), 6).as("cos"))
+      posRows.unionByName(negRows)
+        .orderBy(col("a_id"), col("role"), col("j"))
+    },
+    Some(s"""
+      WITH n AS (SELECT COUNT(*) AS nn FROM embeddings),
+      anchors AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 30),
+      scored AS (
+        SELECT a.vec_id AS a_id, e.vec_id AS n_id,
+               ${SimilarityQ.cosSql("a.embedding", "e.embedding")}
+                 AS cos
+        FROM anchors a JOIN embeddings e ON e.vec_id <> a.vec_id),
+      pos AS (
+        SELECT a_id, n_id AS pos_id, cos AS pos_cos
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id
+          ORDER BY cos DESC, n_id) = 1),
+      negs AS (
+        SELECT a.vec_id AS a_id, t.j,
+               ${Q.md5Hex32Sql(
+                 "a.vec_id || '#' || t.j", 1)} % nn AS neg_id
+        FROM anchors a, n, unnest(generate_series(1, 4)) AS t(j)),
+      kept AS (
+        SELECT g.a_id, g.j, g.neg_id, p.pos_id, p.pos_cos
+        FROM negs g JOIN pos p ON p.a_id = g.a_id
+        WHERE g.neg_id <> g.a_id AND g.neg_id <> p.pos_id),
+      negrows AS (
+        SELECT k.a_id, 'neg' AS role, CAST(k.j AS INTEGER) AS j,
+               k.neg_id AS other_id,
+               ROUND(${SimilarityQ.cosSql("ae.embedding",
+                 "ne.embedding")}, 6) AS cos
+        FROM kept k
+        JOIN embeddings ae ON ae.vec_id = k.a_id
+        JOIN embeddings ne ON ne.vec_id = k.neg_id),
+      posrows AS (
+        SELECT a_id, 'pos' AS role, 0 AS j, pos_id AS other_id,
+               ROUND(pos_cos, 6) AS cos
+        FROM pos)
+      SELECT * FROM posrows
+      UNION ALL SELECT * FROM negrows
+      ORDER BY a_id, role, j"""))
+
+  val all: Seq[Qry] = Seq(q166, q167, q173)
 }

@@ -335,5 +335,63 @@ object EventsQ {
       SELECT replace(gram, chr(31), '>') AS path, n FROM top
       ORDER BY n DESC, gram"""))
 
-  val all: Seq[Qry] = Seq(q35, q36, q37, q38, q72, q139, q140, q148)
+  /** q172 — rolling active users: DAU, trailing-7-day WAU, and the
+    * DAU/WAU stickiness ratio per day. WAU is EXACT sliding distinct
+    * without re-scanning events per window: events collapse once to
+    * distinct (day, user) pairs, each pair fans out to the ≤ 7
+    * window-end days it supports (map-side `explode(sequence)` on
+    * date arithmetic), and one distinct-aggregate per window-day
+    * closes it. Work is bounded by active-pairs × 7, never
+    * events × 7.
+    *
+    * Scale shape: one (day,user) distinct shuffle + one windowed
+    * distinct — both partial-aggregable; no self-join of the event
+    * stream against itself. Window-end days outside the observed
+    * range drop via the inner join on real days. */
+  val q172 = Qry(
+    "q172_rolling_active_users",
+    (s: SparkSession, d: String) => {
+      val du = Tables.events(s, d)
+        .select(col("user_id"),
+          to_date(col("ts")).as("day")).distinct()
+      val days = du.select(col("day")).distinct()
+      val dau = du.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = du
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))"))
+            .as("wday"))
+        .join(days.select(col("day").as("wday")), Seq("wday"))
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, dau("day") === wau("wday"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          r6(col("dau").cast("double") / col("wau").cast("double"))
+            .as("stickiness"))
+        .orderBy(col("day"))
+    },
+    Some(s"""
+      WITH du AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events),
+      days AS (SELECT DISTINCT day FROM du),
+      dau AS (
+        SELECT day, COUNT(DISTINCT user_id) AS dau
+        FROM du GROUP BY day),
+      fan AS (
+        SELECT du.user_id, du.day + CAST(k AS INTEGER) AS wday
+        FROM du, unnest(generate_series(0, 6)) AS t(k)),
+      wau AS (
+        SELECT f.wday, COUNT(DISTINCT f.user_id) AS wau
+        FROM fan f JOIN days dd ON dd.day = f.wday
+        GROUP BY f.wday)
+      SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+             ${r6Sql("CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)")}
+               AS stickiness
+      FROM dau d JOIN wau w ON w.wday = d.day
+      ORDER BY day"""))
+
+  val all: Seq[Qry] =
+    Seq(q35, q36, q37, q38, q72, q139, q140, q148, q172)
 }

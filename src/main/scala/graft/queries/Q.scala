@@ -72,4 +72,17 @@ object Q {
     s"(${nib(start)} * 4096 + ${nib(start + 1)} * 256 + " +
       s"${nib(start + 2)} * 16 + ${nib(start + 3)})"
   }
+
+  /** DuckDB 32-bit integer from md5 nibbles `start..start+7` of
+    * expression `x` — mirrors Spark's
+    * `conv(substring(md5(x), start, 8), 16, 10)` (q173's negative
+    * sampler). */
+  def md5Hex32Sql(x: String, start: Int): String = {
+    def nib(i: Int) =
+      s"""(strpos('0123456789abcdef',
+          substr(md5(CAST($x AS VARCHAR)), $i, 1)) - 1)"""
+    (0 until 8).map(k =>
+      s"${nib(start + k)} * ${1L << (4 * (7 - k))}")
+      .mkString("(", " + ", ")")
+  }
 }
