@@ -452,5 +452,82 @@ object Stats {
                AS ok75
       FROM agg ORDER BY event_type"""))
 
-  val all: Seq[Qry] = Seq(q88, q89, q90, q92, q93, q101, q170)
+  /** q174 — association rules (support / confidence / lift) over
+    * order baskets: the market-basket mining step above q90's raw
+    * pair counts. Directed rules a→b from the symmetric pair counts;
+    * all three metrics are nano-snapped single divisions of exact
+    * basket counts (lift's cross-product c_a·c_b stays in long
+    * range; decimal-widen applies beyond ~3e9-item catalogs). Top 30
+    * by lift surface — the high-lift tail is what a recommender
+    * actually consumes.
+    *
+    * Scale shape: basket collapse → one (pair) count shuffle (the
+    * q90 path, fan-out bounded by basket size²) + one broadcast-size
+    * item-count join; the global top-k is a TakeOrdered, never a
+    * full sort. */
+  val q174 = Qry(
+    "q174_association_rules",
+    (s: SparkSession, d: String) => {
+      import graft.operators.Graph
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = li.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n"))
+      val items = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val pairs = Graph.coOccurrencePairs(
+          li, "ok", "pk")
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c_ab"))
+      val rules = pairs.select(col("src").as("a"), col("dst").as("b"),
+          col("c_ab"))
+        .unionByName(pairs.select(col("dst").as("a"),
+          col("src").as("b"), col("c_ab")))
+        .filter(col("c_ab") >= 2)
+      rules
+        .join(items.select(col("pk").as("a"), col("c").as("c_a")),
+          Seq("a"))
+        .join(items.select(col("pk").as("b"), col("c").as("c_b")),
+          Seq("b"))
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("c_ab"),
+          floor(col("c_ab").cast("double") / col("n").cast("double")
+            * lit(1e9) + lit(0.5)).cast("long").as("support_nano"),
+          floor(col("c_ab").cast("double") / col("c_a").cast("double")
+            * lit(1e9) + lit(0.5)).cast("long").as("conf_nano"),
+          floor((col("c_ab") * col("n")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double")
+            * lit(1e9) + lit(0.5)).cast("long").as("lift_nano"))
+        .orderBy(col("lift_nano").desc, col("a"), col("b"))
+        .limit(30)
+    },
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem),
+      n AS (SELECT COUNT(DISTINCT ok) AS n FROM li),
+      items AS (SELECT pk, COUNT(*) AS c FROM li GROUP BY pk),
+      p AS (
+        SELECT a.pk AS src, b.pk AS dst, COUNT(*) AS c_ab
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk),
+      rules AS (
+        SELECT src AS a, dst AS b, c_ab FROM p WHERE c_ab >= 2
+        UNION ALL
+        SELECT dst, src, c_ab FROM p WHERE c_ab >= 2)
+      SELECT r.a, r.b, r.c_ab,
+             CAST(floor(CAST(r.c_ab AS DOUBLE) / CAST(n.n AS DOUBLE)
+               * 1e9 + 0.5) AS BIGINT) AS support_nano,
+             CAST(floor(CAST(r.c_ab AS DOUBLE) / CAST(ia.c AS DOUBLE)
+               * 1e9 + 0.5) AS BIGINT) AS conf_nano,
+             CAST(floor(CAST(r.c_ab * n.n AS DOUBLE) /
+               CAST(ia.c * ib.c AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+               AS lift_nano
+      FROM rules r
+      JOIN items ia ON ia.pk = r.a
+      JOIN items ib ON ib.pk = r.b
+      CROSS JOIN n
+      ORDER BY lift_nano DESC, r.a, r.b LIMIT 30"""))
+
+  val all: Seq[Qry] =
+    Seq(q88, q89, q90, q92, q93, q101, q170, q174)
 }
