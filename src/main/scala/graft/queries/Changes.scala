@@ -244,5 +244,100 @@ object Changes {
                AS autocorr
       FROM m ORDER BY event_type, k"""))
 
-  val all: Seq[Qry] = Seq(q162, q163, q164)
+  /** q175 — snapshot diff → CDC extraction (the inverse of q162):
+    * two deterministic snapshots of orders diff into an I/U/D change
+    * log via one full-outer join (insert = right-only, delete =
+    * left-only, update = payload differs, identical rows emit
+    * nothing), then the extracted log is APPLIED back onto snapshot
+    * A through [[graft.operators.Cdc.mergeLatest]] and compared to
+    * snapshot B — the round-trip law extract∘apply = identity,
+    * verified inside the query (zero mismatches hashed as a
+    * boolean) and replayed by the oracle.
+    *
+    * Scale shape: one key-partitioned full-outer join (both sides
+    * shuffle once), the apply reuses the same key partitioning, and
+    * the mismatch check is two anti-join counts — no driver-side
+    * comparison. */
+  val q175 = Qry(
+    "q175_snapshot_diff_cdc",
+    (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("cents"),
+        Splits.hashBucket(col("o_orderkey")).as("b"))
+      val snapA = o.filter(col("b") < 90)
+        .select(col("k"), col("cents"))
+      val snapB = o.filter(col("b") >= 5)
+        .select(col("k"),
+          when(col("b") < 30, col("cents") + lit(100L))
+            .otherwise(col("cents")).as("cents"))
+      val diff = snapA.select(col("k").as("ka"), col("cents").as("ca"))
+        .join(snapB.select(col("k").as("kb"), col("cents").as("cb")),
+          col("ka") === col("kb"), "full_outer")
+        .select(
+          coalesce(col("ka"), col("kb")).as("k"),
+          when(col("ka").isNull, lit("I"))
+            .when(col("kb").isNull, lit("D"))
+            .when(col("ca") =!= col("cb"), lit("U")).as("op"),
+          coalesce(col("cb"), lit(0L)).as("cents"))
+        .filter(col("op").isNotNull)
+      val log = snapA.select(col("k"), lit(0L).as("seq"),
+          lit("I").as("op"), col("cents"))
+        .unionByName(diff.select(col("k"), lit(1L).as("seq"),
+          col("op"), col("cents")))
+      val reapplied = Cdc.mergeLatest(log, Seq("k"), "seq", "op")
+        .select(col("k"), col("cents"))
+      val missing = snapB.exceptAll(reapplied).count()
+      val extra = reapplied.exceptAll(snapB).count()
+      diff.groupBy(col("op"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("k")).as("sum_key"))
+        .withColumn("roundtrip_ok", lit(missing == 0 && extra == 0))
+        .orderBy(col("op"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 AS cents,
+               ${bucketSql("o_orderkey")} AS b
+        FROM orders),
+      snapA AS (SELECT k, cents FROM o WHERE b < 90),
+      snapB AS (
+        SELECT k, CASE WHEN b < 30 THEN cents + 100 ELSE cents END
+          AS cents
+        FROM o WHERE b >= 5),
+      diff AS (
+        SELECT COALESCE(a.k, bb.k) AS k,
+               CASE WHEN a.k IS NULL THEN 'I'
+                    WHEN bb.k IS NULL THEN 'D'
+                    WHEN a.cents <> bb.cents THEN 'U' END AS op,
+               COALESCE(bb.cents, 0) AS cents
+        FROM snapA a FULL OUTER JOIN snapB bb ON a.k = bb.k
+        ),
+      d2 AS (SELECT * FROM diff WHERE op IS NOT NULL),
+      log AS (
+        SELECT k, 0 AS seq, 'I' AS op, cents FROM snapA
+        UNION ALL SELECT k, 1, op, cents FROM d2),
+      latest AS (
+        SELECT k, op, cents FROM log
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC)
+          = 1),
+      reapplied AS (SELECT k, cents FROM latest WHERE op <> 'D'),
+      mism AS (
+        SELECT
+          (SELECT COUNT(*) FROM (
+            SELECT k, cents FROM snapB
+            EXCEPT ALL SELECT k, cents FROM reapplied))
+          + (SELECT COUNT(*) FROM (
+            SELECT k, cents FROM reapplied
+            EXCEPT ALL SELECT k, cents FROM snapB)) AS bad)
+      SELECT op, COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             CAST(SUM(k) AS BIGINT) AS sum_key,
+             (SELECT bad FROM mism) = 0 AS roundtrip_ok
+      FROM d2 GROUP BY op ORDER BY op"""))
+
+  val all: Seq[Qry] = Seq(q162, q163, q164, q175)
 }

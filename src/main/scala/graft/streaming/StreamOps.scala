@@ -726,4 +726,31 @@ object StreamOps {
   def cdcSnapshot(spark: SparkSession, snapshotDir: String)
       : DataFrame =
     spark.read.parquet(snapshotDir).filter(col("last_op") =!= "D")
+
+  /** Streaming OHLC bars — q169's candle downsampling as a
+    * watermarked tumbling aggregate: open/close ride the same
+    * `min_by`/`max_by` over an (event-time, id) struct the batch
+    * operator uses, so a candle closes bit-identical to the batch
+    * answer over the same events once its window passes the
+    * watermark. State is one in-flight candle row per (key, window)
+    * — evicted at the horizon; no per-event state. Run in `append`
+    * mode to emit each candle exactly once, on close. */
+  def ohlcStream(events: DataFrame, tsCol: String, keyCol: String,
+      idCol: String, valueCol: String, windowLen: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(
+        min_by(col(valueCol), struct(col(tsCol), col(idCol)))
+          .as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), struct(col(tsCol), col(idCol)))
+          .as("close"),
+        count(lit(1)).as("n_trades"),
+        sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("bar_start"), col(keyCol),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_trades"), col("sum_value"))
 }
