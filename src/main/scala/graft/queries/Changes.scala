@@ -37,20 +37,32 @@ object Changes {
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
           .as("cents"),
         Splits.hashBucket(col("o_orderkey")).as("b"))
-      def slice(cond: org.apache.spark.sql.Column, seq: Long,
-          op: String, cents: org.apache.spark.sql.Column) =
-        o.filter(cond).select(col("k"), lit(seq).as("seq"),
-          lit(op).as("op"), col("status"), cents.as("cents"))
-      val log = slice(col("b") < 80, 0L, "I", col("cents"))
-        .unionByName(slice(col("b") < 50, 1L, "U",
-          col("cents") + expr("cents div 20")))
-        .unionByName(slice(col("b") >= 80, 1L, "I", col("cents")))
-        .unionByName(slice(col("b") >= 40 && col("b") < 50, 2L, "D",
-          lit(0L)))
-        .unionByName(slice(col("b") >= 45 && col("b") < 50, 3L, "I",
-          col("cents") + lit(7L)))
-        .unionByName(slice(col("b") < 10, 3L, "U",
-          expr("cents div 2")))
+      // ONE scan: each order row explodes map-side into its change
+      // rows (a 6-branch union re-read the parquet six times; the
+      // log is a per-row function of (b, cents), so generate it as
+      // one filtered struct array — identical logical log)
+      val log = o.select(col("k"), col("status"), explode(expr("""
+          filter(array(
+            if(b < 80,
+              named_struct('seq', 0L, 'op', 'I', 'cents', cents),
+              null),
+            if(b < 50,
+              named_struct('seq', 1L, 'op', 'U',
+                'cents', cents + cents div 20), null),
+            if(b >= 80,
+              named_struct('seq', 1L, 'op', 'I', 'cents', cents),
+              null),
+            if(b >= 40 and b < 50,
+              named_struct('seq', 2L, 'op', 'D', 'cents', 0L), null),
+            if(b >= 45 and b < 50,
+              named_struct('seq', 3L, 'op', 'I', 'cents', cents + 7L),
+              null),
+            if(b < 10,
+              named_struct('seq', 3L, 'op', 'U',
+                'cents', cents div 2), null)),
+            x -> x IS NOT NULL)""")).as("c"))
+        .select(col("k"), col("c.seq").as("seq"), col("c.op").as("op"),
+          col("status"), col("c.cents").as("cents"))
       Cdc.mergeLatest(log, Seq("k"), "seq", "op")
         .groupBy(col("status"), col("last_seq"))
         .agg(count(lit(1)).as("n"),
