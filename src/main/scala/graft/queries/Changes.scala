@@ -294,18 +294,27 @@ object Changes {
             .when(col("ca") =!= col("cb"), lit("U")).as("op"),
           coalesce(col("cb"), lit(0L)).as("cents"))
         .filter(col("op").isNotNull)
+        // consumed by the log AND the digest — materialize once
+        .localCheckpoint(true)
       val log = snapA.select(col("k"), lit(0L).as("seq"),
           lit("I").as("op"), col("cents"))
         .unionByName(diff.select(col("k"), lit(1L).as("seq"),
           col("op"), col("cents")))
       val reapplied = Cdc.mergeLatest(log, Seq("k"), "seq", "op")
         .select(col("k"), col("cents"))
-      val missing = snapB.exceptAll(reapplied).count()
-      val extra = reapplied.exceptAll(snapB).count()
+      // keys are unique per snapshot, so the symmetric difference is
+      // one keyed full-outer compare — a single job, not two
+      // exceptAll shuffles
+      val bad = snapB.select(col("k"), col("cents").as("cb"))
+        .join(reapplied.select(col("k"), col("cents").as("cr")),
+          Seq("k"), "full_outer")
+        .filter(col("cb").isNull || col("cr").isNull ||
+          col("cb") =!= col("cr"))
+        .count()
       diff.groupBy(col("op"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
           sum(col("k")).as("sum_key"))
-        .withColumn("roundtrip_ok", lit(missing == 0 && extra == 0))
+        .withColumn("roundtrip_ok", lit(bad == 0L))
         .orderBy(col("op"))
     },
     Some(s"""
