@@ -48,9 +48,12 @@ object Importance {
       buckets: Int = 256): DataFrame = {
     require(buckets > 0 && buckets <= 256,
       "buckets must fit one md5 byte")
-    val toks = TextOps.tokens(col(textCol))
+    // space-joined bigrams through the native ShingleNGrams kernel
+    // (the interpreted HOF gram chain dominated this query's
+    // profile, same as every shingle query before the kernel)
     val grams = docs.select(col(idCol), col(targetCol).as("tgt"),
-      explode(TextOps.grams(toks, 2)).as("g"))
+      explode(call_function("shingles",
+        TextOps.tokens(col(textCol)), lit(2), lit(false))).as("g"))
     val docB = grams
       .groupBy(col(idCol),
         (conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int")

@@ -51,7 +51,10 @@ object Curation2 {
         FROM documents),
       g AS (
         SELECT doc_id, tgt,
-               unnest(${Signals.gramsSql("t", 2)}) AS g
+               unnest(list_transform(
+                 list_filter(list_zip(t, t[2:]),
+                   p -> p[2] IS NOT NULL),
+                 p -> p[1] || ' ' || p[2])) AS g
         FROM toks),
       docb AS (
         SELECT doc_id, tgt, ${md5ByteSql("g")} AS b,
