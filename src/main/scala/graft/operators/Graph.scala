@@ -91,7 +91,11 @@ object Graph {
         .join(visited.select(col("id")), Seq("id"), "left_anti")
         .withColumn("hop", lit(h))
         .localCheckpoint(true)
-      visited = visited.unionByName(frontier).localCheckpoint(true)
+      // visited stays a lazy union of the CHECKPOINTED frontiers —
+      // every leg is already materialized, so no recomputation and
+      // no extra materialization job per level (lineage depth is
+      // bounded by maxHops)
+      visited = visited.unionByName(frontier)
     }
     visited
   }

@@ -85,6 +85,42 @@ class EmptyInputSpec extends SparkSpec {
     assert(out.columns.contains("sum_value") && out.columns.contains("n"))
   }
 
+  test("r8 linkage/change operators on empty frames") {
+    val chg = Seq.empty[(Long, Long, String, Long)]
+      .toDF("k", "seq", "op", "v")
+    assert(Cdc.mergeLatest(chg, Seq("k"), "seq", "op").count() == 0L)
+    val ev = Seq.empty[(Long, Long, Timestamp, String, Double)]
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    assert(Attribution.credits(ev, "user_id", "event_id", "ts",
+      "event_type", "value", "purchase", Seq("click"),
+      1000000L).count() == 0L)
+    val recs = Seq.empty[(Long, String)].toDF("rec_id", "name")
+    assert(EntityRes.resolve(recs, "rec_id", "name", 4, 2)
+      .count() == 0L)
+    val pts = Seq.empty[(Long, Long, Long)].toDF("id", "x", "y")
+    assert(Geo.proximityPairs(pts, "id", "x", "y", 64L, 3600L)
+      .count() == 0L)
+  }
+
+  test("r8 curation/graph operators on empty frames") {
+    val docs = Seq.empty[(Long, String, Boolean)]
+      .toDF("doc_id", "text", "tgt")
+    assert(Importance.hashedNgramWeights(docs, "doc_id", "text",
+      "tgt").count() == 0L)
+    val emb = Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    assert(Sq8.searchTopK(emb, emb, "vec_id", "embedding",
+      m = 5, k = 3).count() == 0L)
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val srcs = Seq.empty[Long].toDF("id")
+    assert(Graph.bfsHops(edges, "a", "b", srcs, "id", 3)
+      .count() == 0L)
+    // sources but no edges: hop-0 singletons survive
+    val s2 = Seq(7L).toDF("id")
+    assert(Graph.bfsHops(edges, "a", "b", s2, "id", 3)
+      .count() == 1L)
+  }
+
   test("as-of join with an empty quote side leaves payload null, keeps left rows") {
     val trades = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:01")))
       .toDF("sym", "ts")
