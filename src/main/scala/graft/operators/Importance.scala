@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Hashed n-gram importance weighting for data selection — the
@@ -64,13 +64,18 @@ object Importance {
         sum(when(col("tgt"), col("c")).otherwise(0L)).as("t_b"))
     val totals = bucketTab.agg(sum(col("r_b")).as("rr"),
       sum(col("t_b")).as("tt"))
+    // ratio operands in decimal: t_b·rr products of a web-scale
+    // corpus (~1e10 · ~1e12) wrap a long silently in non-ANSI
+    // Spark — the oracle multiplies in HUGEINT, so must we
+    def dec(c: Column) = c.cast("decimal(38,0)")
     val rho = bucketTab.crossJoin(broadcast(totals))
       .select(col("b"),
         floor(
-          ((col("t_b") + lit(1L)) * (col("rr") + lit(buckets.toLong)))
-            .cast("double") /
-          ((col("r_b") + lit(1L)) * (col("tt") + lit(buckets.toLong)))
-            .cast("double") * lit(1e9) + lit(0.5))
+          (dec(col("t_b") + lit(1L)) *
+            dec(col("rr") + lit(buckets.toLong))).cast("double") /
+          (dec(col("r_b") + lit(1L)) *
+            dec(col("tt") + lit(buckets.toLong))).cast("double") *
+          lit(1e9) + lit(0.5))
           .cast("long").as("rho_nano"))
     docB.join(broadcast(rho), Seq("b"))
       .groupBy(col(idCol))

@@ -179,11 +179,14 @@ object Changes {
 
   /** q164 — pooled lag-k serial correlation (k = 1..3): Pearson r
     * over the within-user lag pairs of cent-snapped values, pooled
-    * per event_type. Moments are exact integer sums (widened to
-    * decimal(38,0) before the closing products so no scale can
-    * overflow); the only float ops are the final casts, two IEEE
-    * sqrts (correctly rounded by the standard), and one division —
-    * then r6 snapping. Lag pairs never span users, so the window
+    * per event_type. Moments ACCUMULATE in decimal(20,0) (per-row
+    * cent products fit a long, but the sums would wrap a long past
+    * ~8e9 rows/group — the oracle sums in HUGEINT) and widen to
+    * decimal(38,0) for the closing products; the only float ops are
+    * the final casts, two IEEE sqrts (correctly rounded by the
+    * standard), and one division — then r6 snapping. Zero-variance
+    * groups emit NULL on both engines (Spark 0/0 is NaN, DuckDB
+    * division by zero is NULL — guarded explicitly). Lag pairs never span users, so the window
     * partitions on (event_type, user_id) — per-key sorts, no global
     * ordering, and the (type,k) rollup is partial-aggregable. */
   val q164 = Qry(
@@ -204,19 +207,28 @@ object Changes {
         .selectExpr("event_type", "v",
           "stack(3, 1, y1, 2, y2, 3, y3) AS (k, y)")
         .filter(col("y").isNotNull)
+      // per-row products can't overflow (cents² ≤ ~1.1e9) but the
+      // SUMS can past ~8e9 rows/group — accumulate in decimal like
+      // the oracle's HUGEINT, not in wrapping longs
+      def dsum20(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(20,0)"))
       val m = lagged.groupBy(col("event_type"), col("k"))
         .agg(count(lit(1)).as("n"),
-          sum(col("v")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("v") * col("y")).as("sxy"),
-          sum(col("v") * col("v")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
+          dsum20(col("v")).as("sx"), dsum20(col("y")).as("sy"),
+          dsum20(col("v") * col("y")).as("sxy"),
+          dsum20(col("v") * col("v")).as("sxx"),
+          dsum20(col("y") * col("y")).as("syy"))
+      val vx = (dec(col("n")) * dec(col("sxx")) -
+        dec(col("sx")) * dec(col("sx"))).cast("double")
+      val vy = (dec(col("n")) * dec(col("syy")) -
+        dec(col("sy")) * dec(col("sy"))).cast("double")
       m.select(col("event_type"), col("k"), col("n").as("n_pairs"),
-          r6((dec(col("n")) * dec(col("sxy")) -
-              dec(col("sx")) * dec(col("sy"))).cast("double") /
-            (sqrt((dec(col("n")) * dec(col("sxx")) -
-                dec(col("sx")) * dec(col("sx"))).cast("double")) *
-             sqrt((dec(col("n")) * dec(col("syy")) -
-                dec(col("sy")) * dec(col("sy"))).cast("double"))))
+          // zero-variance guard: Spark double 0/0 is NaN but DuckDB
+          // division by zero is NULL — emit NULL on both engines
+          when(vx === 0d || vy === 0d, lit(null))
+            .otherwise(r6((dec(col("n")) * dec(col("sxy")) -
+                dec(col("sx")) * dec(col("sy"))).cast("double") /
+              (sqrt(vx) * sqrt(vy))))
             .as("autocorr"))
         .orderBy(col("event_type"), col("k"))
     },

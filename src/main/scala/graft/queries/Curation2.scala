@@ -72,8 +72,9 @@ object Curation2 {
       rho AS (
         SELECT b,
                CAST(floor(
-                 CAST((t_b + 1) * (rr + $B) AS DOUBLE) /
-                 CAST((r_b + 1) * (tt + $B) AS DOUBLE) * 1e9 + 0.5)
+                 CAST(CAST(t_b + 1 AS HUGEINT) * (rr + $B) AS DOUBLE) /
+                 CAST(CAST(r_b + 1 AS HUGEINT) * (tt + $B) AS DOUBLE)
+                 * 1e9 + 0.5)
                  AS BIGINT) AS rho_nano
         FROM bt, tot),
       sc AS (

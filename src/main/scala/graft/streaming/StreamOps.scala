@@ -672,13 +672,14 @@ object StreamOps {
     import org.apache.hadoop.fs.Path
     import graft.operators.Cdc
     val spark = batch.sparkSession
-    val merged0 = Cdc.mergeLatest(
-      batch.localCheckpoint(true), keyCols, seqCol, opCol,
-      keepTombstones = true)
     val dst = new Path(snapshotDir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (!fs.exists(dst)) merged0
+      if (!fs.exists(dst))
+        // first trigger only — later triggers must not pay a
+        // checkpoint job for a frame they discard
+        Cdc.mergeLatest(batch.localCheckpoint(true), keyCols, seqCol,
+          opCol, keepTombstones = true)
       else {
         // prior snapshot re-enters the merge as its own change log
         val prev = spark.read.parquet(snapshotDir)
