@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Qry, Tables}
 import graft.operators.{Importance, Sq8}
+import Q._
 
 /** Second curation wave: DSIR-style importance weighting for data
   * selection (q166) and int8 scalar-quantized similarity search with
@@ -237,5 +238,81 @@ object Curation2 {
       UNION ALL SELECT * FROM negrows
       ORDER BY a_id, role, j"""))
 
-  val all: Seq[Qry] = Seq(q166, q167, q173)
+  /** q177 — per-dimension embedding statistics (the feature-
+    * engineering / drift-audit pass before standardization or
+    * quantizer training): mean, standard deviation, and 3σ outlier
+    * count for each of the 64 dimensions. Element values snap to 7
+    * decimals and SUM exactly in decimal (the q137-oracle contract);
+    * variance closes in mirrored double arithmetic (DuckDB errors on
+    * decimal widths past 38, so the exact sums cast to double for
+    * the closing products); the outlier test squares instead of
+    * sqrt-ing: (x−μ)² > 9σ² — one fewer float op to mirror.
+    *
+    * Scale shape: one partial-aggregable (dim) rollup of the
+    * exploded elements (64 rows out of any corpus), then a broadcast
+    * of the 64-row stats back over a second scan for the outlier
+    * count. */
+  val q177 = Qry(
+    "q177_embedding_dim_stats",
+    (s: SparkSession, d: String) => {
+      val elems = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("j", "x0")))
+        .select(col("j"),
+          round(col("x0").cast("double"), 7).as("x"))
+      val stats = elems.groupBy(col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(27,7)")).as("sx"),
+          sum((col("x") * col("x")).cast("decimal(27,14)"))
+            .as("sxx"))
+      val nd = col("n").cast("double")
+      val sxd = col("sx").cast("double")
+      val sxxd = col("sxx").cast("double")
+      val mv = stats.select(col("j"), col("n"),
+        (sxd / nd).as("mean"),
+        (((nd * sxxd) - (sxd * sxd)) / (nd * nd)).as("vr"))
+      val outl = elems.join(broadcast(mv), Seq("j"))
+        .groupBy(col("j"))
+        .agg(sum(when(
+          (col("x") - col("mean")) * (col("x") - col("mean")) >
+            lit(9d) * col("vr"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      mv.join(outl, Seq("j"))
+        // r6 on a possibly-negative mean is still cross-engine safe:
+        // it is the identical IEEE op sequence on both sides (the
+        // helper's non-negative note is about round()-tie semantics)
+        .select(col("j"), col("n"), r6(col("mean")).as("mean"),
+          r6(sqrt(col("vr"))).as("std"), col("n_outliers"))
+        .orderBy(col("j"))
+    },
+    Some(s"""
+      WITH elems AS (
+        SELECT u.pos[2] AS j,
+               ROUND(CAST(u.pos[1] AS DOUBLE), 7) AS x
+        FROM embeddings,
+             unnest(list_zip(embedding, range(0, 64))) AS u(pos)),
+      stats AS (
+        SELECT j, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS DECIMAL(27,7))) AS sx,
+               SUM(CAST(x * x AS DECIMAL(27,14))) AS sxx
+        FROM elems GROUP BY j),
+      mv AS (
+        SELECT j, n,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) -
+                (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) /
+               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vr
+        FROM stats),
+      outl AS (
+        SELECT e.j,
+               CAST(SUM(CASE WHEN (e.x - mv.mean) * (e.x - mv.mean)
+                 > 9 * mv.vr THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers
+        FROM elems e JOIN mv ON mv.j = e.j
+        GROUP BY e.j)
+      SELECT mv.j, mv.n, ${r6Sql("mv.mean")} AS mean,
+             ${r6Sql("sqrt(mv.vr)")} AS std, o.n_outliers
+      FROM mv JOIN outl o ON o.j = mv.j
+      ORDER BY mv.j"""))
+
+  val all: Seq[Qry] = Seq(q166, q167, q173, q177)
 }

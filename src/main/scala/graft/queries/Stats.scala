@@ -528,6 +528,85 @@ object Stats {
       CROSS JOIN n
       ORDER BY lift_nano DESC, r.a, r.b LIMIT 30"""))
 
+  /** q176 — item-item collaborative-filtering neighbors: per-item
+    * top-3 by binary-vector cosine c_ab / (√c_a·√c_b) over the
+    * basket co-occurrence counts (the "customers who bought X also
+    * bought Y" kernel). Distinct shape from q174's global lift cut:
+    * a per-key ranking window over the similarity graph, restricted
+    * to items appearing in ≥ 8 baskets so the neighborhoods are
+    * supported. All inputs exact integers; cosine = one cast, two
+    * correctly-rounded sqrts, one division, r6-snapped; rank ties
+    * break on the neighbor id.
+    *
+    * Scale shape: the pair graph comes from the bounded basket
+    * expansion (q90 path); the per-item window partitions on the
+    * item key — no global sort; the c_a/c_b lookups are broadcast-
+    * size joins of the item-count relation. */
+  val q176 = Qry(
+    "q176_item_neighbors",
+    (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val items = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val pairs = graft.operators.Graph.coOccurrencePairs(
+          li, "ok", "pk")
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c_ab"))
+      val sym = pairs.select(col("src").as("a"), col("dst").as("b"),
+          col("c_ab"))
+        .unionByName(pairs.select(col("dst").as("a"),
+          col("src").as("b"), col("c_ab")))
+      val w = Window.partitionBy(col("a"))
+        .orderBy(col("sim").desc, col("b"))
+      sym
+        .join(items.select(col("pk").as("a"), col("c").as("c_a")),
+          Seq("a"))
+        .join(items.select(col("pk").as("b"), col("c").as("c_b")),
+          Seq("b"))
+        .filter(col("c_a") >= 8 && col("c_b") >= 8)
+        // deterministic 5% md5 bucket of source items keeps the
+        // neighbor listing digest-sized at any sf
+        .filter(graft.operators.Splits.hashBucket(col("a")) < 5)
+        .withColumn("sim",
+          r6(col("c_ab").cast("double") /
+            (sqrt(col("c_a").cast("double")) *
+             sqrt(col("c_b").cast("double")))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("a").as("item"), col("rank"),
+          col("b").as("neighbor"), col("c_ab"), col("sim"))
+        .orderBy(col("item"), col("rank"))
+    },
+    Some(s"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem),
+      items AS (SELECT pk, COUNT(*) AS c FROM li GROUP BY pk),
+      p AS (
+        SELECT a.pk AS src, b.pk AS dst, COUNT(*) AS c_ab
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk),
+      sym AS (
+        SELECT src AS a, dst AS b, c_ab FROM p
+        UNION ALL SELECT dst, src, c_ab FROM p),
+      scored AS (
+        SELECT s.a, s.b, s.c_ab,
+               ${r6Sql("""CAST(s.c_ab AS DOUBLE) /
+                 (sqrt(CAST(ia.c AS DOUBLE)) *
+                  sqrt(CAST(ib.c AS DOUBLE)))""")} AS sim
+        FROM sym s
+        JOIN items ia ON ia.pk = s.a
+        JOIN items ib ON ib.pk = s.b
+        WHERE ia.c >= 8 AND ib.c >= 8
+          AND ${bucketSql("s.a")} < 5),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+          ORDER BY sim DESC, b) AS rank
+        FROM scored)
+      SELECT a AS item, rank, b AS neighbor, c_ab, sim
+      FROM rk WHERE rank <= 3 ORDER BY item, rank"""))
+
   val all: Seq[Qry] =
-    Seq(q88, q89, q90, q92, q93, q101, q170, q174)
+    Seq(q88, q89, q90, q92, q93, q101, q170, q174, q176)
 }
