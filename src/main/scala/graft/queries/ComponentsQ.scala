@@ -511,5 +511,61 @@ object ComponentsQ {
       FROM nodes n LEFT JOIN hops h ON h.id = n.id
       GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[Qry] = Seq(q61, q94, q100, q103, q118, q130, q171)
+  /** q178 — bounded weighted shortest paths ([[Graph
+    * .boundedShortestPaths]]): Bellman-Ford over the q171 sparse
+    * basket graph with symmetric deterministic integer edge costs
+    * (pmod((src+dst)·31 + src·dst, 97) + 1 — varied, engine-exact),
+    * 4 relaxation rounds from parts 0-4; digest buckets vertices by
+    * cost band with id sums pinning membership. The oracle re-walks
+    * with a hop-bounded recursive CTE and MIN(cost) — weighted
+    * min-cost ≠ min-hop, so this exercises what q171 cannot: a
+    * longer-hop path beating a shorter one on cost. */
+  val q178 = Qry(
+    "q178_shortest_paths",
+    (s: SparkSession, d: String) => {
+      import graft.operators.Splits
+      val li = Tables.lineitem(s, d)
+        .filter(Splits.hashBucket(col("l_orderkey")) < 15 &&
+          col("l_linenumber") <= 3)
+      val edges = Graph.coOccurrencePairs(li, "l_orderkey",
+          "l_partkey")
+        .select(col("src"), col("dst")).distinct()
+        .withColumn("w",
+          pmod((col("src") + col("dst")) * 31 +
+            col("src") * col("dst"), lit(97)) + lit(1L))
+      val sources = Tables.part(s, d)
+        .filter(col("p_partkey") < 5).select(col("p_partkey"))
+      Graph.boundedShortestPaths(edges, "src", "dst", "w",
+          sources, "p_partkey", maxEdges = 4)
+        .groupBy(expr("d div 50").as("cost_band"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+        .orderBy(col("cost_band"))
+    },
+    Some(s"""
+      WITH RECURSIVE li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        WHERE ${Q.bucketSql("l_orderkey")} < 15
+          AND l_linenumber <= 3),
+      e0 AS (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      ew AS (
+        SELECT src, dst,
+               ((src + dst) * 31 + src * dst) % 97 + 1 AS w
+        FROM e0),
+      src AS (SELECT p_partkey AS id FROM part WHERE p_partkey < 5),
+      walk AS (
+        SELECT id, CAST(0 AS BIGINT) AS d, 0 AS hop FROM src
+        UNION
+        SELECT e.dst, w.d + e.w, w.hop + 1
+        FROM walk w JOIN ew e ON e.src = w.id WHERE w.hop < 4),
+      dist AS (SELECT id, MIN(d) AS d FROM walk GROUP BY id)
+      SELECT d // 50 AS cost_band, COUNT(*) AS n,
+             CAST(SUM(id) AS BIGINT) AS sum_id,
+             MIN(d) AS min_d, MAX(d) AS max_d
+      FROM dist GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Qry] =
+    Seq(q61, q94, q100, q103, q118, q130, q171, q178)
 }

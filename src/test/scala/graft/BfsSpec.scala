@@ -42,4 +42,28 @@ class BfsSpec extends SparkSpec {
     val h = hops(Seq(12L), 10)
     assert(h === Map(12L -> 0, 10L -> 1, 11L -> 1))
   }
+
+  private def sp(we: Seq[(Long, Long, Long)], srcs: Seq[Long],
+      maxEdges: Int) =
+    Graph.boundedShortestPaths(we.toDF("a", "b", "w"), "a", "b", "w",
+      srcs.toDF("id"), "id", maxEdges)
+      .as[(Long, Long)].collect().toMap
+
+  test("weighted: a longer-hop cheap path beats the direct edge") {
+    // 1→3 direct costs 100; 1→2→3 costs 1+1=2
+    val d = sp(Seq((1L, 3L, 100L), (1L, 2L, 1L), (2L, 3L, 1L)),
+      Seq(1L), 4)
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("weighted: the edge bound can force the expensive route") {
+    val d = sp(Seq((1L, 3L, 100L), (1L, 2L, 1L), (2L, 3L, 1L)),
+      Seq(1L), 1)
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 100L))
+  }
+
+  test("weighted: multi-source takes the cheaper origin") {
+    val d = sp(Seq((1L, 2L, 10L), (3L, 2L, 1L)), Seq(1L, 3L), 4)
+    assert(d(2L) === 1L)
+  }
 }

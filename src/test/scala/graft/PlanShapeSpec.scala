@@ -402,6 +402,19 @@ class PlanShapeSpec extends SparkSpec {
       s"q168 planned the quadratic theta-join:\n$p")
   }
 
+  test("q174: global lift cut is a TakeOrdered, not a full sort") {
+    val p = planAtScaleStats("q174_association_rules")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q174 top-30 planned as a global sort:\n$p")
+  }
+
+  test("q176: neighbor ranking never plans a cartesian product") {
+    val p = planAtScaleStats("q176_item_neighbors")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q176 similarity graph fell off the equi-join path:\n$p")
+  }
+
   test("no unexpected cartesian products across the whole query surface") {
     // Deliberate bounded cross joins (documented quadratic baselines
     // over bounded subsets): q30 brute-force Jaccard, q34 embedding
