@@ -1,13 +1,37 @@
 package graft
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.SparkSession
 
 /** Bench harness: times every SparkEntry.queries entry on
   * SPARK_GRAFT_SF_DIR and prints one JSON line. A noop-format write
   * forces full materialization of every column (a bare count() would
   * let Catalyst prune the projections away and flatter the numbers).
+  *
+  * Output contract:
+  *   - stdout: one JSON line with THIS run's per-query minima (the
+  *     driver captures this into BENCH_r{N}.json).
+  *   - SPARK_GRAFT_BENCH_RUN_OUT (default BENCH_last_run.json): the
+  *     complete raw artifact for this run (every rep + the 1-minute
+  *     system load average sampled at each rep start, so a future
+  *     merge can discard reps taken on a hot box).
+  *   - SPARK_GRAFT_BENCH_OUT (default BENCH_FULL.json): the pooled
+  *     minima artifact. MERGED, never overwritten: new reps are
+  *     folded into the existing per-query pools and minima/total are
+  *     recomputed over the union of queries. Single-run totals on a
+  *     shared box are not comparable (contention spikes of 2-7x move
+  *     between queries run to run — BASELINE.md); the per-query
+  *     minimum across the pool is the stable statistic. A pool for a
+  *     different sf dir is left untouched (the run lands in a
+  *     side-by-side sf-suffixed pool instead).
   */
 object Bench {
+  private val mapper = new ObjectMapper()
+  private def r4(v: Double) = math.round(v * 10000) / 10000.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,39 +80,117 @@ object Bench {
     // intrinsic cost under machine contention noise (mean/max fold
     // scheduler jitter into the number).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val results = picked.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val timed = (1 to reps).map { _ =>
+        val load = os.getSystemLoadAverage // 1-min avg at rep start
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, load)
       }
       // progress to stderr so long runs are monitorable mid-flight
       System.err.println(
-        s"[bench] $name ${times.map(t => f"$t%.2f").mkString("/")} s")
-      name -> times
+        s"[bench] $name ${timed.map(t => f"${t._1}%.2f").mkString("/")} s" +
+          f" (load ${timed.head._2}%.1f)")
+      (name, timed.map(_._1), timed.map(_._2))
     }
-    def r(v: Double) = math.round(v * 10000) / 10000.0
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r(v.min) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r4(v.min) }
       .mkString("{", ",", "}")
-    val total = r(results.map(_._2.min).sum)
+    val total = r4(results.map(_._2.min).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // The driver captures only a bounded tail of stdout, which has
-    // truncated per-query numbers in past rounds — so ALSO persist
-    // the complete artifact (every rep, min, median, total) to a
-    // stable file that gets committed with the round.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    val full = results.map { case (k, v) =>
-      val sorted = v.sorted
-      val med = if (reps % 2 == 1) sorted(reps / 2)
-        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2
-      s""""$k":{"reps":[${v.map(r).mkString(",")}],"min":${r(v.min)},"median":${r(med)}}"""
-    }.mkString(",\n  ")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"queries":{\n  $full\n}}\n""")
+
+    // Raw single-run artifact (complete reps + loads; survives driver
+    // stdout truncation, lets a merge audit box contention per rep).
+    val runJson = {
+      val root = mapper.createObjectNode()
+      root.put("metric", "total").put("unit", "sec").put("sf", sfDir)
+      root.put("reps", reps).put("value", total)
+      val qn = root.putObject("queries")
+      results.foreach { case (k, times, loads) =>
+        val q = qn.putObject(k)
+        val ra = q.putArray("reps");  times.foreach(t => ra.add(r4(t)))
+        val la = q.putArray("loads"); loads.foreach(l => la.add(r4(l)))
+        q.put("min", r4(times.min))
+      }
+      root
+    }
+    val runPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUN_OUT", "BENCH_last_run.json")
+    Files.write(Paths.get(runPath),
+      (mapper.writerWithDefaultPrettyPrinter().writeValueAsString(runJson) + "\n")
         .getBytes("UTF-8"))
+
+    // Merge-by-default into the pooled-minima artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    mergeInto(outPath, sfDir, runJson)
     spark.stop()
+  }
+
+  /** Fold a run's reps into the pooled artifact at `outPath`.
+    *
+    * Pools are per-sf: if the existing pool was taken at a different
+    * sf dir, it is left untouched and the run is folded into
+    * `<outPath minus .json>_<sfName>.json` instead — a bench run must
+    * never destroy a pool it isn't comparable with. A corrupt/
+    * unreadable pool is set aside as `<outPath>.bak` rather than
+    * merged into. `loads` pools can be shorter than `reps` pools:
+    * loads were introduced later and align with the TAIL of the reps
+    * array (reps and loads are always appended in lockstep).
+    */
+  private[graft] def mergeInto(outPath: String, sfDir: String, run: ObjectNode): Unit = {
+    val target = Paths.get(outPath)
+    val prevOpt: Option[ObjectNode] =
+      if (!Files.exists(target)) None
+      else try Some(mapper.readTree(Files.readAllBytes(target)).asInstanceOf[ObjectNode])
+      catch { case e: Exception =>
+        val bak = Paths.get(outPath + ".bak")
+        System.err.println(s"[bench] $outPath unreadable (${e.getMessage}); moved to $bak")
+        Files.move(target, bak, StandardCopyOption.REPLACE_EXISTING)
+        None
+      }
+    prevOpt match {
+      case Some(prev) if prev.path("sf").asText() != sfDir =>
+        val sfName = Paths.get(sfDir).getFileName.toString
+        val side = outPath.stripSuffix(".json") + s"_$sfName.json"
+        System.err.println(
+          s"[bench] $outPath holds a pool for ${prev.path("sf").asText()}; " +
+            s"folding this $sfDir run into $side instead")
+        mergeInto(side, sfDir, run)
+      case _ =>
+        val merged = mapper.createObjectNode()
+        merged.put("metric", "total").put("unit", "sec").put("sf", sfDir)
+        merged.put("runs", prevOpt.map(_.path("runs").asInt(1)).getOrElse(0) + 1)
+        val qn = merged.putObject("queries")
+        val prevQ = prevOpt.map(_.path("queries"))
+        val names = scala.collection.mutable.LinkedHashSet[String]()
+        prevQ.foreach(p => p.fieldNames().forEachRemaining(n => names += n))
+        run.path("queries").fieldNames().forEachRemaining(n => names += n)
+        var total = 0.0
+        names.toSeq.sorted.foreach { name =>
+          val q = qn.putObject(name)
+          val reps = q.putArray("reps")
+          val loads = q.putArray("loads")
+          var mn = Double.MaxValue
+          prevQ.map(_.path(name)).filter(_.isObject).foreach { p =>
+            p.path("reps").forEach { t => reps.add(t.asDouble); mn = math.min(mn, t.asDouble) }
+            p.path("loads").forEach(l => loads.add(l.asDouble))
+          }
+          val cur = run.path("queries").path(name)
+          if (cur.isObject) {
+            cur.path("reps").forEach { t => reps.add(t.asDouble); mn = math.min(mn, t.asDouble) }
+            cur.path("loads").forEach(l => loads.add(l.asDouble))
+          }
+          q.put("min", r4(mn))
+          total += mn
+        }
+        merged.put("value", r4(total))
+        Files.write(target,
+          (mapper.writerWithDefaultPrettyPrinter().writeValueAsString(merged) + "\n")
+            .getBytes("UTF-8"))
+        System.err.println(s"[bench] merged into $outPath: " +
+          s"total ${r4(total)} s over ${names.size} queries, runs=${merged.path("runs").asInt}")
+    }
   }
 }

@@ -30,8 +30,19 @@ object Geo {
 
   /** All unordered point pairs with squared distance ≤ `r2`.
     *
+    * Coordinate contract: NON-NEGATIVE coordinates. Cell assignment
+    * uses SQL `div`, which truncates toward zero — with negative
+    * coordinates cell 0 would span (-cellSize, cellSize), twice the
+    * width of every other cell. Pair coverage and once-only emission
+    * would still hold (the 3×3 neighborhood and the unique-offset
+    * argument don't depend on uniform cell width), but the origin
+    * cell would carry double density (skew) and cell ids would
+    * diverge from a floor-division mirror. Shift negative ranges
+    * into the positive quadrant before calling (all current callers
+    * feed md5-derived non-negative grids).
+    *
     * @param points `idCol` unique long, `xCol`/`yCol` integer (long)
-    *               coordinates
+    *               coordinates, ≥ 0 per the contract above
     * @param cellSize grid cell side; MUST satisfy cellSize² ≥ r2
     * @return (a, b, ax, ay, bx, by, d2) with a < b
     */

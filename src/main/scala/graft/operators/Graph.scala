@@ -51,6 +51,73 @@ object Graph {
       .agg(collect_set(col("i")).as("ps"))
       .filter(size(col("ps")) > 1)
 
+  /** Bounded multi-source WEIGHTED shortest paths: min path cost
+    * from any source using at most `maxEdges` edges — distributed
+    * Bellman-Ford relaxation, the weighted upgrade of [[bfsHops]]
+    * (and what Pregel-style engines run as their hello-world).
+    * Up to `maxEdges` synchronous rounds; each round relaxes every
+    * edge out of the current label set with one equi-join and folds
+    * with a partial-aggregable min — no per-vertex driver state.
+    * Converged rounds stop early: labels are monotone (the set only
+    * grows, each label only decreases), so an unchanged
+    * (count, sum(d)) signature means every later round is a no-op
+    * and the result is identical to running all `maxEdges` rounds —
+    * on a sparse graph most rounds past the diameter are no-ops.
+    * The signature is one cheap partial-aggregable action over the
+    * already-checkpointed label frame. Costs are caller-supplied
+    * integers, so labels are exact on any engine.
+    *
+    * @param edges undirected weighted edges (aCol, bCol, wCol ≥ 0)
+    * @return (id, d): min cost over paths of ≤ maxEdges edges;
+    *         unreachable vertices absent
+    */
+  def boundedShortestPaths(edges: DataFrame, aCol: String,
+      bCol: String, wCol: String, sources: DataFrame, srcCol: String,
+      maxEdges: Int): DataFrame =
+    boundedShortestPathsWithRounds(edges, aCol, bCol, wCol, sources,
+      srcCol, maxEdges)._1
+
+  /** [[boundedShortestPaths]] plus the number of relaxation rounds
+    * actually executed — the observable for the convergence early
+    * exit (a diameter-3 graph under maxEdges=50 runs 4 rounds, not
+    * 50). Separate method so the query path keeps the plain
+    * DataFrame shape. */
+  def boundedShortestPathsWithRounds(edges: DataFrame, aCol: String,
+      bCol: String, wCol: String, sources: DataFrame, srcCol: String,
+      maxEdges: Int): (DataFrame, Int) = {
+    require(maxEdges >= 0, s"maxEdges must be >= 0: $maxEdges")
+    val sym = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"),
+        col(wCol).as("w"))
+      .unionByName(edges.select(col(bCol).as("src"),
+        col(aCol).as("dst"), col(wCol).as("w")))
+      .distinct()
+      .localCheckpoint(true)
+    var dist = sources.select(col(srcCol).as("id")).distinct()
+      .withColumn("d", lit(0L))
+      .localCheckpoint(true)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(col("id")), sum(col("d"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(dist)
+    var round = 0
+    var converged = false
+    while (round < maxEdges && !converged) {
+      round += 1
+      val relaxed = sym
+        .join(dist.select(col("id").as("src"), col("d")), Seq("src"))
+        .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      val next = signature(dist)
+      converged = next == sig
+      sig = next
+    }
+    (dist, round)
+  }
+
   /** Multi-source BFS hop distance, bounded at `maxHops`: label each
     * reachable vertex with its minimum hop count from any source.
     * The iterative-frontier graph primitive (level-synchronous BFS)
@@ -69,48 +136,6 @@ object Graph {
     * @param sources frame whose `srcCol` are the hop-0 vertices
     * @return (id, hop) for every vertex within `maxHops` of a source
     */
-  /** Bounded multi-source WEIGHTED shortest paths: min path cost
-    * from any source using at most `maxEdges` edges — distributed
-    * Bellman-Ford relaxation, the weighted upgrade of [[bfsHops]]
-    * (and what Pregel-style engines run as their hello-world).
-    * Exactly `maxEdges` synchronous rounds; each round relaxes every
-    * edge out of the current label set with one equi-join and folds
-    * with a partial-aggregable min — no per-vertex driver state, no
-    * early exit (fixed rounds keep the plan deterministic and the
-    * round count data-independent). Costs are caller-supplied
-    * integers, so labels are exact on any engine.
-    *
-    * @param edges undirected weighted edges (aCol, bCol, wCol ≥ 0)
-    * @return (id, d): min cost over paths of ≤ maxEdges edges;
-    *         unreachable vertices absent
-    */
-  def boundedShortestPaths(edges: DataFrame, aCol: String,
-      bCol: String, wCol: String, sources: DataFrame, srcCol: String,
-      maxEdges: Int): DataFrame = {
-    require(maxEdges >= 0, s"maxEdges must be >= 0: $maxEdges")
-    val sym = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"),
-        col(wCol).as("w"))
-      .unionByName(edges.select(col(bCol).as("src"),
-        col(aCol).as("dst"), col(wCol).as("w")))
-      .distinct()
-      .localCheckpoint(true)
-    var dist = sources.select(col(srcCol).as("id")).distinct()
-      .withColumn("d", lit(0L))
-      .localCheckpoint(true)
-    var round = 0
-    while (round < maxEdges) {
-      round += 1
-      val relaxed = sym
-        .join(dist.select(col("id").as("src"), col("d")), Seq("src"))
-        .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("id")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
-    }
-    dist
-  }
-
   def bfsHops(edges: DataFrame, aCol: String, bCol: String,
       sources: DataFrame, srcCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")

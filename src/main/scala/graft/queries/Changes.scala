@@ -263,8 +263,8 @@ object Changes {
         FROM pairs GROUP BY event_type, k)
       SELECT event_type, k, CAST(n AS BIGINT) AS n_pairs,
              ${r6Sql("""CAST(n * sxy - sx * sy AS DOUBLE) /
-               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-                sqrt(CAST(n * syy - sy * sy AS DOUBLE)))""")}
+               NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                      sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0)""")}
                AS autocorr
       FROM m ORDER BY event_type, k"""))
 

@@ -656,7 +656,11 @@ object StreamOps {
     * never by arrival time. The rewritten snapshot lands in a
     * sibling directory and swaps in via two renames (the
     * [[compactAdmissionIndex]] protocol), so a concurrent reader
-    * never sees a partial table.
+    * never sees a half-written table — though between the two
+    * renames there is a brief window with no directory at the main
+    * path, where a read can transiently fail ([[cdcSnapshot]] falls
+    * back to the `.old` path for exactly that window; a crash inside
+    * the window needs the documented manual `.old` recovery).
     *
     * Scale shape: each trigger is previous-snapshot ∪ batch through
     * the partial-aggregable struct-max — one key exchange sized by
@@ -723,10 +727,24 @@ object StreamOps {
       }
       .start()
 
-  /** Reader view of a [[startCdcApply]] snapshot: live rows only. */
+  /** Reader view of a [[startCdcApply]] snapshot: live rows only.
+    * During the two-rename swap window the main path briefly doesn't
+    * exist; this falls back to the `.old` snapshot (the pre-swap
+    * table — a consistent, one-batch-stale view) instead of failing.
+    * The residual race (swap completing between the existence check
+    * and the read binding) surfaces as a retryable path-not-found. */
   def cdcSnapshot(spark: SparkSession, snapshotDir: String)
-      : DataFrame =
-    spark.read.parquet(snapshotDir).filter(col("last_op") =!= "D")
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(snapshotDir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path =
+      if (fs.exists(dst)) snapshotDir
+      else if (fs.exists(new Path(snapshotDir + ".old")))
+        snapshotDir + ".old"
+      else snapshotDir
+    spark.read.parquet(path).filter(col("last_op") =!= "D")
+  }
 
   /** Streaming OHLC bars — q169's candle downsampling as a
     * watermarked tumbling aggregate: open/close ride the same

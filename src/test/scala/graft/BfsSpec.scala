@@ -66,4 +66,25 @@ class BfsSpec extends SparkSpec {
     val d = sp(Seq((1L, 2L, 10L), (3L, 2L, 1L)), Seq(1L, 3L), 4)
     assert(d(2L) === 1L)
   }
+
+  test("weighted: convergence exits early with an identical result") {
+    // diameter-3 path: labels stabilize after 3 productive rounds,
+    // one more detects the fixed point — 50 budgeted rounds must
+    // cost 4, and the labels must equal the exact-bound run
+    val we = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 5L))
+    val (df, rounds) = Graph.boundedShortestPathsWithRounds(
+      we.toDF("a", "b", "w"), "a", "b", "w", Seq(1L).toDF("id"),
+      "id", 50)
+    assert(rounds === 4, s"expected early exit after 4 rounds, ran $rounds")
+    assert(df.as[(Long, Long)].collect().toMap ===
+      sp(we, Seq(1L), 3))
+  }
+
+  test("weighted: a tighter bound than the diameter still runs all budgeted rounds") {
+    val we = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 5L))
+    val (_, rounds) = Graph.boundedShortestPathsWithRounds(
+      we.toDF("a", "b", "w"), "a", "b", "w", Seq(1L).toDF("id"),
+      "id", 2)
+    assert(rounds === 2)
+  }
 }

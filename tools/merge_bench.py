@@ -20,7 +20,8 @@ def merge(in_paths, out_path):
         if set(r["queries"]) != names:
             raise SystemExit("query sets differ across runs")
     out = {"metric": "total", "unit": "sec", "sf": runs[0]["sf"],
-           "runs": len(runs),
+           # an input may itself be a merged pool — carry its run count
+           "runs": sum(r.get("runs", 1) for r in runs),
            "reps_per_run": runs[0].get("reps", 2), "queries": {}}
     total = 0.0
     for q in sorted(names):
