@@ -15,12 +15,88 @@ import graft.functions.{Hilbert2D, HilbertN, PqAssign, ShingleNGrams,
   * [[graft.functions.VectorizeDotProduct]] optimizer rule that
   * auto-rewrites HOF dot products into VecDot.
   *
+  * Also registers the whole-operator TABLE functions `cdc_merge` and
+  * `bfs_hops`, which expose [[graft.operators.Cdc.mergeLatest]] and
+  * [[graft.operators.Graph.bfsHops]] to the SQL front-end: the
+  * builder receives literal arguments (view names + column names)
+  * and returns the SAME logical plan the Scala API composes, so
+  * `SELECT * FROM cdc_merge('chg', 'k', 'seq', 'op', false)` plans
+  * identically to the API call. `cdc_merge` is fully declarative;
+  * `bfs_hops` is the iterative frontier loop, so its per-level jobs
+  * run while the statement is ANALYZED (the same work a recursive
+  * CTE would execute) and the returned plan scans the checkpointed
+  * result — re-planning the same statement re-runs the traversal.
+  *
   * Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done
   * by [[Tables.configure]]) or `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Constant-fold a string argument of a table function (view and
+    * column names parameterize the PLAN, so they must be literals). */
+  private def strConst(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a string literal, got ${e.sql}")
+    val v = e.eval()
+    require(v != null, s"$what must be a non-null string literal")
+    v.toString
+  }
+
+  private def intConstArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be an int literal, got ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case v => throw new IllegalArgumentException(
+        s"$what must be an int literal, got $v")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectTableFunction((
+      new FunctionIdentifier("cdc_merge"),
+      new ExpressionInfo("graft.operators.Cdc", "cdc_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "cdc_merge expects (log_view, key_cols_csv, seq_col, " +
+            s"op_col, keep_tombstones), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val keep = {
+          val e = children(4)
+          require(e.foldable, "cdc_merge: keep_tombstones must be " +
+            s"a boolean literal, got ${e.sql}")
+          e.eval() match {
+            case b: Boolean => b
+            case v => throw new IllegalArgumentException(
+              s"cdc_merge: keep_tombstones must be boolean, got $v")
+          }
+        }
+        graft.operators.Cdc.mergeLatest(
+            spark.table(strConst(children(0), "cdc_merge: log_view")),
+            strConst(children(1), "cdc_merge: key_cols_csv")
+              .split(",").map(_.trim).toSeq,
+            strConst(children(2), "cdc_merge: seq_col"),
+            strConst(children(3), "cdc_merge: op_col"), keep)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("bfs_hops"),
+      new ExpressionInfo("graft.operators.Graph", "bfs_hops"),
+      (children: Seq[Expression]) => {
+        require(children.size == 6,
+          "bfs_hops expects (edges_view, a_col, b_col, sources_view, " +
+            s"src_col, max_hops), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Graph.bfsHops(
+            spark.table(strConst(children(0), "bfs_hops: edges_view")),
+            strConst(children(1), "bfs_hops: a_col"),
+            strConst(children(2), "bfs_hops: b_col"),
+            spark.table(strConst(children(3),
+              "bfs_hops: sources_view")),
+            strConst(children(4), "bfs_hops: src_col"),
+            intConstArg(children(5), "bfs_hops: max_hops"))
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

@@ -314,5 +314,109 @@ object Curation2 {
       FROM mv JOIN outl o ON o.j = mv.j
       ORDER BY mv.j"""))
 
-  val all: Seq[Qry] = Seq(q166, q167, q173, q177)
+  /** q179 — routed int8 ANN: the composed SQ8 × IVF index
+    * ([[graft.operators.Sq8.searchTopKInCells]]), closing the
+    * "composes with IVF routing" contract the way [[graft.operators
+    * .Pq.adcTopKInCells]] (q144) does for PQ. The coarse quantizer
+    * (q33's per-label centroids) routes each query to its 2 nearest
+    * cells; the integer-dot scan runs over those cells' int8 codes
+    * ONLY (partition pruning in relational form, 4× less bandwidth
+    * inside the scanned cells); the exact cosine re-ranks the top 20
+    * to a top 5. The oracle replays centroid derivation, routing,
+    * absmax quantization, the integer dot, and the re-rank — wrong
+    * cells, a wrong quantizer, or a wrong re-rank each break a
+    * pinned column. */
+  val q179 = Qry(
+    "q179_sq8_ivf_routed",
+    (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Similarity
+      val e = Tables.embeddings(s, d)
+      val cent = Similarity.centroids(e, "label", "embedding", 64)
+      val wCent = Window.partitionBy(col("q_id"))
+        .orderBy(col("c_cos").desc, col("part"))
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(broadcast(cent))
+        .select(col("q_id"), col("part"),
+          Similarity.cosine(col("q_emb"), col("centroid")).as("c_cos"))
+        .withColumn("rn", row_number().over(wCent))
+        .filter(col("rn") <= 2)
+        .select(col("q_id").as("vec_id"), col("part").as("label"))
+      Sq8.searchTopKInCells(e.filter(col("vec_id") < 8), e,
+          "vec_id", "embedding", "label", probes, m = 20, k = 5)
+        .select(col("q_id"), col("rank"), col("n_id"), col("cell"),
+          round(col("cos"), 6).as("cos"),
+          round(col("adot"), 6).as("adot"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH expl AS (
+        SELECT label, unnest(list_zip(embedding,
+                 range(0, len(embedding)))) AS u
+        FROM embeddings),
+      cent_elem AS (
+        SELECT label AS part, u[2] AS pos,
+               CAST(SUM(CAST(ROUND(CAST(u[1] AS DOUBLE), 7)
+                   AS DECIMAL(27,7))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS m
+        FROM expl GROUP BY label, u[2]),
+      cent AS (
+        SELECT part, list(m ORDER BY pos) AS centroid
+        FROM cent_elem GROUP BY part),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 8),
+      probes AS (
+        SELECT q_id, part FROM (
+          SELECT q_id, part,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                   ${SimilarityQ.cosSql("q_emb", "centroid")} DESC,
+                   part) AS rn
+          FROM q CROSS JOIN cent) t
+        WHERE rn <= 2),
+      coded AS (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id, label, embedding, scale,
+               CASE WHEN scale = 0
+                 THEN list_transform(embedding,
+                   x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale
+                     + 0.5) AS BIGINT))
+               END AS q
+        FROM coded),
+      cand AS (
+        SELECT p.q_id, b.vec_id AS n_id, b.label AS cell,
+               a.embedding AS q_emb, b.embedding AS n_emb,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(list_zip(a.q, b.q),
+                       z -> z[1] * z[2])),
+                   (acc, x) -> acc + x) AS DOUBLE)
+                 * a.scale * b.scale / 16129.0 AS adot
+        FROM probes p
+        JOIN codes b ON b.label = p.part
+        JOIN codes a ON a.vec_id = p.q_id
+        WHERE b.vec_id <> p.q_id),
+      appr AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY adot DESC, n_id) AS arank
+        FROM cand),
+      ex AS (
+        SELECT q_id, n_id, cell, adot,
+               ${SimilarityQ.cosSql("q_emb", "n_emb")} AS cos
+        FROM appr WHERE arank <= 20),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cos DESC, n_id) AS rank
+        FROM ex)
+      SELECT q_id, rank, n_id, cell,
+             ROUND(cos, 6) AS cos, ROUND(adot, 6) AS adot
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  val all: Seq[Qry] = Seq(q166, q167, q173, q177, q179)
 }

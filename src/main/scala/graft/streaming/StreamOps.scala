@@ -328,6 +328,107 @@ object StreamOps {
       }
   }
 
+  /** One attribution credit row — the [[graft.operators.Attribution
+    * .credits]] output shape: one row per (conversion, touch) plus a
+    * `(direct)` row for untouched conversions. */
+  final case class CreditRow(conv_id: Long, cents: Long,
+      n_touches: Long, channel: String, first_cents: Long,
+      last_cents: Long, linear_millis: Long)
+  // public: the state encoder's generated code must see the ctor
+  final case class AttrState(
+      touches: Seq[(Long, Long, String)], // (ttMs, touch_id, channel)
+      convs: Seq[(Long, Long, Long)])     // (ctMs, conv_id, cents)
+
+  /** Streaming twin of [[graft.operators.Attribution.credits]]
+    * (q163): multi-touch attribution with watermarked per-user
+    * state. Touches and conversions arrive interleaved on one
+    * stream; a conversion's credits are emitted exactly once, when
+    * the WATERMARK passes its event time — only then can no further
+    * touch with `tt <= ct` arrive (later-than-watermark stragglers
+    * are dropped by the engine per the standard contract), so the
+    * emitted rows are final and batch-identical: same lookback
+    * predicate `tt ∈ (ct − lookback, ct]`, same (tt, touch_id)
+    * first/last tie-break, same integer millicent floor split.
+    *
+    * State per user is BOUNDED by the lookback window: touches older
+    * than `watermark − lookback` can serve no future conversion
+    * (which must carry `ct ≥ watermark`) and are pruned every
+    * trigger; pending conversions hold only until the watermark
+    * passes them. Event-time timeouts flush due conversions on
+    * quiet keys; an idle key's state empties and is removed. Values
+    * are cent-snapped once, exactly as batch; non-negative values
+    * assumed (the batch `div` contract). Run in `append` mode.
+    *
+    * @param events (user, ts, event_id, event_type, value)
+    * @param convType   event type that converts
+    * @param touchTypes event types that can receive credit
+    * @param lookbackMs pairing window in milliseconds
+    * @param watermarkDelay e.g. "10 minutes" — how late events may be
+    */
+  def attributionStream(
+      events: Dataset[(Long, Timestamp, Long, String, Double)],
+      convType: String, touchTypes: Seq[String], lookbackMs: Long,
+      watermarkDelay: String): Dataset[CreditRow] = {
+    import events.sparkSession.implicits._
+    val touchSet = touchTypes.toSet
+    def creditsOf(conv: (Long, Long, Long),
+        touches: Seq[(Long, Long, String)]): Seq[CreditRow] = {
+      val (ct, convId, cents) = conv
+      val in = touches
+        .filter(t => t._1 <= ct && t._1 > ct - lookbackMs)
+        .sortBy(t => (t._1, t._2))
+      if (in.isEmpty)
+        Seq(CreditRow(convId, cents, 0L, "(direct)", cents, cents,
+          cents * 1000L))
+      else in.zipWithIndex.map { case ((_, _, ch), i) =>
+        CreditRow(convId, cents, in.size.toLong, ch,
+          if (i == 0) cents else 0L,
+          if (i == in.size - 1) cents else 0L,
+          cents * 1000L / in.size)
+      }
+    }
+    events.toDF("u", "ts", "event_id", "event_type", "value")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AttrState, CreditRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[(Long, Timestamp, Long, String,
+            Double)], state: GroupState[AttrState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var s = state.getOption.getOrElse(
+            AttrState(Seq.empty, Seq.empty))
+          rows.foreach { r =>
+            val t = r._2.getTime
+            if (r._4 == convType) {
+              val cents = math.floor(r._5 * 100 + 0.5).toLong
+              s = s.copy(convs = s.convs :+ ((t, r._3, cents)))
+            } else if (touchSet(r._4))
+              s = s.copy(touches = s.touches :+ ((t, r._3, r._4)))
+          }
+          // a conversion is final once wm > ct: a touch with
+          // tt <= ct would now be later-than-watermark and dropped
+          val (due, pending) = s.convs.partition(_._1 < wm)
+          val out = due.sortBy(c => (c._1, c._2))
+            .flatMap(c => creditsOf(c, s.touches))
+          // future conversions carry ct >= wm, so touches at or
+          // before wm - lookback can never pair again
+          s = AttrState(s.touches.filter(_._1 > wm - lookbackMs),
+            pending)
+          if (s.touches.isEmpty && s.convs.isEmpty) state.remove()
+          else {
+            state.update(s)
+            // wake when the earliest pending conversion comes due,
+            // else when the remaining touches have all expired
+            val nextDue =
+              if (pending.nonEmpty) pending.map(_._1).min + 1
+              else s.touches.map(_._1).max + lookbackMs + 1
+            state.setTimeoutTimestamp(math.max(nextDue, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** One packed document: the token range it occupies in its shard's
     * unbounded concatenated stream, plus the fixed-length sequences
     * it touches. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Planted, Pq, Similarity}
+import graft.operators.{Planted, Pq, Similarity, Sq8}
 
 /** ANN recall assertions that BITE. The driver's synthetic embeddings
   * are near-random, so every indexed ranking scores recall@10 in the
@@ -121,6 +121,45 @@ class AnnRecallSpec extends SparkSpec {
     val r = recall10(est, exact)
     info(f"wrong-cell routing recall@10 = $r%.3f")
     assert(r < 0.3, f"IVF routing sabotage still scored $r%.3f — " +
+      "the recall assertion cannot detect a broken router")
+  }
+
+  test("routed SQ8 (int8 × IVF, nprobe=2) scores recall@10 >= 0.8 on planted data") {
+    // the q179 composition: coarse routing confines the int8
+    // integer-dot scan to 2 cells per query, exact cosine re-ranks
+    val e = corpus
+    val cent = Similarity.centroids(e, "label", "embedding", Dim)
+    val wCent = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("part"))
+    val probes = e
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cent))
+      .select(col("q_id"), col("part"),
+        Similarity.cosine(col("q_emb"), col("centroid")).as("c_cos"))
+      .withColumn("rn", row_number().over(wCent))
+      .filter(col("rn") <= 2)
+      .select(col("q_id").as("vec_id"), col("part").as("label"))
+    val est = Sq8.searchTopKInCells(e, e, "vec_id", "embedding",
+      "label", probes, m = 20, k = 10)
+    val exact = Similarity.topKBrute(e, e, "vec_id", "embedding",
+      k = 10)
+    val r = recall10(est, exact)
+    info(f"routed SQ8 recall@10 = $r%.3f")
+    assert(r >= 0.8, f"routed SQ8 recall@10 = $r%.3f < 0.8")
+  }
+
+  test("MUTATION: wrong cells collapse routed SQ8 recall while the " +
+      "quantizer is intact") {
+    val e = corpus
+    val wrongProbes = e.select(col("vec_id"),
+      ((col("label") + 1) % C).as("label"))
+    val est = Sq8.searchTopKInCells(e, e, "vec_id", "embedding",
+      "label", wrongProbes, m = 20, k = 10)
+    val exact = Similarity.topKBrute(e, e, "vec_id", "embedding",
+      k = 10)
+    val r = recall10(est, exact)
+    info(f"wrong-cell routed SQ8 recall@10 = $r%.3f")
+    assert(r < 0.3, f"SQ8 routing sabotage still scored $r%.3f — " +
       "the recall assertion cannot detect a broken router")
   }
 

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Graph}
+
+/** SQL front-end for the whole-operator table functions registered
+  * by [[GraftExtensions]]: `cdc_merge` and `bfs_hops` must be
+  * callable from `spark.sql` and plan EQUIVALENTLY to the Scala API
+  * forms — the builder returns the same composed logical plan, so
+  * this is checked on canonicalized optimized plans, not just
+  * results.
+  */
+class SqlTableFnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def changeLog = Seq(
+    (1L, 1L, "I", "a"), (1L, 3L, "U", "b"), (1L, 2L, "U", "zz"),
+    (2L, 1L, "I", "c"), (2L, 2L, "D", ""),
+    (3L, 5L, "I", "d")).toDF("k", "seq", "op", "payload")
+
+  test("cdc_merge from SQL equals the API result") {
+    changeLog.createOrReplaceTempView("chg_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM cdc_merge('chg_sql', 'k', 'seq', 'op', false)")
+    val viaApi = Cdc.mergeLatest(changeLog, Seq("k"), "seq", "op")
+    assert(viaSql.orderBy(col("k")).collect().toSeq ===
+      viaApi.orderBy(col("k")).collect().toSeq)
+    // last-wins + tombstone semantics hold through the SQL path
+    val rows = viaSql.as[(Long, String, Long, String)]
+      .collect().sortBy(_._1)
+    assert(rows === Seq((1L, "b", 3L, "U"), (3L, "d", 5L, "I")))
+  }
+
+  test("cdc_merge plans identically to the API form") {
+    changeLog.createOrReplaceTempView("chg_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM cdc_merge('chg_sql', 'k', 'seq', 'op', true)")
+    val viaApi = Cdc.mergeLatest(spark.table("chg_sql"), Seq("k"),
+      "seq", "op", keepTombstones = true)
+    assert(viaSql.queryExecution.optimizedPlan.canonicalized ===
+      viaApi.queryExecution.optimizedPlan.canonicalized,
+      s"SQL plan:\n${viaSql.queryExecution.optimizedPlan}\n" +
+        s"API plan:\n${viaApi.queryExecution.optimizedPlan}")
+  }
+
+  test("cdc_merge supports composite keys and keep_tombstones") {
+    Seq((1L, "x", 1L, "I", 10L), (1L, "x", 2L, "D", 0L),
+        (1L, "y", 1L, "I", 20L))
+      .toDF("k1", "k2", "seq", "op", "v")
+      .createOrReplaceTempView("chg2_sql")
+    val rows = spark.sql(
+      "SELECT * FROM cdc_merge('chg2_sql', 'k1, k2', 'seq', 'op', " +
+        "true) ORDER BY k1, k2")
+      .as[(Long, String, Long, Long, String)].collect()
+    assert(rows === Seq((1L, "x", 0L, 2L, "D"), (1L, "y", 20L, 1L, "I")))
+  }
+
+  test("bfs_hops from SQL equals the API result") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a", "b")
+    val srcs = Seq(1L).toDF("id")
+    edges.createOrReplaceTempView("bfs_edges_sql")
+    srcs.createOrReplaceTempView("bfs_srcs_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM bfs_hops('bfs_edges_sql', 'a', 'b', " +
+        "'bfs_srcs_sql', 'id', 10)")
+      .as[(Long, Int)].collect().toMap
+    val viaApi = Graph.bfsHops(edges, "a", "b", srcs, "id", 10)
+      .as[(Long, Int)].collect().toMap
+    assert(viaSql === viaApi)
+    assert(viaSql === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("bfs_hops composes with downstream SQL") {
+    Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+      .createOrReplaceTempView("bfs_edges2_sql")
+    Seq(1L).toDF("id").createOrReplaceTempView("bfs_srcs2_sql")
+    val n = spark.sql(
+      "SELECT hop, COUNT(*) AS n FROM bfs_hops('bfs_edges2_sql', " +
+        "'a', 'b', 'bfs_srcs2_sql', 'id', 1) GROUP BY hop " +
+        "ORDER BY hop")
+      .as[(Int, Long)].collect()
+    assert(n === Seq((0, 1L), (1, 1L)))
+  }
+
+  test("non-literal table-function arguments are rejected with a clear message") {
+    changeLog.createOrReplaceTempView("chg_sql")
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM cdc_merge(concat('chg', '_sql'), 'k', 'seq', " +
+          "'op', rand() > 0.5)").collect()
+    }
+    assert(err.getMessage.contains("keep_tombstones"),
+      s"unexpected error: ${err.getMessage}")
+  }
+}
