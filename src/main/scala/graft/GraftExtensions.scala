@@ -15,17 +15,19 @@ import graft.functions.{Hilbert2D, HilbertN, PqAssign, ShingleNGrams,
   * [[graft.functions.VectorizeDotProduct]] optimizer rule that
   * auto-rewrites HOF dot products into VecDot.
   *
-  * Also registers the whole-operator TABLE functions `cdc_merge` and
-  * `bfs_hops`, which expose [[graft.operators.Cdc.mergeLatest]] and
-  * [[graft.operators.Graph.bfsHops]] to the SQL front-end: the
-  * builder receives literal arguments (view names + column names)
-  * and returns the SAME logical plan the Scala API composes, so
-  * `SELECT * FROM cdc_merge('chg', 'k', 'seq', 'op', false)` plans
-  * identically to the API call. `cdc_merge` is fully declarative;
-  * `bfs_hops` is the iterative frontier loop, so its per-level jobs
-  * run while the statement is ANALYZED (the same work a recursive
-  * CTE would execute) and the returned plan scans the checkpointed
-  * result — re-planning the same statement re-runs the traversal.
+  * Also registers the whole-operator TABLE functions `cdc_merge`,
+  * `bfs_hops`, and `shortest_paths`, which expose
+  * [[graft.operators.Cdc.mergeLatest]], [[graft.operators.Graph
+  * .bfsHops]], and [[graft.operators.Graph.boundedShortestPaths]] to
+  * the SQL front-end: the builder receives literal arguments (view
+  * names + column names) and returns the SAME logical plan the Scala
+  * API composes, so `SELECT * FROM cdc_merge('chg', 'k', 'seq',
+  * 'op', false)` plans identically to the API call. `cdc_merge` is
+  * fully declarative; the graph functions are iterative loops, so
+  * their per-round jobs run while the statement is ANALYZED (the
+  * same work a recursive CTE would execute) and the returned plan
+  * scans the checkpointed result — re-planning the same statement
+  * re-runs the traversal.
   *
   * Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done
@@ -77,6 +79,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               .split(",").map(_.trim).toSeq,
             strConst(children(2), "cdc_merge: seq_col"),
             strConst(children(3), "cdc_merge: op_col"), keep)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("shortest_paths"),
+      new ExpressionInfo("graft.operators.Graph", "shortest_paths"),
+      (children: Seq[Expression]) => {
+        require(children.size == 7,
+          "shortest_paths expects (edges_view, a_col, b_col, w_col, " +
+            s"sources_view, src_col, max_edges), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Graph.boundedShortestPaths(
+            spark.table(strConst(children(0),
+              "shortest_paths: edges_view")),
+            strConst(children(1), "shortest_paths: a_col"),
+            strConst(children(2), "shortest_paths: b_col"),
+            strConst(children(3), "shortest_paths: w_col"),
+            spark.table(strConst(children(4),
+              "shortest_paths: sources_view")),
+            strConst(children(5), "shortest_paths: src_col"),
+            intConstArg(children(6), "shortest_paths: max_edges"))
           .queryExecution.analyzed
       }))
     ext.injectTableFunction((

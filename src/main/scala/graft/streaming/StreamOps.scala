@@ -429,6 +429,109 @@ object StreamOps {
       }
   }
 
+  /** One finalized funnel stage row — the [[graft.operators.Journeys
+    * .funnelTimes]] output shape. */
+  final case class FunnelStage(user: Long, stage: Long, t: Timestamp)
+  // public: the state encoder's generated code must see the ctor
+  final case class FunnelState(evs: Seq[(Int, Long)]) // (stepIdx, tsMs)
+
+  /** Streaming twin of [[graft.operators.Journeys.funnelTimes]]
+    * (q139): per-user funnel progression with watermarked state. A
+    * user's funnel FINALIZES when the watermark passes
+    * `t1 + (steps−1)·window` — the furthest instant any stage can
+    * match: the stage-1 anchor t1 (min first-step time) is itself
+    * final once the watermark passes it (an earlier first-step event
+    * would now be dropped as late), and every later stage must land
+    * within `window` of its predecessor. Only then are the stage
+    * rows computed — with exactly the batch semantics (first
+    * occurrence strictly after the previous match, within the
+    * window) — and emitted once. Out-of-order arrival inside the
+    * allowed lateness therefore cannot change an emitted row, which
+    * an emit-on-progress implementation could not guarantee.
+    *
+    * State per user is BOUNDED by the funnel horizon: step-1 events
+    * collapse to their running minimum; later-step events outside
+    * `(t1, t1 + (steps−1)·window]` can never match and are pruned
+    * every trigger, as are anchorless events the watermark has
+    * passed (a first-step event arriving later would carry
+    * `ts ≥ watermark`, putting them before the anchor). Event-time
+    * timeouts finalize quiet users; empty state is removed.
+    *
+    * @param events (user, ts, event_type)
+    * @param steps  ordered funnel step types (head = anchor step)
+    * @param windowSec per-step matching window, seconds
+    * @param watermarkDelay e.g. "10 minutes" — how late events may be
+    */
+  def funnelStream(events: Dataset[(Long, Timestamp, String)],
+      steps: Seq[String], windowSec: Long, watermarkDelay: String)
+      : Dataset[FunnelStage] = {
+    require(steps.nonEmpty, "funnelStream: steps must be non-empty")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val horizonMs = (steps.size - 1).toLong * windowSec * 1000L
+    val windowMs = windowSec * 1000L
+    def finalize(user: Long, evs: Seq[(Int, Long)]): Seq[FunnelStage] = {
+      val byStep = evs.groupBy(_._1)
+      val t1 = byStep.get(0).map(_.map(_._2).min)
+      t1 match {
+        case None => Seq.empty
+        case Some(t0) =>
+          val times = (1 until steps.size).scanLeft(Option(t0)) {
+            (prev, i) => prev.flatMap { pt =>
+              byStep.getOrElse(i, Seq.empty).map(_._2)
+                .filter(t => t > pt && t <= pt + windowMs)
+                .sorted.headOption
+            }
+          }
+          times.zipWithIndex.collect { case (Some(t), i) =>
+            FunnelStage(user, i + 1L, new Timestamp(t))
+          }
+      }
+    }
+    events.toDF("u", "ts", "event_type")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, String)],
+            state: GroupState[FunnelState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var evs = state.getOption.map(_.evs).getOrElse(Seq.empty)
+          rows.foreach { r =>
+            stepIdx.get(r._3).foreach(i => evs :+= ((i, r._2.getTime)))
+          }
+          // collapse step-1 events to their running minimum; the
+          // anchor can only move EARLIER, and only until wm passes it
+          val t1 = evs.filter(_._1 == 0).map(_._2).minOption
+          evs = t1 match {
+            case Some(t0) => (0, t0) +: evs.filter { case (i, t) =>
+              // keep events at or before the anchor only while a
+              // late-but-allowed first-step event (ts >= wm) could
+              // still move the anchor before them; past the horizon
+              // nothing can ever match
+              i > 0 && (t > t0 || t >= wm) && t <= t0 + horizonMs }
+            case None =>
+              // no anchor yet: an event at ts < wm can never match —
+              // a future anchor arrives with t1 >= wm, after it
+              evs.filter(_._2 >= wm)
+          }
+          if (t1.exists(t0 => wm > t0 + horizonMs)) {
+            state.remove()
+            finalize(user, evs).iterator
+          } else if (evs.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(FunnelState(evs))
+            val wake = t1.map(_ + horizonMs + 1)
+              .getOrElse(evs.map(_._2).max + 1)
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** One packed document: the token range it occupies in its shard's
     * unbounded concatenated stream, plus the fixed-length sequences
     * it touches. */

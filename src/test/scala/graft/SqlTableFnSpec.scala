@@ -84,6 +84,23 @@ class SqlTableFnSpec extends SparkSpec {
     assert(n === Seq((0, 1L), (1, 1L)))
   }
 
+  test("shortest_paths from SQL equals the API result") {
+    val edges = Seq((1L, 3L, 100L), (1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("a", "b", "w")
+    val srcs = Seq(1L).toDF("id")
+    edges.createOrReplaceTempView("sp_edges_sql")
+    srcs.createOrReplaceTempView("sp_srcs_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM shortest_paths('sp_edges_sql', 'a', 'b', 'w', " +
+        "'sp_srcs_sql', 'id', 4)")
+      .as[(Long, Long)].collect().toMap
+    val viaApi = Graph.boundedShortestPaths(edges, "a", "b", "w",
+      srcs, "id", 4).as[(Long, Long)].collect().toMap
+    assert(viaSql === viaApi)
+    // the cheap 2-edge route beats the direct expensive edge
+    assert(viaSql === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("non-literal table-function arguments are rejected with a clear message") {
     changeLog.createOrReplaceTempView("chg_sql")
     val err = intercept[Exception] {
