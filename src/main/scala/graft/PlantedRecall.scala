@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Planted, Pq, Similarity}
+import graft.operators.{Planted, Pq, Similarity, Sq8}
 
 /** Dev tool (not library surface): ANN recall measured AT SCALE on
   * the planted-neighborhood fixture — the honest version of the
@@ -23,6 +23,11 @@ import graft.operators.{Planted, Pq, Similarity}
   * nprobe=2 of the `nClusters` label cells, in-cell ADC ranking,
   * recall@10 vs the exact global top-10 for `nQueries` sampled
   * queries.
+  *
+  * The routed SQ8 form (q179's int8 × IVF composition,
+  * [[graft.operators.Sq8.searchTopKInCells]]) runs over the same
+  * probes and ground truth, so its at-scale recall/latency land in
+  * the same artifact line.
   *
   * Usage: runMain graft.PlantedRecall [nClusters] [perCluster] [nQueries]
   * (defaults 1000 x 1000 = 1M vectors, 50 queries)
@@ -94,21 +99,37 @@ object PlantedRecall {
       .localCheckpoint(true)
     val tExact = (System.nanoTime() - t3) / 1e9
 
-    val (hitSum, nq) = est.join(
-        exact.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
-        Seq("q_id", "n_id"), "left")
-      .groupBy(col("q_id"))
-      .agg((sum(coalesce(col("hit"), lit(0L))) / lit(10.0)).as("r"))
-      .agg(sum(col("r")), count(lit(1)))
-      .as[(Double, Long)].collect().head
-    val recall = hitSum / nq
+    def recall10(est: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val (hitSum, nq) = est.join(
+          exact.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) / lit(10.0)).as("r"))
+        .agg(sum(col("r")), count(lit(1)))
+        .as[(Double, Long)].collect().head
+      (hitSum / nq, nq)
+    }
+    val (recall, nq) = recall10(est)
+
+    // routed SQ8 over the SAME probes and ground truth (q179's
+    // composition at corpus scale): int8 scan confined to the probed
+    // cells, exact-cosine re-rank of the top 3k nominations — the
+    // planted structure makes the L2 and cosine top-10 coincide
+    // (cluster mates), so one exact baseline serves both indexes
+    val t4 = System.nanoTime()
+    val sq8 = Sq8.searchTopKInCells(q, e, "vec_id", "embedding",
+        "label", probes, m = 30, k = 10)
+      .localCheckpoint(true)
+    val tSq8 = (System.nanoTime() - t4) / 1e9
+    val (recallSq8, _) = recall10(sq8)
 
     def r4(v: Double) = math.round(v * 10000) / 10000.0
     println(s"""{"metric":"planted_recall10","n":${nClusters.toLong *
       perCluster},"dim":$dim,"clusters":$nClusters,"queries":$nq,""" +
-      s""""recall10":${r4(recall)},"gen_sec":${r4(tGen)},""" +
+      s""""recall10":${r4(recall)},"sq8_recall10":${r4(recallSq8)},""" +
+      s""""gen_sec":${r4(tGen)},""" +
       s""""index_sec":${r4(tIndex)},"ann_sec":${r4(tAnn)},""" +
-      s""""exact_sec":${r4(tExact)}}""")
+      s""""sq8_sec":${r4(tSq8)},"exact_sec":${r4(tExact)}}""")
     spark.stop()
   }
 }

@@ -8,19 +8,30 @@ import org.apache.spark.sql.functions._
   * memory-bandwidth path between brute-force float scan and PQ-ADC.
   * Candidate generation scores [[Quantize]] absmax codes with an
   * INTEGER dot product (4× less data moved than float32, exact
-  * integer arithmetic → bit-stable ranking on any engine), rescales
-  * by the two per-vector scales, keeps the top `m` approximate
-  * candidates per query, and re-ranks only those with the exact
-  * float cosine. Recall degrades only when quantization error
+  * integer arithmetic), normalized by the integer self-dots into a
+  * CODE-SPACE COSINE — the per-vector absmax scales cancel, so the
+  * nomination metric is the quantized mirror of the exact-cosine
+  * re-rank that follows. Nominating by raw (rescaled) dot instead
+  * looks equivalent at small scale, where the oversample covers most
+  * of the candidate set, but at corpus scale it silently favors
+  * large-norm candidates over near-by ones: measured recall@10 on
+  * the 1M-vector planted fixture was 0.32 nominating by dot vs
+  * 1.00 nominating by code cosine at the same m = 30
+  * (BENCH_planted_recall_r9.json). The top `m`
+  * approximate candidates per query are then re-ranked with the
+  * exact float cosine; recall degrades only when quantization error
   * reorders a true top-k neighbor past rank m — m/k oversampling is
   * the knob.
   *
-  * Scale shape: the scan side carries (id, codes, scale) — the codes
-  * column is 64 bytes/vector here vs 256 for float32; the approximate
-  * stage is a broadcast of the (small) query set over a linear
-  * corpus scan with a per-query top-m window; the exact stage
-  * touches m·|Q| full vectors, fetched by an equi-join on candidate
-  * id. Composes with IVF routing the same way [[Pq]] does.
+  * Scale shape: the scan side carries (id, codes, self-dot) — 64
+  * bytes + one long per vector vs 256 bytes for float32; the
+  * self-dot is computed once at coding time (the "store the norm
+  * with the code" practice), so scoring a candidate is one integer
+  * dot + two sqrts + one division; the approximate stage is a
+  * broadcast of the (small) query set over a linear corpus scan with
+  * a per-query top-m window; the exact stage touches m·|Q| full
+  * vectors. [[searchTopKInCells]] composes with IVF routing the same
+  * way [[Pq.adcTopKInCells]] does.
   */
 object Sq8 {
 
@@ -28,28 +39,40 @@ object Sq8 {
     aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
       lit(0L), (acc, v) => acc + v)
 
+  /** Code-space cosine from the integer dot and the two integer
+    * self-dots. The absmax scales cancel algebraically, so no float
+    * rescale enters the score; zero vectors (self-dot 0) score 0 —
+    * both engines replay the identical two-sqrt one-division chain. */
+  private def codeCos(qd: Column, qn2: Column, nn2: Column): Column =
+    when(qn2 === 0L || nn2 === 0L, lit(0d))
+      .otherwise(qd.cast("double") /
+        (sqrt(qn2.cast("double")) * sqrt(nn2.cast("double"))))
+
+  private def coded(df: DataFrame, idCol: String, embCol: String,
+      p: String, extra: Seq[(String, String)] = Seq.empty): DataFrame =
+    df.select((Seq(col(idCol).as(s"${p}_id"), col(embCol).as(s"${p}_emb"),
+        Quantize.absmaxScale(col(embCol)).as(s"${p}_scale")) ++
+        extra.map { case (c, a) => col(c).as(a) }): _*)
+      .withColumn(s"${p}_q",
+        Quantize.int8Codes(col(s"${p}_emb"), col(s"${p}_scale")))
+      .withColumn(s"${p}_n2", idot(col(s"${p}_q"), col(s"${p}_q")))
+
   /** Exact-rerank int8 ANN: top `k` of the top `m` approximate.
     *
-    * @return (q_id, rank, n_id, cos, adot): `cos` exact, `adot` the
-    *         approximate rescaled int-dot that nominated the row.
+    * @return (q_id, rank, n_id, cos, acos): `cos` exact, `acos` the
+    *         code-space cosine that nominated the row.
     */
   def searchTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       embCol: String, m: Int, k: Int): DataFrame = {
     require(m >= k, "oversample m must be >= k")
-    def coded(df: DataFrame, p: String) = df.select(
-        col(idCol).as(s"${p}_id"), col(embCol).as(s"${p}_emb"),
-        Quantize.absmaxScale(col(embCol)).as(s"${p}_scale"))
-      .withColumn(s"${p}_q",
-        Quantize.int8Codes(col(s"${p}_emb"), col(s"${p}_scale")))
-    val q = coded(queries, "q")
-    val c = coded(corpus, "n")
+    val q = coded(queries, idCol, embCol, "q")
+    val c = coded(corpus, idCol, embCol, "n")
     val wa = Window.partitionBy(col("q_id"))
-      .orderBy(col("adot").desc, col("n_id"))
+      .orderBy(col("acos").desc, col("n_id"))
     val cand = broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adot",
-        idot(col("q_q"), col("n_q")).cast("double") *
-          col("q_scale") * col("n_scale") / lit(16129d))
+      .withColumn("acos",
+        codeCos(idot(col("q_q"), col("n_q")), col("q_n2"), col("n_n2")))
       .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= m)
     val we = Window.partitionBy(col("q_id"))
@@ -59,7 +82,7 @@ object Sq8 {
       .withColumn("rank", row_number().over(we))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"),
-        col("cos"), col("adot"))
+        col("cos"), col("acos"))
   }
 
   /** [[searchTopK]] restricted to IVF-probed cells — the composed
@@ -79,33 +102,25 @@ object Sq8 {
     *        (query, neighbor) candidate appears at most once even
     *        under multi-probe
     * @param probes (idCol, cellCol) — the cells each query scans
-    * @return (q_id, rank, n_id, cell, cos, adot): `cell` the cell
+    * @return (q_id, rank, n_id, cell, cos, acos): `cell` the cell
     *         the neighbor was found in
     */
   def searchTopKInCells(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, cellCol: String,
       probes: DataFrame, m: Int, k: Int): DataFrame = {
     require(m >= k, "oversample m must be >= k")
-    val q = queries.select(col(idCol).as("q_id"),
-        col(embCol).as("q_emb"),
-        Quantize.absmaxScale(col(embCol)).as("q_scale"))
-      .withColumn("q_q",
-        Quantize.int8Codes(col("q_emb"), col("q_scale")))
-    val c = corpus.select(col(idCol).as("n_id"),
-        col(embCol).as("n_emb"), col(cellCol).as("cell"),
-        Quantize.absmaxScale(col(embCol)).as("n_scale"))
-      .withColumn("n_q",
-        Quantize.int8Codes(col("n_emb"), col("n_scale")))
+    val q = coded(queries, idCol, embCol, "q")
+    val c = coded(corpus, idCol, embCol, "n",
+      extra = Seq(cellCol -> "cell"))
     val wa = Window.partitionBy(col("q_id"))
-      .orderBy(col("adot").desc, col("n_id"))
+      .orderBy(col("acos").desc, col("n_id"))
     val cand = c
       .join(broadcast(probes.select(col(idCol).as("q_id"),
         col(cellCol).as("__pc"))), col("__pc") === col("cell"))
       .join(broadcast(q), Seq("q_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adot",
-        idot(col("q_q"), col("n_q")).cast("double") *
-          col("q_scale") * col("n_scale") / lit(16129d))
+      .withColumn("acos",
+        codeCos(idot(col("q_q"), col("n_q")), col("q_n2"), col("n_n2")))
       .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= m)
     val we = Window.partitionBy(col("q_id"))
@@ -115,6 +130,6 @@ object Sq8 {
       .withColumn("rank", row_number().over(we))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cell"),
-        col("cos"), col("adot"))
+        col("cos"), col("acos"))
   }
 }

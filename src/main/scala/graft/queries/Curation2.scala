@@ -86,13 +86,57 @@ object Curation2 {
       FROM sc JOIN documents d ON d.doc_id = sc.doc_id
       ORDER BY imp_nano DESC, sc.doc_id LIMIT 25"""))
 
+  /** DuckDB rendering of the [[graft.operators.Sq8]] coding +
+    * code-space-cosine chain over `embeddings`: absmax int8 codes,
+    * integer self-dots, and the two-sqrt one-division cosine —
+    * shared by the q167/q179 oracles. Yields CTEs `coded`, `codes`
+    * (with `q` codes and `n2` self-dot). */
+  private def sq8CodesSql: String = s"""
+      coded AS (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id, label, embedding,
+               q,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(q, x -> x * x)),
+                 (acc, x) -> acc + x) AS n2
+        FROM (
+          SELECT vec_id, label, embedding,
+                 CASE WHEN scale = 0
+                   THEN list_transform(embedding,
+                     x -> CAST(0 AS BIGINT))
+                   ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale
+                       + 0.5) AS BIGINT))
+                 END AS q
+          FROM coded))"""
+
+  /** DuckDB code-space cosine between two `codes` rows `a`/`b` —
+    * mirrors `Sq8.codeCos` (zero self-dot scores 0; identical
+    * two-sqrt one-division IEEE chain). */
+  private def sq8CosSql(a: String, b: String): String = s"""
+      CASE WHEN $a.n2 = 0 OR $b.n2 = 0 THEN 0.0
+           ELSE CAST(list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(list_zip($a.q, $b.q),
+                      z -> z[1] * z[2])),
+                  (acc, x) -> acc + x) AS DOUBLE)
+                / (sqrt(CAST($a.n2 AS DOUBLE)) *
+                   sqrt(CAST($b.n2 AS DOUBLE)))
+      END"""
+
   /** q167 — int8 scalar-quantized ANN with exact re-rank
     * ([[graft.operators.Sq8.searchTopK]]): absmax codes + integer
-    * dot nominate 20 candidates per query (4× less bandwidth than
-    * the float scan), the exact cosine re-ranks them to a top 5.
-    * Both the approximate rescaled score and the exact cosine are
-    * pinned, so the oracle catches a wrong quantizer OR a wrong
-    * re-rank. */
+    * dot, normalized by the stored integer self-dots into a
+    * code-space cosine (the scales cancel — the nomination metric
+    * mirrors the re-rank metric, which is what keeps recall honest
+    * at corpus scale), nominate 20 candidates per query; the exact
+    * cosine re-ranks them to a top 5. Both the approximate and the
+    * exact score are pinned, so the oracle catches a wrong
+    * quantizer OR a wrong re-rank. */
   val q167 = Qry(
     "q167_sq8_rerank",
     (s: SparkSession, d: String) => {
@@ -101,42 +145,23 @@ object Curation2 {
           "vec_id", "embedding", m = 20, k = 5)
         .select(col("q_id"), col("rank"), col("n_id"),
           round(col("cos"), 6).as("cos"),
-          round(col("adot"), 6).as("adot"))
+          round(col("acos"), 6).as("acos"))
         .orderBy(col("q_id"), col("rank"))
     },
     Some(s"""
-      WITH coded AS (
-        SELECT vec_id, embedding,
-               list_max(list_transform(embedding,
-                 x -> abs(CAST(x AS DOUBLE)))) AS scale
-        FROM embeddings),
-      codes AS (
-        SELECT vec_id, embedding, scale,
-               CASE WHEN scale = 0
-                 THEN list_transform(embedding,
-                   x -> CAST(0 AS BIGINT))
-                 ELSE list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale
-                     + 0.5) AS BIGINT))
-               END AS q
-        FROM coded),
+      WITH $sq8CodesSql,
       cand AS (
         SELECT a.vec_id AS q_id, b.vec_id AS n_id,
                a.embedding AS q_emb, b.embedding AS n_emb,
-               CAST(list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                     list_transform(list_zip(a.q, b.q),
-                       p -> p[1] * p[2])),
-                   (acc, x) -> acc + x) AS DOUBLE)
-                 * a.scale * b.scale / 16129.0 AS adot
+               ${sq8CosSql("a", "b")} AS acos
         FROM codes a JOIN codes b
           ON a.vec_id < 8 AND a.vec_id <> b.vec_id),
       appr AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-          ORDER BY adot DESC, n_id) AS arank
+          ORDER BY acos DESC, n_id) AS arank
         FROM cand),
       ex AS (
-        SELECT q_id, n_id, adot,
+        SELECT q_id, n_id, acos,
                ${SimilarityQ.cosSql("q_emb", "n_emb")} AS cos
         FROM appr WHERE arank <= 20),
       rk AS (
@@ -144,7 +169,7 @@ object Curation2 {
           ORDER BY cos DESC, n_id) AS rank
         FROM ex)
       SELECT q_id, rank, n_id,
-             ROUND(cos, 6) AS cos, ROUND(adot, 6) AS adot
+             ROUND(cos, 6) AS cos, ROUND(acos, 6) AS acos
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
 
   /** q173 — contrastive triplet mining: for each anchor, the hardest
@@ -347,7 +372,7 @@ object Curation2 {
           "vec_id", "embedding", "label", probes, m = 20, k = 5)
         .select(col("q_id"), col("rank"), col("n_id"), col("cell"),
           round(col("cos"), 6).as("cos"),
-          round(col("adot"), 6).as("adot"))
+          round(col("acos"), 6).as("acos"))
         .orderBy(col("q_id"), col("rank"))
     },
     Some(s"""
@@ -364,50 +389,31 @@ object Curation2 {
       cent AS (
         SELECT part, list(m ORDER BY pos) AS centroid
         FROM cent_elem GROUP BY part),
-      q AS (SELECT vec_id AS q_id, embedding AS q_emb
-            FROM embeddings WHERE vec_id < 8),
+      qv AS (SELECT vec_id AS q_id, embedding AS q_emb
+             FROM embeddings WHERE vec_id < 8),
       probes AS (
         SELECT q_id, part FROM (
           SELECT q_id, part,
                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
                    ${SimilarityQ.cosSql("q_emb", "centroid")} DESC,
                    part) AS rn
-          FROM q CROSS JOIN cent) t
+          FROM qv CROSS JOIN cent) t
         WHERE rn <= 2),
-      coded AS (
-        SELECT vec_id, label, embedding,
-               list_max(list_transform(embedding,
-                 x -> abs(CAST(x AS DOUBLE)))) AS scale
-        FROM embeddings),
-      codes AS (
-        SELECT vec_id, label, embedding, scale,
-               CASE WHEN scale = 0
-                 THEN list_transform(embedding,
-                   x -> CAST(0 AS BIGINT))
-                 ELSE list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale
-                     + 0.5) AS BIGINT))
-               END AS q
-        FROM coded),
+      $sq8CodesSql,
       cand AS (
         SELECT p.q_id, b.vec_id AS n_id, b.label AS cell,
                a.embedding AS q_emb, b.embedding AS n_emb,
-               CAST(list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                     list_transform(list_zip(a.q, b.q),
-                       z -> z[1] * z[2])),
-                   (acc, x) -> acc + x) AS DOUBLE)
-                 * a.scale * b.scale / 16129.0 AS adot
+               ${sq8CosSql("a", "b")} AS acos
         FROM probes p
         JOIN codes b ON b.label = p.part
         JOIN codes a ON a.vec_id = p.q_id
         WHERE b.vec_id <> p.q_id),
       appr AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-          ORDER BY adot DESC, n_id) AS arank
+          ORDER BY acos DESC, n_id) AS arank
         FROM cand),
       ex AS (
-        SELECT q_id, n_id, cell, adot,
+        SELECT q_id, n_id, cell, acos,
                ${SimilarityQ.cosSql("q_emb", "n_emb")} AS cos
         FROM appr WHERE arank <= 20),
       rk AS (
@@ -415,7 +421,7 @@ object Curation2 {
           ORDER BY cos DESC, n_id) AS rank
         FROM ex)
       SELECT q_id, rank, n_id, cell,
-             ROUND(cos, 6) AS cos, ROUND(adot, 6) AS adot
+             ROUND(cos, 6) AS cos, ROUND(acos, 6) AS acos
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
 
   val all: Seq[Qry] = Seq(q166, q167, q173, q177, q179)
