@@ -30,9 +30,14 @@ object LinkageScale {
     val n = args.lift(0).map(_.toInt).getOrElse(100000)
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // shuffle-partition override (the Bench.scala knob): at 2M+
+    // items the default (= cores) puts millions of candidate-pair
+    // rows in every join partition — size it to the data when
+    // probing the top scales
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -76,6 +81,49 @@ object LinkageScale {
       EntityRes.resolve(erRecords(m), "rec_id", "name",
           blockPrefix = 8, maxDist = 2)
         .select(col("entity_id")).distinct().count()
+
+    // optional per-stage breakdown of the ER pipeline (names /
+    // fuzzy edges / closure): SPARK_GRAFT_ER_STAGES=1 — stages are
+    // forced independently, so their sum exceeds the fused e2e wall;
+    // the point is the RATIO, to aim optimization where time goes
+    def erStages(m: Long): Unit = {
+      import graft.operators.Components
+      val recs = erRecords(m)
+      val t0 = System.nanoTime()
+      val names = recs.groupBy(col("name").as("name"))
+        .agg(min(col("rec_id")).as("name_id"),
+          count(lit(1)).as("n_recs"))
+        .localCheckpoint(true)
+      val nNames = names.count()
+      val tNames = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val blocked = names
+        .withColumn("blk", substring(col("name"), 1, 8))
+      val edges = blocked.select(col("blk"),
+          col("name_id").as("a"), col("name").as("na"))
+        .join(blocked.select(col("blk"), col("name_id").as("b"),
+          col("name").as("nb")), Seq("blk"))
+        .filter(col("a") < col("b") &&
+          levenshtein(col("na"), col("nb")) <= 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val nEdges = edges.count()
+      val tEdges = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nComp = Components.connectedComponents(
+          names.select(col("name_id")), "name_id", edges, "a", "b")
+        .select(col("component")).distinct().count()
+      val tComp = (System.nanoTime() - t2) / 1e9
+      println(f"""{"metric":"er_stages","n":$m,"names":$nNames,""" +
+        f""""edges":$nEdges,"components":$nComp,""" +
+        f""""names_sec":$tNames%.4f,"edges_sec":$tEdges%.4f,""" +
+        f""""components_sec":$tComp%.4f,"unit":"sec"}""")
+    }
+    if (sys.env.get("SPARK_GRAFT_ER_STAGES").contains("1")) {
+      erStages(math.max(n / 10L, 1000L)) // warm codegen at 1/10
+      erStages(n.toLong)
+      spark.stop(); return
+    }
 
     // warmup compiles the identical generated code at 1/10 size
     geoRun(math.max(n / 10L, 1000L))
