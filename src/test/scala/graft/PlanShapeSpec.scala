@@ -415,6 +415,23 @@ class PlanShapeSpec extends SparkSpec {
       s"q176 similarity graph fell off the equi-join path:\n$p")
   }
 
+  test("q179: probe routing and query codes attach via BroadcastHashJoin; " +
+      "the only nested loop is the bounded centroid assignment") {
+    val p = planAtScaleStats("q179_sq8_ivf_routed")
+    // count FormattedMode detail headers — one per operator instance
+    // (the tree section repeats each operator name)
+    val bhj = """\(\d+\) BroadcastHashJoin""".r.findAllIn(p).length
+    assert(bhj >= 2,
+      s"q179 expected 2+ BroadcastHashJoins (probe cell join + query " +
+        s"code join), found $bhj:\n$p")
+    val bnl = """\(\d+\) BroadcastNestedLoopJoin""".r
+      .findAllIn(p).length
+    assert(bnl <= 1,
+      s"q179 candidate generation fell onto a nested loop (only the " +
+        s"bounded query x centroid routing may BNL), found $bnl:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q179:\n$p")
+  }
+
   test("no unexpected cartesian products across the whole query surface") {
     // Deliberate bounded cross joins (documented quadratic baselines
     // over bounded subsets): q30 brute-force Jaccard, q34 embedding
