@@ -92,6 +92,36 @@ class StreamAttributionSpec extends SparkSpec {
     assert(runStream(batches, "attr_split") === batchCredits)
   }
 
+  test("restart from checkpoint recovers touches and pending conversions") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-attr-rs")
+    val outDir = root.toString + "/out"
+    val ckpt = root.toString + "/ckpt"
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def start() = StreamOps.attributionStream(in.toDS(),
+        convType = "purchase", touchTypes = Seq("ad", "email"),
+        lookbackMs = Lookback, watermarkDelay = "10 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // touch + conversion arrive, then the query DIES before the
+    // watermark can finalize anything
+    val q1 = start()
+    in.addData((1L, ts("2024-01-01 00:01:00"), 1L, "ad", 0.0),
+      (1L, ts("2024-01-01 00:10:00"), 2L, "purchase", 5.0))
+    q1.processAllAvailable(); q1.stop()
+    // restart: state (the buffered touch AND the pending conversion)
+    // must come back from the state store, then finalize as usual
+    val q2 = start()
+    in.addData((9L, ts("2024-01-01 02:00:00"), 98L, "noop", 0.0))
+    q2.processAllAvailable()
+    in.addData((9L, ts("2024-01-01 02:30:00"), 99L, "noop", 0.0))
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .select(col("conv_id"), col("channel"), col("first_cents"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows === Seq((2L, "ad", 500L)))
+  }
+
   test("batch kernel sanity: the scenario exercises every credit shape") {
     val byConv = batchCredits.groupBy(_._1)
     // conv 3: three touches in window, touch 4 (after ct) excluded

@@ -91,6 +91,36 @@ class StreamFunnelSpec extends SparkSpec {
     assert(runStream(batches, "funnel_split") === batchStages)
   }
 
+  test("restart from checkpoint recovers a mid-flight funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-fnl-rs")
+    val outDir = root.toString + "/out"
+    val ckpt = root.toString + "/ckpt"
+    val in = MemoryStream[(Long, Timestamp, String)]
+    def start() = StreamOps.funnelStream(in.toDS(), Steps, WindowSec,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // anchor + stage 2 arrive, then the query dies pre-finalization
+    val q1 = start()
+    in.addData((1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 00:02:00"), "click"))
+    q1.processAllAvailable(); q1.stop()
+    // stage 3 and the watermark push arrive after the restart — the
+    // recovered state must complete the three-stage funnel
+    val q2 = start()
+    in.addData((1L, ts("2024-01-01 00:04:00"), "purchase"))
+    q2.processAllAvailable()
+    in.addData((9L, ts("2024-01-01 02:00:00"), "noop"))
+    q2.processAllAvailable()
+    in.addData((9L, ts("2024-01-01 02:30:00"), "noop"))
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .select(col("user"), col("stage"))
+      .as[(Long, Long)].collect().toSet
+    assert(rows === Set((1L, 1L), (1L, 2L), (1L, 3L)))
+  }
+
   test("batch kernel sanity: the scenario exercises anchor movement " +
       "in both directions") {
     val byUser = batchStages.groupBy(_._1)
