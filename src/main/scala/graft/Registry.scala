@@ -16,5 +16,6 @@ object Registry {
       queries.CorpusQ.all ++ queries.Stats.all ++
       queries.SeriesQ.all ++ queries.LayoutQ.all ++
       queries.Signals.all ++ queries.Changes.all ++
-      queries.Linkage.all ++ queries.Curation2.all
+      queries.Linkage.all ++ queries.Curation2.all ++
+      queries.Pii.all
 }

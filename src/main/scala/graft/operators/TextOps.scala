@@ -202,4 +202,40 @@ object TextOps {
     // (-score, lang) puts the best score first, lang a-z on ties.
     sort_array(array(scored: _*)).getItem(0).getField("lang")
   }
+
+  /** PII masking patterns, applied IN ORDER (ssn before phone so a
+    * 3-2-4 digit group reads as an SSN, never a malformed phone;
+    * email first so its digits can't feed the numeric patterns).
+    * Every pattern is dialect-portable regex — character classes,
+    * bounded quantifiers, `\b` — identical under Java regex (Spark)
+    * and RE2 (DuckDB), which is what lets an oracle replay the
+    * masking byte-for-byte. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\+?\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+      "<IP>"))
+
+  /** Redact emails, SSNs, phone numbers, and IPv4 addresses to
+    * typed placeholder tokens — the pre-training scrub pass that
+    * runs BEFORE text ever lands in a corpus. Pure codegen'd
+    * `regexp_replace` chain: map-side, no shuffle, linear in bytes
+    * scanned — the 100 TB shape is simply "one more projection on
+    * the ingest scan". Masking is idempotent (placeholders match no
+    * pattern). Count occurrences BEFORE masking with [[piiCounts]]
+    * if an audit trail is needed. */
+  def maskPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, p, repl)) =>
+      regexp_replace(c, lit(p), lit(repl))
+    }
+
+  /** Per-kind PII occurrence counts over the ORIGINAL text (struct
+    * of `n_email`, `n_ssn`, `n_phone`, `n_ipv4`) — the audit leg of
+    * [[maskPii]]; non-overlapping counts, same portable patterns. */
+  def piiCounts(text: Column): Column =
+    struct(PiiPatterns.map { case (name, p, _) =>
+      regexp_count(text, lit(p)).cast("long").as(s"n_$name")
+    }: _*)
 }

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{Qry, Tables}
+import graft.operators.TextOps
+
+/** PII redaction (q180): the pre-training scrub pass. The synthetic
+  * corpus carries no PII (a 31-token vocabulary), so — like q62's
+  * language fixture — the masking semantics run over a literal
+  * PII-laden fixture (multi-occurrence rows, adjacent-kind rows,
+  * near-miss rows that must NOT mask), while a corpus leg scans the
+  * real `documents` table and proves zero false positives at table
+  * scale. Patterns are dialect-portable (Java regex == RE2), so the
+  * oracle replays the masking itself, not just the counts.
+  */
+object Pii {
+
+  // (id, text) — no apostrophes (rows embed into SQL literals)
+  private[queries] val piiCorpus: Seq[(Long, String)] = Seq(
+    (1L, "contact me at alice.smith+dev@example.com for details"),
+    (2L, "two mails bob@corp.io and carol_99@mail.example.org here"),
+    (3L, "my ssn is 123-45-6789 do not share"),
+    (4L, "call 555-867-5309 today about the shipment"),
+    (5L, "server at 192.168.0.1 and backup at 10.0.0.254"),
+    (6L, "mixed bag 321-54-9876 reaches 777-123-4567 via 8.8.8.8"),
+    (7L, "no pii here just plain text about parquet files"),
+    (8L, "almost a ssn 1234-56-789 and almost phone 12-345-6789"),
+    (9L, "email edge a@b.co plus ip edge 1.2.3.4"),
+    (10L, "dot tail trap 1.2.3.4.5 still masks the first quad"),
+    (11L, "repeat 9.9.9.9 then 9.9.9.9 again"),
+    (12L, "sign up sam.o-neil@dev-site.example.net call " +
+      "444-555-6666 box 10.1.1.1 ssn 987-65-4321"))
+
+  /** q180 — PII masking + audit counts ([[TextOps.maskPii]] /
+    * [[TextOps.piiCounts]]): per fixture row the per-kind counts
+    * (from the ORIGINAL text) and the fully masked text; one corpus
+    * row (id −1) sums every kind over the real `documents` table —
+    * expected all-zero, computed honestly, so a false-positive
+    * regression in any pattern breaks the hash. Masking is a pure
+    * map-side regexp_replace chain: at 100 TB this is one more
+    * projection on the ingest scan, no shuffle. */
+  val q180 = Qry(
+    "q180_pii_masking",
+    (s: SparkSession, d: String) => {
+      val session = s
+      import session.implicits._
+      val fixture = piiCorpus.toDF("id", "text")
+        .select(col("id"), TextOps.piiCounts(col("text")).as("c"),
+          TextOps.maskPii(col("text")).as("masked"))
+        .select(col("id"), col("c.n_email"), col("c.n_ssn"),
+          col("c.n_phone"), col("c.n_ipv4"), col("masked"))
+      val corpus = Tables.documents(s, d)
+        .select(TextOps.piiCounts(col("text")).as("c"))
+        .agg(sum(col("c.n_email")).as("n_email"),
+          sum(col("c.n_ssn")).as("n_ssn"),
+          sum(col("c.n_phone")).as("n_phone"),
+          sum(col("c.n_ipv4")).as("n_ipv4"))
+        .select(lit(-1L).as("id"), col("n_email"), col("n_ssn"),
+          col("n_phone"), col("n_ipv4"),
+          lit(null).cast("string").as("masked"))
+      fixture.unionByName(corpus).orderBy(col("id"))
+    }, {
+      val vals = piiCorpus.map { case (i, t) => s"($i, '$t')" }
+        .mkString(",\n        ")
+      val pats = TextOps.PiiPatterns
+      def countSql(src: String, p: String) =
+        s"CAST(len(regexp_extract_all($src, '$p')) AS BIGINT)"
+      val maskSql = pats.foldLeft("text") { case (e, (_, p, repl)) =>
+        s"regexp_replace($e, '$p', '$repl', 'g')"
+      }
+      val kinds = pats.map(_._1) // email, ssn, phone, ipv4
+      Some(s"""
+      WITH fixture(id, text) AS (VALUES
+        $vals),
+      fx AS (
+        SELECT id,
+               ${kinds.map(k => countSql("text",
+                 pats.find(_._1 == k).get._2) + s" AS n_$k")
+                 .mkString(",\n               ")},
+               $maskSql AS masked
+        FROM fixture),
+      corpus AS (
+        SELECT CAST(-1 AS BIGINT) AS id,
+               ${kinds.map(k => s"CAST(SUM(${countSql("text",
+                 pats.find(_._1 == k).get._2)}) AS BIGINT) AS n_$k")
+                 .mkString(",\n               ")},
+               CAST(NULL AS VARCHAR) AS masked
+        FROM documents)
+      SELECT * FROM fx
+      UNION ALL SELECT * FROM corpus
+      ORDER BY id""")
+    })
+
+  val all: Seq[Qry] = Seq(q180)
+}
