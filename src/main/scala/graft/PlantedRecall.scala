@@ -43,6 +43,8 @@ object PlantedRecall {
     // patterns per sub-space, so recall should RISE with k — the
     // at-scale demonstration that the metric tracks quantizer quality
     val k = args.lift(3).map(_.toInt).getOrElse(64)
+    // SQ8 oversample m (the recall/bandwidth dial of the int8 leg)
+    val sq8m = args.lift(4).map(_.toInt).getOrElse(30)
     val (subs, subDim) = (4, 16)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder()
@@ -118,7 +120,7 @@ object PlantedRecall {
     // (cluster mates), so one exact baseline serves both indexes
     val t4 = System.nanoTime()
     val sq8 = Sq8.searchTopKInCells(q, e, "vec_id", "embedding",
-        "label", probes, m = 30, k = 10)
+        "label", probes, m = sq8m, k = 10)
       .localCheckpoint(true)
     val tSq8 = (System.nanoTime() - t4) / 1e9
     val (recallSq8, _) = recall10(sq8)
@@ -126,7 +128,8 @@ object PlantedRecall {
     def r4(v: Double) = math.round(v * 10000) / 10000.0
     println(s"""{"metric":"planted_recall10","n":${nClusters.toLong *
       perCluster},"dim":$dim,"clusters":$nClusters,"queries":$nq,""" +
-      s""""recall10":${r4(recall)},"sq8_recall10":${r4(recallSq8)},""" +
+      s""""recall10":${r4(recall)},"sq8_m":$sq8m,""" +
+      s""""sq8_recall10":${r4(recallSq8)},""" +
       s""""gen_sec":${r4(tGen)},""" +
       s""""index_sec":${r4(tIndex)},"ann_sec":${r4(tAnn)},""" +
       s""""sq8_sec":${r4(tSq8)},"exact_sec":${r4(tExact)}}""")
