@@ -121,6 +121,34 @@ class EmptyInputSpec extends SparkSpec {
       .count() == 1L)
   }
 
+  test("r9 operators on empty frames") {
+    // routed SQ8: empty corpus and empty probe relation both yield
+    // zero candidates, never an error
+    val emb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val probes = Seq.empty[(Long, Int)].toDF("vec_id", "label")
+    assert(Sq8.searchTopKInCells(emb, emb, "vec_id", "embedding",
+      "label", probes, m = 5, k = 3).count() == 0L)
+    val oneVec = Seq((1L, Array(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Sq8.searchTopKInCells(oneVec, oneVec, "vec_id",
+      "embedding", "label", probes, m = 5, k = 3).count() == 0L)
+    // shortest paths: no sources -> empty; sources but no edges ->
+    // distance-0 singletons
+    val edges = Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")
+    val srcs = Seq.empty[Long].toDF("id")
+    assert(Graph.boundedShortestPaths(edges, "a", "b", "w", srcs,
+      "id", 3).count() == 0L)
+    assert(Graph.boundedShortestPaths(edges, "a", "b", "w",
+      Seq(7L).toDF("id"), "id", 3).count() == 1L)
+    // PII masking: empty string and null survive
+    val txts = Seq(Some(""), None).toDF("text")
+    val masked = txts.select(TextOps.maskPii(col("text")).as("m"),
+      col("text"))
+    assert(masked.filter(col("m").isNull).count() == 1L)
+    assert(masked.filter(col("m") === "").count() == 1L)
+  }
+
   test("as-of join with an empty quote side leaves payload null, keeps left rows") {
     val trades = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:01")))
       .toDF("sym", "ts")
