@@ -16,18 +16,20 @@ import graft.functions.{Hilbert2D, HilbertN, PqAssign, ShingleNGrams,
   * auto-rewrites HOF dot products into VecDot.
   *
   * Also registers the whole-operator TABLE functions `cdc_merge`,
-  * `bfs_hops`, and `shortest_paths`, which expose
-  * [[graft.operators.Cdc.mergeLatest]], [[graft.operators.Graph
+  * `attribution_credits`, `sq8_search`, `bfs_hops`, and
+  * `shortest_paths`, which expose [[graft.operators.Cdc
+  * .mergeLatest]], [[graft.operators.Attribution.credits]],
+  * [[graft.operators.Sq8.searchTopK]], [[graft.operators.Graph
   * .bfsHops]], and [[graft.operators.Graph.boundedShortestPaths]] to
   * the SQL front-end: the builder receives literal arguments (view
   * names + column names) and returns the SAME logical plan the Scala
   * API composes, so `SELECT * FROM cdc_merge('chg', 'k', 'seq',
-  * 'op', false)` plans identically to the API call. `cdc_merge` is
-  * fully declarative; the graph functions are iterative loops, so
-  * their per-round jobs run while the statement is ANALYZED (the
-  * same work a recursive CTE would execute) and the returned plan
-  * scans the checkpointed result — re-planning the same statement
-  * re-runs the traversal.
+  * 'op', false)` plans identically to the API call. The first three
+  * are fully declarative (canonicalized-plan equality holds); the
+  * graph functions are iterative loops, so their per-round jobs run
+  * while the statement is ANALYZED (the same work a recursive CTE
+  * would execute) and the returned plan scans the checkpointed
+  * result — re-planning the same statement re-runs the traversal.
   *
   * Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done
@@ -79,6 +81,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               .split(",").map(_.trim).toSeq,
             strConst(children(2), "cdc_merge: seq_col"),
             strConst(children(3), "cdc_merge: op_col"), keep)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("attribution_credits"),
+      new ExpressionInfo("graft.operators.Attribution",
+        "attribution_credits"),
+      (children: Seq[Expression]) => {
+        require(children.size == 9,
+          "attribution_credits expects (events_view, user_col, " +
+            "id_col, ts_col, type_col, value_col, conv_type, " +
+            s"touch_types_csv, lookback_micros), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val lookback = {
+          val e = children(8)
+          require(e.foldable, "attribution_credits: lookback_micros " +
+            s"must be a literal, got ${e.sql}")
+          e.eval() match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case v => throw new IllegalArgumentException(
+              "attribution_credits: lookback_micros must be an " +
+                s"integer literal, got $v")
+          }
+        }
+        graft.operators.Attribution.credits(
+            spark.table(strConst(children(0),
+              "attribution_credits: events_view")),
+            strConst(children(1), "attribution_credits: user_col"),
+            strConst(children(2), "attribution_credits: id_col"),
+            strConst(children(3), "attribution_credits: ts_col"),
+            strConst(children(4), "attribution_credits: type_col"),
+            strConst(children(5), "attribution_credits: value_col"),
+            strConst(children(6), "attribution_credits: conv_type"),
+            strConst(children(7),
+              "attribution_credits: touch_types_csv")
+              .split(",").map(_.trim).toSeq,
+            lookback)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("sq8_search"),
+      new ExpressionInfo("graft.operators.Sq8", "sq8_search"),
+      (children: Seq[Expression]) => {
+        require(children.size == 6,
+          "sq8_search expects (queries_view, corpus_view, id_col, " +
+            s"emb_col, m, k), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Sq8.searchTopK(
+            spark.table(strConst(children(0),
+              "sq8_search: queries_view")),
+            spark.table(strConst(children(1),
+              "sq8_search: corpus_view")),
+            strConst(children(2), "sq8_search: id_col"),
+            strConst(children(3), "sq8_search: emb_col"),
+            intConstArg(children(4), "sq8_search: m"),
+            intConstArg(children(5), "sq8_search: k"))
           .queryExecution.analyzed
       }))
     ext.injectTableFunction((

@@ -101,6 +101,48 @@ class SqlTableFnSpec extends SparkSpec {
     assert(viaSql === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("attribution_credits from SQL plans identically to the API form") {
+    Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"),
+          "ad", 0.0),
+        (1L, 2L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"),
+          "purchase", 5.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .createOrReplaceTempView("attr_events_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM attribution_credits('attr_events_sql', " +
+        "'user_id', 'event_id', 'ts', 'event_type', 'value', " +
+        "'purchase', 'ad, email', 1800000000)")
+    val viaApi = graft.operators.Attribution.credits(
+      spark.table("attr_events_sql"), "user_id", "event_id", "ts",
+      "event_type", "value", "purchase", Seq("ad", "email"),
+      1800000000L)
+    assert(viaSql.queryExecution.optimizedPlan.canonicalized ===
+      viaApi.queryExecution.optimizedPlan.canonicalized)
+    val rows = viaSql
+      .select(col("conv_id"), col("channel"), col("first_cents"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows === Seq((2L, "ad", 500L)))
+  }
+
+  test("sq8_search from SQL plans identically to the API form") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    emb.createOrReplaceTempView("sq8_corpus_sql")
+    emb.filter(col("vec_id") < 3)
+      .createOrReplaceTempView("sq8_queries_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM sq8_search('sq8_queries_sql', " +
+        "'sq8_corpus_sql', 'vec_id', 'embedding', 10, 3)")
+    val viaApi = graft.operators.Sq8.searchTopK(
+      spark.table("sq8_queries_sql"), spark.table("sq8_corpus_sql"),
+      "vec_id", "embedding", m = 10, k = 3)
+    assert(viaSql.queryExecution.optimizedPlan.canonicalized ===
+      viaApi.queryExecution.optimizedPlan.canonicalized)
+    assert(viaSql.select(col("q_id"), col("rank"), col("n_id"))
+      .collect().toSet ===
+      viaApi.select(col("q_id"), col("rank"), col("n_id"))
+        .collect().toSet)
+  }
+
   test("non-literal table-function arguments are rejected with a clear message") {
     changeLog.createOrReplaceTempView("chg_sql")
     val err = intercept[Exception] {
