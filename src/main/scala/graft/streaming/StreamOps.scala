@@ -585,12 +585,22 @@ object StreamOps {
     * for two static shards, this operator applies per trigger
     * forever. State stays bounded: dedup state is evicted at the
     * watermark, and the aggregate holds one row per lang.
-    * Run in `update` output mode. */
+    * Run in `update` output mode.
+    *
+    * `scrubPii = true` masks PII ([[graft.operators.TextOps
+    * .maskPii]], q180) as the FIRST step — before the quality gate,
+    * the dedup hash, and the stats — so raw identifiers never enter
+    * state, the index, or the aggregates, and two documents
+    * differing only in their PII (templated mail, form letters)
+    * dedup together. Pure extra projection on the ingest scan. */
   def corpusIngest(docs: DataFrame, tsCol: String, textCol: String,
       langCol: String, watermark: String, minQuality: Double,
-      stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+      stopwords: Seq[String] = Seq("the", "a"),
+      scrubPii: Boolean = false): DataFrame = {
     import graft.operators.TextOps
-    docs
+    (if (scrubPii)
+       docs.withColumn(textCol, TextOps.maskPii(col(textCol)))
+     else docs)
       .withColumn("__q", TextOps.qualityScore(col(textCol), stopwords))
       .filter(col("__q") >= minQuality)
       .withColumn("__h", md5(col(textCol)))

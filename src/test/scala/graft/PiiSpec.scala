@@ -55,4 +55,31 @@ class PiiSpec extends SparkSpec {
   test("leftmost-first on an over-long dotted quad") {
     assert(mask("trap 1.2.3.4.5 end") === "trap <IP>.5 end")
   }
+
+  test("scrubbed streaming ingest dedups documents that differ only in PII") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val out = StreamOps.corpusIngest(
+      in.toDF().toDF("ts", "text", "lang"), "ts", "text", "lang",
+      watermark = "10 minutes", minQuality = 0.0, scrubPii = true)
+    val q = out.writeStream.format("memory").queryName("pii_ingest")
+      .outputMode("update").start()
+    val t = Timestamp.valueOf("2024-01-01 00:01:00")
+    // same form letter sent to two different addresses: after the
+    // scrub both read "dear user <EMAIL> your code is <SSN>" and
+    // the content-hash dedup collapses them; the third doc differs
+    in.addData(
+      (t, "dear user bob@corp.io your code is 123-45-6789", "en"),
+      (t, "dear user eve@mail.net your code is 987-65-4321", "en"),
+      (t, "completely different body with no identifiers", "en"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("pii_ingest")
+      .select(col("lang"), col("n_docs")).as[(String, Long)]
+      .collect().toMap
+    assert(rows === Map("en" -> 2L),
+      "PII-differing duplicates must collapse after the scrub")
+  }
 }
