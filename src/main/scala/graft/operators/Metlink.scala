@@ -238,6 +238,20 @@ object Metlink {
       .drop("__rn", "__seq")
   }
 
+  /** C3 (task.ts:169-171): the DEBUG raw-response sample — when
+    * enabled, the first `maxChars` characters of the raw feed
+    * envelope serialized back to JSON, with the reference's
+    * unconditional `"..."` suffix; `None` when disabled (the
+    * reference logs nothing). Driver-side BY DESIGN — it reproduces
+    * a log line — and bounded by construction: one row re-serialized
+    * and truncated, never a collect of the frame. */
+  def debugSample(feed: DataFrame, enabled: Boolean,
+      maxChars: Int = 1000): Option[String] =
+    if (!enabled) None
+    else feed.select(to_json(struct(col("*"))).as("j"))
+      .limit(1).collect().headOption
+      .map(_.getString(0).take(maxChars) + "...")
+
   /** Feed-envelope entry: posexplode preserves the entity array
     * index as the arrival order the reference's loop implies
     * (SURVEY.md §7.4 — monotonically_increasing_id is only

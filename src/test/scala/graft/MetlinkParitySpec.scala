@@ -210,4 +210,21 @@ class MetlinkParitySpec extends SparkSpec {
     assert(fc.startsWith("""{"type":"FeatureCollection","features":["""))
     assert(fc.contains(""""type":"Point""""))
   }
+
+  test("C3 debug sample (task.ts:169-171): gated, 1000 chars, '...' suffix") {
+    val feed = spark.read.schema(Metlink.vehicleSchema)
+      .json(Seq(fixtureJson).toDS)
+    // disabled -> the reference logs nothing
+    assert(Metlink.debugSample(feed, enabled = false).isEmpty)
+    val s = Metlink.debugSample(feed, enabled = true).get
+    // first 1000 chars of the re-serialized envelope + unconditional
+    // "..." (the fixture JSON is longer than 1000 chars)
+    assert(s.length == 1003 && s.endsWith("..."), s.length.toString)
+    assert(s.startsWith("""{"header":{"""), s.take(40))
+    assert(s.contains(""""entity":[{"id":"e1""""), s.take(120))
+    // shorter than the cap: still suffixed, nothing padded
+    val short = Metlink.debugSample(feed, enabled = true,
+      maxChars = 20).get
+    assert(short.length == 23 && short.endsWith("..."))
+  }
 }
