@@ -93,5 +93,74 @@ object Pii {
       ORDER BY id""")
     })
 
-  val all: Seq[Qry] = Seq(q180)
+  /** q181 — cascading subject erasure audit ([[graft.operators
+    * .Erasure.audit]]): a deterministic ~2% md5-bucket of customers
+    * is the erasure batch; the audit reports, per table, the purge
+    * the right-to-be-forgotten sweep would execute — customers
+    * directly, orders via the customer key, line items TRANSITIVELY
+    * via erased orders — with a purged-key checksum (coverage
+    * provable without retaining subject data) and the surviving row
+    * count. Scale shape: the erased-key set is selectivity-bounded
+    * and broadcast; each leg is one semi/anti join on the fact scan,
+    * the grandchild hop re-broadcasts the purged order keys — never
+    * a three-way join. */
+  val q181 = Qry(
+    "q181_erasure_cascade",
+    (s: SparkSession, d: String) => {
+      import graft.operators.{Erasure, Splits}
+      val cust = Tables.customer(s, d)
+      val erased = cust
+        .filter(Splits.hashBucket(col("c_custkey")) < 2)
+        .select(col("c_custkey"))
+      val li = Tables.lineitem(s, d).withColumn("__lk",
+        col("l_orderkey") * 10 + col("l_linenumber"))
+      Erasure.audit(cust, "c_custkey", erased,
+          Tables.orders(s, d), "o_custkey", "o_orderkey",
+          li, "l_orderkey", "__lk")
+        .select(col("table").as("tbl"), col("n_purged"),
+          col("purged_key_sum"), col("n_retained"))
+        .orderBy(col("tbl"))
+    },
+    Some(s"""
+      WITH erased AS (
+        SELECT c_custkey FROM customer
+        WHERE ${Q.bucketSql("c_custkey")} < 2),
+      eo AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM erased)),
+      s_p AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) AS ks
+        FROM customer
+        WHERE c_custkey IN (SELECT c_custkey FROM erased)),
+      s_r AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM erased)),
+      c_p AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS ks
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM erased)),
+      c_r AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM erased)),
+      g_p AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(COALESCE(SUM(l_orderkey * 10 + l_linenumber), 0)
+                 AS BIGINT) AS ks
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM eo)),
+      g_r AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM eo))
+      SELECT 'child' AS tbl, c_p.np AS n_purged,
+             c_p.ks AS purged_key_sum, c_r.nr AS n_retained
+      FROM c_p, c_r
+      UNION ALL
+      SELECT 'grand', g_p.np, g_p.ks, g_r.nr FROM g_p, g_r
+      UNION ALL
+      SELECT 'subjects', s_p.np, s_p.ks, s_r.nr FROM s_p, s_r
+      ORDER BY tbl"""))
+
+  val all: Seq[Qry] = Seq(q180, q181)
 }
