@@ -921,6 +921,60 @@ object StreamOps {
     out
   }
 
+  /** One micro-batch of streaming subject erasure: remove every
+    * snapshot row whose `fkCol` appears in the batch of erased keys
+    * (first column of `batch`), via the same broadcast anti-join as
+    * [[graft.operators.Erasure.retain]] and the same two-rename swap
+    * as [[applyCdcBatch]]. Idempotent by construction — re-applying
+    * a key that is already gone removes nothing — so replay after a
+    * restart reproduces the identical snapshot.
+    * @return rows purged this batch */
+  def applyErasureBatch(batch: DataFrame, snapshotDir: String,
+      fkCol: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Erasure
+    val spark = batch.sparkSession
+    val dst = new Path(snapshotDir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dst),
+      s"applyErasureBatch: no snapshot at $snapshotDir — erasure " +
+        "edits an existing table, it does not create one")
+    val keys = batch.localCheckpoint(true)
+    val prev = spark.read.parquet(snapshotDir)
+    val before = prev.count()
+    val out = Erasure.retain(prev, fkCol, keys).localCheckpoint(true)
+    val after = out.count()
+    val tmp = new Path(snapshotDir + ".applying")
+    val old = new Path(snapshotDir + ".old")
+    require(!fs.exists(tmp) && !fs.exists(old),
+      s"stale $tmp / $old from an interrupted apply — resolve " +
+        "manually before applying again")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(dst, old), s"rename $dst -> $old failed")
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    fs.delete(old, true)
+    before - after
+  }
+
+  /** Standing streaming erasure: every micro-batch of
+    * right-to-be-forgotten keys purges the on-disk snapshot via
+    * [[applyErasureBatch]] — the operational form of [[graft
+    * .operators.Erasure]] (requests trickle in; each trigger is one
+    * broadcast anti-join + table swap). Exactly-once per micro-batch
+    * from checkpointed offsets + the idempotent purge. */
+  def startErasureApply(requests: DataFrame, snapshotDir: String,
+      checkpointDir: String, fkCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        applyErasureBatch(batch.toDF(), snapshotDir, fkCol)
+        ()
+      }
+      .start()
+
   /** Standing streaming CDC apply: every micro-batch of change rows
     * folds into the snapshot via [[applyCdcBatch]]. Exactly-once
     * per micro-batch comes from the checkpointed source offsets +

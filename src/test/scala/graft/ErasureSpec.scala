@@ -60,4 +60,35 @@ class ErasureSpec extends SparkSpec {
     assert(a("child") === ((0L, 0L, 4L)))
     assert(a("grand") === ((0L, 0L, 5L)))
   }
+
+  test("streaming erasure purges the snapshot per trigger, survives " +
+      "restart, and replays idempotently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ers")
+    val snap = root.toString + "/snap"
+    val ckpt = root.toString + "/ckpt"
+    orders.write.parquet(snap)
+    val in = MemoryStream[Long]
+    def start() = StreamOps.startErasureApply(in.toDF().toDF("k"),
+      snap, ckpt, "cust")
+    val q1 = start()
+    in.addData(1L)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(snap).select(col("ok"))
+      .as[Long].collect().toSet === Set(12L, 13L))
+    // restart: a new request AND a replay of an already-erased key
+    val q2 = start()
+    in.addData(2L, 1L)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(snap).select(col("ok"))
+      .as[Long].collect().toSet === Set(13L))
+    // erasure of a table that does not exist refuses loudly
+    val err = intercept[Exception] {
+      StreamOps.applyErasureBatch(Seq(1L).toDF("k"),
+        root.toString + "/missing", "cust")
+    }
+    assert(err.getMessage.contains("existing table"))
+  }
 }
