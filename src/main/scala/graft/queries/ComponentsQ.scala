@@ -566,6 +566,112 @@ object ComponentsQ {
              MIN(d) AS min_d, MAX(d) AS max_d
       FROM dist GROUP BY 1 ORDER BY 1"""))
 
+  /** Shared oracle fragment: the q171/q178 sparse basket co-purchase
+    * graph (15% of orders, first 3 lines) as a SYMMETRIC distinct
+    * edge list `e0` — both directions present, so per-src counts are
+    * undirected degrees. */
+  private def basketGraphSql: String = s"""
+      li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        WHERE ${Q.bucketSql("l_orderkey")} < 15
+          AND l_linenumber <= 3),
+      e0 AS (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk)"""
+
+  /** Spark side of [[basketGraphSql]]: the same sparse co-purchase
+    * edge set (one direction; the graph operators symmetrize). */
+  private def basketEdges(s: SparkSession, d: String) = {
+    import graft.operators.Splits
+    val li = Tables.lineitem(s, d)
+      .filter(Splits.hashBucket(col("l_orderkey")) < 15 &&
+        col("l_linenumber") <= 3)
+    Graph.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  /** q182 — k-core decomposition ([[Graph.kCore]]): peel the sparse
+    * basket graph to its 3-core (drop degree<3 vertices, restrict,
+    * repeat to fixpoint — 3 rounds at sf0.001, 5 at sf0.01, 11 at
+    * sf0.1); digest buckets core vertices by their in-core degree
+    * with id sums pinning exact membership. The oracle unrolls 8
+    * peel rounds as plain CTEs — peeling is monotone, so rounds past
+    * the fixpoint are no-ops and a generous unroll is exact, while
+    * the Spark side's convergence exit stops at the fixpoint
+    * (`maxRounds` is only a bound). */
+  val q182 = Qry(
+    "q182_kcore",
+    (s: SparkSession, d: String) =>
+      Graph.kCore(basketEdges(s, d), "src", "dst", k = 3,
+          maxRounds = 30)
+        .groupBy(col("deg"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("deg")),
+    Some {
+      val peels = (1 to 8).map { i =>
+        s"""n$i AS (
+            SELECT e.src AS id FROM e0 e
+            JOIN n${i - 1} a ON e.src = a.id
+            JOIN n${i - 1} b ON e.dst = b.id
+            GROUP BY e.src HAVING COUNT(*) >= 3)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $basketGraphSql,
+      n0 AS (SELECT DISTINCT src AS id FROM e0),
+      $peels,
+      deg AS (
+        SELECT e.src AS id, COUNT(*) AS deg FROM e0 e
+        JOIN n8 a ON e.src = a.id
+        JOIN n8 b ON e.dst = b.id
+        GROUP BY e.src)
+      SELECT deg, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
+             MIN(id) AS min_id, MAX(id) AS max_id
+      FROM deg GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** q183 — label-propagation communities ([[Graph
+    * .labelPropagation]]): 3 synchronous most-frequent-neighbour
+    * votes (self-vote included, ties → smallest label) over the
+    * sparse basket graph; digest groups vertices by final label with
+    * id sums pinning exact assignment. Fixed-round synchronous
+    * semantics make the nondeterministic-by-reputation algorithm
+    * engine-replayable; the oracle unrolls the 3 votes. */
+  val q183 = Qry(
+    "q183_label_propagation",
+    (s: SparkSession, d: String) =>
+      Graph.labelPropagation(basketEdges(s, d), "src", "dst",
+          rounds = 3)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+          sum(col("id")).as("sum_id"))
+        .orderBy(col("label")),
+    Some {
+      val votes = (1 to 3).map { i =>
+        s"""l$i AS (
+            SELECT id, label FROM (
+              SELECT id, label,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                       ORDER BY c DESC, label) AS rn
+              FROM (
+                SELECT x.id, x.label, COUNT(*) AS c FROM (
+                  SELECT e.dst AS id, l.label
+                  FROM e0 e JOIN l${i - 1} l ON l.id = e.src
+                  UNION ALL
+                  SELECT id, label FROM l${i - 1}) x
+                GROUP BY x.id, x.label))
+            WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $basketGraphSql,
+      l0 AS (SELECT DISTINCT src AS id, src AS label FROM e0),
+      $votes
+      SELECT label, COUNT(*) AS n_members, MIN(id) AS min_id,
+             MAX(id) AS max_id, CAST(SUM(id) AS BIGINT) AS sum_id
+      FROM l3 GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Qry] =
-    Seq(q61, q94, q100, q103, q118, q130, q171, q178)
+    Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183)
 }
