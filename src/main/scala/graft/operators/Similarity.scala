@@ -77,6 +77,71 @@ object Similarity {
       when(planeDot(emb, p, dim) > 0d, lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein '98):
+    * greedily select k results maximizing
+    * `λ·cos(query, c) − (1−λ)·max_{s∈selected} cos(c, s)` — the
+    * standard diversity re-rank over an ANN candidate pool (RAG
+    * retrieval, dedup-aware search results). Inherently sequential in
+    * k: each of the k steps is ONE distributed arg-max over the
+    * still-distributed candidate pool scored against the ≤ k-vector
+    * selected set (embedded as literals — a broadcast of at most
+    * k·dim floats); the driver holds only the k winners, never the
+    * pool. Ties break to the smallest id; every dot product is the
+    * sequential fold, so any engine replays the greedy walk exactly.
+    *
+    * @param candidates pool (idCol, embCol) — at scale, the top-N of
+    *                   an ANN stage, NOT a full corpus
+    * @param query      the query embedding
+    * @return k rows (rank, n_id, score) in selection order; fewer
+    *         when the pool exhausts first. score is the raw MMR
+    *         objective (unrounded)
+    */
+  def mmrTopK(candidates: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int, lam: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lam >= 0d && lam <= 1d, s"lambda must be in [0,1]: $lam")
+    val spark = candidates.sparkSession
+    val qCol = array(query.map(lit(_)): _*)
+    val pool = candidates
+      .select(col(idCol).cast("long").as("id"), col(embCol).as("e"),
+        cosine(col(embCol), qCol).as("rel"))
+      .localCheckpoint(true)
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Float], Double)]
+    var step = 0
+    var exhausted = false
+    while (step < k && !exhausted) {
+      val scoreCol =
+        if (selected.isEmpty) col("rel") * lit(lam)
+        else {
+          val sims = selected.map { case (_, e, _) =>
+            cosine(col("e"), array(e.map(lit(_)): _*))
+          }.toSeq
+          val maxSim =
+            if (sims.size == 1) sims.head else greatest(sims: _*)
+          col("rel") * lit(lam) - lit(1d - lam) * maxSim
+        }
+      val chosen = selected.map(_._1).toSet
+      val top = pool
+        .filter(!col("id").isin(chosen.toSeq: _*))
+        .select(col("id"), col("e"), scoreCol.as("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top(0)
+        selected += ((r.getLong(0),
+          r.getSeq[Float](1).toArray, r.getDouble(2)))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, s), i) => (i + 1, id, s) }
+      .toSeq.toDF("rank", "n_id", "score")
+  }
+
   /** IVF-style coarse quantization using an existing partition column
     * (or precomputed cluster assignment): centroids are the
     * per-partition element-wise means (decimal-summed for

@@ -162,5 +162,83 @@ object Pii {
       SELECT 'subjects', s_p.np, s_p.ks, s_r.nr FROM s_p, s_r
       ORDER BY tbl"""))
 
-  val all: Seq[Qry] = Seq(q180, q181)
+  /** q185 — k-anonymity generalization ladder ([[graft.operators
+    * .Anonymize.generalizationLevels]], k=8): level-1 classes are the
+    * fine quasi-identifier (nation, segment, 2000-wide balance band);
+    * records in classes under k generalize to (region, segment);
+    * classes still under k are suppressed. The digest publishes each
+    * surviving class with its size and exact-decimal mean balance,
+    * plus one suppressed-total row — levels keyed by sentinel g-cols
+    * so the whole release is a single relation. The oracle replays
+    * both window counts and the level CASE. */
+  val q185 = Qry(
+    "q185_k_anonymity",
+    (s: SparkSession, d: String) => {
+      import graft.operators.Anonymize
+      val cust = Tables.customer(s, d)
+      val nat = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val recs = cust.join(broadcast(nat),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("band",
+          floor(col("c_acctbal") / 2000d).cast("long"))
+      val lev = Anonymize.generalizationLevels(recs,
+        Seq(col("c_nationkey"), col("c_mktsegment"), col("band")),
+        Seq(col("n_regionkey"), col("c_mktsegment")), k = 8)
+      lev
+        .withColumn("g1",
+          when(col("anon_level") === 1, col("c_nationkey").cast("long"))
+            .when(col("anon_level") === 2,
+              col("n_regionkey").cast("long"))
+            .otherwise(lit(-1L)))
+        .withColumn("g2",
+          when(col("anon_level") === 9, lit("*"))
+            .otherwise(col("c_mktsegment")))
+        .withColumn("g3",
+          when(col("anon_level") === 1, col("band"))
+            .otherwise(lit(-1L)))
+        .groupBy(col("anon_level").as("level"), col("g1"), col("g2"),
+          col("g3"))
+        .agg(count(lit(1)).as("n"),
+          Q.davg(col("c_acctbal"), 2).as("avg_bal"))
+        .orderBy(col("level"), col("g1"), col("g2"), col("g3"))
+    },
+    Some(s"""
+      WITH recs AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+               n_regionkey,
+               CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS band
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      lev0 AS (
+        SELECT *,
+               COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                 band) AS c1
+        FROM recs),
+      lev1 AS (
+        SELECT *,
+               SUM(CASE WHEN c1 < 8 THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY n_regionkey, c_mktsegment) AS c2
+        FROM lev0),
+      lev AS (
+        SELECT *,
+               CASE WHEN c1 >= 8 THEN 1
+                    WHEN c2 >= 8 THEN 2
+                    ELSE 9 END AS level
+        FROM lev1),
+      keyed AS (
+        SELECT level,
+               CASE WHEN level = 1 THEN CAST(c_nationkey AS BIGINT)
+                    WHEN level = 2 THEN CAST(n_regionkey AS BIGINT)
+                    ELSE -1 END AS g1,
+               CASE WHEN level = 9 THEN '*'
+                    ELSE c_mktsegment END AS g2,
+               CASE WHEN level = 1 THEN band ELSE -1 END AS g3,
+               c_acctbal
+        FROM lev)
+      SELECT level, g1, g2, g3, COUNT(*) AS n,
+             ${Q.davgSql("c_acctbal", 2)} AS avg_bal
+      FROM keyed GROUP BY 1, 2, 3, 4
+      ORDER BY level, g1, g2, g3"""))
+
+  val all: Seq[Qry] = Seq(q180, q181, q185)
 }

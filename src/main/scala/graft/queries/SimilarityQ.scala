@@ -563,5 +563,59 @@ object SimilarityQ {
       ORDER BY er10.q_id, er10.rank"""
     })
 
-  val all: Seq[Qry] = Seq(q31, q32, q33, q34, q71, q113, q137, q144)
+  /** q186 — MMR diversity re-rank ([[Similarity.mmrTopK]], λ=0.7,
+    * k=5): greedy maximal-marginal-relevance over a 199-vector
+    * candidate pool (vec_id 1-199; at scale this pool is an ANN
+    * stage's top-N) against query vec_id 0. The oracle unrolls the
+    * five greedy steps — each a scored arg-max over the pool against
+    * the previously selected rows — with (1.0 − 0.7) computed, not
+    * written as 0.3 (the two doubles differ). Scores snap via the
+    * shared floor(·1e6+0.5) rule. */
+  val q186 = Qry(
+    "q186_mmr_rerank",
+    (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.mmrTopK(
+          e.filter(col("vec_id") >= 1 && col("vec_id") < 200),
+          "vec_id", "embedding", qv, k = 5, lam = 0.7)
+        .select(col("rank"), col("n_id"), r6(col("score")).as("score"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      val steps = (1 to 5).map { i =>
+        val prev = (1 until i).map(j => s"s$j")
+        val score =
+          if (i == 1) "0.7 * r.rel"
+          else s"""0.7 * r.rel - (1.0 - 0.7) * GREATEST(
+              ${prev.map(p => cosSql("r.e", s"$p.e")).mkString(",\n              ")})"""
+        val from = "rel r" + prev.map(p => s", $p").mkString
+        val excl =
+          if (i == 1) ""
+          else "WHERE " +
+            prev.map(p => s"r.vec_id <> $p.vec_id").mkString(" AND ")
+        s"""s$i AS (
+            SELECT r.vec_id, r.e, r.rel, $score AS score
+            FROM $from $excl
+            ORDER BY score DESC, r.vec_id LIMIT 1)"""
+      }.mkString(",\n      ")
+      val out = (1 to 5).map(i =>
+        s"SELECT $i AS rank, vec_id AS n_id, ${r6Sql("score")} AS score FROM s$i")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH q AS (SELECT embedding AS qe FROM embeddings
+                 WHERE vec_id = 0),
+      cand AS (SELECT vec_id, embedding AS e FROM embeddings
+               WHERE vec_id >= 1 AND vec_id < 200),
+      rel AS (
+        SELECT vec_id, e, ${cosSql("e", "qe")} AS rel
+        FROM cand, q),
+      $steps
+      $out
+      ORDER BY rank"""
+    })
+
+  val all: Seq[Qry] =
+    Seq(q31, q32, q33, q34, q71, q113, q137, q144, q186)
 }
