@@ -148,35 +148,43 @@ object Graph {
       k: Int, maxRounds: Int): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxRounds >= 0, s"maxRounds must be >= 0: $maxRounds")
-    val sym = edges
+    // peel the edge list itself: each round restricts the SHRINKING
+    // current subgraph to survivor-incident edges, so late rounds
+    // join ever-smaller inputs — rejoining the full edge list every
+    // round would pay the whole-graph cost maxRounds times even when
+    // the core is a sliver of it
+    var cur = edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"),
         col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
     // symmetric + distinct ⇒ out-degree == undirected degree
-    def degrees(nodes: DataFrame): DataFrame =
-      sym
-        .join(nodes.select(col("id").as("src")), Seq("src"),
-          "left_semi")
-        .join(nodes.select(col("id").as("dst")), Seq("dst"),
-          "left_semi")
-        .groupBy(col("src").as("id"))
-        .agg(count(lit(1)).as("deg"))
-    var nodes = sym.select(col("src").as("id")).distinct()
-      .localCheckpoint(true)
-    var n = nodes.count()
+    def degrees: DataFrame =
+      cur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    var m = cur.count()
     var round = 0
     var converged = false
-    while (round < maxRounds && !converged && n > 0) {
+    while (round < maxRounds && !converged && m > 0) {
       round += 1
-      nodes = degrees(nodes).filter(col("deg") >= k)
-        .select(col("id")).localCheckpoint(true)
-      val m = nodes.count()
-      converged = m == n
-      n = m
+      // survivors fold into the restriction's build side, so each
+      // round is ONE job (restrict + checkpoint) plus a cheap count
+      // of the materialized result. Convergence reads the EDGE
+      // count: an unchanged count means no endpoint was dropped
+      // (every dropped node owned ≥ 1 edge), i.e. every current
+      // vertex already has degree ≥ k — the node fixpoint.
+      val survivors = degrees.filter(col("deg") >= k).select(col("id"))
+      cur = cur
+        .join(survivors.select(col("id").as("src")), Seq("src"),
+          "left_semi")
+        .join(survivors.select(col("id").as("dst")), Seq("dst"),
+          "left_semi")
+        .localCheckpoint(true)
+      val m2 = cur.count()
+      converged = m2 == m
+      m = m2
     }
-    (degrees(nodes), round)
+    (degrees, round)
   }
 
   /** Synchronous label-propagation community detection, `rounds`

@@ -569,13 +569,17 @@ object ComponentsQ {
   /** Shared oracle fragment: the q171/q178 sparse basket co-purchase
     * graph (15% of orders, first 3 lines) as a SYMMETRIC distinct
     * edge list `e0` — both directions present, so per-src counts are
-    * undirected degrees. */
+    * undirected degrees. MATERIALIZED is load-bearing: the iterative
+    * q182/q183 oracles reference each round's CTE twice, and DuckDB
+    * 1.0 INLINES plain CTEs per reference — an 8-round unroll becomes
+    * 2⁸ copies of this whole chain (measured 390 s at sf0.001 vs
+    * sub-second materialized). */
   private def basketGraphSql: String = s"""
-      li AS (
+      li AS MATERIALIZED (
         SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
         WHERE ${Q.bucketSql("l_orderkey")} < 15
           AND l_linenumber <= 3),
-      e0 AS (
+      e0 AS MATERIALIZED (
         SELECT DISTINCT a.pk AS src, b.pk AS dst
         FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk)"""
 
@@ -610,7 +614,7 @@ object ComponentsQ {
         .orderBy(col("deg")),
     Some {
       val peels = (1 to 8).map { i =>
-        s"""n$i AS (
+        s"""n$i AS MATERIALIZED (
             SELECT e.src AS id FROM e0 e
             JOIN n${i - 1} a ON e.src = a.id
             JOIN n${i - 1} b ON e.dst = b.id
@@ -618,7 +622,7 @@ object ComponentsQ {
       }.mkString(",\n      ")
       s"""
       WITH $basketGraphSql,
-      n0 AS (SELECT DISTINCT src AS id FROM e0),
+      n0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0),
       $peels,
       deg AS (
         SELECT e.src AS id, COUNT(*) AS deg FROM e0 e
@@ -649,7 +653,7 @@ object ComponentsQ {
         .orderBy(col("label")),
     Some {
       val votes = (1 to 3).map { i =>
-        s"""l$i AS (
+        s"""l$i AS MATERIALIZED (
             SELECT id, label FROM (
               SELECT id, label,
                      ROW_NUMBER() OVER (PARTITION BY id
@@ -665,7 +669,7 @@ object ComponentsQ {
       }.mkString(",\n      ")
       s"""
       WITH $basketGraphSql,
-      l0 AS (SELECT DISTINCT src AS id, src AS label FROM e0),
+      l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e0),
       $votes
       SELECT label, COUNT(*) AS n_members, MIN(id) AS min_id,
              MAX(id) AS max_id, CAST(SUM(id) AS BIGINT) AS sum_id

@@ -24,7 +24,8 @@ class RegistrySpec extends SparkSpec {
         val froms = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         val cteNames =
-          "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+          ("(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*" +
+            "(?:MATERIALIZED\\s*)?\\(").r
             .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         val unknown = froms -- tables -- cteNames -
           "unnest" - "lateral" - "values"
