@@ -16,12 +16,14 @@ import graft.functions.{Hilbert2D, HilbertN, PqAssign, ShingleNGrams,
   * auto-rewrites HOF dot products into VecDot.
   *
   * Also registers the whole-operator TABLE functions `cdc_merge`,
-  * `attribution_credits`, `sq8_search`, `bfs_hops`, and
-  * `shortest_paths`, which expose [[graft.operators.Cdc
-  * .mergeLatest]], [[graft.operators.Attribution.credits]],
+  * `attribution_credits`, `sq8_search`, `bfs_hops`,
+  * `shortest_paths`, `k_core`, and `label_propagation`, which expose
+  * [[graft.operators.Cdc.mergeLatest]],
+  * [[graft.operators.Attribution.credits]],
   * [[graft.operators.Sq8.searchTopK]], [[graft.operators.Graph
-  * .bfsHops]], and [[graft.operators.Graph.boundedShortestPaths]] to
-  * the SQL front-end: the builder receives literal arguments (view
+  * .bfsHops]], [[graft.operators.Graph.boundedShortestPaths]],
+  * [[graft.operators.Graph.kCore]], and [[graft.operators.Graph
+  * .labelPropagation]] to the SQL front-end: the builder receives literal arguments (view
   * names + column names) and returns the SAME logical plan the Scala
   * API composes, so `SELECT * FROM cdc_merge('chg', 'k', 'seq',
   * 'op', false)` plans identically to the API call. The first three
@@ -175,6 +177,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "bfs_hops: sources_view")),
             strConst(children(4), "bfs_hops: src_col"),
             intConstArg(children(5), "bfs_hops: max_hops"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("k_core"),
+      new ExpressionInfo("graft.operators.Graph", "k_core"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "k_core expects (edges_view, a_col, b_col, k, max_rounds), " +
+            s"got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Graph.kCore(
+            spark.table(strConst(children(0), "k_core: edges_view")),
+            strConst(children(1), "k_core: a_col"),
+            strConst(children(2), "k_core: b_col"),
+            intConstArg(children(3), "k_core: k"),
+            intConstArg(children(4), "k_core: max_rounds"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("label_propagation"),
+      new ExpressionInfo("graft.operators.Graph", "label_propagation"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "label_propagation expects (edges_view, a_col, b_col, " +
+            s"rounds), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Graph.labelPropagation(
+            spark.table(strConst(children(0),
+              "label_propagation: edges_view")),
+            strConst(children(1), "label_propagation: a_col"),
+            strConst(children(2), "label_propagation: b_col"),
+            intConstArg(children(3), "label_propagation: rounds"))
           .queryExecution.analyzed
       }))
     ext.injectFunction((

@@ -149,6 +149,30 @@ class EmptyInputSpec extends SparkSpec {
     assert(masked.filter(col("m") === "").count() == 1L)
   }
 
+  test("late-r9 operators on empty frames") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    // k-core / LPA: empty graph -> empty result, loops exit at once
+    assert(Graph.kCore(edges, "a", "b", k = 2, maxRounds = 10)
+      .count() == 0L)
+    assert(Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .count() == 0L)
+    // winnowing: empty corpus -> no fingerprints, no pairs
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", k = 8, w = 4)
+    assert(fps.count() == 0L)
+    assert(Winnow.overlapPairs(fps, "doc_id", 1).count() == 0L)
+    // k-anonymity: empty records -> empty, schema keeps anon_level
+    val recs = Seq.empty[(Long, String, String)]
+      .toDF("id", "city", "region")
+    val lev = Anonymize.generalizationLevels(recs, Seq(col("city")),
+      Seq(col("region")), k = 3)
+    assert(lev.columns.contains("anon_level") && lev.count() == 0L)
+    // MMR: covered in MmrSpec (empty pool); zero-k rejected
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(docs, "doc_id", "text", Array(1f), 0, 0.5)
+    }
+  }
+
   test("as-of join with an empty quote side leaves payload null, keeps left rows") {
     val trades = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:01")))
       .toDF("sym", "ts")

@@ -143,6 +143,31 @@ class SqlTableFnSpec extends SparkSpec {
         .collect().toSet)
   }
 
+  test("k_core from SQL equals the API result") {
+    // triangle + pendant chain: the 2-core is exactly the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    edges.createOrReplaceTempView("kcore_edges_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM k_core('kcore_edges_sql', 'a', 'b', 2, 20)")
+      .as[(Long, Long)].collect().toMap
+    val viaApi = Graph.kCore(edges, "a", "b", 2, 20)
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql === viaApi)
+    assert(viaSql === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("label_propagation from SQL composes with downstream SQL") {
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+        (10L, 12L))
+      .toDF("a", "b").createOrReplaceTempView("lpa_edges_sql")
+    val n = spark.sql(
+      "SELECT label, COUNT(*) AS n FROM label_propagation(" +
+        "'lpa_edges_sql', 'a', 'b', 2) GROUP BY label ORDER BY label")
+      .as[(Long, Long)].collect()
+    assert(n === Seq((1L, 3L), (10L, 3L)))
+  }
+
   test("non-literal table-function arguments are rejected with a clear message") {
     changeLog.createOrReplaceTempView("chg_sql")
     val err = intercept[Exception] {
