@@ -607,6 +607,72 @@ object Stats {
       SELECT a AS item, rank, b AS neighbor, c_ab, sim
       FROM rk WHERE rank <= 3 ORDER BY item, rank"""))
 
+  /** q187 — dominant principal component ([[graft.operators.Pca
+    * .topComponent]]): exact d×d covariance in one distributed pass
+    * (n·d² expanded rows collapse map-side into d² decimal
+    * accumulators), then 4 power iterations — each a d²-matrix ⋈
+    * broadcast d-vector matvec with decimal-exact folds — from the
+    * all-ones start, renormalized to unit length EVERY round (the
+    * eigenvalue here is ~0.02, so the raw iterate would shrink under
+    * the rounding scale within rounds). The anisotropy diagnostic for
+    * embedding spaces (dominant-direction removal, whitening prep).
+    * The oracle replays moments, both triangles of the covariance,
+    * all four matvec+normalize rounds; CTEs MATERIALIZED
+    * (each matvec references its predecessor through the shared cov
+    * relation — inlining would exponentiate the chain). */
+  val q187 = Qry(
+    "q187_pca_component",
+    (s: SparkSession, d: String) => {
+      import graft.operators.Pca
+      Pca.topComponent(
+          Tables.embeddings(s, d).filter(col("vec_id") < 1000),
+          "embedding", dim = 64, iters = 4)
+        .select(col("pos"), r6(col("loading")).as("loading"))
+        .orderBy(col("pos"))
+    },
+    Some {
+      val matvecs = (1 to 4).map { i =>
+        s"""w$i AS MATERIALIZED (
+            SELECT c.i AS pos,
+                   CAST(SUM(CAST(ROUND(c.c * v.v, 9)
+                     AS DECIMAL(28,9))) AS DOUBLE) AS v
+            FROM cov c JOIN v${i - 1} v ON v.pos = c.j
+            GROUP BY 1),
+          n$i AS MATERIALIZED (
+            SELECT sqrt(CAST(SUM(CAST(ROUND(v * v, 12)
+              AS DECIMAL(28,12))) AS DOUBLE)) AS s
+            FROM w$i),
+          v$i AS MATERIALIZED (
+            SELECT pos, v / (SELECT s FROM n$i) AS v FROM w$i)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH flat AS MATERIALIZED (
+        SELECT vec_id, CAST(u[2] AS INT) AS i,
+               CAST(u[1] AS DOUBLE) AS x
+        FROM (SELECT vec_id,
+                     unnest(list_zip(embedding, range(0, 64))) AS u
+              FROM embeddings WHERE vec_id < 1000)),
+      mu AS MATERIALIZED (
+        SELECT i,
+               CAST(SUM(CAST(ROUND(x, 7) AS DECIMAL(28,7)))
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+        FROM flat GROUP BY 1),
+      e2 AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(CAST(ROUND(a.x * b.x, 9) AS DECIMAL(28,9)))
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS e2
+        FROM flat a JOIN flat b USING (vec_id) GROUP BY 1, 2),
+      cov AS MATERIALIZED (
+        SELECT e2.i, e2.j, e2.e2 - mi.m * mj.m AS c
+        FROM e2
+        JOIN mu mi ON mi.i = e2.i
+        JOIN mu mj ON mj.i = e2.j),
+      v0 AS (SELECT i AS pos, CAST(1.0 AS DOUBLE) AS v FROM mu),
+      $matvecs
+      SELECT pos, ${r6Sql("v")} AS loading
+      FROM v4 ORDER BY pos"""
+    })
+
   val all: Seq[Qry] =
-    Seq(q88, q89, q90, q92, q93, q101, q170, q174, q176)
+    Seq(q88, q89, q90, q92, q93, q101, q170, q174, q176, q187)
 }
