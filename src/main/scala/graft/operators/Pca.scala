@@ -28,16 +28,21 @@ object Pca {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
     sum(round(c, scale).cast(s"decimal(28,$scale)")).cast("double")
 
+  /** Element-wise mean vector (i, m) — decimal-exact per position,
+    * the centering vector for [[covariance]] and the first half of
+    * the all-but-the-top debias. */
+  def meanVector(df: DataFrame, embCol: String): DataFrame =
+    df.select(posexplode(col(embCol)).as(Seq("i", "xi")))
+      .select(col("i"), col("xi").cast("double").as("xi"))
+      .groupBy(col("i"))
+      .agg((dsum(col("xi"), 7) / count(lit(1)).cast("double"))
+        .as("m"))
+
   /** Exact population covariance entries (i, j, c) — all d² of them,
     * including both triangles (the power method wants the full
     * matrix; it is symmetric by construction). */
   def covariance(df: DataFrame, embCol: String, dim: Int): DataFrame = {
-    val pos = df
-      .select(posexplode(col(embCol)).as(Seq("i", "xi")))
-      .select(col("i"), col("xi").cast("double").as("xi"))
-    val mu = pos.groupBy(col("i"))
-      .agg((dsum(col("xi"), 7) / count(lit(1)).cast("double"))
-        .as("m"))
+    val mu = meanVector(df, embCol)
     val prods = df
       .select(posexplode(col(embCol)).as(Seq("i", "xi")), col(embCol))
       .select(col("i"), col("xi").cast("double").as("xi"),

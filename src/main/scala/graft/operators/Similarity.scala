@@ -68,6 +68,16 @@ object Similarity {
         i => element_at(emb, i + 1).cast("double") * planeComponent(p, i)),
       lit(0d), (acc, v) => acc + v)
 
+  /** Johnson-Lindenstrauss-style random projection: the embedding's
+    * dot products with `planes` deterministic pseudo-random
+    * hyperplanes ([[planeComponent]]), as a double array — the
+    * dimensionality-reduction step that turns a d-dim ANN problem
+    * into a planes-dim one (distances distort by ~(1±ε) with
+    * planes = O(log n / ε²)). Map-side, codegen'd, no shuffle; the
+    * same LCG weights reproduce in any SQL engine. */
+  def jlProject(emb: Column, planes: Int, dim: Int): Column =
+    array((0 until planes).map(p => planeDot(emb, p, dim)): _*)
+
   /** Random-hyperplane LSH bucket id: bit p is the sign of the
     * projection onto plane p. Cosine-similar vectors collide with
     * high probability; at scale the ANN search joins query buckets

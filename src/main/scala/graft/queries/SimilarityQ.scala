@@ -616,6 +616,205 @@ object SimilarityQ {
       ORDER BY rank"""
     })
 
+  /** q188 — JL random-projection search + recall ([[Similarity
+    * .jlProject]]): reduce 64 → 16 dims with the deterministic LCG
+    * hyperplanes, run the same top-3 cosine search in the reduced
+    * space, and score it against the full-dimension exact top-3 —
+    * recall@3 per query, honestly computed (a projection regression
+    * breaks the hash). At corpus scale the projection is a map-side
+    * codegen'd column (4× less ANN bandwidth) and the recall leg is
+    * the bounded evaluation harness, not the serving path. */
+  val q188 = Qry(
+    "q188_jl_projection_recall",
+    (s: SparkSession, d: String) => {
+      val PLANES = 16
+      val e = Tables.embeddings(s, d)
+      val proj = e.select(col("vec_id"),
+        Similarity.jlProject(col("embedding"), PLANES, DIM).as("p"))
+      val q = proj.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("p").as("q_p"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      val reduced = broadcast(q)
+        .crossJoin(proj.select(col("vec_id").as("n_id"), col("p")))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          Similarity.cosine(col("q_p"), col("p")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+      val exact = Similarity.topKBrute(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+          k = 3)
+        .select(col("q_id"), col("n_id").as("x_id"))
+      val wr = Window.partitionBy(col("q_id"))
+      reduced
+        .join(exact, reduced("q_id") === exact("q_id") &&
+          col("n_id") === col("x_id"), "left")
+        .select(reduced("q_id"), col("rank"), col("n_id"),
+          col("x_id").isNotNull.as("hit"))
+        .withColumn("recall3",
+          sum(when(col("hit"), 1).otherwise(0)).over(wr)
+            .cast("double") / 3.0d)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      val projSql = s"""list_transform(range(0, 16), p ->
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(0, $DIM),
+              i -> CAST(embedding[i + 1] AS DOUBLE) *
+                   (CAST((p * 131071 + i * 524287) % 1000003
+                      AS DOUBLE) / 1000003.0 - 0.5))),
+            (acc, x) -> acc + x))"""
+      s"""
+      WITH pr AS MATERIALIZED (
+        SELECT vec_id, $projSql AS p FROM embeddings),
+      q AS (SELECT vec_id AS q_id, p AS q_p FROM pr
+            WHERE vec_id < 10),
+      red AS (
+        SELECT q_id, n_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, n_id) AS rank
+        FROM (
+          SELECT q.q_id, pr.vec_id AS n_id,
+                 ${cosSql("q_p", "p")} AS cos
+          FROM q CROSS JOIN pr WHERE q.q_id <> pr.vec_id)),
+      ex AS (
+        SELECT q_id, n_id AS x_id FROM (
+          SELECT f.q_id, e.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY f.q_id
+                   ORDER BY ${cosSql("f.q_emb", "e.embedding")} DESC,
+                     e.vec_id) AS rank
+          FROM (SELECT vec_id AS q_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id < 10) f
+          CROSS JOIN embeddings e WHERE f.q_id <> e.vec_id)
+        WHERE rank <= 3)
+      SELECT r.q_id, r.rank, r.n_id, (x.x_id IS NOT NULL) AS hit,
+             CAST(SUM(CASE WHEN x.x_id IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY r.q_id) AS DOUBLE) / 3.0 AS recall3
+      FROM red r LEFT JOIN ex x
+        ON x.q_id = r.q_id AND x.x_id = r.n_id
+      WHERE r.rank <= 3
+      ORDER BY r.q_id, r.rank"""
+    })
+
+  /** q189 — all-but-the-top debias + search ([[graft.operators.Pca]]
+    * composition, Mu & Viswanath '18 with the single dominant
+    * direction): center every embedding on the corpus mean, remove
+    * its projection onto the q187 principal component, and run the
+    * exact top-3 cosine search in the debiased space, scored against
+    * the RAW-space top-3 — the classic anisotropy fix that stops one
+    * dominant direction from swamping cosine similarity. μ and v are
+    * d-vectors: Spark holds them as broadcast literals (never a row
+    * of data on the driver beyond those 2·d doubles); the oracle
+    * re-derives BOTH through the shared q187 CTE chain and replays
+    * the center→project→subtract→search arithmetic. */
+  val q189 = Qry(
+    "q189_debias_search",
+    (s: SparkSession, d: String) => {
+      import graft.operators.Pca
+      val session = s
+      import session.implicits._
+      val e = Tables.embeddings(s, d)
+      val sub = e.filter(col("vec_id") < 1000)
+      val muArr = Pca.meanVector(sub, "embedding")
+        .orderBy(col("i")).as[(Int, Double)].collect().map(_._2)
+      val vArr = Pca.topComponent(sub, "embedding", dim = 64,
+          iters = 4)
+        .orderBy(col("pos")).as[(Int, Double)].collect().map(_._2)
+      val muLit = array(muArr.map(lit(_)): _*)
+      val vLit = array(vArr.map(lit(_)): _*)
+      val deb = e.select(col("vec_id"),
+          zip_with(col("embedding"), muLit,
+            (x, m) => x.cast("double") - m).as("cent"))
+        .select(col("vec_id"), col("cent"),
+          aggregate(zip_with(col("cent"), vLit, (c, vi) => c * vi),
+            lit(0d), (a, x) => a + x).as("proj"))
+        .select(col("vec_id"),
+          zip_with(col("cent"), vLit,
+            (c, vi) => c - col("proj") * vi).as("e"))
+      val q = deb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("e").as("q_e"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      val debTop = broadcast(q)
+        .crossJoin(deb.select(col("vec_id").as("n_id"), col("e")))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          Similarity.cosine(col("q_e"), col("e")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+      val raw = Similarity.topKBrute(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+          k = 3)
+        .select(col("q_id"), col("n_id").as("x_id"))
+      val wr = Window.partitionBy(col("q_id"))
+      debTop
+        .join(raw, debTop("q_id") === raw("q_id") &&
+          col("n_id") === col("x_id"), "left")
+        .select(debTop("q_id"), col("rank"), col("n_id"),
+          r6(col("cos")).as("cos"), col("x_id").isNotNull.as("in_raw"))
+        .withColumn("overlap3",
+          sum(when(col("in_raw"), 1).otherwise(0)).over(wr)
+            .cast("double") / 3.0d)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      s"""
+      WITH ${Stats.pcaChainSql},
+      mulist AS MATERIALIZED (
+        SELECT list(m ORDER BY i) AS ml FROM mu),
+      vlist AS MATERIALIZED (
+        SELECT list(v ORDER BY pos) AS vl FROM v4),
+      cent AS MATERIALIZED (
+        SELECT e.vec_id,
+               list_transform(list_zip(e.embedding, m.ml),
+                 z -> CAST(z[1] AS DOUBLE) - z[2]) AS cent
+        FROM embeddings e, mulist m),
+      -- proj must be a plain column: DuckDB rejects subqueries
+      -- inside lambda bodies
+      pr0 AS MATERIALIZED (
+        SELECT c.vec_id, c.cent, v.vl,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(list_zip(c.cent, v.vl),
+                   p -> CAST(p[1] AS DOUBLE) * p[2])),
+                 (acc, x) -> acc + x) AS proj
+        FROM cent c, vlist v),
+      deb AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(list_zip(cent, vl),
+                 z -> z[1] - proj * z[2]) AS e
+        FROM pr0),
+      q AS (SELECT vec_id AS q_id, e AS q_e FROM deb
+            WHERE vec_id < 10),
+      dt AS (
+        SELECT q_id, n_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, n_id) AS rank
+        FROM (
+          SELECT q.q_id, d.vec_id AS n_id,
+                 ${cosSql("q_e", "d.e")} AS cos
+          FROM q CROSS JOIN deb d WHERE q.q_id <> d.vec_id)),
+      raw AS (
+        SELECT q_id, n_id AS x_id FROM (
+          SELECT f.q_id, e.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY f.q_id
+                   ORDER BY ${cosSql("f.q_emb", "e.embedding")} DESC,
+                     e.vec_id) AS rank
+          FROM (SELECT vec_id AS q_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id < 10) f
+          CROSS JOIN embeddings e WHERE f.q_id <> e.vec_id)
+        WHERE rank <= 3)
+      SELECT t.q_id, t.rank, t.n_id, ${r6Sql("t.cos")} AS cos,
+             (r.x_id IS NOT NULL) AS in_raw,
+             CAST(SUM(CASE WHEN r.x_id IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY t.q_id) AS DOUBLE) / 3.0
+               AS overlap3
+      FROM dt t LEFT JOIN raw r
+        ON r.q_id = t.q_id AND r.x_id = t.n_id
+      WHERE t.rank <= 3
+      ORDER BY t.q_id, t.rank"""
+    })
+
   val all: Seq[Qry] =
-    Seq(q31, q32, q33, q34, q71, q113, q137, q144, q186)
+    Seq(q31, q32, q33, q34, q71, q113, q137, q144, q186, q188, q189)
 }

@@ -630,23 +630,34 @@ object Stats {
         .select(col("pos"), r6(col("loading")).as("loading"))
         .orderBy(col("pos"))
     },
-    Some {
-      val matvecs = (1 to 4).map { i =>
-        s"""w$i AS MATERIALIZED (
-            SELECT c.i AS pos,
-                   CAST(SUM(CAST(ROUND(c.c * v.v, 9)
-                     AS DECIMAL(28,9))) AS DOUBLE) AS v
-            FROM cov c JOIN v${i - 1} v ON v.pos = c.j
-            GROUP BY 1),
-          n$i AS MATERIALIZED (
-            SELECT sqrt(CAST(SUM(CAST(ROUND(v * v, 12)
-              AS DECIMAL(28,12))) AS DOUBLE)) AS s
-            FROM w$i),
-          v$i AS MATERIALIZED (
-            SELECT pos, v / (SELECT s FROM n$i) AS v FROM w$i)"""
-      }.mkString(",\n      ")
-      s"""
-      WITH flat AS MATERIALIZED (
+    Some(s"""
+      WITH $pcaChainSql
+      SELECT pos, ${r6Sql("v")} AS loading
+      FROM v4 ORDER BY pos"""))
+
+  /** The q187 oracle's CTE chain (flat → mu → cov → v0..v4: moments,
+    * covariance, four normalized power-iteration rounds over the
+    * vec_id < 1000 subset) — shared with the q189 debias oracle,
+    * which consumes `mu` and `v4`. Every CTE MATERIALIZED: the
+    * matvec rounds reference their predecessors through the shared
+    * cov relation, and DuckDB's per-reference inlining would
+    * exponentiate the chain. */
+  private[queries] def pcaChainSql: String = {
+    val matvecs = (1 to 4).map { i =>
+      s"""w$i AS MATERIALIZED (
+          SELECT c.i AS pos,
+                 CAST(SUM(CAST(ROUND(c.c * v.v, 9)
+                   AS DECIMAL(28,9))) AS DOUBLE) AS v
+          FROM cov c JOIN v${i - 1} v ON v.pos = c.j
+          GROUP BY 1),
+        n$i AS MATERIALIZED (
+          SELECT sqrt(CAST(SUM(CAST(ROUND(v * v, 12)
+            AS DECIMAL(28,12))) AS DOUBLE)) AS s
+          FROM w$i),
+        v$i AS MATERIALIZED (
+          SELECT pos, v / (SELECT s FROM n$i) AS v FROM w$i)"""
+    }.mkString(",\n      ")
+    s"""flat AS MATERIALIZED (
         SELECT vec_id, CAST(u[2] AS INT) AS i,
                CAST(u[1] AS DOUBLE) AS x
         FROM (SELECT vec_id,
@@ -668,10 +679,8 @@ object Stats {
         JOIN mu mi ON mi.i = e2.i
         JOIN mu mj ON mj.i = e2.j),
       v0 AS (SELECT i AS pos, CAST(1.0 AS DOUBLE) AS v FROM mu),
-      $matvecs
-      SELECT pos, ${r6Sql("v")} AS loading
-      FROM v4 ORDER BY pos"""
-    })
+      $matvecs"""
+  }
 
   val all: Seq[Qry] =
     Seq(q88, q89, q90, q92, q93, q101, q170, q174, q176, q187)

@@ -432,6 +432,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q179:\n$p")
   }
 
+  test("q184: fingerprint overlap joins on the hash — no nested loop, " +
+      "windows partitioned by document") {
+    val p = planAtScaleStats("q184_winnow_fingerprints")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"winnow pair join fell onto a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q184:\n$p")
+    // the winnowing min-window runs per document (window spec's
+    // partition list in the formatted detail)
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined,
+      s"winnow window not partitioned by doc_id:\n$p")
+  }
+
+  test("q185: the anonymization ladder is two Window passes and the " +
+      "broadcast dim join — no record-side shuffle join") {
+    val p = planAtScaleStats("q185_k_anonymity")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).length
+    assert(windows == 2, s"expected 2 Window ops, got $windows:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nation dim fell back to SMJ:\n$p")
+  }
+
+  test("Pca.covariance: the n*d^2 expansion collapses map-side") {
+    import graft.operators.Pca
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val p = Pca.covariance(emb, "embedding", 64)
+      .queryExecution.explainString(FormattedMode)
+    assert("partial_".r.findFirstIn(p).isDefined,
+      s"covariance moments not partially aggregated — the d^2 " +
+        s"expansion would shuffle data-sized:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"covariance took a non-equi join:\n$p")
+  }
+
   test("no unexpected cartesian products across the whole query surface") {
     // Deliberate bounded cross joins (documented quadratic baselines
     // over bounded subsets): q30 brute-force Jaccard, q34 embedding
