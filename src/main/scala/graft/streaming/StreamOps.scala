@@ -1040,4 +1040,66 @@ object StreamOps {
       .select(col("window.start").as("bar_start"), col(keyCol),
         col("open"), col("high"), col("low"), col("close"),
         col("n_trades"), col("sum_value"))
+
+  /** One SpaceSaving summary row: `est` overestimates the item's
+    * true count by at most `err` (true ≤ est ≤ true + err); `ver`
+    * is the bucket summary's update generation, so a consumer of
+    * the update-mode emissions keeps max-`ver` rows per bucket. */
+  final case class HhEntry(bucket: Long, item: Long, est: Long,
+      err: Long, ver: Long)
+
+  private[streaming] final case class SsState(
+      entries: Seq[(Long, Long, Long)], ver: Long)
+
+  /** Bounded-state streaming heavy hitters — SpaceSaving (Metwally
+    * et al. '05) sharded over `buckets` independent summaries of
+    * `capacity` counters each. THE state-bounded frequent-items
+    * primitive: per-key counting state grows with the key universe,
+    * but a SpaceSaving summary is O(capacity) forever while
+    * guaranteeing (per bucket, N = items routed there): every item
+    * with true count > N/capacity is IN the summary, and
+    * true ≤ est ≤ true + err for every summarized item.
+    *
+    * Determinism: SpaceSaving is arrival-order-sensitive, so rows
+    * carry an explicit sequence number and each micro-batch is
+    * processed in seq order — shuffle order can't change the
+    * summary. Eviction is the (min est, min item) victim. Run in
+    * `update` mode; each trigger emits the touched buckets' full
+    * summaries tagged with a new `ver`.
+    *
+    * @param items (seq, item) stream
+    */
+  def heavyHittersStream(items: Dataset[(Long, Long)], buckets: Int,
+      capacity: Int): Dataset[HhEntry] = {
+    require(buckets >= 1 && capacity >= 1,
+      s"buckets and capacity must be >= 1: $buckets, $capacity")
+    import items.sparkSession.implicits._
+    items.groupByKey(r => java.lang.Math.floorMod(r._2, buckets.toLong))
+      .flatMapGroupsWithState[SsState, HhEntry](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[SsState]) =>
+          val s = state.getOption.getOrElse(SsState(Seq.empty, 0L))
+          val entries = scala.collection.mutable.LinkedHashMap(
+            s.entries.map(e => e._1 -> ((e._2, e._3))): _*)
+          rows.toSeq.sortBy(_._1).foreach { case (_, item) =>
+            entries.get(item) match {
+              case Some((est, err)) => entries(item) = (est + 1, err)
+              case None if entries.size < capacity =>
+                entries(item) = (1L, 0L)
+              case None =>
+                val (vItem, (vEst, _)) = entries
+                  .minBy { case (it, (est, _)) => (est, it) }
+                entries.remove(vItem)
+                entries(item) = (vEst + 1, vEst)
+            }
+          }
+          val ver = s.ver + 1
+          state.update(SsState(
+            entries.toSeq.map { case (i, (e, r)) => (i, e, r) }, ver))
+          entries.toSeq
+            .map { case (i, (e, r)) => HhEntry(bucket, i, e, r, ver) }
+            .iterator
+      }
+  }
 }
