@@ -466,6 +466,32 @@ class PlanShapeSpec extends SparkSpec {
       s"covariance took a non-equi join:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the 100 TB shuffle-join posture: with broadcast off (at-scale
+    // stats) a selective dim filter must reach the fact scan as a
+    // runtime bloom filter (might_contain), not wait for the join
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter." +
+        "creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf())
+      val part = Tables.part(spark, sf())
+        .filter(col("p_retailprice") > 1800)
+      val p = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey")).count()
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the fact scan:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("no unexpected cartesian products across the whole query surface") {
     // Deliberate bounded cross joins (documented quadratic baselines
     // over bounded subsets): q30 brute-force Jaccard, q34 embedding
