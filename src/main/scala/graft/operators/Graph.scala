@@ -198,6 +198,65 @@ object Graph {
     (degs, round)
   }
 
+  /** Full core-number decomposition (graph degeneracy, capped at
+    * `maxK`): every vertex's core number — the largest k such that
+    * it survives in the k-core. ONE incremental pass, not maxK
+    * independent peels: the threshold rises 2..maxK over a SHARED
+    * decremental degree table (the (k+1)-core lives inside the
+    * k-core, so peeling continues where the previous level stopped);
+    * a vertex dropped while peeling at threshold k has core number
+    * k − 1, and whatever survives the final threshold is capped at
+    * maxK. Same scale shape as [[kCore]]: the edge relation
+    * materializes once, each round is a frontier-broadcast scan plus
+    * a vertex-sized update.
+    *
+    * @return (id, core) for every non-isolated vertex, 1 ≤ core ≤
+    *         maxK
+    */
+  def coreNumbers(edges: DataFrame, aCol: String, bCol: String,
+      maxK: Int, maxRounds: Int): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1: $maxK")
+    require(maxRounds >= 0, s"maxRounds must be >= 0: $maxRounds")
+    val sym = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"),
+        col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var degs = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var assigned: Option[DataFrame] = None
+    var k = 2
+    while (k <= maxK) {
+      var done = false
+      var round = 0
+      while (round < maxRounds && !done) {
+        round += 1
+        val dropped = degs.filter(col("deg") < k).select(col("id"))
+          .localCheckpoint(true)
+        if (dropped.isEmpty) done = true
+        else {
+          val lab = dropped.withColumn("core", lit(k - 1))
+          assigned = Some(assigned.fold(lab)(_.unionByName(lab)))
+          val dec = sym
+            .join(dropped.select(col("id").as("dst")), Seq("dst"))
+            .groupBy(col("src").as("id"))
+            .agg(count(lit(1)).as("dec"))
+          degs = degs
+            .join(dropped, Seq("id"), "left_anti")
+            .join(dec, Seq("id"), "left")
+            .select(col("id"),
+              (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
+            .localCheckpoint(true)
+        }
+      }
+      k += 1
+    }
+    val rest = degs.select(col("id")).withColumn("core", lit(maxK))
+    assigned.fold(rest)(_.unionByName(rest))
+  }
+
   /** Synchronous label-propagation community detection, `rounds`
     * fixed iterations: every vertex starts labelled with its own id;
     * each round it adopts the most frequent label among its

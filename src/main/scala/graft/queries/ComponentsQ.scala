@@ -676,6 +676,56 @@ object ComponentsQ {
       FROM l3 GROUP BY 1 ORDER BY 1"""
     })
 
+  /** q191 — core-number decomposition ([[Graph.coreNumbers]], capped
+    * at k=5): every basket-graph vertex's degeneracy level from ONE
+    * incremental peel (the threshold rises over a shared decremental
+    * degree table — the (k+1)-core lives inside the k-core). The
+    * oracle computes each k-core INDEPENDENTLY (well-defined, so
+    * independent == incremental) with 14 unrolled materialized
+    * rounds — k=4 at sf0.01 needs 12 — and takes the max level each
+    * vertex survives. Digest buckets vertices by core number. */
+  val q191 = Qry(
+    "q191_core_numbers",
+    (s: SparkSession, d: String) =>
+      Graph.coreNumbers(basketEdges(s, d), "src", "dst", maxK = 5,
+          maxRounds = 30)
+        .groupBy(col("core"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("core")),
+    Some {
+      def chain(k: Int): String = (1 to 14).map { i =>
+        s"""k${k}n$i AS MATERIALIZED (
+            SELECT e.src AS id FROM e0 e
+            JOIN k${k}n${i - 1} a ON e.src = a.id
+            JOIN k${k}n${i - 1} b ON e.dst = b.id
+            GROUP BY e.src HAVING COUNT(*) >= $k)"""
+      }.mkString(",\n      ")
+      val chains = (2 to 5).map(k =>
+        s"k${k}n0 AS (SELECT id FROM n0),\n      ${chain(k)}")
+        .mkString(",\n      ")
+      s"""
+      WITH $basketGraphSql,
+      n0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0),
+      $chains,
+      cn AS (
+        SELECT n0.id,
+               CASE WHEN m5.id IS NOT NULL THEN 5
+                    WHEN m4.id IS NOT NULL THEN 4
+                    WHEN m3.id IS NOT NULL THEN 3
+                    WHEN m2.id IS NOT NULL THEN 2
+                    ELSE 1 END AS core
+        FROM n0
+        LEFT JOIN k5n14 m5 ON m5.id = n0.id
+        LEFT JOIN k4n14 m4 ON m4.id = n0.id
+        LEFT JOIN k3n14 m3 ON m3.id = n0.id
+        LEFT JOIN k2n14 m2 ON m2.id = n0.id)
+      SELECT core, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
+             MIN(id) AS min_id, MAX(id) AS max_id
+      FROM cn GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Qry] =
-    Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183)
+    Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183,
+      q191)
 }

@@ -53,6 +53,29 @@ class KCoreLpaSpec extends SparkSpec {
       Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("core numbers: triangle is the 2-core, chain degrades to 1") {
+    val c = Graph.coreNumbers(triChain, "a", "b", maxK = 3,
+        maxRounds = 20)
+      .as[(Long, Int)].collect().toMap
+    assert(c === Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 1, 5L -> 1))
+  }
+
+  test("core numbers cap at maxK (survivors of the last threshold)") {
+    val c = Graph.coreNumbers(triChain, "a", "b", maxK = 2,
+        maxRounds = 20)
+      .as[(Long, Int)].collect().toMap
+    // the triangle never peels at threshold 2, so it reports the cap
+    assert(c === Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 1, 5L -> 1))
+  }
+
+  test("core numbers on a 4-clique with a pendant: clique is 3-core") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 9L)).toDF("a", "b")
+    val c = Graph.coreNumbers(k4, "a", "b", maxK = 5, maxRounds = 20)
+      .as[(Long, Int)].collect().toMap
+    assert(c === Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 9L -> 1))
+  }
+
   // two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10
   private def twoTri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
     (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
