@@ -17,5 +17,6 @@ object Registry {
       queries.SeriesQ.all ++ queries.LayoutQ.all ++
       queries.Signals.all ++ queries.Changes.all ++
       queries.Linkage.all ++ queries.Curation2.all ++
-      queries.Pii.all ++ queries.WinnowQ.all ++ queries.BpeTrainQ.all
+      queries.Pii.all ++ queries.WinnowQ.all ++ queries.BpeTrainQ.all ++
+      queries.RagQ.all ++ queries.DriftQ.all
 }

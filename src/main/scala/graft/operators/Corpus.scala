@@ -167,4 +167,51 @@ object Corpus {
         when(floor(col("tok_start") / s).cast("long") === col("seq"), 1L)
           .otherwise(0L))
   }
+
+  /** Overlapping token-window chunking — the RAG/embedding prep pass
+    * (split every document into fixed-size windows with `overlap`
+    * shared tokens so no answer span straddles a boundary unseen).
+    * Distinct from [[packSequences]]: packing concatenates MANY docs
+    * into one training window; chunking splits ONE doc into many
+    * retrieval units and never crosses document boundaries.
+    *
+    * Chunk i covers tokens [i·stride, i·stride+size) with
+    * stride = size − overlap; the last chunk is the first one whose
+    * window reaches the document's end (trailing shorter windows are
+    * not emitted — every token is still covered, and no chunk is a
+    * suffix of its predecessor). A document shorter than `size`
+    * yields exactly one (short) chunk; empty documents yield none.
+    *
+    * Scale shape: entirely map-side — tokenize, one `sequence` +
+    * `explode` fan-out of ⌈(ntok−size)/stride⌉+1 rows per doc, and a
+    * per-row `slice`; no shuffle at all (the chunker composes with a
+    * downstream embed/index stage which supplies its own exchange).
+    *
+    * @return (doc = idCol, chunk_idx, tok_start 0-based, n_tok,
+    *         chunk_text: the window's tokens re-joined with single
+    *         spaces) */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0, s"size must be positive, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap (size $size)")
+    val stride = size - overlap
+    graft.Tables.fanOut(docs)
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__ntok",
+        org.apache.spark.sql.functions.size(col("__toks")).cast("long"))
+      .filter(col("__ntok") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        // ceil(max(0, ntok − size) / stride) in exact integer algebra
+        expr(s"(greatest(__ntok - ${size}L, 0L) + ${stride - 1}L)" +
+          s" div ${stride}L"))))
+      .withColumn("tok_start", col("chunk_idx") * lit(stride.toLong))
+      .withColumn("n_tok",
+        least(lit(size.toLong), col("__ntok") - col("tok_start")))
+      .select(col(idCol), col("chunk_idx"), col("tok_start"),
+        col("n_tok"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("tok_start") + lit(1L)).cast("int"),
+          col("n_tok").cast("int"))).as("chunk_text"))
+  }
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q
+
+/** Distribution-drift measurement between two dataset snapshots —
+  * the monitoring pass a training-data pipeline runs when a new crawl
+  * or feed lands: bin a numeric feature into a fixed histogram whose
+  * edges come from the BASELINE snapshot, then score how far the
+  * candidate snapshot's mass has moved.
+  *
+  * Divergences are deliberately ln-free: PSI/KL need `ln`, and libm
+  * `ln` is not guaranteed correctly rounded across engines (the
+  * [[BigramLm]]/[[Importance]] determinism contract). The two scores
+  * here bracket the same signal with only IEEE-exact ops
+  * (+, −, ×, /, abs — all correctly rounded):
+  *
+  *  - total variation contribution |p−q|/2 (L1 drift, bounded [0,1]),
+  *  - chi-square contribution (q−p)²/p (the second-order Taylor term
+  *    of KL(q‖p) — what PSI linearizes to for small shifts).
+  *
+  * Counts are Laplace-smoothed (+1 per bin) so empty bins cannot
+  * divide by zero and a bin appearing only in the candidate still
+  * scores finite drift.
+  *
+  * Scale shape: pass 1 computes the baseline min/max (one partial
+  * aggregate → 1 row); pass 2 re-scans ONCE with the 1-row range
+  * broadcast-joined, bins both sides with conditional counts, and
+  * aggregates to `bins` rows. No shuffle carries more than `bins`
+  * rows; both passes are plain column scans (at 100 TB the min/max
+  * ride the parquet footer statistics and pass 1 is metadata-only).
+  */
+object Drift {
+
+  /** Per-bin drift rows between the `sideCol`=true (baseline) and
+    * `sideCol`=false (candidate) partitions of `df`.
+    *
+    * Bin edges are `bins` equi-width cells over the baseline's
+    * [min, max]; candidate values outside the baseline range clamp
+    * into the first/last cell (the "new mass out of range" signal
+    * lands in the edge bins rather than being dropped). A
+    * zero-width baseline (constant column) puts everything in bin 0.
+    *
+    * @return (bin, n_base, n_cur, p_micro, q_micro, tv_c, chi_c) —
+    *         one row per bin 0..bins−1 (bins with no mass on either
+    *         side still appear, smoothed); p/q are the smoothed bin
+    *         shares and the contributions are [[Q.r6]]-snapped so a
+    *         downstream exact decimal SUM is engine-stable */
+  def histDrift(df: DataFrame, valueCol: Column, sideCol: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = df.sparkSession
+    val tagged = df.select(valueCol.cast("double").as("v"),
+      sideCol.cast("boolean").as("is_base"))
+    val range = tagged.filter(col("is_base"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val binned = tagged.crossJoin(broadcast(range))
+      .select(when(col("hi") === col("lo"), lit(0L)).otherwise(
+        least(lit(bins.toLong - 1), greatest(lit(0L),
+          floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(bins.toDouble))))))
+        .as("bin"),
+        col("is_base"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
+    // every bin id must appear even with zero mass on both sides —
+    // the smoothed share is still defined and contributes drift
+    import spark.implicits._
+    val allBins = (0L until bins.toLong).toDF("bin")
+    val totals = binned.agg(
+      sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    allBins
+      .join(broadcast(binned), Seq("bin"), "left_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        ((col("n_base") + lit(1L)).cast("double") /
+          (col("tb") + lit(bins.toLong)).cast("double")).as("p"),
+        ((col("n_cur") + lit(1L)).cast("double") /
+          (col("tc") + lit(bins.toLong)).cast("double")).as("q"))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        floor(col("p") * lit(1e6)).cast("long").as("p_micro"),
+        floor(col("q") * lit(1e6)).cast("long").as("q_micro"),
+        Q.r6(abs(col("p") - col("q")) / lit(2.0)).as("tv_c"),
+        Q.r6((col("q") - col("p")) * (col("q") - col("p")) / col("p"))
+          .as("chi_c"))
+  }
+}

@@ -261,4 +261,70 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank in the same exact integer micro-unit
+    * algebra as [[integerRanks]]: the teleport mass lands ONLY on the
+    * `sources` set instead of uniformly, so ranks measure proximity
+    * TO the sources (the seed-expansion kernel behind related-item
+    * discovery, trust propagation, and local community scoring).
+    *
+    * One round is
+    *
+    *   r'(v) = base(v) + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100
+    *   base(v) = (150000 · |V|) div |S|  if v ∈ S else 0
+    *
+    * — total teleport mass stays ≈ 0.15·|V|·1e6 (up to one div
+    * truncation), matching the uniform variant's scale so rank
+    * magnitudes are comparable across the two. Pure integer ops:
+    * engine- and partitioning-exact.
+    *
+    * Same symmetric-graph contract and adjacency/broadcast shape as
+    * [[integerRanks]]; sources not present in the graph are ignored
+    * (they can neither send nor receive mass).
+    *
+    * @param sources 1-column frame of seed vertex ids
+    * @return (id, r) for every vertex of the graph — vertices
+    *         unreachable from the sources decay toward 0 */
+  def personalizedRanks(edges: DataFrame, srcCol: String,
+      dstCol: String, sources: DataFrame, iters: Int,
+      broadcastRanks: Option[Boolean] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val srcIds = sources.toDF("sid").distinct()
+    val adj = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .groupBy(col("src"))
+      .agg(collect_set(col("dst")).as("nbrs"))
+      .select(col("src"), col("nbrs"),
+        size(col("nbrs")).cast("long").as("outdeg"))
+      .join(broadcast(srcIds), col("src") === col("sid"), "left_outer")
+      .select(col("src"), col("nbrs"), col("outdeg"),
+        col("sid").isNotNull.as("is_src"))
+      .localCheckpoint(true)
+    val nV = adj.count()
+    val nS = adj.filter(col("is_src")).count()
+    require(nS > 0, "no source vertex is present in the graph")
+    val baseMicro = (150000L * nV) / nS
+    val bcast = broadcastRanks.getOrElse(nV <= BroadcastVertexCap)
+    var ranks = adj.select(col("src").as("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters)
+      ranks = adj.join(
+          if (bcast) broadcast(ranks) else ranks,
+          adj("src") === ranks("id"))
+        .select(explode(col("nbrs")).as("dst"),
+          expr("r div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+        // re-attach the source flag: contributions arrive keyed by
+        // dst, whose own is_src lives on its adjacency row (vertex-
+        // sized — broadcast under the same decision as the ranks)
+        .join({
+          val flags = adj.select(col("src").as("dst"),
+            col("is_src").as("dst_src"))
+          if (bcast) broadcast(flags) else flags
+        }, Seq("dst"))
+        .select(col("dst").as("id"),
+          (when(col("dst_src"), lit(baseMicro)).otherwise(lit(0L)) +
+            expr("(85 * sc) div 100")).as("r"))
+    ranks
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.{Qry, Tables}
-import graft.operators.{Components, Dedup, Graph, PageRank}
+import graft.operators.{Components, Cooccur, Dedup, Graph, PageRank}
 
 /** Transitive near-dup clustering (the connected-components upgrade
   * to greedy pairwise dedup). The fixture manufactures genuine
@@ -725,7 +725,99 @@ object ComponentsQ {
       FROM cn GROUP BY 1 ORDER BY 1"""
     })
 
+  /** Item-item co-occurrence cosine top-k ([[Cooccur.itemSimilarity]])
+    * — the "bought X also bought Y" recommender kernel over the
+    * order→part baskets. Bounded to parts < 1000 so the neighbor
+    * frame stays oracle-able at any SF; counts are exact integers and
+    * the cosine is one √ + one ÷ (IEEE-exact), r6-snapped for
+    * tie-safe ranking. */
+  val q194 = Qry(
+    "q194_item_cooccur",
+    (s: SparkSession, d: String) =>
+      Cooccur.itemSimilarity(
+          Tables.lineitem(s, d).filter(col("l_partkey") < 1000),
+          "l_orderkey", "l_partkey", topK = 3)
+        .orderBy(col("item"), col("rank")),
+    Some(s"""
+      WITH m AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem WHERE l_partkey < 1000),
+      freq AS (SELECT it, COUNT(*) AS c_item FROM m GROUP BY 1),
+      p AS (
+        SELECT x.it AS a, y.it AS b, COUNT(*) AS c_pair
+        FROM m x JOIN m y ON x.bk = y.bk AND x.it < y.it
+        GROUP BY 1, 2),
+      d AS (
+        SELECT a AS item, b AS neighbor, c_pair FROM p
+        UNION ALL SELECT b, a, c_pair FROM p),
+      s AS (
+        SELECT d.item, d.neighbor, d.c_pair,
+               f1.c_item, f2.c_item AS c_nbr,
+               ${Q.r6Sql("CAST(c_pair AS DOUBLE) / " +
+                 "sqrt(CAST(f1.c_item * f2.c_item AS DOUBLE))")} AS cos
+        FROM d JOIN freq f1 ON f1.it = d.item
+               JOIN freq f2 ON f2.it = d.neighbor),
+      r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+          ORDER BY cos DESC, neighbor) AS INT) AS rank
+        FROM s)
+      SELECT item, neighbor, c_pair, c_item, c_nbr, cos, rank
+      FROM r WHERE rank <= 3 ORDER BY item, rank"""))
+
+  /** Personalized PageRank ([[PageRank.personalizedRanks]]): teleport
+    * mass concentrated on the seed parts (< 50), same integer
+    * micro-unit algebra as q94 — the oracle unrolls all 3 rounds with
+    * the per-vertex base term re-derived from scalar |V|/|S|
+    * subqueries. Top 20 by rank: seeds and their close co-purchase
+    * neighborhood. */
+  val q195 = Qry(
+    "q195_ppr",
+    (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val sources = li.select(col("l_partkey"))
+        .filter(col("l_partkey") < 50).distinct()
+      PageRank.personalizedRanks(edges, "src", "dst", sources,
+          iters = 3)
+        .select(col("id").as("part_id"), col("r").as("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("part_id"))
+        .limit(20)
+    },
+    Some {
+      def round(n: Int, prev: String) = s"""
+      i$n AS MATERIALIZED (
+        SELECT t.id, CAST(base.b + t.sc85 AS BIGINT) AS r
+        FROM (
+          SELECT e.dst AS id, (85 * SUM(r // outdeg)) // 100 AS sc85
+          FROM e JOIN deg USING (src)
+               JOIN $prev p ON p.id = e.src
+          GROUP BY e.dst) t
+        JOIN base ON base.id = t.id)"""
+      s"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem),
+      e AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      deg AS MATERIALIZED (
+        SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      flags AS (SELECT src AS id, (src < 50) AS is_src FROM deg),
+      ns AS (SELECT COUNT(*) AS n FROM flags WHERE is_src),
+      nv AS (SELECT COUNT(*) AS n FROM flags),
+      base AS MATERIALIZED (
+        SELECT id, CASE WHEN is_src
+          THEN (150000 * nv.n) // ns.n ELSE 0 END AS b
+        FROM flags, nv, ns),
+      r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM flags),
+      ${round(1, "r0")},
+      ${round(2, "i1")},
+      ${round(3, "i2")}
+      SELECT id AS part_id, r AS rank_micro
+      FROM i3 ORDER BY r DESC, id LIMIT 20"""
+    })
+
   val all: Seq[Qry] =
     Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183,
-      q191)
+      q191, q194, q195)
 }

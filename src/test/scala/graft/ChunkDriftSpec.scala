@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Drift}
+
+/** Unit semantics for [[Corpus.chunkTokens]] (q192) and
+  * [[Drift.histDrift]] (q193): window arithmetic (coverage, the
+  * no-trailing-suffix rule, short/empty docs) and the drift algebra
+  * (hand-computed smoothed shares, clamping, zero-width baselines,
+  * zero drift on identical sides).
+  */
+class ChunkDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chunks(text: String, size: Int, overlap: Int) =
+    Corpus.chunkTokens(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", size, overlap)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "tok_start", "n_tok", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toList
+
+  test("overlapping windows: starts stride, last window reaches end") {
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val r = chunks(ten, size = 4, overlap = 2)
+    // ceil((10-4)/2) = 3 → chunks 0..3 at starts 0,2,4,6
+    assert(r.map(c => (c._1, c._2, c._3)) ===
+      List((0L, 0L, 4L), (1L, 2L, 4L), (2L, 4L, 4L), (3L, 6L, 4L)))
+    assert(r.head._4 === "t1 t2 t3 t4")
+    assert(r.last._4 === "t7 t8 t9 t10")
+  }
+
+  test("no trailing suffix chunk once a window reaches the end") {
+    // ntok=6, size=4, stride=2: window at 2 covers to the end, so no
+    // chunk starts at 4 (it would be a suffix of its predecessor)
+    val r = chunks("a b c d e f", size = 4, overlap = 2)
+    assert(r.map(_._2) === List(0L, 2L))
+  }
+
+  test("short doc yields one short chunk; exact fit yields one") {
+    assert(chunks("a b c", size = 8, overlap = 2) ===
+      List((0L, 0L, 3L, "a b c")))
+    assert(chunks("a b c d", size = 4, overlap = 2) ===
+      List((0L, 0L, 4L, "a b c d")))
+  }
+
+  test("empty and whitespace-only docs yield no chunks") {
+    assert(chunks("", 4, 1).isEmpty)
+    assert(chunks("   \t  ", 4, 1).isEmpty)
+  }
+
+  test("zero overlap tiles disjointly and covers every token") {
+    val r = chunks((1 to 9).map("w" + _).mkString(" "), 4, 0)
+    assert(r.map(c => (c._2, c._3)) ===
+      List((0L, 4L), (4L, 4L), (8L, 1L)))
+  }
+
+  test("invalid size/overlap rejected") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Corpus.chunkTokens(df, "doc_id", "text", 0, 0) }
+    intercept[IllegalArgumentException] {
+      Corpus.chunkTokens(df, "doc_id", "text", 4, 4) }
+  }
+
+  // ---- drift ----
+
+  private def drift(base: Seq[Double], cur: Seq[Double], bins: Int) =
+    Drift.histDrift(
+        (base.map((_, true)) ++ cur.map((_, false)))
+          .toDF("v", "is_base"),
+        col("v"), col("is_base"), bins)
+      .orderBy("bin")
+      .select("bin", "n_base", "n_cur", "tv_c", "chi_c")
+      .as[(Long, Long, Long, Double, Double)].collect().toList
+
+  test("hand-computed two-bin drift") {
+    // base 0,1,2,3 → lo=0 hi=3 width=1.5 → bins [2,2]
+    // cur 3,3,3,3 → all bin 1 → [0,4]
+    // p = (2+1)/6 = .5 both; q = 1/6, 5/6
+    // tv per bin = |.5 − 1/6|/2 = 1/6; chi bin0 = (1/3)²/.5 = 2/9
+    val r = drift(Seq(0, 1, 2, 3), Seq(3, 3, 3, 3), bins = 2)
+    assert(r.map(x => (x._1, x._2, x._3)) ===
+      List((0L, 2L, 0L), (1L, 2L, 4L)))
+    assert(r.map(_._4) === List(0.166667, 0.166667))
+    assert(r.map(_._5) === List(0.222222, 0.222222))
+  }
+
+  test("identical sides drift exactly zero in every bin") {
+    val xs = Seq(0.0, 1.0, 2.5, 4.0, 4.0, 9.0)
+    val r = drift(xs, xs, bins = 4)
+    assert(r.forall(x => x._4 === 0.0 && x._5 === 0.0))
+    assert(r.size === 4)
+  }
+
+  test("candidate mass outside the baseline range clamps to edges") {
+    val r = drift(Seq(0, 10), Seq(-50, 99), bins = 5)
+    assert(r.head._3 === 1L)   // −50 → bin 0
+    assert(r.last._3 === 1L)   // 99 → bin 4
+  }
+
+  test("constant baseline puts all mass in bin 0, bins still emitted") {
+    val r = drift(Seq(5, 5, 5), Seq(5, 7), bins = 3)
+    assert(r.map(_._1) === List(0L, 1L, 2L))
+    assert(r.head._2 === 3L && r.head._3 === 2L)
+    assert(r.tail.forall(x => x._2 === 0L && x._3 === 0L))
+  }
+}
