@@ -55,6 +55,27 @@ class ChunkDriftSpec extends SparkSpec {
       List((0L, 4L), (4L, 4L), (8L, 1L)))
   }
 
+  test("coverage guarantee: every span of <= overlap+1 tokens is " +
+      "inside some chunk; overlap+2 can straddle") {
+    // size 8, overlap 3, stride 5 — for every doc length 1..30 and
+    // every start a, the span [a, a+4) fits in one chunk (q192's
+    // guarantee, L <= overlap+1 = 4)
+    for (n <- 1 to 30) {
+      val cs = chunksN(n, size = 8, overlap = 3)
+      for (a <- 0 to n - 4)
+        assert(cs.exists(c => c._1 <= a && a + 4 <= c._1 + c._2),
+          s"n=$n span [$a,${a + 4}) uncovered by $cs")
+    }
+    // counterexample at L = overlap+2 = 5: n=13, span [4,9) straddles
+    // chunks [0,8) and [5,13)
+    val cs = chunksN(13, size = 8, overlap = 3)
+    assert(!cs.exists(c => c._1 <= 4 && 9 <= c._1 + c._2))
+  }
+
+  private def chunksN(n: Int, size: Int, overlap: Int) =
+    chunks((1 to n).map("w" + _).mkString(" "), size, overlap)
+      .map(c => (c._2, c._3))
+
   test("invalid size/overlap rejected") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
