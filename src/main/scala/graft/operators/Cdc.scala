@@ -52,4 +52,76 @@ object Cdc {
         Seq(col(s"__last.$seqCol").as("last_seq"),
           col(s"__last.$opCol").as("last_op")): _*)
   }
+
+  /** Incremental view maintenance for a (count, sum) aggregate: fold
+    * a CDC batch into a pre-aggregated view WITHOUT rescanning the
+    * base table — the materialized-view delta algebra
+    * (maintain(viewOf(base), delta) == viewOf(apply(base, delta))).
+    *
+    * Per change row:
+    *  - insert `i`: +1 count, +value to its group,
+    *  - delete `d`: −1 count, −old value (old image looked up in
+    *    base by `rowKey`),
+    *  - update `u`: −old image, +new image — which transparently
+    *    handles GROUP-moving updates (the −1/+1 land on different
+    *    groups; a same-group update nets count 0).
+    * Groups whose maintained count reaches 0 drop out of the view.
+    *
+    * Exactness: values are rounded to `scale` decimals and summed as
+    * DECIMAL(18+10) — the [[graft.queries.Q.dsum]] contract — so
+    * maintained sums match a from-scratch recompute bit-for-bit (a
+    * float fold would drift under ±cancellation).
+    *
+    * Scale shape: the ONLY touch of the base table is the old-image
+    * lookup — an equi-join of the (small) update/delete keys against
+    * base's `rowKey` (broadcast the delta side; on real storage this
+    * is a keyed point-lookup scan). Everything else is delta-sized
+    * plus one group-cardinality outer merge. History is never
+    * rescanned — the property that makes a 100 TB view maintainable
+    * under a trickle of changes.
+    *
+    * @param baseAgg pre-aggregated view: (grpCol, cnt, s: decimal)
+    *                — build with [[aggOf]]
+    * @param base    the base table the view aggregates (only its
+    *                update/delete keys are read)
+    * @param cdc     change rows: rowKey, op ('i'|'u'|'d'), grpCol,
+    *                valCol (payload ignored for 'd'); update/delete
+    *                keys MUST exist in base, at most one change per
+    *                key per batch
+    * @return maintained view (grpCol, cnt, s) — same shape as
+    *         [[aggOf]]'s output */
+  def maintainAgg(baseAgg: DataFrame, base: DataFrame, cdc: DataFrame,
+      rowKey: String, opCol: String, grpCol: String, valCol: String,
+      scale: Int): DataFrame = {
+    val dec = s"decimal(18,$scale)"
+    val oldImg = cdc.filter(col(opCol).isin("u", "d"))
+      .select(col(rowKey))
+      .join(base, Seq(rowKey))
+      .select(col(grpCol).as("__g"), lit(-1L).as("dc"),
+        (-round(col(valCol), scale)).cast(dec).as("dv"))
+    val newImg = cdc.filter(col(opCol).isin("u", "i"))
+      .select(col(grpCol).as("__g"), lit(1L).as("dc"),
+        round(col(valCol), scale).cast(dec).as("dv"))
+    val delta = oldImg.unionByName(newImg)
+      .groupBy(col("__g"))
+      .agg(sum(col("dc")).as("dc"), sum(col("dv")).as("dv"))
+    baseAgg
+      .join(delta, baseAgg(grpCol) === delta("__g"), "full_outer")
+      .select(
+        coalesce(baseAgg(grpCol), col("__g")).as(grpCol),
+        (coalesce(col("cnt"), lit(0L)) +
+          coalesce(col("dc"), lit(0L))).as("cnt"),
+        (coalesce(col("s"), lit(0).cast(dec)) +
+          coalesce(col("dv"), lit(0).cast(dec))).as("s"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** The from-scratch (count, decimal-sum) view [[maintainAgg]]
+    * maintains: group, exact rounded-decimal sum, row count. */
+  def aggOf(rows: DataFrame, grpCol: String, valCol: String,
+      scale: Int): DataFrame =
+    rows.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col(valCol), scale).cast(s"decimal(18,$scale)"))
+          .as("s"))
 }

@@ -357,4 +357,110 @@ object Graph {
     }
     visited
   }
+
+  /** Per-source BFS hop distances, bounded at `maxHops`: like
+    * [[bfsHops]] but the state is keyed (root, id), so every
+    * source's own distance field survives instead of collapsing to
+    * the minimum — the building block for sampled closeness
+    * centrality (Eppstein-Wang style: closeness estimated from a
+    * handful of pivot sources instead of all-pairs BFS).
+    *
+    * Scale shape: identical level-synchronous loop to [[bfsHops]]
+    * with every frame carrying the extra `root` column; state is
+    * O(|S|·reach) — the reason the contract is a SAMPLED source set
+    * (|S| bounded), never the full vertex set. All joins remain
+    * key-partitioned equi-joins; per-level checkpoints keep the plan
+    * O(1) deep.
+    *
+    * @return (root, id, hop) for every (source, vertex) pair within
+    *         `maxHops` */
+  def perSourceHops(edges: DataFrame, aCol: String, bCol: String,
+      sources: DataFrame, srcCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val sym = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"),
+        col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var frontier = sources.select(col(srcCol).as("root")).distinct()
+      .select(col("root"), col("root").as("id"), lit(0).as("hop"))
+      .localCheckpoint(true)
+    var visited = frontier
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      frontier = sym
+        .join(frontier.select(col("root"), col("id").as("src")),
+          Seq("src"))
+        .select(col("root"), col("dst").as("id")).distinct()
+        .join(visited.select(col("root"), col("id")),
+          Seq("root", "id"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier)
+    }
+    visited
+  }
+
+  /** Newman modularity of a community assignment, per community:
+    *
+    *   Q_c = in_c/(2m) − (deg_c/(2m))²,  Q = Σ_c Q_c
+    *
+    * where in_c counts DIRECTED intra-community edge rows (each
+    * undirected edge twice), deg_c sums member degrees, and 2m is
+    * the directed edge-row count — the standard quality score for
+    * [[labelPropagation]]'s output (is the partition denser inside
+    * communities than a random graph with the same degrees?).
+    *
+    * Determinism: in_c, deg_c, 2m are exact integers; each Q_c is
+    * two divisions + one multiply + one subtract on those integers
+    * (IEEE-exact given identical inputs), [[graft.queries.Q.r6]]-
+    * snapped so a downstream decimal Σ is engine-stable.
+    *
+    * Scale shape: one symmetric-distinct edge build, two joins of
+    * the edge frame against the VERTEX-sized label frame (broadcast
+    * when labels fit, shuffle otherwise — left to AQE), then
+    * community-cardinality aggregates; the scalar 2m rides a 1-row
+    * broadcast. Nothing is all-pairs.
+    *
+    * @param labels (id, label) — one row per vertex
+    * @return (label, n_members, in_edges, deg_sum, q_contrib)
+    *         ordered by nothing (caller sorts) */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame): DataFrame = {
+    val e = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"),
+        col(aCol).as("dst")))
+      .distinct()
+      .filter(col("src") =!= col("dst"))
+    val lab = labels.select(col("id"), col("label"))
+    val el = e
+      .join(lab.select(col("id").as("src"), col("label").as("lsrc")),
+        Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("label").as("ldst")),
+        Seq("dst"))
+      .localCheckpoint(true)
+    val m2 = el.agg(count(lit(1)).as("m2"))
+    val mem = lab.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"))
+    val inc = el.filter(col("lsrc") === col("ldst"))
+      .groupBy(col("lsrc").as("label"))
+      .agg(count(lit(1)).as("in_edges"))
+    val degc = el.groupBy(col("lsrc").as("label"))
+      .agg(count(lit(1)).as("deg_sum"))
+    mem
+      .join(inc, Seq("label"), "left_outer")
+      .join(degc, Seq("label"), "left_outer")
+      .na.fill(0L, Seq("in_edges", "deg_sum"))
+      .crossJoin(broadcast(m2))
+      .select(col("label"), col("n_members"), col("in_edges"),
+        col("deg_sum"),
+        graft.queries.Q.r6(
+          col("in_edges").cast("double") / col("m2").cast("double") -
+            (col("deg_sum").cast("double") / col("m2").cast("double")) *
+            (col("deg_sum").cast("double") / col("m2").cast("double")))
+          .as("q_contrib"))
+  }
 }

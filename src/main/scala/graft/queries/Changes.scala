@@ -372,5 +372,59 @@ object Changes {
              (SELECT bad FROM mism) = 0 AS roundtrip_ok
       FROM d2 GROUP BY op ORDER BY op"""))
 
-  val all: Seq[Qry] = Seq(q162, q163, q164, q175)
+  /** q197 — incremental view maintenance ([[Cdc.maintainAgg]]): a
+    * per-customer (count, exact decimal revenue) view of the orders
+    * base snapshot (bucket < 70) is maintained under one CDC batch —
+    * inserts (b ≥ 70), value updates (b < 15, +10.50), GROUP-MOVING
+    * updates (b ∈ [15,20): the order changes customer), deletes
+    * (b ∈ [20,25)) — without rescanning the base beyond the keyed
+    * old-image lookup. The oracle recomputes the view FROM SCRATCH
+    * over the post-change snapshot: the hash match is the IVM
+    * theorem maintain(view(base), Δ) == view(apply(base, Δ)) on real
+    * data. */
+  val q197 = Qry(
+    "q197_ivm_agg",
+    (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        col("o_totalprice").as("v"),
+        Splits.hashBucket(col("o_orderkey")).as("b"))
+      val base = o.filter(col("b") < 70).select(col("k"), col("cust"),
+        col("v"))
+      val cdc = o.select(col("k"), explode(expr("""
+          filter(array(
+            if(b >= 70, named_struct('op', 'i', 'cust', cust,
+              'v', v), null),
+            if(b < 15, named_struct('op', 'u', 'cust', cust,
+              'v', v + 10.5d), null),
+            if(b >= 15 and b < 20, named_struct('op', 'u',
+              'cust', cust + 1L, 'v', v), null),
+            if(b >= 20 and b < 25, named_struct('op', 'd',
+              'cust', cust, 'v', 0d), null)),
+            x -> x IS NOT NULL)""")).as("c"))
+        .select(col("k"), col("c.op").as("op"), col("c.cust").as("cust"),
+          col("c.v").as("v"))
+      Cdc.maintainAgg(Cdc.aggOf(base, "cust", "v", 2), base, cdc,
+          "k", "op", "cust", "v", 2)
+        .select(col("cust"), col("cnt"),
+          col("s").cast("double").as("total"))
+        .orderBy(col("cust"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_orderkey AS k, o_custkey AS cust,
+               o_totalprice AS v, ${bucketSql("o_orderkey")} AS b
+        FROM orders),
+      final AS (
+        SELECT cust, v FROM o WHERE b >= 25 AND b < 70  -- untouched
+        UNION ALL
+        SELECT cust, v + 10.5 FROM o WHERE b < 15       -- updated
+        UNION ALL
+        SELECT cust + 1, v FROM o WHERE b >= 15 AND b < 20 -- moved
+        UNION ALL
+        SELECT cust, v FROM o WHERE b >= 70)            -- inserted
+      SELECT cust, COUNT(*) AS cnt, ${dsumSql("v", 2)} AS total
+      FROM final GROUP BY cust ORDER BY cust"""))
+
+  val all: Seq[Qry] = Seq(q162, q163, q164, q175, q197)
 }

@@ -651,30 +651,13 @@ object ComponentsQ {
           min(col("id")).as("min_id"), max(col("id")).as("max_id"),
           sum(col("id")).as("sum_id"))
         .orderBy(col("label")),
-    Some {
-      val votes = (1 to 3).map { i =>
-        s"""l$i AS MATERIALIZED (
-            SELECT id, label FROM (
-              SELECT id, label,
-                     ROW_NUMBER() OVER (PARTITION BY id
-                       ORDER BY c DESC, label) AS rn
-              FROM (
-                SELECT x.id, x.label, COUNT(*) AS c FROM (
-                  SELECT e.dst AS id, l.label
-                  FROM e0 e JOIN l${i - 1} l ON l.id = e.src
-                  UNION ALL
-                  SELECT id, label FROM l${i - 1}) x
-                GROUP BY x.id, x.label))
-            WHERE rn = 1)"""
-      }.mkString(",\n      ")
-      s"""
+    Some(s"""
       WITH $basketGraphSql,
       l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e0),
-      $votes
+      $lpaVotesSql
       SELECT label, COUNT(*) AS n_members, MIN(id) AS min_id,
              MAX(id) AS max_id, CAST(SUM(id) AS BIGINT) AS sum_id
-      FROM l3 GROUP BY 1 ORDER BY 1"""
-    })
+      FROM l3 GROUP BY 1 ORDER BY 1"""))
 
   /** q191 — core-number decomposition ([[Graph.coreNumbers]], capped
     * at k=5): every basket-graph vertex's degeneracy level from ONE
@@ -817,7 +800,124 @@ object ComponentsQ {
       FROM i3 ORDER BY r DESC, id LIMIT 20"""
     })
 
+  /** Shared oracle fragment: q183's 3 synchronous LPA votes over
+    * [[basketGraphSql]]'s e0 (self-vote, ties → smallest label),
+    * ending in `l3`. Factored out so q196 scores the SAME partition
+    * q183 pins. */
+  private def lpaVotesSql: String = (1 to 3).map { i =>
+    s"""l$i AS MATERIALIZED (
+        SELECT id, label FROM (
+          SELECT id, label,
+                 ROW_NUMBER() OVER (PARTITION BY id
+                   ORDER BY c DESC, label) AS rn
+          FROM (
+            SELECT x.id, x.label, COUNT(*) AS c FROM (
+              SELECT e.dst AS id, l.label
+              FROM e0 e JOIN l${i - 1} l ON l.id = e.src
+              UNION ALL
+              SELECT id, label FROM l${i - 1}) x
+            GROUP BY x.id, x.label))
+        WHERE rn = 1)"""
+  }.mkString(",\n      ")
+
+  /** q196 — modularity of the q183 label-propagation partition
+    * ([[Graph.modularity]]): per-community Newman quality
+    * in_c/(2m) − (deg_c/(2m))², exact integer numerators with the
+    * two divisions r6-snapped. The oracle re-derives the identical
+    * partition (shared vote chain) and replays the score algebra —
+    * operator composition (LPA → modularity) under one hash. */
+  val q196 = Qry(
+    "q196_modularity",
+    (s: SparkSession, d: String) => {
+      val e = basketEdges(s, d)
+      val labels = Graph.labelPropagation(e, "src", "dst", rounds = 3)
+      Graph.modularity(e, "src", "dst", labels)
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH $basketGraphSql,
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS id, src AS label FROM e0),
+      $lpaVotesSql,
+      el AS MATERIALIZED (
+        SELECT ls.label AS lsrc, ld.label AS ldst
+        FROM e0 e JOIN l3 ls ON ls.id = e.src
+                  JOIN l3 ld ON ld.id = e.dst),
+      m2 AS (SELECT COUNT(*) AS m2 FROM el),
+      mem AS (SELECT label, COUNT(*) AS n_members FROM l3 GROUP BY 1),
+      inc AS (SELECT lsrc AS label, COUNT(*) AS in_edges FROM el
+              WHERE lsrc = ldst GROUP BY 1),
+      degc AS (SELECT lsrc AS label, COUNT(*) AS deg_sum FROM el
+               GROUP BY 1)
+      SELECT mem.label, n_members,
+             COALESCE(in_edges, 0) AS in_edges,
+             COALESCE(deg_sum, 0) AS deg_sum,
+             ${Q.r6Sql(
+               "CAST(COALESCE(in_edges, 0) AS DOUBLE) / CAST(m2 AS DOUBLE)" +
+               " - (CAST(COALESCE(deg_sum, 0) AS DOUBLE) / CAST(m2 AS DOUBLE))" +
+               " * (CAST(COALESCE(deg_sum, 0) AS DOUBLE) / CAST(m2 AS DOUBLE))")}
+               AS q_contrib
+      FROM mem LEFT JOIN inc USING (label)
+               LEFT JOIN degc USING (label), m2
+      ORDER BY mem.label"""))
+
+  /** q198 — sampled closeness centrality ([[Graph.perSourceHops]]):
+    * per-pivot BFS distances from the 8 smallest vertex ids (the
+    * deterministic stand-in for Eppstein-Wang random pivots), folded
+    * into Wasserman-Faust normalized closeness in pure integer
+    * micro-units: (k−1)²·1e6 div (Σd·(|V|−1)), k = pivots reached
+    * within 3 hops. The oracle unrolls the 3 relax rounds per pivot
+    * with MIN-hop aggregation. */
+  val q198 = Qry(
+    "q198_closeness",
+    (s: SparkSession, d: String) => {
+      val e = basketEdges(s, d)
+      val verts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      val pivots = verts.orderBy(col("id")).limit(8)
+      val nv = verts.agg(count(lit(1)).as("n"))
+      Graph.perSourceHops(e, "src", "dst", pivots, "id", maxHops = 3)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(col("hop")).cast("long").as("sum_hops"))
+        .crossJoin(broadcast(nv))
+        .select(col("id"), col("n_reached"), col("sum_hops"),
+          when(col("sum_hops") === 0, lit(0L)).otherwise(
+            expr("((n_reached - 1) * (n_reached - 1) * 1000000)" +
+              " div (sum_hops * (n - 1))")).as("closeness_micro"))
+        .orderBy(col("closeness_micro").desc, col("id"))
+        .limit(30)
+    },
+    Some {
+      def relax(i: Int) = s"""
+      p$i AS MATERIALIZED (
+        SELECT root, id, MIN(hop) AS hop FROM (
+          SELECT root, id, hop FROM p${i - 1}
+          UNION ALL
+          SELECT p.root, e.dst AS id, p.hop + 1
+          FROM p${i - 1} p JOIN e0 e ON e.src = p.id)
+        GROUP BY 1, 2)"""
+      s"""
+      WITH $basketGraphSql,
+      pivots AS MATERIALIZED (
+        SELECT DISTINCT src AS id FROM e0 ORDER BY src LIMIT 8),
+      p0 AS (SELECT id AS root, id, 0 AS hop FROM pivots),
+      ${relax(1)},
+      ${relax(2)},
+      ${relax(3)},
+      cl AS (
+        SELECT id, COUNT(*) AS n_reached,
+               CAST(SUM(hop) AS BIGINT) AS sum_hops
+        FROM p3 GROUP BY id),
+      nv AS (SELECT COUNT(DISTINCT src) AS n FROM e0)
+      SELECT id, n_reached, sum_hops,
+             CASE WHEN sum_hops = 0 THEN 0
+                  ELSE ((n_reached - 1) * (n_reached - 1) * 1000000)
+                       // (sum_hops * (n - 1)) END AS closeness_micro
+      FROM cl, nv ORDER BY closeness_micro DESC, id LIMIT 30"""
+    })
+
   val all: Seq[Qry] =
     Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183,
-      q191, q194, q195)
+      q191, q194, q195, q196, q198)
 }
