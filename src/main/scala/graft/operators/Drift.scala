@@ -34,6 +34,39 @@ import graft.queries.Q
   */
 object Drift {
 
+  /** The shared bin assignment both the batch pass and the streaming
+    * twin use: `bins` equi-width cells over [lo, hi], out-of-range
+    * values clamped into the edge cells, a zero-width range
+    * collapsing to bin 0. Exact same op sequence in both engines
+    * (one subtract, one divide by the precomputed width, floor,
+    * clamp). */
+  def binOf(v: Column, lo: Column, hi: Column, bins: Int): Column =
+    when(hi === lo, lit(0L)).otherwise(
+      least(lit(bins.toLong - 1), greatest(lit(0L),
+        floor((v - lo) / ((hi - lo) / lit(bins.toDouble))))))
+
+  /** Materialized baseline histogram — the broadcast-sized artifact
+    * a monitoring deployment computes ONCE per reference snapshot
+    * and scores every incoming window against ([[
+    * graft.streaming.StreamOps.driftStream]]). Collects 1+`bins`
+    * rows to the driver (the [[Pq]] plan-time-codebook contract:
+    * bounded by construction, never data-sized).
+    *
+    * @return (lo, hi, per-bin counts of length `bins`) */
+  def baselineOf(df: DataFrame, valueCol: Column,
+      bins: Int): (Double, Double, Seq[Long]) = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val v = df.select(valueCol.cast("double").as("v"))
+    val r = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val counts = v
+      .select(binOf(col("v"), lit(lo), lit(hi), bins).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    (lo, hi, (0L until bins.toLong).map(counts.getOrElse(_, 0L)))
+  }
+
   /** Per-bin drift rows between the `sideCol`=true (baseline) and
     * `sideCol`=false (candidate) partitions of `df`.
     *
@@ -57,11 +90,7 @@ object Drift {
     val range = tagged.filter(col("is_base"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     val binned = tagged.crossJoin(broadcast(range))
-      .select(when(col("hi") === col("lo"), lit(0L)).otherwise(
-        least(lit(bins.toLong - 1), greatest(lit(0L),
-          floor((col("v") - col("lo")) /
-            ((col("hi") - col("lo")) / lit(bins.toDouble))))))
-        .as("bin"),
+      .select(binOf(col("v"), col("lo"), col("hi"), bins).as("bin"),
         col("is_base"))
       .groupBy(col("bin"))
       .agg(

@@ -1102,4 +1102,64 @@ object StreamOps {
             .iterator
       }
   }
+
+  /** Streaming twin of [[graft.operators.Drift.histDrift]]: score
+    * every closed event-time window of the stream against a FIXED
+    * baseline histogram (the artifact [[graft.operators.Drift
+    * .baselineOf]] materializes from the reference snapshot) — the
+    * standing drift monitor a feature pipeline runs on its input
+    * feed. Emits, per finalized window, the identical per-bin row
+    * shape the batch pass produces (n_base/p_micro are baseline
+    * constants folded in at plan time), so
+    * `driftStream(events, baselineOf(base)) ==
+    *  histDrift(base ∪ windowEvents)` row-for-row per window — the
+    * contract StreamDriftSpec pins across micro-batch splits.
+    *
+    * Scale shape: ONE watermarked windowed aggregation whose state
+    * per window is `bins` conditional counters (not per-event rows);
+    * the per-bin fan-out is a stateless post-agg projection
+    * (array+explode). Append mode: a window's rows emit exactly
+    * once, when the watermark passes its end.
+    */
+  def driftStream(events: DataFrame, tsCol: String, valueCol: String,
+      windowLen: String, watermark: String, baseLo: Double,
+      baseHi: Double, baseCounts: Seq[Long]): DataFrame = {
+    val bins = baseCounts.size
+    require(bins >= 2, s"need >= 2 baseline bins, got $bins")
+    val baseTotal = baseCounts.sum
+    val binned = events
+      .withWatermark(tsCol, watermark)
+      .withColumn("__bin", graft.operators.Drift.binOf(
+        col(valueCol).cast("double"), lit(baseLo), lit(baseHi), bins))
+    val counters = (0 until bins).map(b =>
+      sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agged = binned
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(counters.head, counters.tail: _*)
+    val total = (0 until bins).map(b => col(s"c$b"))
+      .reduce(_ + _)
+    val rows = array((0 until bins).map { b =>
+      // p is a baseline constant: same (n+1)/(N+bins) double the
+      // batch pass computes from its columns
+      val p = (baseCounts(b) + 1.0) / (baseTotal + bins)
+      val q = (col(s"c$b") + lit(1L)).cast("double") /
+        (total + lit(bins.toLong)).cast("double")
+      struct(
+        lit(b.toLong).as("bin"),
+        lit(baseCounts(b)).as("n_base"),
+        col(s"c$b").as("n_cur"),
+        lit(math.floor(p * 1e6).toLong).as("p_micro"),
+        floor(q * lit(1e6)).cast("long").as("q_micro"),
+        graft.queries.Q.r6(abs(lit(p) - q) / lit(2.0)).as("tv_c"),
+        graft.queries.Q.r6((q - lit(p)) * (q - lit(p)) / lit(p))
+          .as("chi_c"))
+    }: _*)
+    agged
+      .select(col("window.start").as("window_start"),
+        explode(rows).as("r"))
+      .select(col("window_start"), col("r.bin").as("bin"),
+        col("r.n_base").as("n_base"), col("r.n_cur").as("n_cur"),
+        col("r.p_micro").as("p_micro"), col("r.q_micro").as("q_micro"),
+        col("r.tv_c").as("tv_c"), col("r.chi_c").as("chi_c"))
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Drift
+import graft.streaming.StreamOps
+
+/** Streaming drift twin contract: for every CLOSED window,
+  * [[StreamOps.driftStream]] against `baselineOf(base)` emits
+  * row-for-row what the batch [[Drift.histDrift]] computes over
+  * (base, that window's events) — across micro-batch splits, under
+  * out-of-order arrival, and with late-but-allowed events counted.
+  */
+class StreamDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(m * 60000L)
+
+  private val baseVals = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 10.0)
+  private val Bins = 4
+
+  test("baselineOf pins the histogram artifact") {
+    val (lo, hi, counts) =
+      Drift.baselineOf(baseVals.toDF("v"), col("v"), Bins)
+    assert((lo, hi) === (0.0, 10.0))
+    assert(counts === Seq(3L, 2L, 0L, 1L))
+  }
+
+  test("closed windows equal the batch drift, across splits and " +
+      "with a late-but-allowed event") {
+    implicit val sqlCtx = spark.sqlContext
+    val (lo, hi, counts) =
+      Drift.baselineOf(baseVals.toDF("v"), col("v"), Bins)
+    val in = MemoryStream[(Timestamp, Double)]
+    val q = StreamOps.driftStream(in.toDF().toDF("ts", "v"),
+        "ts", "v", windowLen = "10 minutes", watermark = "5 minutes",
+        lo, hi, counts)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    // window [0,10): out-of-order within and across batches; one
+    // value below and one above the baseline range (clamps)
+    in.addData((ts(4), 9.0), (ts(1), 1.0))
+    q.processAllAvailable()
+    // late-but-allowed: watermark still at 4−5 < 0, so t=7 and a
+    // second window's events land together
+    in.addData((ts(7), -5.0), (ts(12), 2.0), (ts(15), 100.0))
+    q.processAllAvailable()
+    // advance the watermark far past both windows to close them
+    in.addData((ts(45), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("drift")
+      .select(col("window_start"), col("bin"), col("n_base"),
+        col("n_cur"), col("p_micro"), col("q_micro"), col("tv_c"),
+        col("chi_c"))
+      .as[(Timestamp, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().toList
+    // exactly the two closed windows, bins rows each; [40,50) open
+    assert(got.map(_._1).distinct.toSet === Set(ts(0), ts(10)))
+    assert(got.size === 2 * Bins)
+    def batch(winVals: Seq[Double]) =
+      Drift.histDrift(
+          (baseVals.map((_, true)) ++ winVals.map((_, false)))
+            .toDF("v", "is_base"),
+          col("v"), col("is_base"), Bins)
+        .orderBy("bin")
+        .select(col("bin"), col("n_base"), col("n_cur"),
+          col("p_micro"), col("q_micro"), col("tv_c"), col("chi_c"))
+        .as[(Long, Long, Long, Long, Long, Double, Double)]
+        .collect().toList
+    assert(got.filter(_._1 == ts(0)).sortBy(_._2)
+      .map(t => (t._2, t._3, t._4, t._5, t._6, t._7, t._8)) ===
+      batch(Seq(9.0, 1.0, -5.0)))
+    assert(got.filter(_._1 == ts(10)).sortBy(_._2)
+      .map(t => (t._2, t._3, t._4, t._5, t._6, t._7, t._8)) ===
+      batch(Seq(2.0, 100.0)))
+  }
+}
