@@ -17,7 +17,12 @@ import graft.functions.{Hilbert2D, HilbertN, PqAssign, ShingleNGrams,
   *
   * Also registers the whole-operator TABLE functions `cdc_merge`,
   * `attribution_credits`, `sq8_search`, `bfs_hops`,
-  * `shortest_paths`, `k_core`, and `label_propagation`, which expose
+  * `shortest_paths`, `k_core`, `label_propagation`, `item_cooccur`,
+  * `hist_drift`, `chunk_tokens`, and `personalized_pagerank`
+  * (r9 wave: [[graft.operators.Cooccur.itemSimilarity]],
+  * [[graft.operators.Drift.histDrift]],
+  * [[graft.operators.Corpus.chunkTokens]],
+  * [[graft.operators.PageRank.personalizedRanks]]), which expose
   * [[graft.operators.Cdc.mergeLatest]],
   * [[graft.operators.Attribution.credits]],
   * [[graft.operators.Sq8.searchTopK]], [[graft.operators.Graph
@@ -209,6 +214,80 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strConst(children(1), "label_propagation: a_col"),
             strConst(children(2), "label_propagation: b_col"),
             intConstArg(children(3), "label_propagation: rounds"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("item_cooccur"),
+      new ExpressionInfo("graft.operators.Cooccur", "item_cooccur"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "item_cooccur expects (baskets_view, basket_col, item_col, " +
+            s"top_k, max_basket), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Cooccur.itemSimilarity(
+            spark.table(strConst(children(0),
+              "item_cooccur: baskets_view")),
+            strConst(children(1), "item_cooccur: basket_col"),
+            strConst(children(2), "item_cooccur: item_col"),
+            intConstArg(children(3), "item_cooccur: top_k"),
+            intConstArg(children(4), "item_cooccur: max_basket"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("hist_drift"),
+      new ExpressionInfo("graft.operators.Drift", "hist_drift"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "hist_drift expects (tagged_view, value_col, is_base_col, " +
+            s"bins), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.col
+        graft.operators.Drift.histDrift(
+            spark.table(strConst(children(0),
+              "hist_drift: tagged_view")),
+            col(strConst(children(1), "hist_drift: value_col")),
+            col(strConst(children(2), "hist_drift: is_base_col")),
+            intConstArg(children(3), "hist_drift: bins"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("chunk_tokens"),
+      new ExpressionInfo("graft.operators.Corpus", "chunk_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "chunk_tokens expects (docs_view, id_col, text_col, size, " +
+            s"overlap), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Corpus.chunkTokens(
+            spark.table(strConst(children(0),
+              "chunk_tokens: docs_view")),
+            strConst(children(1), "chunk_tokens: id_col"),
+            strConst(children(2), "chunk_tokens: text_col"),
+            intConstArg(children(3), "chunk_tokens: size"),
+            intConstArg(children(4), "chunk_tokens: overlap"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("personalized_pagerank"),
+      new ExpressionInfo("graft.operators.PageRank",
+        "personalized_pagerank"),
+      (children: Seq[Expression]) => {
+        require(children.size == 6,
+          "personalized_pagerank expects (edges_view, src_col, " +
+            s"dst_col, sources_view, source_col, iters), " +
+            s"got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.col
+        graft.operators.PageRank.personalizedRanks(
+            spark.table(strConst(children(0),
+              "personalized_pagerank: edges_view")),
+            strConst(children(1), "personalized_pagerank: src_col"),
+            strConst(children(2), "personalized_pagerank: dst_col"),
+            spark.table(strConst(children(3),
+              "personalized_pagerank: sources_view"))
+              .select(col(strConst(children(4),
+                "personalized_pagerank: source_col"))),
+            intConstArg(children(5), "personalized_pagerank: iters"))
           .queryExecution.analyzed
       }))
     ext.injectFunction((

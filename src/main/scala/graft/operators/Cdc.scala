@@ -94,8 +94,11 @@ object Cdc {
       rowKey: String, opCol: String, grpCol: String, valCol: String,
       scale: Int): DataFrame = {
     val dec = s"decimal(18,$scale)"
-    val oldImg = cdc.filter(col(opCol).isin("u", "d"))
-      .select(col(rowKey))
+    // the delta is small BY CONTRACT (a trickle of changes against a
+    // huge base), so the old-image lookup broadcasts the key side —
+    // the base is probed in place, never exchanged
+    val oldImg = broadcast(cdc.filter(col(opCol).isin("u", "d"))
+        .select(col(rowKey)))
       .join(base, Seq(rowKey))
       .select(col(grpCol).as("__g"), lit(-1L).as("dc"),
         (-round(col(valCol), scale)).cast(dec).as("dv"))

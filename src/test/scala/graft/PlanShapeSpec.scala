@@ -506,4 +506,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unexpected CartesianProduct in: ${offenders.mkString(", ")}")
   }
+
+  test("chunkTokens is entirely map-side on a wide source (no exchange)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val p = graft.operators.Corpus
+      .chunkTokens(docs, "doc_id", "text", 4, 2)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q194: item-frequency frames stay broadcast under at-scale stats") {
+    val p = planAtScaleStats("q194_item_cooccur")
+    // the two freq normalizer joins are explicit broadcasts (item-
+    // cardinality); the per-basket pair self-join is the only
+    // shuffled join
+    assert(occurrences(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q193: drift joins are broadcast-only (1-row scalars + bins frame)") {
+    val p = planAtScaleStats("q193_hist_drift")
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q197: IVM old-image lookup probes the base with a broadcast key side") {
+    val p = planAtScaleStats("q197_ivm_agg")
+    assert(occurrences(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  private def occurrences(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).size
 }

@@ -178,4 +178,61 @@ class SqlTableFnSpec extends SparkSpec {
     assert(err.getMessage.contains("keep_tombstones"),
       s"unexpected error: ${err.getMessage}")
   }
+
+  test("item_cooccur from SQL plans identically to the API form") {
+    val baskets = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C")).toDF("bk", "it")
+    baskets.createOrReplaceTempView("baskets_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM item_cooccur('baskets_sql', 'bk', 'it', 2, 0)")
+    val viaApi = graft.operators.Cooccur.itemSimilarity(
+      spark.table("baskets_sql"), "bk", "it", 2, 0)
+    assert(viaSql.queryExecution.optimizedPlan.canonicalized ===
+      viaApi.queryExecution.optimizedPlan.canonicalized)
+    val top = viaSql.filter(col("item") === "A" && col("rank") === 1)
+      .select("neighbor").as[String].collect()
+    assert(top === Array("B"))
+  }
+
+  test("hist_drift from SQL plans identically to the API form") {
+    Seq((1.0, true), (3.0, true), (9.0, false))
+      .toDF("v", "is_base").createOrReplaceTempView("drift_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM hist_drift('drift_sql', 'v', 'is_base', 4)")
+    val viaApi = graft.operators.Drift.histDrift(
+      spark.table("drift_sql"), col("v"), col("is_base"), 4)
+    assert(viaSql.queryExecution.optimizedPlan.canonicalized ===
+      viaApi.queryExecution.optimizedPlan.canonicalized)
+    assert(viaSql.count() === 4)
+  }
+
+  test("chunk_tokens from SQL plans identically to the API form") {
+    Seq((1L, (1 to 10).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text").createOrReplaceTempView("chunk_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM chunk_tokens('chunk_sql', 'doc_id', 'text', 4, 2)")
+    val viaApi = graft.operators.Corpus.chunkTokens(
+      spark.table("chunk_sql"), "doc_id", "text", 4, 2)
+    assert(viaSql.queryExecution.optimizedPlan.canonicalized ===
+      viaApi.queryExecution.optimizedPlan.canonicalized)
+    assert(viaSql.count() === 4)
+  }
+
+  test("personalized_pagerank from SQL equals the API result and " +
+      "composes downstream") {
+    Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+      .createOrReplaceTempView("ppr_edges_sql")
+    Seq(1L).toDF("id").createOrReplaceTempView("ppr_srcs_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM personalized_pagerank('ppr_edges_sql', 'src', " +
+        "'dst', 'ppr_srcs_sql', 'id', 1) ORDER BY id")
+      .as[(Long, Long)].collect().toList
+    assert(viaSql === List((1L, 875000L), (2L, 1700000L),
+      (3L, 425000L)))
+    val top = spark.sql(
+      "SELECT id FROM personalized_pagerank('ppr_edges_sql', 'src', " +
+        "'dst', 'ppr_srcs_sql', 'id', 1) ORDER BY r DESC LIMIT 1")
+      .as[Long].collect()
+    assert(top === Array(2L))
+  }
 }
