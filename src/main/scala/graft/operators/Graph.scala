@@ -403,6 +403,78 @@ object Graph {
     visited
   }
 
+  /** Deterministic random walks — the DeepWalk/node2vec corpus
+    * generator: turn a graph into token SEQUENCES an embedding
+    * trainer consumes, with every "random" choice derived from
+    * md5(start, walk, step), so the whole corpus is engine- and
+    * partitioning-replayable (the [[graft.operators.Splits]]
+    * hash-randomness contract; no RNG state anywhere).
+    *
+    * Step rule: at vertex v on step t of walk (s, w), move to the
+    * neighbor whose rank (neighbors sorted by id, 1-based) is
+    * `md5_32(s ⊕ '_' ⊕ w ⊕ '_' ⊕ t) mod deg(v) + 1`. Every vertex
+    * has ≥ 1 neighbor by construction (it came from an edge), so a
+    * walk never strands.
+    *
+    * Scale shape: the ranked adjacency (src, dst, rnk) and the
+    * vertex-sized degree table build once (one groupBy-window
+    * exchange) and checkpoint; each step is one broadcast join
+    * against the degree table (vertex-sized) plus one equi-join on
+    * (vertex, rank) against the adjacency — walk state stays
+    * O(starts · walksPerNode), never edge-sized. On a cluster the
+    * adjacency is bucketed by src so the per-step join reuses its
+    * layout; steps are a fixed small count (lineage bounded by the
+    * per-step checkpoint).
+    *
+    * @param starts 1-column frame of walk start vertices (vertices
+    *               absent from the graph are dropped)
+    * @return (start, walk, step, vertex) — step 0 is the start
+    *         itself; `walksPerNode` walks per surviving start */
+  def randomWalks(edges: DataFrame, aCol: String, bCol: String,
+      starts: DataFrame, walksPerNode: Int, steps: Int): DataFrame = {
+    require(walksPerNode >= 1 && steps >= 0,
+      s"need walksPerNode >= 1 and steps >= 0, got " +
+        s"($walksPerNode, $steps)")
+    val sym = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"),
+        col(aCol).as("dst")))
+      .distinct()
+    val adj = sym
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("dst"))))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    var walks = starts.toDF("start").distinct()
+      .join(deg.select(col("v").as("start")), Seq("start"))
+      .crossJoin(broadcast(
+        sym.sparkSession.range(walksPerNode).select(
+          col("id").as("walk"))))
+      .select(col("start"), col("walk"), lit(0).as("step"),
+        col("start").as("vertex"))
+      .localCheckpoint(true)
+    var out = walks
+    for (t <- 1 to steps) {
+      walks = walks
+        .join(broadcast(deg), walks("vertex") === deg("v"))
+        .select(col("start"), col("walk"),
+          (conv(substring(md5(concat_ws("_", col("start"),
+            col("walk"), lit(t))), 1, 8), 16, 10).cast("long") %
+            col("d") + lit(1L)).cast("int").as("rnk"),
+          col("vertex"))
+        .join(adj.select(col("src").as("vertex"), col("dst"),
+          col("rnk")), Seq("vertex", "rnk"))
+        .select(col("start"), col("walk"), lit(t).as("step"),
+          col("dst").as("vertex"))
+        .localCheckpoint(true)
+      out = out.unionByName(walks)
+    }
+    out
+  }
+
   /** Newman modularity of a community assignment, per community:
     *
     *   Q_c = in_c/(2m) − (deg_c/(2m))²,  Q = Σ_c Q_c

@@ -917,7 +917,68 @@ object ComponentsQ {
       FROM cl, nv ORDER BY closeness_micro DESC, id LIMIT 30"""
     })
 
+  /** q199 — deterministic random-walk corpus
+    * ([[Graph.randomWalks]]): the DeepWalk/node2vec preprocessing
+    * step that turns the basket graph into '>'-joined vertex
+    * sentences for embedding training. Every step choice is
+    * md5(start,walk,step) mod degree — no RNG state — so the oracle
+    * replays the full 4-step trajectory of every walk, including the
+    * ranked-neighbor lookup. */
+  val q199 = Qry(
+    "q199_random_walks",
+    (s: SparkSession, d: String) => {
+      val e = basketEdges(s, d)
+      val starts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+        .filter(col("id") < 300)
+      Graph.randomWalks(e, "src", "dst", starts, walksPerNode = 2,
+          steps = 4)
+        .groupBy(col("start"), col("walk"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("step"), col("vertex")))),
+          x => x.getField("vertex").cast("string")), ">")
+          .as("walk_str"))
+        .orderBy(col("start"), col("walk"))
+    },
+    Some {
+      def hop(i: Int) = s"""
+      s$i AS MATERIALIZED (
+        SELECT p.start, p.w, $i AS step, a.dst AS cur
+        FROM s${i - 1} p
+        JOIN deg ON deg.v = p.cur
+        JOIN adj a ON a.src = p.cur AND a.rnk =
+          ${Q.md5Hex32Sql(
+            "CAST(p.start AS VARCHAR) || '_' || CAST(p.w AS VARCHAR)" +
+              s" || '_' || '$i'", 1)} % deg.d + 1)"""
+      s"""
+      WITH $basketGraphSql,
+      adj AS MATERIALIZED (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+                 AS rnk
+        FROM e0),
+      deg AS MATERIALIZED (
+        SELECT src AS v, COUNT(*) AS d FROM e0 GROUP BY src),
+      s0 AS (
+        SELECT v.start, CAST(s.w AS BIGINT) AS w, 0 AS step,
+               v.start AS cur
+        FROM (SELECT DISTINCT src AS start FROM e0 WHERE src < 300) v,
+             unnest(generate_series(0, 1)) s(w)),
+      ${hop(1)},
+      ${hop(2)},
+      ${hop(3)},
+      ${hop(4)},
+      allw AS (
+        SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        UNION ALL SELECT * FROM s4)
+      SELECT start, w AS walk,
+             string_agg(CAST(cur AS VARCHAR), '>' ORDER BY step)
+               AS walk_str
+      FROM allw GROUP BY start, w ORDER BY start, w"""
+    })
+
   val all: Seq[Qry] =
     Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183,
-      q191, q194, q195, q196, q198)
+      q191, q194, q195, q196, q198, q199)
 }
