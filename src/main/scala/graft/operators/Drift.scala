@@ -118,4 +118,61 @@ object Drift {
         Q.r6((col("q") - col("p")) * (col("q") - col("p")) / col("p"))
           .as("chi_c"))
   }
+
+  /** Kolmogorov-Smirnov drift over the same baseline-anchored bins:
+    * per-bin CUMULATIVE shares of each side and their absolute
+    * difference — the KS statistic is the max of `d` (the binned KS,
+    * exact for the binned distributions; finer bins tighten it
+    * toward the continuous statistic). Complements [[histDrift]]:
+    * TV/chi-square weigh per-bin mass mismatch, KS catches a
+    * LOCATION shift that per-bin smoothing dilutes.
+    *
+    * No smoothing here — cumulative counts are exact integers and
+    * the two divisions per row are IEEE-exact, [[Q.r6]]-snapped.
+    *
+    * Scale shape: the same two scans as [[histDrift]]; the running
+    * sums are a single-partition window over `bins` rows — bounded
+    * by construction (bins is a constant, never data-sized), the
+    * one place a one-partition window is the honest plan.
+    *
+    * @return (bin, n_base, n_cur, cum_base, cum_cur, d) — one row
+    *         per bin, `d` r6-snapped */
+  def ksBins(df: DataFrame, valueCol: Column, sideCol: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = df.sparkSession
+    val tagged = df.select(valueCol.cast("double").as("v"),
+      sideCol.cast("boolean").as("is_base"))
+    val range = tagged.filter(col("is_base"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val binned = tagged.crossJoin(broadcast(range))
+      .select(binOf(col("v"), col("lo"), col("hi"), bins).as("bin"),
+        col("is_base"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
+    import spark.implicits._
+    val allBins = (0L until bins.toLong).toDF("bin")
+    val totals = binned.agg(
+      sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    allBins
+      .join(broadcast(binned), Seq("bin"), "left_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        sum(col("n_base")).over(w).as("cum_base"),
+        sum(col("n_cur")).over(w).as("cum_cur"),
+        col("tb"), col("tc"))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        col("cum_base"), col("cum_cur"),
+        Q.r6(abs(col("cum_base").cast("double") /
+            col("tb").cast("double") -
+          col("cum_cur").cast("double") / col("tc").cast("double")))
+          .as("d"))
+  }
 }

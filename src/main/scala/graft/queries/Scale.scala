@@ -213,5 +213,82 @@ object Scale {
              TRUE AS never_under, TRUE AS within_band
       FROM c ORDER BY exact_cnt DESC, tok LIMIT 15"""))
 
-  val all: Seq[Qry] = Seq(q47, q48, q66, q115, q121)
+  /** q201 — sketch SET ALGEBRA for segment overlap (the audience-
+    * intersection question every ad/feature pipeline asks): one HLL
+    * sketch per segment (orders containing a part of bucket s =
+    * l_partkey%4), pairwise union via the `hll_union` scalar, and
+    * the intersection ESTIMATE by inclusion-exclusion
+    * |A∩B| ≈ |A| + |B| − |A∪B| — computed entirely from 4 sketch
+    * states, never re-pairing raw rows. The fixture overlaps are
+    * genuinely partial (~63%).
+    *
+    * Hashable contract (q115 precedent): estimates are engine-
+    * specific, so the hash carries exact counts plus an own-engine
+    * within-20%-band boolean (DuckDB runs approx_count_distinct over
+    * its own union). The Spark-side inclusion-exclusion accuracy is
+    * the hashed `both_ok`; at lgK=14 over 10³-10⁴ ids the three
+    * estimates hold it well inside the band at every SF.
+    *
+    * Scale shape: one scan builds the 4 sketch states (partial-agg
+    * merged); the pair frame is 4×4 rows of sketch bytes — the
+    * 100 TB overlap matrix costs O(segments²) sketch merges, not a
+    * rows² self-join; the exact leg exists only to grade the
+    * estimate. */
+  val q201 = Qry(
+    "q201_segment_overlap",
+    (s: SparkSession, d: String) => {
+      val m = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"),
+          (col("l_partkey") % 4).as("seg"))
+        .distinct()
+      val sk = m.groupBy(col("seg"))
+        .agg(expr("hll_sketch_agg(o, 14)").as("state"),
+          count(lit(1)).as("exact_n"))
+        .localCheckpoint(true)
+      val exactBoth = m.as("x")
+        .join(m.as("y"), col("x.o") === col("y.o") &&
+          col("x.seg") < col("y.seg"))
+        .groupBy(col("x.seg").as("seg_a"), col("y.seg").as("seg_b"))
+        .agg(count(lit(1)).as("exact_both"))
+      sk.as("a")
+        .join(broadcast(sk.as("b")), col("a.seg") < col("b.seg"))
+        .select(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
+          col("a.exact_n").as("exact_a"),
+          col("b.exact_n").as("exact_b"),
+          (col("a.exact_n") + col("b.exact_n") -
+            expr("hll_sketch_estimate(hll_union(a.state, b.state))"))
+            .as("__est_both"))
+        .join(exactBoth, Seq("seg_a", "seg_b"))
+        .select(col("seg_a"), col("seg_b"), col("exact_a"),
+          col("exact_b"), col("exact_both"),
+          (abs(col("__est_both") - col("exact_both")) <=
+            lit(0.2) * col("exact_both")).as("both_ok"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey % 4 AS seg
+        FROM lineitem),
+      ex AS (SELECT seg, COUNT(*) AS exact_n FROM m GROUP BY 1),
+      eb AS (
+        SELECT x.seg AS seg_a, y.seg AS seg_b, COUNT(*) AS exact_both
+        FROM m x JOIN m y ON x.o = y.o AND x.seg < y.seg
+        GROUP BY 1, 2),
+      eu AS (
+        SELECT a.seg AS seg_a, b.seg AS seg_b,
+               approx_count_distinct(m.o) AS est_union
+        FROM ex a JOIN ex b ON a.seg < b.seg
+        JOIN m ON m.seg = a.seg OR m.seg = b.seg
+        GROUP BY 1, 2)
+      SELECT eb.seg_a, eb.seg_b, a.exact_n AS exact_a,
+             b.exact_n AS exact_b, eb.exact_both,
+             (ABS(a.exact_n + b.exact_n - eu.est_union
+                - eb.exact_both) <= 0.2 * eb.exact_both) AS both_ok
+      FROM eb
+      JOIN ex a ON a.seg = eb.seg_a
+      JOIN ex b ON b.seg = eb.seg_b
+      JOIN eu ON eu.seg_a = eb.seg_a AND eu.seg_b = eb.seg_b
+      ORDER BY eb.seg_a, eb.seg_b"""))
+
+  val all: Seq[Qry] = Seq(q47, q48, q66, q115, q121, q201)
 }

@@ -120,6 +120,36 @@ class ChunkDriftSpec extends SparkSpec {
     assert(r.last._3 === 1L)   // 99 → bin 4
   }
 
+  private def ks(base: Seq[Double], cur: Seq[Double], bins: Int) =
+    Drift.ksBins(
+        (base.map((_, true)) ++ cur.map((_, false)))
+          .toDF("v", "is_base"),
+        col("v"), col("is_base"), bins)
+      .orderBy("bin")
+      .select("bin", "cum_base", "cum_cur", "d")
+      .as[(Long, Long, Long, Double)].collect().toList
+
+  test("hand-computed KS: cumulative share gap peaks at the shift") {
+    // base 0,1,2,3 / cur 3,3,3,3, bins=2: cum_base [2,4], cum_cur
+    // [0,4] → d = [0.5, 0.0]; KS = 0.5
+    val r = ks(Seq(0, 1, 2, 3), Seq(3, 3, 3, 3), bins = 2)
+    assert(r === List((0L, 2L, 0L, 0.5), (1L, 4L, 4L, 0.0)))
+  }
+
+  test("KS is zero everywhere on identical sides") {
+    val xs = Seq(0.0, 2.0, 5.0, 9.0)
+    assert(ks(xs, xs, bins = 4).forall(_._4 === 0.0))
+  }
+
+  test("KS catches a location shift that TV on wide bins dilutes") {
+    // base uniform on [0,10), cur = base + 1 (same shape, shifted):
+    // every cumulative prefix of cur lags by one bin's mass
+    val base = (0 until 10).map(_.toDouble)
+    val cur = base.map(_ + 1.0)
+    val kss = ks(base, cur, bins = 10).map(_._4).max
+    assert(kss >= 0.09) // one of ten bins' mass, r6-snapped
+  }
+
   test("constant baseline puts all mass in bin 0, bins still emitted") {
     val r = drift(Seq(5, 5, 5), Seq(5, 7), bins = 3)
     assert(r.map(_._1) === List(0L, 1L, 2L))
