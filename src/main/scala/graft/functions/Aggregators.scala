@@ -54,4 +54,94 @@ object Aggregators {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** One-pass d×d self-outer-product sum over an embedding column —
+    * the [[graft.operators.Pca.covariance]] kernel. Replaces the
+    * r9 double-`posexplode` plan (n·d² generator rows through a
+    * hash aggregate) with a per-partition flat `Array[Long]` of d²
+    * fixed-point accumulators: same shuffle size (d² cells), ~d²
+    * fewer rows materialized, long-add hot loop.
+    *
+    * Determinism contract (bit-parity with the r9 decimal plan):
+    * each term is `round(xi·xj, 9)` in Spark semantics —
+    * `BigDecimal.valueOf(p).setScale(9, HALF_UP)` — accumulated as
+    * its scaled-by-10⁹ unscaled long, summed exactly. [[finish]]
+    * emits `new BigDecimal(sum, 9).doubleValue` per cell, which is
+    * exactly what `sum(round(p,9).cast(decimal(28,9))).cast(double)`
+    * produced. The per-element fast path rounds on the scaled double
+    * and falls back to the BigDecimal op only within a few ulps of a
+    * half-tie (where double arithmetic could disagree with the
+    * shortest-decimal rounding) — ~10⁻³ of inputs, keeping the loop
+    * in long arithmetic.
+    *
+    * Bounds (loud, not silent): accumulation uses `Math.addExact`,
+    * so a cell exceeding ±2⁶³ (value sum ≈ 9.2×10⁹ after the 10⁹
+    * scaling — ~10⁹ unit-scale embedding rows) raises rather than
+    * wraps; beyond that, shard the input and decimal-sum the shard
+    * partials (the q115 HLL partial-merge pattern). Non-finite
+    * products are skipped, matching the decimal cast's null-skip.
+    */
+  final class OuterProductSum(dim: Int)
+      extends Aggregator[Seq[Double], Array[Long], Seq[Double]] {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    def zero: Array[Long] = new Array[Long](dim * dim)
+    def reduce(b: Array[Long], e: Seq[Double]): Array[Long] = {
+      if (e != null && e.length == dim) {
+        val a = e.toArray
+        var i = 0
+        while (i < dim) {
+          val xi = a(i)
+          var j = 0
+          while (j < dim) {
+            val p = xi * a(j)
+            if (java.lang.Double.isFinite(p)) {
+              val k = i * dim + j
+              b(k) = Math.addExact(b(k), scaled9(p))
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var k = 0
+      while (k < x.length) { x(k) = Math.addExact(x(k), y(k)); k += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Seq[Double] =
+      b.map(s => new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(s), 9).doubleValue).toSeq
+    def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+
+    /** `BigDecimal.valueOf(p).setScale(9, HALF_UP)` as a scaled
+      * long, long-arithmetic fast path. Safe because: (a) away from
+      * half-ties, the ≤ ~2-ulp error of `|p|·10⁹` cannot change the
+      * nearest-integer result (near-integer values round to that
+      * integer from either side under HALF_UP); (b) within the
+      * guard band of a tie, we defer to the exact BigDecimal op;
+      * (c) HALF_UP is away-from-zero on ties, hence the
+      * magnitude/sign split. */
+    private def scaled9(p: Double): Long = {
+      val a = math.abs(p) * 1e9
+      if (a >= 4.5e15) slow9(p)
+      else {
+        val fl = math.floor(a)
+        val frac = a - fl
+        if (math.abs(frac - 0.5) <= 8 * math.ulp(a + 1.0)) slow9(p)
+        else {
+          val k = if (frac > 0.5) fl + 1 else fl
+          (if (p < 0) -k else k).toLong
+        }
+      }
+    }
+    private def slow9(p: Double): Long =
+      java.math.BigDecimal.valueOf(p)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+  }
 }

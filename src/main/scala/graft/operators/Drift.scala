@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.queries.Q
-
 /** Distribution-drift measurement between two dataset snapshots —
   * the monitoring pass a training-data pipeline runs when a new crawl
   * or feed lands: bin a numeric feature into a fixed histogram whose
@@ -14,8 +12,7 @@ import graft.queries.Q
   * Divergences are deliberately ln-free: PSI/KL need `ln`, and libm
   * `ln` is not guaranteed correctly rounded across engines (the
   * [[BigramLm]]/[[Importance]] determinism contract). The two scores
-  * here bracket the same signal with only IEEE-exact ops
-  * (+, −, ×, /, abs — all correctly rounded):
+  * here bracket the same signal:
   *
   *  - total variation contribution |p−q|/2 (L1 drift, bounded [0,1]),
   *  - chi-square contribution (q−p)²/p (the second-order Taylor term
@@ -25,6 +22,32 @@ import graft.queries.Q
   * divide by zero and a bin appearing only in the candidate still
   * scores finite drift.
   *
+  * '''Determinism contract (integer ppb algebra).''' Every emitted
+  * score column is a BIGINT in parts-per-billion, derived from the
+  * exact integer counts by integer multiply/divide only — no double
+  * ever reaches an output column. The r9 form hashed r6-snapped
+  * doubles (`tv_c`/`chi_c`/`d`) plus `floor(p·1e6)` micro columns;
+  * a double within 1 ulp of a rounding boundary flipped the floor on
+  * one engine and not the other (CORRECTNESS_r09 q193/q200
+  * hash-only misses). The recast keeps the whole chain in 64-bit
+  * integers — `p_ppb = (n+1)·10⁹ div (total+bins)` — which both
+  * this engine and any ANSI-SQL oracle compute bit-identically:
+  *
+  *  - `p_ppb`, `q_ppb` — smoothed bin shares, floor((n+1)·10⁹/(N+B))
+  *  - `tv_ppb = |p_ppb − q_ppb| div 2` — TV contribution in ppb
+  *  - `chi_ppb = (q_ppb − p_ppb)² div p_ppb` — chi² contribution in
+  *    ppb (exactly (Δ·10⁻⁹)²/(p_ppb·10⁻⁹) = Δ²/p_ppb · 10⁻⁹)
+  *  - `d_ppb = |cum_base·10⁹ div tb − cum_cur·10⁹ div tc|` (KS)
+  *
+  * Overflow/validity bounds (64-bit): the multiply-then-divide is
+  * evaluated as `(a div b)·S + ((a mod b)·S) div b` ([[mulDivPpb]]),
+  * exact while `b·10⁹` fits a long, i.e. totals up to ~9.2×10⁹ rows
+  * per side — beyond that, pre-aggregate to per-shard histograms
+  * (the counts, not the rows, are what drift needs) so `b` stays
+  * bounded. `chi_ppb`'s denominator `p_ppb ≥ 1` holds while
+  * `tb + bins ≤ 10⁹·(n_base+1)`, i.e. any baseline below a billion
+  * rows — same pre-aggregation escape hatch above it.
+  *
   * Scale shape: pass 1 computes the baseline min/max (one partial
   * aggregate → 1 row); pass 2 re-scans ONCE with the 1-row range
   * broadcast-joined, bins both sides with conditional counts, and
@@ -33,6 +56,24 @@ import graft.queries.Q
   * ride the parquet footer statistics and pass 1 is metadata-only).
   */
 object Drift {
+
+  /** Parts-per-billion scale shared by every drift score column and
+    * the streaming twin. */
+  val Ppb = 1000000000L
+
+  /** floor(a·10⁹ / b) in pure 64-bit integer algebra, overflow-safe
+    * decomposition: (a div b)·10⁹ + ((a mod b)·10⁹) div b. Exact for
+    * any 0 ≤ a and 0 < b ≤ ~9.2×10⁹ (b·10⁹ must fit a long); a
+    * itself is unbounded because only `a mod b < b` is scaled.
+    * `a` and `b` are SQL expressions over named columns. */
+  def mulDivPpb(a: String, b: String): Column =
+    expr(
+      s"(((($a) DIV ($b)) * $Ppb) + (((($a) % ($b)) * $Ppb) DIV ($b)))")
+
+  /** DuckDB rendering of [[mulDivPpb]] for the oracle — same integer
+    * identity, DuckDB's `//` integer division. */
+  def mulDivPpbSql(a: String, b: String): String =
+    s"(((($a) // ($b)) * $Ppb) + (((($a) % ($b)) * $Ppb) // ($b)))"
 
   /** The shared bin assignment both the batch pass and the streaming
     * twin use: `bins` equi-width cells over [lo, hi], out-of-range
@@ -67,23 +108,11 @@ object Drift {
     (lo, hi, (0L until bins.toLong).map(counts.getOrElse(_, 0L)))
   }
 
-  /** Per-bin drift rows between the `sideCol`=true (baseline) and
-    * `sideCol`=false (candidate) partitions of `df`.
-    *
-    * Bin edges are `bins` equi-width cells over the baseline's
-    * [min, max]; candidate values outside the baseline range clamp
-    * into the first/last cell (the "new mass out of range" signal
-    * lands in the edge bins rather than being dropped). A
-    * zero-width baseline (constant column) puts everything in bin 0.
-    *
-    * @return (bin, n_base, n_cur, p_micro, q_micro, tv_c, chi_c) —
-    *         one row per bin 0..bins−1 (bins with no mass on either
-    *         side still appear, smoothed); p/q are the smoothed bin
-    *         shares and the contributions are [[Q.r6]]-snapped so a
-    *         downstream exact decimal SUM is engine-stable */
-  def histDrift(df: DataFrame, valueCol: Column, sideCol: Column,
-      bins: Int): DataFrame = {
-    require(bins >= 2, s"bins must be >= 2, got $bins")
+  /** Shared first half of both drift passes: tag, bin against the
+    * baseline range, count per (bin, side), densify to all bin ids.
+    * @return (bin, n_base, n_cur, tb, tc) — `bins` rows */
+  private def binCounts(df: DataFrame, valueCol: Column,
+      sideCol: Column, bins: Int): DataFrame = {
     val spark = df.sparkSession
     val tagged = df.select(valueCol.cast("double").as("v"),
       sideCol.cast("boolean").as("is_base"))
@@ -106,73 +135,68 @@ object Drift {
       .join(broadcast(binned), Seq("bin"), "left_outer")
       .na.fill(0L, Seq("n_base", "n_cur"))
       .crossJoin(broadcast(totals))
+  }
+
+  /** Per-bin drift rows between the `sideCol`=true (baseline) and
+    * `sideCol`=false (candidate) partitions of `df`.
+    *
+    * Bin edges are `bins` equi-width cells over the baseline's
+    * [min, max]; candidate values outside the baseline range clamp
+    * into the first/last cell (the "new mass out of range" signal
+    * lands in the edge bins rather than being dropped). A
+    * zero-width baseline (constant column) puts everything in bin 0.
+    *
+    * @return (bin, n_base, n_cur, p_ppb, q_ppb, tv_ppb, chi_ppb) —
+    *         one row per bin 0..bins−1 (bins with no mass on either
+    *         side still appear, smoothed); all BIGINT, per the
+    *         integer-ppb determinism contract above */
+  def histDrift(df: DataFrame, valueCol: Column, sideCol: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    binCounts(df, valueCol, sideCol, bins)
       .select(col("bin"), col("n_base"), col("n_cur"),
-        ((col("n_base") + lit(1L)).cast("double") /
-          (col("tb") + lit(bins.toLong)).cast("double")).as("p"),
-        ((col("n_cur") + lit(1L)).cast("double") /
-          (col("tc") + lit(bins.toLong)).cast("double")).as("q"))
+        mulDivPpb("n_base + 1", s"tb + $bins").as("p_ppb"),
+        mulDivPpb("n_cur + 1", s"tc + $bins").as("q_ppb"))
       .select(col("bin"), col("n_base"), col("n_cur"),
-        floor(col("p") * lit(1e6)).cast("long").as("p_micro"),
-        floor(col("q") * lit(1e6)).cast("long").as("q_micro"),
-        Q.r6(abs(col("p") - col("q")) / lit(2.0)).as("tv_c"),
-        Q.r6((col("q") - col("p")) * (col("q") - col("p")) / col("p"))
-          .as("chi_c"))
+        col("p_ppb"), col("q_ppb"),
+        expr("abs(p_ppb - q_ppb) DIV 2").as("tv_ppb"),
+        expr("((q_ppb - p_ppb) * (q_ppb - p_ppb)) DIV p_ppb")
+          .as("chi_ppb"))
   }
 
   /** Kolmogorov-Smirnov drift over the same baseline-anchored bins:
     * per-bin CUMULATIVE shares of each side and their absolute
-    * difference — the KS statistic is the max of `d` (the binned KS,
-    * exact for the binned distributions; finer bins tighten it
+    * difference — the KS statistic is the max of `d_ppb` (the binned
+    * KS, exact for the binned distributions; finer bins tighten it
     * toward the continuous statistic). Complements [[histDrift]]:
     * TV/chi-square weigh per-bin mass mismatch, KS catches a
     * LOCATION shift that per-bin smoothing dilutes.
     *
     * No smoothing here — cumulative counts are exact integers and
-    * the two divisions per row are IEEE-exact, [[Q.r6]]-snapped.
+    * each side's share is one integer [[mulDivPpb]] per row.
     *
     * Scale shape: the same two scans as [[histDrift]]; the running
     * sums are a single-partition window over `bins` rows — bounded
     * by construction (bins is a constant, never data-sized), the
     * one place a one-partition window is the honest plan.
     *
-    * @return (bin, n_base, n_cur, cum_base, cum_cur, d) — one row
-    *         per bin, `d` r6-snapped */
+    * @return (bin, n_base, n_cur, cum_base, cum_cur, d_ppb) — one
+    *         row per bin, all BIGINT */
   def ksBins(df: DataFrame, valueCol: Column, sideCol: Column,
       bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    val spark = df.sparkSession
-    val tagged = df.select(valueCol.cast("double").as("v"),
-      sideCol.cast("boolean").as("is_base"))
-    val range = tagged.filter(col("is_base"))
-      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-    val binned = tagged.crossJoin(broadcast(range))
-      .select(binOf(col("v"), col("lo"), col("hi"), bins).as("bin"),
-        col("is_base"))
-      .groupBy(col("bin"))
-      .agg(
-        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
-        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
-    import spark.implicits._
-    val allBins = (0L until bins.toLong).toDF("bin")
-    val totals = binned.agg(
-      sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
-    allBins
-      .join(broadcast(binned), Seq("bin"), "left_outer")
-      .na.fill(0L, Seq("n_base", "n_cur"))
-      .crossJoin(broadcast(totals))
+    binCounts(df, valueCol, sideCol, bins)
       .select(col("bin"), col("n_base"), col("n_cur"),
         sum(col("n_base")).over(w).as("cum_base"),
         sum(col("n_cur")).over(w).as("cum_cur"),
         col("tb"), col("tc"))
       .select(col("bin"), col("n_base"), col("n_cur"),
         col("cum_base"), col("cum_cur"),
-        Q.r6(abs(col("cum_base").cast("double") /
-            col("tb").cast("double") -
-          col("cum_cur").cast("double") / col("tc").cast("double")))
-          .as("d"))
+        abs(mulDivPpb("cum_base", "tb") -
+          mulDivPpb("cum_cur", "tc")).as("d_ppb"))
   }
 }

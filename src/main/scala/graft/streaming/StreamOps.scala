@@ -1109,8 +1109,10 @@ object StreamOps {
     * .baselineOf]] materializes from the reference snapshot) — the
     * standing drift monitor a feature pipeline runs on its input
     * feed. Emits, per finalized window, the identical per-bin row
-    * shape the batch pass produces (n_base/p_micro are baseline
-    * constants folded in at plan time), so
+    * shape the batch pass produces (n_base/p_ppb are baseline
+    * constants folded in at plan time; all scores are the
+    * [[graft.operators.Drift]] integer-ppb contract — no double in
+    * any emitted column), so
     * `driftStream(events, baselineOf(base)) ==
     *  histDrift(base ∪ windowEvents)` row-for-row per window — the
     * contract StreamDriftSpec pins across micro-batch splits.
@@ -1139,27 +1141,96 @@ object StreamOps {
     val total = (0 until bins).map(b => col(s"c$b"))
       .reduce(_ + _)
     val rows = array((0 until bins).map { b =>
-      // p is a baseline constant: same (n+1)/(N+bins) double the
-      // batch pass computes from its columns
-      val p = (baseCounts(b) + 1.0) / (baseTotal + bins)
-      val q = (col(s"c$b") + lit(1L)).cast("double") /
-        (total + lit(bins.toLong)).cast("double")
+      // p_ppb is a baseline constant: the same integer
+      // (n+1)·10⁹ div (N+bins) the batch pass computes from its
+      // columns, via the identical overflow-safe decomposition
+      val a = baseCounts(b) + 1L
+      val d = baseTotal + bins
+      val pPpb = (a / d) * graft.operators.Drift.Ppb +
+        ((a % d) * graft.operators.Drift.Ppb) / d
       struct(
         lit(b.toLong).as("bin"),
         lit(baseCounts(b)).as("n_base"),
         col(s"c$b").as("n_cur"),
-        lit(math.floor(p * 1e6).toLong).as("p_micro"),
-        floor(q * lit(1e6)).cast("long").as("q_micro"),
-        graft.queries.Q.r6(abs(lit(p) - q) / lit(2.0)).as("tv_c"),
-        graft.queries.Q.r6((q - lit(p)) * (q - lit(p)) / lit(p))
-          .as("chi_c"))
+        lit(pPpb).as("p_ppb"))
     }: _*)
     agged
       .select(col("window.start").as("window_start"),
-        explode(rows).as("r"))
+        (total + lit(bins.toLong)).as("tcd"), explode(rows).as("r"))
       .select(col("window_start"), col("r.bin").as("bin"),
         col("r.n_base").as("n_base"), col("r.n_cur").as("n_cur"),
-        col("r.p_micro").as("p_micro"), col("r.q_micro").as("q_micro"),
-        col("r.tv_c").as("tv_c"), col("r.chi_c").as("chi_c"))
+        col("r.p_ppb").as("p_ppb"),
+        graft.operators.Drift.mulDivPpb("r.n_cur + 1", "tcd")
+          .as("q_ppb"))
+      .select(col("window_start"), col("bin"), col("n_base"),
+        col("n_cur"), col("p_ppb"), col("q_ppb"),
+        expr("abs(p_ppb - q_ppb) DIV 2").as("tv_ppb"),
+        expr("((q_ppb - p_ppb) * (q_ppb - p_ppb)) DIV p_ppb")
+          .as("chi_ppb"))
+  }
+
+  /** Streaming twin of [[graft.operators.Drift.ksBins]]: per closed
+    * event-time window, the binned Kolmogorov-Smirnov gap between the
+    * window's values and the FIXED baseline histogram — so a
+    * monitoring deployment gets BOTH per-bin mass drift
+    * ([[driftStream]]) and the location-shift score per window.
+    * `ksDriftStream(events, baselineOf(base)) ==
+    *  ksBins(base ∪ windowEvents)` row-for-row per closed window
+    * (StreamDriftSpec pins it across micro-batch splits).
+    *
+    * Scale shape: the identical single watermarked windowed
+    * aggregation as [[driftStream]] — `bins` conditional counters of
+    * state per window; the cumulative sums are constant-folded
+    * prefix sums over those counters (bins is a plan-time constant),
+    * a stateless post-agg projection. All emitted scores are the
+    * [[graft.operators.Drift]] integer-ppb contract.
+    */
+  def ksDriftStream(events: DataFrame, tsCol: String,
+      valueCol: String, windowLen: String, watermark: String,
+      baseLo: Double, baseHi: Double,
+      baseCounts: Seq[Long]): DataFrame = {
+    val bins = baseCounts.size
+    require(bins >= 2, s"need >= 2 baseline bins, got $bins")
+    val baseTotal = baseCounts.sum
+    val binned = events
+      .withWatermark(tsCol, watermark)
+      .withColumn("__bin", graft.operators.Drift.binOf(
+        col(valueCol).cast("double"), lit(baseLo), lit(baseHi), bins))
+    val counters = (0 until bins).map(b =>
+      sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agged = binned
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(counters.head, counters.tail: _*)
+    val total = (0 until bins).map(b => col(s"c$b"))
+      .reduce(_ + _)
+    val rows = array((0 until bins).map { b =>
+      // baseline cumulative share is a plan-time integer constant;
+      // the stream side's cumulative count is a prefix sum over the
+      // window's bin counters (bins is a constant, so the prefix is
+      // an expression, not state)
+      val cumBase = baseCounts.take(b + 1).sum
+      val cumBasePpb = (cumBase / baseTotal) *
+        graft.operators.Drift.Ppb +
+        ((cumBase % baseTotal) * graft.operators.Drift.Ppb) /
+          baseTotal
+      val cumCur = (0 to b).map(i => col(s"c$i")).reduce(_ + _)
+      struct(
+        lit(b.toLong).as("bin"),
+        lit(baseCounts(b)).as("n_base"),
+        col(s"c$b").as("n_cur"),
+        lit(cumBase).as("cum_base"),
+        cumCur.as("cum_cur"),
+        lit(cumBasePpb).as("cum_base_ppb"))
+    }: _*)
+    agged
+      .select(col("window.start").as("window_start"),
+        total.as("tc"), explode(rows).as("r"))
+      .select(col("window_start"), col("r.bin").as("bin"),
+        col("r.n_base").as("n_base"), col("r.n_cur").as("n_cur"),
+        col("r.cum_base").as("cum_base"),
+        col("r.cum_cur").as("cum_cur"),
+        abs(col("r.cum_base_ppb") -
+          graft.operators.Drift.mulDivPpb("r.cum_cur", "tc"))
+          .as("d_ppb"))
   }
 }

@@ -92,25 +92,27 @@ class ChunkDriftSpec extends SparkSpec {
           .toDF("v", "is_base"),
         col("v"), col("is_base"), bins)
       .orderBy("bin")
-      .select("bin", "n_base", "n_cur", "tv_c", "chi_c")
-      .as[(Long, Long, Long, Double, Double)].collect().toList
+      .select("bin", "n_base", "n_cur", "tv_ppb", "chi_ppb")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
 
-  test("hand-computed two-bin drift") {
+  test("hand-computed two-bin drift (integer ppb algebra)") {
     // base 0,1,2,3 → lo=0 hi=3 width=1.5 → bins [2,2]
     // cur 3,3,3,3 → all bin 1 → [0,4]
-    // p = (2+1)/6 = .5 both; q = 1/6, 5/6
-    // tv per bin = |.5 − 1/6|/2 = 1/6; chi bin0 = (1/3)²/.5 = 2/9
+    // p_ppb = 3·10⁹ div 6 = 500000000 both
+    // q_ppb = 10⁹ div 6 = 166666666; 5·10⁹ div 6 = 833333333
+    // tv_ppb = |Δ| div 2 = 333333334 div 2, 333333333 div 2
+    // chi_ppb = Δ² div p_ppb = 333333334² div 5e8, 333333333² div 5e8
     val r = drift(Seq(0, 1, 2, 3), Seq(3, 3, 3, 3), bins = 2)
     assert(r.map(x => (x._1, x._2, x._3)) ===
       List((0L, 2L, 0L), (1L, 2L, 4L)))
-    assert(r.map(_._4) === List(0.166667, 0.166667))
-    assert(r.map(_._5) === List(0.222222, 0.222222))
+    assert(r.map(_._4) === List(166666667L, 166666666L))
+    assert(r.map(_._5) === List(222222223L, 222222221L))
   }
 
   test("identical sides drift exactly zero in every bin") {
     val xs = Seq(0.0, 1.0, 2.5, 4.0, 4.0, 9.0)
     val r = drift(xs, xs, bins = 4)
-    assert(r.forall(x => x._4 === 0.0 && x._5 === 0.0))
+    assert(r.forall(x => x._4 === 0L && x._5 === 0L))
     assert(r.size === 4)
   }
 
@@ -126,28 +128,28 @@ class ChunkDriftSpec extends SparkSpec {
           .toDF("v", "is_base"),
         col("v"), col("is_base"), bins)
       .orderBy("bin")
-      .select("bin", "cum_base", "cum_cur", "d")
-      .as[(Long, Long, Long, Double)].collect().toList
+      .select("bin", "cum_base", "cum_cur", "d_ppb")
+      .as[(Long, Long, Long, Long)].collect().toList
 
   test("hand-computed KS: cumulative share gap peaks at the shift") {
     // base 0,1,2,3 / cur 3,3,3,3, bins=2: cum_base [2,4], cum_cur
-    // [0,4] → d = [0.5, 0.0]; KS = 0.5
+    // [0,4] → d_ppb = [2·10⁹ div 4 − 0, 0]; KS = 500000000 ppb
     val r = ks(Seq(0, 1, 2, 3), Seq(3, 3, 3, 3), bins = 2)
-    assert(r === List((0L, 2L, 0L, 0.5), (1L, 4L, 4L, 0.0)))
+    assert(r === List((0L, 2L, 0L, 500000000L), (1L, 4L, 4L, 0L)))
   }
 
   test("KS is zero everywhere on identical sides") {
     val xs = Seq(0.0, 2.0, 5.0, 9.0)
-    assert(ks(xs, xs, bins = 4).forall(_._4 === 0.0))
+    assert(ks(xs, xs, bins = 4).forall(_._4 === 0L))
   }
 
   test("KS catches a location shift that TV on wide bins dilutes") {
     // base uniform on [0,10), cur = base + 1 (same shape, shifted):
-    // every cumulative prefix of cur lags by one bin's mass
+    // every cumulative prefix of cur lags by one bin's mass (10⁸ ppb)
     val base = (0 until 10).map(_.toDouble)
     val cur = base.map(_ + 1.0)
     val kss = ks(base, cur, bins = 10).map(_._4).max
-    assert(kss >= 0.09) // one of ten bins' mass, r6-snapped
+    assert(kss >= 90000000L)
   }
 
   test("constant baseline puts all mass in bin 0, bins still emitted") {

@@ -54,9 +54,9 @@ class StreamDriftSpec extends SparkSpec {
     q.stop()
     val got = spark.table("drift")
       .select(col("window_start"), col("bin"), col("n_base"),
-        col("n_cur"), col("p_micro"), col("q_micro"), col("tv_c"),
-        col("chi_c"))
-      .as[(Timestamp, Long, Long, Long, Long, Long, Double, Double)]
+        col("n_cur"), col("p_ppb"), col("q_ppb"), col("tv_ppb"),
+        col("chi_ppb"))
+      .as[(Timestamp, Long, Long, Long, Long, Long, Long, Long)]
       .collect().toList
     // exactly the two closed windows, bins rows each; [40,50) open
     assert(got.map(_._1).distinct.toSet === Set(ts(0), ts(10)))
@@ -68,8 +68,8 @@ class StreamDriftSpec extends SparkSpec {
           col("v"), col("is_base"), Bins)
         .orderBy("bin")
         .select(col("bin"), col("n_base"), col("n_cur"),
-          col("p_micro"), col("q_micro"), col("tv_c"), col("chi_c"))
-        .as[(Long, Long, Long, Long, Long, Double, Double)]
+          col("p_ppb"), col("q_ppb"), col("tv_ppb"), col("chi_ppb"))
+        .as[(Long, Long, Long, Long, Long, Long, Long)]
         .collect().toList
     assert(got.filter(_._1 == ts(0)).sortBy(_._2)
       .map(t => (t._2, t._3, t._4, t._5, t._6, t._7, t._8)) ===
@@ -77,5 +77,48 @@ class StreamDriftSpec extends SparkSpec {
     assert(got.filter(_._1 == ts(10)).sortBy(_._2)
       .map(t => (t._2, t._3, t._4, t._5, t._6, t._7, t._8)) ===
       batch(Seq(2.0, 100.0)))
+  }
+
+  test("KS twin: closed windows equal batch ksBins, across splits " +
+      "and out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val (lo, hi, counts) =
+      Drift.baselineOf(baseVals.toDF("v"), col("v"), Bins)
+    val in = MemoryStream[(Timestamp, Double)]
+    val q = StreamOps.ksDriftStream(in.toDF().toDF("ts", "v"),
+        "ts", "v", windowLen = "10 minutes", watermark = "5 minutes",
+        lo, hi, counts)
+      .writeStream.format("memory").queryName("ksdrift")
+      .outputMode("append").start()
+    in.addData((ts(4), 9.0), (ts(1), 1.0))
+    q.processAllAvailable()
+    in.addData((ts(7), -5.0), (ts(12), 2.0), (ts(15), 100.0))
+    q.processAllAvailable()
+    in.addData((ts(45), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ksdrift")
+      .select(col("window_start"), col("bin"), col("n_base"),
+        col("n_cur"), col("cum_base"), col("cum_cur"), col("d_ppb"))
+      .as[(Timestamp, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got.map(_._1).distinct.toSet === Set(ts(0), ts(10)))
+    assert(got.size === 2 * Bins)
+    def batchKs(winVals: Seq[Double]) =
+      Drift.ksBins(
+          (baseVals.map((_, true)) ++ winVals.map((_, false)))
+            .toDF("v", "is_base"),
+          col("v"), col("is_base"), Bins)
+        .orderBy("bin")
+        .select(col("bin"), col("n_base"), col("n_cur"),
+          col("cum_base"), col("cum_cur"), col("d_ppb"))
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .collect().toList
+    assert(got.filter(_._1 == ts(0)).sortBy(_._2)
+      .map(t => (t._2, t._3, t._4, t._5, t._6, t._7)) ===
+      batchKs(Seq(9.0, 1.0, -5.0)))
+    assert(got.filter(_._1 == ts(10)).sortBy(_._2)
+      .map(t => (t._2, t._3, t._4, t._5, t._6, t._7)) ===
+      batchKs(Seq(2.0, 100.0)))
   }
 }
