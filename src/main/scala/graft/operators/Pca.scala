@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * dimensionality diagnostic for embedding spaces (anisotropy,
   * dominant-direction removal à la all-but-the-top, whitening prep).
   *
-  * Scale shape: covariance is ONE groupBy over the d² position pairs
-  * of each row's self-outer-product — n·d² expanded rows shuffled to
-  * d² accumulators (map-side partial sums make the exchange d²-sized,
-  * not data-sized); each power-iteration matvec joins the d²-row
+  * Scale shape: covariance is ONE pass with a flat d²-cell
+  * fixed-point accumulator per partition
+  * ([[graft.functions.Aggregators.OuterProductSum]]) — the shuffle
+  * carries one d²-long buffer per partition (map-side combine), and
+  * no n·d² row expansion ever materializes (the r9 double-posexplode
+  * plan paid ~19 s of generator+hash-agg CPU for the same d²-sized
+  * exchange); each power-iteration matvec joins the d²-row
   * matrix against the BROADCAST d-row vector (d² ≪ data, so rounds
   * are driver-cheap metadata jobs). Nothing driver-side ever holds a
   * row of data — only the d-vector.
@@ -40,18 +43,28 @@ object Pca {
 
   /** Exact population covariance entries (i, j, c) — all d² of them,
     * including both triangles (the power method wants the full
-    * matrix; it is symmetric by construction). */
+    * matrix; it is symmetric by construction). The sum-of-products
+    * side is the one-pass [[graft.functions.Aggregators
+    * .OuterProductSum]] kernel, bit-identical to the former
+    * `sum(round(xi·xj,9)::decimal(28,9))::double` plan (PcaSpec pins
+    * the equality against a posexplode re-derivation). */
   def covariance(df: DataFrame, embCol: String, dim: Int): DataFrame = {
     val mu = meanVector(df, embCol)
-    val prods = df
-      .select(posexplode(col(embCol)).as(Seq("i", "xi")), col(embCol))
-      .select(col("i"), col("xi").cast("double").as("xi"),
-        posexplode(col(embCol)).as(Seq("j", "xj")))
-      .select(col("i"), col("j"), col("xi"),
-        col("xj").cast("double").as("xj"))
-    val e2 = prods.groupBy(col("i"), col("j"))
-      .agg((dsum(col("xi") * col("xj"), 9) /
-        count(lit(1)).cast("double")).as("e2"))
+    val opSum = udaf(
+      new graft.functions.Aggregators.OuterProductSum(dim),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[Double]]())
+    val sums = df
+      .select(col(embCol).cast("array<double>").as("e"))
+      .agg(opSum(col("e")).as("s"), count(lit(1)).as("n"))
+      // a global agg emits one row even on empty input; the old
+      // generator plan emitted none — preserve that contract
+      .filter(col("n") > 0L)
+    val e2 = sums
+      .select(posexplode(col("s")).as(Seq("idx", "sv")), col("n"))
+      .select(expr(s"CAST(idx DIV $dim AS INT)").as("i"),
+        expr(s"CAST(idx % $dim AS INT)").as("j"),
+        (col("sv") / col("n").cast("double")).as("e2"))
     e2
       .join(mu.select(col("i"), col("m").as("mi")), Seq("i"))
       .join(mu.select(col("i").as("j"), col("m").as("mj")), Seq("j"))

@@ -57,4 +57,45 @@ class PcaSpec extends SparkSpec {
     val df = Seq.empty[Array[Float]].toDF("e")
     assert(Pca.topComponent(df, "e", 8, iters = 2).count() === 0L)
   }
+
+  test("OuterProductSum kernel is bit-identical to the decimal " +
+      "posexplode plan it replaced") {
+    // deterministic mix of magnitudes/signs, incl. values whose
+    // products land near scale-9 rounding boundaries
+    val dim = 6
+    val rows = (0 until 97).map { r =>
+      Array.tabulate(dim)(i =>
+        (math.sin(r * 13 + i * 7) * math.pow(10, (r + i) % 4 - 1))
+          .toFloat)
+    }
+    val df = rows.toDF("e")
+    val fast = Pca.covariance(df, "e", dim)
+      .as[(Int, Int, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // the r9 plan, re-derived inline: double posexplode +
+    // sum(round(xi*xj, 9)::decimal(28,9))::double / n
+    val slow = df
+      .select(posexplode(col("e")).as(Seq("i", "xi")), col("e"))
+      .select(col("i"), col("xi").cast("double").as("xi"),
+        posexplode(col("e")).as(Seq("j", "xj")))
+      .select(col("i"), col("j"), col("xi"),
+        col("xj").cast("double").as("xj"))
+      .groupBy(col("i"), col("j"))
+      .agg((sum(round(col("xi") * col("xj"), 9)
+          .cast("decimal(28,9)")).cast("double") /
+        count(lit(1)).cast("double")).as("e2"))
+    val mu = Pca.meanVector(df, "e")
+    val slowCov = slow
+      .join(mu.select(col("i"), col("m").as("mi")), Seq("i"))
+      .join(mu.select(col("i").as("j"), col("m").as("mj")), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("e2") - col("mi") * col("mj")).as("c"))
+      .as[(Int, Int, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(fast.keySet === slowCov.keySet)
+    fast.foreach { case (k, v) =>
+      assert(java.lang.Double.compare(v, slowCov(k)) === 0,
+        s"cell $k: fast $v != slow ${slowCov(k)}")
+    }
+  }
 }
