@@ -51,10 +51,21 @@ object GraphScale {
     def lpaRun(m: Long): Long =
       Graph.labelPropagation(edges(m), "a", "b", rounds = 3)
         .select(col("label")).distinct().count()
+    // walk cost must be frontier-sized (starts·walks), not
+    // vertex-sized: fixed 10k starts per decade, 2 walks × 5 steps —
+    // constant output rows, so wall growth isolates the per-step
+    // join cost against the growing deg/adj tables
+    def walkRun(m: Long): Long = {
+      val starts = spark.range(10000L)
+        .selectExpr(s"(id * 7919) % $m AS start")
+      Graph.randomWalks(edges(m), "a", "b", starts,
+        walksPerNode = 2, steps = 5).count()
+    }
 
     // warmup compiles the identical generated code at 1/10 size
     kcoreRun(math.max(n / 10L, 1000L))
     lpaRun(math.max(n / 10L, 1000L))
+    walkRun(math.max(n / 10L, 1000L))
 
     def timed(tag: String, run: () => (Long, Long)): Double = {
       val times = (1 to reps).map { r =>
@@ -71,8 +82,10 @@ object GraphScale {
       val (c, r) = kcoreRun(n.toLong); (c, r.toLong)
     })
     val lp = timed("lpa_e2e", () => (lpaRun(n.toLong), 0L))
+    val wk = timed("walks_e2e", () => (walkRun(n.toLong), 0L))
     println(f"""{"metric":"graph_scale_min","n":$n,""" +
-      f""""kcore_sec":$kc%.4f,"lpa_sec":$lp%.4f,"unit":"sec"}""")
+      f""""kcore_sec":$kc%.4f,"lpa_sec":$lp%.4f,""" +
+      f""""walks_sec":$wk%.4f,"unit":"sec"}""")
     spark.stop()
   }
 }

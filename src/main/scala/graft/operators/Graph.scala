@@ -418,13 +418,17 @@ object Graph {
     *
     * Scale shape: the ranked adjacency (src, dst, rnk) and the
     * vertex-sized degree table build once (one groupBy-window
-    * exchange) and checkpoint; each step is one broadcast join
-    * against the degree table (vertex-sized) plus one equi-join on
-    * (vertex, rank) against the adjacency — walk state stays
-    * O(starts · walksPerNode), never edge-sized. On a cluster the
-    * adjacency is bucketed by src so the per-step join reuses its
-    * layout; steps are a fixed small count (lineage bounded by the
-    * per-step checkpoint).
+    * exchange) and checkpoint; each step is one join against the
+    * degree table plus one equi-join on (vertex, rank) against the
+    * adjacency — walk state stays O(starts · walksPerNode), never
+    * edge-sized. The degree side is broadcast ONLY while |V| ≤
+    * [[PageRank.BroadcastVertexCap]] (the same gate every other
+    * vertex-frame join in this package uses); past the cap both
+    * per-step joins are plain shuffles left to AQE — a vertex-sized
+    * exchange per step, never a vertex-sized driver/executor
+    * broadcast. On a cluster the adjacency is bucketed by src so
+    * the per-step join reuses its layout; steps are a fixed small
+    * count (lineage bounded by the per-step checkpoint).
     *
     * @param starts 1-column frame of walk start vertices (vertices
     *               absent from the graph are dropped)
@@ -448,6 +452,11 @@ object Graph {
     val deg = adj.groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
+    // vertex-sized: broadcast only under the package-wide cap —
+    // an unconditional broadcast here is an OOM at planetary |V|
+    val degJ =
+      if (deg.count() <= PageRank.BroadcastVertexCap) broadcast(deg)
+      else deg
     var walks = starts.toDF("start").distinct()
       .join(deg.select(col("v").as("start")), Seq("start"))
       .crossJoin(broadcast(
@@ -459,7 +468,7 @@ object Graph {
     var out = walks
     for (t <- 1 to steps) {
       walks = walks
-        .join(broadcast(deg), walks("vertex") === deg("v"))
+        .join(degJ, walks("vertex") === deg("v"))
         .select(col("start"), col("walk"),
           (conv(substring(md5(concat_ws("_", col("start"),
             col("walk"), lit(t))), 1, 8), 16, 10).cast("long") %

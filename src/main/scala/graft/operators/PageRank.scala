@@ -280,7 +280,13 @@ object PageRank {
     *
     * Same symmetric-graph contract and adjacency/broadcast shape as
     * [[integerRanks]]; sources not present in the graph are ignored
-    * (they can neither send nor receive mass).
+    * (they can neither send nor receive mass). The vertex set is
+    * the src-appearing vertices (= all vertices under the symmetric
+    * contract); on a non-symmetric edge list every such vertex is
+    * still emitted each round — zero-IN-degree vertices (and seeds)
+    * keep their row and teleport mass via a left join onto the full
+    * vertex frame, rather than vanishing from the contribution
+    * aggregate.
     *
     * @param sources 1-column frame of seed vertex ids
     * @return (id, r) for every vertex of the graph — vertices
@@ -307,24 +313,33 @@ object PageRank {
     val bcast = broadcastRanks.getOrElse(nV <= BroadcastVertexCap)
     var ranks = adj.select(col("src").as("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters)
-      ranks = adj.join(
-          if (bcast) broadcast(ranks) else ranks,
-          adj("src") === ranks("id"))
-        .select(explode(col("nbrs")).as("dst"),
-          expr("r div outdeg").as("c"))
-        .groupBy(col("dst"))
-        .agg(sum(col("c")).as("sc"))
-        // re-attach the source flag: contributions arrive keyed by
-        // dst, whose own is_src lives on its adjacency row (vertex-
-        // sized — broadcast under the same decision as the ranks)
-        .join({
-          val flags = adj.select(col("src").as("dst"),
-            col("is_src").as("dst_src"))
-          if (bcast) broadcast(flags) else flags
-        }, Seq("dst"))
-        .select(col("dst").as("id"),
-          (when(col("dst_src"), lit(baseMicro)).otherwise(lit(0L)) +
-            expr("(85 * sc) div 100")).as("r"))
+      ranks = {
+        val contrib = adj.join(
+            if (bcast) broadcast(ranks) else ranks,
+            adj("src") === ranks("id"))
+          .select(explode(col("nbrs")).as("dst"),
+            expr("r div outdeg").as("c"))
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).as("sc"))
+        // LEFT join contributions back onto the FULL vertex set (adj
+        // has one row per vertex): on a non-symmetric edge list —
+        // reachable via the personalized_pagerank SQL table
+        // function — a zero-in-degree vertex would otherwise vanish
+        // from the per-round groupBy(dst), and a zero-in-degree
+        // SEED would silently lose all its teleport mass. Both
+        // sides are vertex-sized; broadcast the aggregated one
+        // under the same decision as the ranks.
+        adj.select(col("src").as("id"), col("is_src"))
+          .join(
+            {
+              val c = contrib.select(col("dst"), col("sc"))
+              if (bcast) broadcast(c) else c
+            },
+            col("id") === col("dst"), "left_outer")
+          .select(col("id"),
+            (when(col("is_src"), lit(baseMicro)).otherwise(lit(0L)) +
+              expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
+      }
     ranks
   }
 }

@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
   * SIGMOD'03 — the MOSS algorithm): slide a window of `w` consecutive
   * character-k-gram hashes over each document and keep the minimum
-  * hash per window (rightmost on ties — "robust winnowing"), which
+  * hash per window (rightmost on ties — standard winnowing; the
+  * paper's "robust" variant instead prefers re-selecting the
+  * previous window's fingerprint on ties, trading a strictly local
+  * rule for fewer fingerprints — not what is implemented here), which
   * guarantees any shared substring of length ≥ k + w − 1 contributes
   * at least one COMMON fingerprint to both documents while storing
   * only ~2/(w+1) of all gram hashes. The selected (position, hash)
@@ -19,8 +22,8 @@ import org.apache.spark.sql.functions._
   * md5(substring) (24 bits), and the rightmost-min-of-window
   * selection is ONE MIN window over the packed key
   * `hash · 2²⁰ − position` (min hash wins; among equal hashes the
-  * LARGER position gives the SMALLER key — the robust-winnowing
-  * rightmost rule), decoded algebraically with integer div/mod —
+  * LARGER position gives the SMALLER key — the standard-winnowing
+  * rightmost-min tie rule), decoded algebraically with integer div/mod —
   * the same ops any SQL engine replays exactly. Positions are
   * 1-based to match SQL `substring`.
   *

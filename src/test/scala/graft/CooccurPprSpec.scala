@@ -96,4 +96,21 @@ class CooccurPprSpec extends SparkSpec {
         Seq(99L).toDF("id"), 1)
     }
   }
+
+  test("non-symmetric edges: a zero-in-degree seed keeps its row " +
+      "and teleport mass every round") {
+    // 1 → 2 → 3, nothing points at 1 (reachable via the SQL table
+    // function, which takes raw directed edges). Vertex set = src-
+    // appearing vertices {1, 2} → nV=2; seed {1}: base(1) =
+    // 150000·2 div 1 = 300000. Vertex 1 must appear with exactly
+    // the teleport mass each round, not vanish from the groupBy(dst)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    for (it <- Seq(1, 3)) {
+      val r = PageRank.personalizedRanks(edges, "src", "dst",
+          Seq(1L).toDF("id"), it)
+        .orderBy("id").as[(Long, Long)].collect().toList
+      assert(r.map(_._1) === List(1L, 2L), s"iters=$it rows $r")
+      assert(r.head._2 === 150000L * 2L, s"iters=$it seed mass $r")
+    }
+  }
 }

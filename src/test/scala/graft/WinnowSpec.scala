@@ -50,7 +50,7 @@ class WinnowSpec extends SparkSpec {
     val n = fps(Seq((1L, text))).count()
     val grams = text.length - K + 1
     assert(n <= grams)
-    // robust winnowing expectation ~2/(w+1); allow generous slack
+    // winnowing density expectation ~2/(w+1); allow generous slack
     assert(n >= grams / (2 * W) && n <= grams * 2 / (W - 1))
   }
 
