@@ -598,11 +598,15 @@ object ComponentsQ {
     * basket graph to its 3-core (drop degree<3 vertices, restrict,
     * repeat to fixpoint — 3 rounds at sf0.001, 5 at sf0.01, 11 at
     * sf0.1); digest buckets core vertices by their in-core degree
-    * with id sums pinning exact membership. The oracle unrolls 8
-    * peel rounds as plain CTEs — peeling is monotone, so rounds past
-    * the fixpoint are no-ops and a generous unroll is exact, while
-    * the Spark side's convergence exit stops at the fixpoint
-    * (`maxRounds` is only a bound). */
+    * with id sums pinning exact membership. The oracle unrolls 18
+    * peel rounds as materialized CTEs — peeling is monotone, so
+    * rounds past the fixpoint are no-ops and a generous unroll is
+    * exact, while the Spark side's convergence exit stops at the
+    * fixpoint (`maxRounds` is only a bound). A convergence sentinel
+    * (|n18| ≠ |n17| → extra deg=−1 row) makes a pre-fixpoint unroll
+    * fail the gate LOUDLY instead of hashing a wrong answer — sf0.1
+    * needs 11 rounds, so 18 carries real margin but the sentinel,
+    * not the margin, is the guarantee. */
   val q182 = Qry(
     "q182_kcore",
     (s: SparkSession, d: String) =>
@@ -613,7 +617,8 @@ object ComponentsQ {
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
         .orderBy(col("deg")),
     Some {
-      val peels = (1 to 8).map { i =>
+      val R = 18
+      val peels = (1 to R).map { i =>
         s"""n$i AS MATERIALIZED (
             SELECT e.src AS id FROM e0 e
             JOIN n${i - 1} a ON e.src = a.id
@@ -626,12 +631,21 @@ object ComponentsQ {
       $peels,
       deg AS (
         SELECT e.src AS id, COUNT(*) AS deg FROM e0 e
-        JOIN n8 a ON e.src = a.id
-        JOIN n8 b ON e.dst = b.id
+        JOIN n$R a ON e.src = a.id
+        JOIN n$R b ON e.dst = b.id
         GROUP BY e.src)
-      SELECT deg, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
-             MIN(id) AS min_id, MAX(id) AS max_id
-      FROM deg GROUP BY 1 ORDER BY 1"""
+      SELECT * FROM (
+        SELECT deg, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
+               MIN(id) AS min_id, MAX(id) AS max_id
+        FROM deg GROUP BY 1
+        UNION ALL
+        -- convergence sentinel: unroll still shrinking → loud red
+        SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT)
+        WHERE (SELECT COUNT(*) FROM n$R) <>
+              (SELECT COUNT(*) FROM n${R - 1}))
+      ORDER BY 1"""
     })
 
   /** q183 — label-propagation communities ([[Graph
@@ -664,9 +678,12 @@ object ComponentsQ {
     * incremental peel (the threshold rises over a shared decremental
     * degree table — the (k+1)-core lives inside the k-core). The
     * oracle computes each k-core INDEPENDENTLY (well-defined, so
-    * independent == incremental) with 14 unrolled materialized
+    * independent == incremental) with 20 unrolled materialized
     * rounds — k=4 at sf0.01 needs 12 — and takes the max level each
-    * vertex survives. Digest buckets vertices by core number. */
+    * vertex survives; a per-chain convergence sentinel (any
+    * |kXn20| ≠ |kXn19| → extra core=−1 row) turns a pre-fixpoint
+    * unroll into a loud gate failure instead of a silently wrong
+    * hash. Digest buckets vertices by core number. */
   val q191 = Qry(
     "q191_core_numbers",
     (s: SparkSession, d: String) =>
@@ -677,7 +694,8 @@ object ComponentsQ {
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
         .orderBy(col("core")),
     Some {
-      def chain(k: Int): String = (1 to 14).map { i =>
+      val R = 20
+      def chain(k: Int): String = (1 to R).map { i =>
         s"""k${k}n$i AS MATERIALIZED (
             SELECT e.src AS id FROM e0 e
             JOIN k${k}n${i - 1} a ON e.src = a.id
@@ -687,6 +705,10 @@ object ComponentsQ {
       val chains = (2 to 5).map(k =>
         s"k${k}n0 AS (SELECT id FROM n0),\n      ${chain(k)}")
         .mkString(",\n      ")
+      val unconverged = (2 to 5).map(k =>
+        s"(SELECT COUNT(*) FROM k${k}n$R) <> " +
+          s"(SELECT COUNT(*) FROM k${k}n${R - 1})")
+        .mkString(" OR ")
       s"""
       WITH $basketGraphSql,
       n0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0),
@@ -699,13 +721,21 @@ object ComponentsQ {
                     WHEN m2.id IS NOT NULL THEN 2
                     ELSE 1 END AS core
         FROM n0
-        LEFT JOIN k5n14 m5 ON m5.id = n0.id
-        LEFT JOIN k4n14 m4 ON m4.id = n0.id
-        LEFT JOIN k3n14 m3 ON m3.id = n0.id
-        LEFT JOIN k2n14 m2 ON m2.id = n0.id)
-      SELECT core, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
-             MIN(id) AS min_id, MAX(id) AS max_id
-      FROM cn GROUP BY 1 ORDER BY 1"""
+        LEFT JOIN k5n$R m5 ON m5.id = n0.id
+        LEFT JOIN k4n$R m4 ON m4.id = n0.id
+        LEFT JOIN k3n$R m3 ON m3.id = n0.id
+        LEFT JOIN k2n$R m2 ON m2.id = n0.id)
+      SELECT * FROM (
+        SELECT core, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
+               MIN(id) AS min_id, MAX(id) AS max_id
+        FROM cn GROUP BY 1
+        UNION ALL
+        -- convergence sentinel: any chain still shrinking → loud red
+        SELECT CAST(-1 AS INT), CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT)
+        WHERE $unconverged)
+      ORDER BY 1"""
     })
 
   /** Item-item co-occurrence cosine top-k ([[Cooccur.itemSimilarity]])
