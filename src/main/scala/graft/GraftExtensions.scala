@@ -18,8 +18,14 @@ import graft.functions.{Hilbert2D, HilbertN, PqAssign, ShingleNGrams,
   * Also registers the whole-operator TABLE functions `cdc_merge`,
   * `attribution_credits`, `sq8_search`, `bfs_hops`,
   * `shortest_paths`, `k_core`, `label_propagation`, `item_cooccur`,
-  * `hist_drift`, `chunk_tokens`, and `personalized_pagerank`
-  * (r9 wave: [[graft.operators.Cooccur.itemSimilarity]],
+  * `hist_drift`, `chunk_tokens`, `personalized_pagerank`, and the
+  * r10 graph completions `random_walks`, `modularity`,
+  * `core_numbers`, `closeness`
+  * ([[graft.operators.Graph.randomWalks]],
+  * [[graft.operators.Graph.modularity]],
+  * [[graft.operators.Graph.coreNumbers]],
+  * [[graft.operators.Graph.sampledCloseness]];
+  * r9 wave: [[graft.operators.Cooccur.itemSimilarity]],
   * [[graft.operators.Drift.histDrift]],
   * [[graft.operators.Corpus.chunkTokens]],
   * [[graft.operators.PageRank.personalizedRanks]]), which expose
@@ -288,6 +294,86 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               .select(col(strConst(children(4),
                 "personalized_pagerank: source_col"))),
             intConstArg(children(5), "personalized_pagerank: iters"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("random_walks"),
+      new ExpressionInfo("graft.operators.Graph", "random_walks"),
+      (children: Seq[Expression]) => {
+        require(children.size == 7,
+          "random_walks expects (edges_view, a_col, b_col, " +
+            "starts_view, start_col, walks_per_node, steps), " +
+            s"got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.col
+        graft.operators.Graph.randomWalks(
+            spark.table(strConst(children(0),
+              "random_walks: edges_view")),
+            strConst(children(1), "random_walks: a_col"),
+            strConst(children(2), "random_walks: b_col"),
+            spark.table(strConst(children(3),
+              "random_walks: starts_view"))
+              .select(col(strConst(children(4),
+                "random_walks: start_col"))),
+            intConstArg(children(5), "random_walks: walks_per_node"),
+            intConstArg(children(6), "random_walks: steps"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("modularity"),
+      new ExpressionInfo("graft.operators.Graph", "modularity"),
+      (children: Seq[Expression]) => {
+        require(children.size == 6,
+          "modularity expects (edges_view, a_col, b_col, " +
+            s"labels_view, id_col, label_col), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.col
+        graft.operators.Graph.modularity(
+            spark.table(strConst(children(0),
+              "modularity: edges_view")),
+            strConst(children(1), "modularity: a_col"),
+            strConst(children(2), "modularity: b_col"),
+            spark.table(strConst(children(3),
+              "modularity: labels_view"))
+              .select(
+                col(strConst(children(4), "modularity: id_col"))
+                  .as("id"),
+                col(strConst(children(5), "modularity: label_col"))
+                  .as("label")))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("core_numbers"),
+      new ExpressionInfo("graft.operators.Graph", "core_numbers"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "core_numbers expects (edges_view, a_col, b_col, max_k, " +
+            s"max_rounds), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Graph.coreNumbers(
+            spark.table(strConst(children(0),
+              "core_numbers: edges_view")),
+            strConst(children(1), "core_numbers: a_col"),
+            strConst(children(2), "core_numbers: b_col"),
+            intConstArg(children(3), "core_numbers: max_k"),
+            intConstArg(children(4), "core_numbers: max_rounds"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("closeness"),
+      new ExpressionInfo("graft.operators.Graph", "closeness"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "closeness expects (edges_view, a_col, b_col, pivots, " +
+            s"max_hops), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Graph.sampledCloseness(
+            spark.table(strConst(children(0),
+              "closeness: edges_view")),
+            strConst(children(1), "closeness: a_col"),
+            strConst(children(2), "closeness: b_col"),
+            intConstArg(children(3), "closeness: pivots"),
+            intConstArg(children(4), "closeness: max_hops"))
           .queryExecution.analyzed
       }))
     ext.injectFunction((

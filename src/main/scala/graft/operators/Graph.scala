@@ -484,6 +484,39 @@ object Graph {
     out
   }
 
+  /** Sampled closeness centrality (Eppstein-Wang with deterministic
+    * pivots): BFS distances from the `pivots` smallest vertex ids
+    * ([[perSourceHops]]), folded into Wasserman-Faust normalized
+    * closeness in pure integer micro-units —
+    * `(k−1)²·10⁶ div (Σd·(|V|−1))` with k = pivots reached within
+    * `maxHops` — so the score chain is engine-exact (q198's
+    * contract, factored here for the SQL table-function surface).
+    *
+    * Scale shape: |pivots| simultaneous BFS frontiers (state is
+    * pivot×frontier-sized, never |V|²); the per-vertex fold is one
+    * groupBy; |V| rides a 1-row broadcast.
+    *
+    * @return (id, n_reached, sum_hops, closeness_micro) for every
+    *         vertex reached by at least one pivot (the pivot itself
+    *         counts via its 0-hop row); unordered — callers sort */
+  def sampledCloseness(edges: DataFrame, aCol: String, bCol: String,
+      pivots: Int, maxHops: Int): DataFrame = {
+    require(pivots >= 1, s"pivots must be >= 1: $pivots")
+    val verts = edges.select(col(aCol).as("id"))
+      .unionByName(edges.select(col(bCol).as("id"))).distinct()
+    val pv = verts.orderBy(col("id")).limit(pivots)
+    val nv = verts.agg(count(lit(1)).as("n"))
+    perSourceHops(edges, aCol, bCol, pv, "id", maxHops)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("hop")).cast("long").as("sum_hops"))
+      .crossJoin(broadcast(nv))
+      .select(col("id"), col("n_reached"), col("sum_hops"),
+        when(col("sum_hops") === 0, lit(0L)).otherwise(
+          expr("((n_reached - 1) * (n_reached - 1) * 1000000)" +
+            " div (sum_hops * (n - 1))")).as("closeness_micro"))
+  }
+
   /** Newman modularity of a community assignment, per community:
     *
     *   Q_c = in_c/(2m) − (deg_c/(2m))²,  Q = Σ_c Q_c

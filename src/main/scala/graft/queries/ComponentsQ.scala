@@ -900,24 +900,11 @@ object ComponentsQ {
     * with MIN-hop aggregation. */
   val q198 = Qry(
     "q198_closeness",
-    (s: SparkSession, d: String) => {
-      val e = basketEdges(s, d)
-      val verts = e.select(col("src").as("id"))
-        .unionByName(e.select(col("dst").as("id"))).distinct()
-      val pivots = verts.orderBy(col("id")).limit(8)
-      val nv = verts.agg(count(lit(1)).as("n"))
-      Graph.perSourceHops(e, "src", "dst", pivots, "id", maxHops = 3)
-        .groupBy(col("id"))
-        .agg(count(lit(1)).as("n_reached"),
-          sum(col("hop")).cast("long").as("sum_hops"))
-        .crossJoin(broadcast(nv))
-        .select(col("id"), col("n_reached"), col("sum_hops"),
-          when(col("sum_hops") === 0, lit(0L)).otherwise(
-            expr("((n_reached - 1) * (n_reached - 1) * 1000000)" +
-              " div (sum_hops * (n - 1))")).as("closeness_micro"))
+    (s: SparkSession, d: String) =>
+      Graph.sampledCloseness(basketEdges(s, d), "src", "dst",
+          pivots = 8, maxHops = 3)
         .orderBy(col("closeness_micro").desc, col("id"))
-        .limit(30)
-    },
+        .limit(30),
     Some {
       def relax(i: Int) = s"""
       p$i AS MATERIALIZED (

@@ -235,4 +235,82 @@ class SqlTableFnSpec extends SparkSpec {
       .as[Long].collect()
     assert(top === Array(2L))
   }
+
+  test("random_walks from SQL equals the API result") {
+    Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+      .createOrReplaceTempView("rw_edges_sql")
+    Seq(1L, 2L).toDF("v").createOrReplaceTempView("rw_starts_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM random_walks('rw_edges_sql', 'a', 'b', " +
+        "'rw_starts_sql', 'v', 2, 3) ORDER BY start, walk, step")
+      .as[(Long, Long, Int, Long)].collect().toList
+    val viaApi = graft.operators.Graph.randomWalks(
+        spark.table("rw_edges_sql"), "a", "b",
+        spark.table("rw_starts_sql"), walksPerNode = 2, steps = 3)
+      .orderBy("start", "walk", "step")
+      .as[(Long, Long, Int, Long)].collect().toList
+    assert(viaSql === viaApi)
+    assert(viaSql.size === 2 * 2 * 4) // 2 starts × 2 walks × steps 0-3
+  }
+
+  test("modularity from SQL equals the API result") {
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+      .createOrReplaceTempView("mod_edges_sql")
+    Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("vid", "community")
+      .createOrReplaceTempView("mod_labels_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM modularity('mod_edges_sql', 'a', 'b', " +
+        "'mod_labels_sql', 'vid', 'community')")
+    // modularity checkpoints its joined edge frame internally, so
+    // two invocations scan distinct checkpointed RDDs — compare
+    // results, not canonicalized plans
+    val viaApi = graft.operators.Graph.modularity(
+        spark.table("mod_edges_sql"), "a", "b",
+        spark.table("mod_labels_sql")
+          .select(col("vid").as("id"), col("community").as("label")))
+      .orderBy("label")
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(viaSql.orderBy("label")
+      .as[(Long, Long, Long, Long, Double)].collect().toList ===
+      viaApi)
+    // ring 1-2-3-4 split {1,2}/{3,4}: each community has 1 internal
+    // of 4 undirected edges (8 directed rows), deg_sum 4
+    val r = viaSql.orderBy("label")
+      .select("label", "n_members", "in_edges", "deg_sum")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(r === List((10L, 2L, 2L, 4L), (20L, 2L, 2L, 4L)))
+  }
+
+  test("core_numbers from SQL equals the API result") {
+    // triangle 1-2-3 plus pendant 4: cores 2,2,2,1
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+      .createOrReplaceTempView("cn_edges_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM core_numbers('cn_edges_sql', 'a', 'b', 4, 10) " +
+        "ORDER BY id").as[(Long, Int)].collect().toList
+    assert(viaSql === List((1L, 2), (2L, 2), (3L, 2), (4L, 1)))
+  }
+
+  test("closeness from SQL equals the API result and composes " +
+      "downstream") {
+    // path 1-2-3-4
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+      .createOrReplaceTempView("cl_edges_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM closeness('cl_edges_sql', 'a', 'b', 4, 3) " +
+        "ORDER BY id")
+      .as[(Long, Long, Long, Long)].collect().toList
+    val viaApi = graft.operators.Graph.sampledCloseness(
+        spark.table("cl_edges_sql"), "a", "b", pivots = 4,
+        maxHops = 3)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toList
+    assert(viaSql === viaApi)
+    // middle vertices are closer: Σd(2) = 1+0+1+2 = 4 < Σd(1) = 6
+    val best = spark.sql(
+      "SELECT id FROM closeness('cl_edges_sql', 'a', 'b', 4, 3) " +
+        "ORDER BY closeness_micro DESC, id LIMIT 1")
+      .as[Long].collect()
+    assert(best === Array(2L))
+  }
 }
