@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Qry, Tables}
@@ -290,5 +290,85 @@ object Scale {
       JOIN eu ON eu.seg_a = eb.seg_a AND eu.seg_b = eb.seg_b
       ORDER BY eb.seg_a, eb.seg_b"""))
 
-  val all: Seq[Qry] = Seq(q47, q48, q66, q115, q121, q201)
+  /** Mergeable QUANTILE sketch states across shards (q202) — the
+    * percentile twin of q115's HLL rollup, closing the "sketch
+    * algebra" pair: each md5-bucket shard folds its rows into a
+    * deterministic MRL compactor state
+    * ([[graft.operators.QuantileSketch]]; Spark has no mergeable
+    * percentile state at the SQL layer), a second aggregate merges
+    * the shard STATES, and p50/p90/p99 come off the merged sketch —
+    * never re-scanning raw rows. 100 TB shape: O(k·log n) doubles
+    * per shard partial, one bounded state per shard through the
+    * final exchange.
+    *
+    * Hashable contract (q48/q114/q115 precedent): sketch estimates
+    * are engine- and merge-order-specific, so the hashed projection
+    * is (exact count, shard count, ROUND(exact percentile, 4),
+    * own-engine estimate within the ±5%-of-rank band) — DuckDB runs
+    * its own approx_quantile t-digest; the deterministic worst-case
+    * rank error of the k=512 compactor chain (~1% at these n) sits
+    * 5× inside the band, and QuantileSketchSpec asserts the tight
+    * bound directly. */
+  val q202 = Qry(
+    "q202_quantile_rollup",
+    (s: SparkSession, d: String) => {
+      import graft.operators.{QuantileSketch, Splits}
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      val sk = udaf(new QuantileSketch.SketchAgg(512),
+        Encoders.scalaDouble)
+      val mg = udaf(
+        new QuantileSketch.SketchMergeAgg(512, Seq(0.5, 0.9, 0.99)),
+        ExpressionEncoder[Seq[Seq[Double]]]())
+      val li = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("double").as("v"),
+          (Splits.hashBucket(col("l_orderkey")) % 8).as("shard"))
+      // the shard partial is the sketch state ONLY (the q115 rule:
+      // per-shard exact percentiles can't fold into a global one)
+      val partials = li.groupBy(col("shard"))
+        .agg(sk(col("v")).as("state"), count(lit(1)).as("n_s"))
+      val merged = partials.agg(mg(col("state")).as("est"),
+        sum(col("n_s")).as("n"),
+        countDistinct(col("shard")).as("n_shards"))
+      val exact = li.agg(
+        expr("percentile(v, 0.45D)").as("lo50"),
+        expr("percentile(v, 0.55D)").as("hi50"),
+        expr("percentile(v, 0.85D)").as("lo90"),
+        expr("percentile(v, 0.95D)").as("hi90"),
+        expr("percentile(v, 0.94D)").as("lo99"),
+        expr("percentile(v, 1.0D)").as("hi99"),
+        round(expr("percentile(v, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(v, 0.9D)"), 4).as("p90"),
+        round(expr("percentile(v, 0.99D)"), 4).as("p99"))
+      merged.crossJoin(broadcast(exact))
+        .select(col("n"), col("n_shards"),
+          col("p50"), col("p90"), col("p99"),
+          col("est").getItem(0).between(col("lo50"), col("hi50"))
+            .as("p50_ok"),
+          col("est").getItem(1).between(col("lo90"), col("hi90"))
+            .as("p90_ok"),
+          col("est").getItem(2).between(col("lo99"), col("hi99"))
+            .as("p99_ok"))
+    },
+    Some(s"""
+      WITH v AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+               (${Q.bucketSql("l_orderkey")}) % 8 AS shard
+        FROM lineitem)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+             ROUND(quantile_cont(v, 0.5), 4) AS p50,
+             ROUND(quantile_cont(v, 0.9), 4) AS p90,
+             ROUND(quantile_cont(v, 0.99), 4) AS p99,
+             (approx_quantile(v, 0.5)
+               BETWEEN quantile_cont(v, 0.45) AND quantile_cont(v, 0.55))
+               AS p50_ok,
+             (approx_quantile(v, 0.9)
+               BETWEEN quantile_cont(v, 0.85) AND quantile_cont(v, 0.95))
+               AS p90_ok,
+             (approx_quantile(v, 0.99)
+               BETWEEN quantile_cont(v, 0.94) AND quantile_cont(v, 1.0))
+               AS p99_ok
+      FROM v"""))
+
+  val all: Seq[Qry] = Seq(q47, q48, q66, q115, q121, q201, q202)
 }
