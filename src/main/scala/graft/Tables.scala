@@ -27,6 +27,7 @@ object Tables {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
 
   /** Decouple CPU parallelism from scan splits: a NARROW source (a
     * single-row-group parquet file reads as ONE task regardless of
