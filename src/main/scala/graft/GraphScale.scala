@@ -17,7 +17,8 @@ import graft.operators.Graph
   * peel fractions and community structure stay comparable across
   * decades and wall growth isolates the ENGINE's scaling.
   *
-  * Usage: runMain graft.GraphScale [n] [reps]
+  * Usage: runMain graft.GraphScale [n] [reps] [ops-csv]
+  * (ops-csv ⊆ kcore,lpa,walks; default all)
   * Prints one JSON line per rep per operator plus summary minima.
   */
 object GraphScale {
@@ -25,6 +26,8 @@ object GraphScale {
   def main(args: Array[String]): Unit = {
     val n = args.lift(0).map(_.toInt).getOrElse(100000)
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val ops = args.lift(2).map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("kcore", "lpa", "walks"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = Tables.configure(SparkSession.builder()
@@ -63,9 +66,9 @@ object GraphScale {
     }
 
     // warmup compiles the identical generated code at 1/10 size
-    kcoreRun(math.max(n / 10L, 1000L))
-    lpaRun(math.max(n / 10L, 1000L))
-    walkRun(math.max(n / 10L, 1000L))
+    if (ops("kcore")) kcoreRun(math.max(n / 10L, 1000L))
+    if (ops("lpa")) lpaRun(math.max(n / 10L, 1000L))
+    if (ops("walks")) walkRun(math.max(n / 10L, 1000L))
 
     def timed(tag: String, run: () => (Long, Long)): Double = {
       val times = (1 to reps).map { r =>
@@ -78,11 +81,13 @@ object GraphScale {
       }
       times.min
     }
-    val kc = timed("kcore_e2e", () => {
+    val kc = if (ops("kcore")) timed("kcore_e2e", () => {
       val (c, r) = kcoreRun(n.toLong); (c, r.toLong)
-    })
-    val lp = timed("lpa_e2e", () => (lpaRun(n.toLong), 0L))
-    val wk = timed("walks_e2e", () => (walkRun(n.toLong), 0L))
+    }) else -1d
+    val lp = if (ops("lpa")) timed("lpa_e2e",
+      () => (lpaRun(n.toLong), 0L)) else -1d
+    val wk = if (ops("walks")) timed("walks_e2e",
+      () => (walkRun(n.toLong), 0L)) else -1d
     println(f"""{"metric":"graph_scale_min","n":$n,""" +
       f""""kcore_sec":$kc%.4f,"lpa_sec":$lp%.4f,""" +
       f""""walks_sec":$wk%.4f,"unit":"sec"}""")
