@@ -46,4 +46,47 @@ object Anonymize {
           .otherwise(lit(9)))
       .drop("anon_c1", "anon_c2")
   }
+
+  /** l-diversity annotation (Machanavajjhala et al.): k-anonymity
+    * alone fails when every record of a ≥k class shares one sensitive
+    * value (the homogeneity attack — class size tells the attacker
+    * the secret anyway). A class is publishable iff it has ≥ k
+    * records AND ≥ l DISTINCT sensitive values. Emits per record the
+    * class size (`anon_n`), the distinct-sensitive count
+    * (`anon_div`), and `anon_ok`.
+    *
+    * Scale shape: one QI-partitioned window carrying both the COUNT
+    * and a `collect_set` of the sensitive column — the set is bounded
+    * by the sensitive DOMAIN (segments, priorities: tens of values),
+    * never by class size, so the window state stays O(|domain|) per
+    * class at 100 TB. A billion-value sensitive domain would instead
+    * use the groupBy-then-broadcast-join form of the same stats. */
+  def lDiversity(records: DataFrame, qi: Seq[Column],
+      sensitive: Column, k: Int, l: Int): DataFrame = {
+    require(k >= 1 && l >= 1, s"k and l must be >= 1: $k, $l")
+    val w = Window.partitionBy(qi: _*)
+    records
+      .withColumn("anon_n", count(lit(1)).over(w))
+      .withColumn("anon_div",
+        size(collect_set(sensitive).over(w)).cast("long"))
+      .withColumn("anon_ok",
+        col("anon_n") >= k && col("anon_div") >= l)
+  }
+
+  /** Warner randomized-response report bit: the respondent reports
+    * the TRUE bit with probability 3/4 and the flipped bit with
+    * probability 1/4. The coin is derandomized for reproducibility —
+    * bits 30-31 of md5(`key`) decide the flip (a production privacy
+    * deployment draws a real client-side coin; every downstream
+    * identity here is coin-agnostic). The aggregate debias is pure
+    * integer algebra: with flip rate q = 1/4,
+    * E[reported] = truth·(1−q) + (n−truth)·q, so
+    * 2·truth ≈ est2 = 4·reported − n — per-record noise, exact
+    * integer recovery in expectation, no raw bit ever leaves the
+    * mapper. */
+  def rrReported(truth: Column, key: Column): Column = {
+    val flip = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 4 === 0
+    when(flip, lit(1) - truth.cast("int")).otherwise(truth.cast("int"))
+  }
 }

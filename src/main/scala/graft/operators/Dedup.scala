@@ -234,6 +234,80 @@ object Dedup {
       .drop("_g")
   }
 
+  /** Prefix-filtered EXACT set-similarity self-join (the PPJoin/
+    * AllPairs family, Xiao et al. 2008 / Bayardo et al. 2007 — the
+    * prefix-filter core, without the positional refinement): all doc
+    * pairs with shingle-set Jaccard ≥ τ, found WITHOUT MinHash
+    * approximation and WITHOUT all-pairs.
+    *
+    * Filter principle: order every doc's shingles by one global
+    * rarest-first order (corpus document frequency asc, shingle asc);
+    * if J(x,y) ≥ τ then |x∩y| ≥ ⌈τ·|x|⌉, and the globally-smallest
+    * shared shingle must sit within the first |x| − ⌈τ·|x|⌉ + 1
+    * entries of x's ordering (everything before it is unshared) — and
+    * symmetrically for y. So an equi-join on PREFIX shingles alone
+    * finds every qualifying pair; exact Jaccard verification then
+    * removes false positives. No false negatives, by construction.
+    *
+    * Scale shape: candidate generation touches only prefix tokens —
+    * rarest-first ordering keeps boilerplate (high-df) shingles out
+    * of prefixes, so the candidate join is driven by rare shingles
+    * with tiny posting lists (the opposite of the LSH band join's
+    * content-hash buckets). One df aggregation, one per-doc sort, one
+    * prefix equi-join, one verify join; the length filter
+    * τ·|x| ≤ |y| (a pure candidate-pruning step — implied by the
+    * final Jaccard predicate, so the oracle can skip it) cuts
+    * cross-length pairs before verification. All similarity math is
+    * integer ppm — no float reaches the output.
+    *
+    * @param tauPpm Jaccard threshold in parts-per-million
+    * @return (a, b, inter, uni, jacc_ppm), a < b
+    */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tauPpm: Long): DataFrame = {
+    require(tauPpm > 0 && tauPpm <= 1000000L, s"tauPpm: $tauPpm")
+    val sh = docs.select(col(idCol).as("id"),
+        shingleSet(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
+    val tok = sh.select(col("id"), explode(col("sh")).as("g"))
+    val freq = tok.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // per-doc shingle list in global (df asc, shingle asc) order —
+    // the struct sort makes the collect_list order irrelevant
+    val ordered = tok.join(freq, "g")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("g"))))
+        .as("sg"))
+      .select(col("id"),
+        transform(col("sg"), x => x.getField("g")).as("toks"))
+    // prefix length |x| − ⌈τ·|x|⌉ + 1, all-integer ceil
+    val pref = ordered.select(col("id"),
+        size(col("toks")).cast("long").as("n_sh"),
+        explode(slice(col("toks"), lit(1),
+          (size(col("toks")).cast("long") -
+            expr(s"(CAST(size(toks) AS BIGINT) * $tauPpm + 999999) " +
+              "div 1000000") + lit(1L)).cast("int"))).as("g"))
+    val candidates = pref.as("l")
+      .join(pref.as("r"), col("l.g") === col("r.g") &&
+        col("l.id") < col("r.id") &&
+        // length filter: τ·|x| ≤ |y| ≤ |x|/τ (x the shorter side)
+        col("l.n_sh") * tauPpm <= col("r.n_sh") * 1000000L &&
+        col("r.n_sh") * tauPpm <= col("l.n_sh") * 1000000L)
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("szs"))
+      .select(col("a"), col("b"), col("inter"),
+        (col("szs") - col("inter")).as("uni"))
+      .withColumn("jacc_ppm", expr("(inter * 1000000L) div uni"))
+      .filter(col("jacc_ppm") >= tauPpm)
+  }
+
   /** 16-bit SimHash over the token multiset: bit b of the hash is set
     * when the sum over tokens of ±1 (per bit b of md5(token)) is
     * positive. Near-dup docs differ in few bits (small Hamming

@@ -291,6 +291,72 @@ object PageRank {
     * @param sources 1-column frame of seed vertex ids
     * @return (id, r) for every vertex of the graph — vertices
     *         unreachable from the sources decay toward 0 */
+  /** HITS hubs & authorities (Kleinberg 1999) on a directed edge
+    * list, in exact integer micro-units. One round is
+    *
+    *   a(v) = Σ_{u→v} h(u)   rescaled to  (a(v)·1e6) div max(a)
+    *   h(u) = Σ_{u→v} a(v)   rescaled likewise
+    *
+    * — the classic mutual-reinforcement recurrence, but normalized by
+    * the integer MAX-rescale instead of the float L2 norm: magnitudes
+    * stay in [0, 1e6], every op is integer multiply/divide/sum, so
+    * both engines agree bit-for-bit (the oracle unrolls the identical
+    * chain, max() included). Overflow bound: a raw score is
+    * ≤ 1e6·deg and the rescale multiplies by 1e6, so max weighted
+    * degree must stay < 9.2e6 (Long.Max/1e12) — far above any
+    * bounded-basket graph; web-scale hubs would rescale BEFORE the
+    * multiply (two divs) at the cost of one extra truncation.
+    *
+    * Scale shape: the distinct edge frame is built and checkpointed
+    * once; each half-round is one vertex-frame join + one
+    * partially-aggregated groupBy — alternating key (src then dst),
+    * so no single bucketing serves both; the vertex-sized score
+    * frame broadcasts under the same [[BroadcastVertexCap]] decision
+    * as PageRank, falling back to shuffle joins at web scale. The
+    * max-rescale rides a broadcast 1-row aggregate, never a driver
+    * collect.
+    *
+    * @param edges directed edge list (duplicates deduped). On a
+    *              bipartite graph (customers→parts) hub scores live
+    *              on the left side, authority scores on the right.
+    * @return (hubs, auths): (id, score) frames, max-normalized to 1e6
+    */
+  def integerHits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, broadcastScores: Option[Boolean] = None)
+      : (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val bc = broadcastScores.getOrElse(
+      e.select(col("src")).distinct().count() <= BroadcastVertexCap)
+    def bcast(df: DataFrame) = if (bc) broadcast(df) else df
+    // (score·1e6) div max — integer max-normalization; the 1-row max
+    // is a broadcast cross join, so the rescale is map-side
+    def rescale(raw: DataFrame): DataFrame = {
+      val r = raw.localCheckpoint(true)
+      r.crossJoin(broadcast(r.agg(max(col("v")).as("mx"))))
+        .select(col("id"), expr("(v * 1000000L) div mx").as("v"))
+    }
+    var hubs = e.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1000000L).as("v"))
+    var auths = hubs.limit(0)
+    for (_ <- 1 to iters) {
+      auths = rescale(
+        e.join(bcast(hubs.select(col("id").as("hid"), col("v"))),
+            col("src") === col("hid"))
+          .groupBy(col("dst")).agg(sum(col("v")).as("v"))
+          .select(col("dst").as("id"), col("v")))
+      hubs = rescale(
+        e.join(bcast(auths.select(col("id").as("aid"), col("v"))),
+            col("dst") === col("aid"))
+          .groupBy(col("src")).agg(sum(col("v")).as("v"))
+          .select(col("src").as("id"), col("v")))
+    }
+    (hubs, auths)
+  }
+
   def personalizedRanks(edges: DataFrame, srcCol: String,
       dstCol: String, sources: DataFrame, iters: Int,
       broadcastRanks: Option[Boolean] = None): DataFrame = {

@@ -995,7 +995,78 @@ object ComponentsQ {
       FROM allw GROUP BY start, w ORDER BY start, w"""
     })
 
+  /** q204 — HITS hubs & authorities ([[PageRank.integerHits]],
+    * 2 rounds) on the bipartite customer→part purchase graph: hub
+    * customers buy the authoritative parts, authoritative parts are
+    * bought by hub customers — the mutual-reinforcement recurrence
+    * PageRank's single score can't express on a bipartite graph
+    * (where directed PageRank just decays). Scores are exact integer
+    * micro-units with the integer MAX-rescale per half-round; the
+    * oracle unrolls the identical 4-step chain (a₁ h₁ a₂ h₂, max
+    * included). Output: top-15 authorities and top-15 hubs as one
+    * relation keyed by side.
+    *
+    * Scale shape: one distinct-edge build (checkpointed), then per
+    * half-round one vertex-frame join + one partial-agg groupBy; the
+    * score frame broadcasts under the vertex cap, and the max
+    * rescale is a broadcast 1-row aggregate — nothing driver-sized
+    * at any SF. */
+  val q204 = Qry(
+    "q204_hits",
+    (s: SparkSession, d: String) => {
+      val e = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      val (hubs, auths) = PageRank.integerHits(e, "src", "dst",
+        iters = 2)
+      def top(df: org.apache.spark.sql.DataFrame, side: String) = df
+        .orderBy(col("v").desc, col("id"))
+        .limit(15)
+        .select(lit(side).as("side"), col("id"), col("v").as("score"))
+      top(auths, "auth").unionAll(top(hubs, "hub"))
+        .orderBy(col("side"), col("score").desc, col("id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      a1r AS (
+        SELECT dst AS id, SUM(CAST(1000000 AS BIGINT)) AS v
+        FROM e GROUP BY 1),
+      a1 AS (
+        SELECT id, (v * 1000000) // (SELECT MAX(v) FROM a1r) AS v
+        FROM a1r),
+      h1r AS (
+        SELECT e.src AS id, SUM(a1.v) AS v
+        FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1),
+      h1 AS (
+        SELECT id, (v * 1000000) // (SELECT MAX(v) FROM h1r) AS v
+        FROM h1r),
+      a2r AS (
+        SELECT e.dst AS id, SUM(h1.v) AS v
+        FROM e JOIN h1 ON h1.id = e.src GROUP BY 1),
+      a2 AS (
+        SELECT id, (v * 1000000) // (SELECT MAX(v) FROM a2r) AS v
+        FROM a2r),
+      h2r AS (
+        SELECT e.src AS id, SUM(a2.v) AS v
+        FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1),
+      h2 AS (
+        SELECT id, (v * 1000000) // (SELECT MAX(v) FROM h2r) AS v
+        FROM h2r),
+      ta AS (
+        SELECT 'auth' AS side, id, v AS score FROM a2
+        ORDER BY v DESC, id LIMIT 15),
+      th AS (
+        SELECT 'hub' AS side, id, v AS score FROM h2
+        ORDER BY v DESC, id LIMIT 15)
+      SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+      ORDER BY side, score DESC, id"""))
+
   val all: Seq[Qry] =
     Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183,
-      q191, q194, q195, q196, q198, q199)
+      q191, q194, q195, q196, q198, q199, q204)
 }

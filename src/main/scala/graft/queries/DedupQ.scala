@@ -455,5 +455,43 @@ object DedupQ {
       LEFT JOIN cand c ON c.a = t.a AND c.b = t.b
       GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[Qry] = Seq(q28, q29, q30, q112, q114, q157)
+  /** q203 — prefix-filtered EXACT set-similarity join
+    * ([[Dedup.prefixFilterPairs]], τ = 0.6, shingle n = 3): the
+    * deterministic complement to q28's MinHash-LSH — same
+    * near-dup-pair question, but exact-by-construction (no banding
+    * probability, no recall curve; the guarantee IS no false
+    * negatives). The oracle deliberately does NOT replay the prefix
+    * filter: it computes ground truth by the full inverted-index
+    * pair join, so a prefix-length or ordering bug that loses a pair
+    * breaks rows_match — the filter's zero-false-negative claim is
+    * verified, not assumed. All similarity math is integer ppm.
+    *
+    * Scale shape: see the operator — candidates ride rare-shingle
+    * posting lists (df-asc prefixes), never all-pairs, never hot
+    * boilerplate shingles. */
+  val q203 = Qry(
+    "q203_setsim_join",
+    (s: SparkSession, d: String) =>
+      Dedup.prefixFilterPairs(Tables.documents(s, d), "doc_id", "text",
+          n = N, tauPpm = 600000L)
+        .orderBy(col("a"), col("b")),
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id AS id, ${shinglesSql(N)} AS sh FROM documents),
+      nz AS (
+        SELECT id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
+      t AS (SELECT id, unnest(sh) AS g FROM nz),
+      i AS (
+        SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
+        FROM t a JOIN t b ON a.g = b.g AND a.id < b.id
+        GROUP BY 1, 2),
+      p AS (
+        SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+               CAST(na.n + nb.n - i.inter AS BIGINT) AS uni
+        FROM i JOIN nz na ON na.id = i.a JOIN nz nb ON nb.id = i.b)
+      SELECT a, b, inter, uni, (inter * 1000000) // uni AS jacc_ppm
+      FROM p WHERE (inter * 1000000) // uni >= 600000
+      ORDER BY a, b"""))
+
+  val all: Seq[Qry] = Seq(q28, q29, q30, q112, q114, q157, q203)
 }

@@ -240,5 +240,119 @@ object Pii {
       FROM keyed GROUP BY 1, 2, 3, 4
       ORDER BY level, g1, g2, g3"""))
 
-  val all: Seq[Qry] = Seq(q180, q181, q185)
+  /** q205 — l-diversity audit ([[graft.operators.Anonymize
+    * .lDiversity]], k=4, l=3): k-anonymity's homogeneity-attack fix —
+    * a quasi-identifier class is publishable only when it ALSO spans
+    * ≥ l distinct sensitive values (here the market segment). The QI
+    * is a synthetic postcode (md5-derived 16-bit bucket of the
+    * customer key, the q168 coordinate trick) whose DOMAIN scales
+    * with the table (count div 5 classes, expected class size ~5), so
+    * the publishable / homogeneous / too-small mix stays populated at
+    * every SF instead of saturating. The digest groups the release by
+    * (publishable, diversity) with class/record counts and the
+    * exact-decimal mean balance.
+    *
+    * Scale shape: one QI-keyed window (state bounded by the sensitive
+    * DOMAIN, not class size) + one digest aggregation; the domain
+    * scalar is a broadcast 1-row count. */
+  val q205 = Qry(
+    "q205_l_diversity",
+    (s: SparkSession, d: String) => {
+      import graft.operators.Anonymize
+      val nCls = Tables.customer(s, d)
+        .agg(expr("GREATEST(CAST(1 AS BIGINT), COUNT(1) DIV 5)")
+          .as("n_cls"))
+      val recs = Tables.customer(s, d)
+        .crossJoin(broadcast(nCls))
+        .withColumn("zip",
+          conv(substring(md5(col("c_custkey").cast("string")), 1, 4),
+            16, 10).cast("long") % col("n_cls"))
+      Anonymize.lDiversity(recs, Seq(col("zip")),
+          col("c_mktsegment"), k = 4, l = 3)
+        .groupBy(col("anon_ok"), col("anon_div"))
+        .agg(countDistinct(col("zip")).as("n_classes"),
+          count(lit(1)).as("n_records"),
+          Q.davg(col("c_acctbal"), 2).as("avg_bal"))
+        .orderBy(col("anon_ok"), col("anon_div"))
+    },
+    Some(s"""
+      WITH dom AS (
+        SELECT GREATEST(1, COUNT(*) // 5) AS n_cls FROM customer),
+      r AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               ${Q.md5Hex16Sql("c_custkey", 1)}
+                 % (SELECT n_cls FROM dom) AS zip
+        FROM customer),
+      cls AS (
+        SELECT zip, CAST(COUNT(*) AS BIGINT) AS an,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS adiv
+        FROM r GROUP BY 1),
+      ann AS (
+        SELECT r.*, cls.an, cls.adiv,
+               (cls.an >= 4 AND cls.adiv >= 3) AS aok
+        FROM r JOIN cls USING (zip))
+      SELECT aok AS anon_ok, adiv AS anon_div,
+             CAST(COUNT(DISTINCT zip) AS BIGINT) AS n_classes,
+             CAST(COUNT(*) AS BIGINT) AS n_records,
+             ${Q.davgSql("c_acctbal", 2)} AS avg_bal
+      FROM ann GROUP BY 1, 2 ORDER BY anon_ok, anon_div"""))
+
+  /** q206 — randomized-response telemetry ([[graft.operators
+    * .Anonymize.rrReported]], flip rate 1/4): the per-record
+    * plausible-deniability mechanism (Warner 1965; the RAPPOR
+    * 1-bit core) with its integer debias. Each event reports a
+    * possibly-flipped "was this a click" bit; per day the aggregate
+    * recovers 2·truth as est2 = 4·reported − n, graded against the
+    * true count with a deterministic ~4σ band
+    * (7·⌊√n⌋ + 7 in ×2 units; measured worst-case 0.62 of the band
+    * at sf0.001/0.01/0.1). The derandomized md5 coin is what makes
+    * the release oracle-replayable; production draws real client
+    * coins and keeps the identical aggregate algebra.
+    *
+    * Scale shape: the flip and report are map-side projections; one
+    * day-keyed partial-agg exchange; no raw bit survives the mapper
+    * at any scale. */
+  val q206 = Qry(
+    "q206_randomized_response",
+    (s: SparkSession, d: String) => {
+      import graft.operators.Anonymize
+      val isClick = col("event_type") === "click"
+      val ev = Tables.events(s, d).select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        isClick.cast("int").as("truth"),
+        Anonymize.rrReported(isClick, col("event_id")).as("rep"))
+      ev.groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("truth")).as("true_clicks"),
+          sum(col("rep")).as("reported"))
+        .withColumn("est2", lit(4L) * col("reported") - col("n"))
+        .withColumn("ok",
+          abs(col("est2") - lit(2L) * col("true_clicks")) <=
+            lit(7L) * floor(sqrt(col("n").cast("double"))).cast("long")
+              + lit(7L))
+        .orderBy(col("day"))
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT STRFTIME(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                 '%Y-%m-%d') AS day,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                 AS truth,
+               CASE WHEN (${Q.md5Hex32Sql("event_id", 1)}) % 4 = 0
+                 THEN 1 ELSE 0 END AS flip
+        FROM events),
+      g AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(truth) AS BIGINT) AS true_clicks,
+               CAST(SUM(CASE WHEN flip = 1 THEN 1 - truth
+                             ELSE truth END) AS BIGINT) AS reported
+        FROM r GROUP BY 1)
+      SELECT day, n, true_clicks, reported,
+             4 * reported - n AS est2,
+             (ABS((4 * reported - n) - 2 * true_clicks) <=
+              7 * CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) + 7)
+               AS ok
+      FROM g ORDER BY day"""))
+
+  val all: Seq[Qry] = Seq(q180, q181, q185, q205, q206)
 }

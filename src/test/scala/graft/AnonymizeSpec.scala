@@ -74,4 +74,74 @@ class AnonymizeSpec extends SparkSpec {
   test("k=1 publishes everything at level 1") {
     assert(levels(1).values.forall(_ == 1))
   }
+
+  // --- lDiversity (q205) ---
+
+  // (id, zip, segment): G1 big+diverse, G2 big+homogeneous (the
+  // attack k-anonymity alone misses), G3 small+diverse
+  private def ldRecs = Seq(
+    (1L, 10, "A"), (2L, 10, "B"), (3L, 10, "C"), (4L, 10, "A"),
+    (5L, 10, "B"),
+    (6L, 20, "A"), (7L, 20, "A"), (8L, 20, "A"), (9L, 20, "A"),
+    (10L, 20, "A"), (11L, 20, "A"),
+    (12L, 30, "A"), (13L, 30, "B")
+  ).toDF("id", "zip", "seg")
+
+  private def ldiv(k: Int, l: Int): Map[Long, (Long, Long, Boolean)] =
+    Anonymize.lDiversity(ldRecs, Seq(col("zip")), col("seg"), k, l)
+      .select(col("id"), col("anon_n"), col("anon_div"), col("anon_ok"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("l-diversity: big diverse class publishes") {
+    val m = ldiv(4, 3)
+    assert(m(1L) == ((5L, 3L, true)))
+  }
+
+  test("l-diversity: homogeneous class fails despite size >= k") {
+    val m = ldiv(4, 3)
+    assert(m(6L) == ((6L, 1L, false)))
+  }
+
+  test("l-diversity: small class fails despite diversity l'=2") {
+    val m = ldiv(4, 2)
+    assert(m(12L) == ((2L, 2L, false)))
+  }
+
+  test("l-diversity: l=1 reduces to pure k-anonymity") {
+    val m = ldiv(4, 1)
+    assert(m(1L)._3 && m(6L)._3 && !m(12L)._3)
+  }
+
+  // --- rrReported (q206) ---
+
+  test("randomized response: report = truth XOR md5-derived flip") {
+    val df = spark.range(0, 500).toDF("k")
+      .select(col("k"), (col("k") % 2 === 0).as("truth"))
+      .withColumn("rep", Anonymize.rrReported(col("truth"), col("k")))
+      .withColumn("flip",
+        conv(substring(md5(col("k").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 4 === 0)
+    val bad = df.filter(
+      (col("flip") && col("rep") === col("truth").cast("int")) ||
+      (!col("flip") && col("rep") =!= col("truth").cast("int"))).count()
+    assert(bad == 0)
+    // the coin must actually flip sometimes, at roughly rate 1/4
+    val flips = df.filter(col("flip")).count()
+    assert(flips > 80 && flips < 170, s"flip count $flips")
+  }
+
+  test("randomized response: integer debias recovers the true count") {
+    val n = 2000L
+    val agg = spark.range(0, n).toDF("k")
+      .select((col("k") % 3 === 0).as("truth"), col("k"))
+      .select(col("truth").cast("int").as("t"),
+        Anonymize.rrReported(col("truth"), col("k")).as("rep"))
+      .agg(sum(col("t")).as("truth"), sum(col("rep")).as("rep"))
+      .as[(Long, Long)].head()
+    val est2 = 4 * agg._2 - n
+    val band = 7 * math.floor(math.sqrt(n.toDouble)).toLong + 7
+    assert(math.abs(est2 - 2 * agg._1) <= band,
+      s"est2=$est2 truth2=${2 * agg._1} band=$band")
+  }
 }

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, PageRank}
+
+/** Unit semantics for [[Dedup.prefixFilterPairs]] (q203) and
+  * [[PageRank.integerHits]] (q204).
+  *
+  * The set-sim join's headline claim — the prefix filter loses NO
+  * qualifying pair — is checked against the brute-force all-pairs
+  * baseline on corpora with engineered Jaccard values, including
+  * exact-threshold ties. HITS is checked against an independent
+  * in-test reimplementation of the integer recurrence on hand-built
+  * graphs (bipartite, star, chain).
+  */
+class SetSimHitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- prefixFilterPairs ----
+
+  private def pairsOf(docs: Seq[(Long, String)], tauPpm: Long)
+      : Set[(Long, Long, Long, Long, Long)] =
+    Dedup.prefixFilterPairs(docs.toDF("doc_id", "text"), "doc_id",
+        "text", n = 3, tauPpm = tauPpm)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  private def bruteOf(docs: Seq[(Long, String)], tau: Double)
+      : Set[(Long, Long)] =
+    Dedup.shingleJaccard(docs.toDF("doc_id", "text"), "doc_id",
+        "text", n = 3, minJaccard = tau)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+
+  // doc 1/2: 10 tokens sharing 9 → 8 shingles sharing 7
+  //   (J = 7/9 ≈ 0.778); doc 3 disjoint; doc 4 = doc 1 exactly;
+  // doc 5 too short for any shingle
+  private val corpus = Seq(
+    (1L, "a b c d e f g h i j"),
+    (2L, "a b c d e f g h i X"),
+    (3L, "p q r s t u v w x y"),
+    (4L, "a b c d e f g h i j"),
+    (5L, "a b"))
+
+  test("prefix filter finds exactly the brute-force pairs") {
+    val got = pairsOf(corpus, 600000L).map(p => (p._1, p._2))
+    assert(got == bruteOf(corpus, 0.6))
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("exact pair carries inter == uni and jacc_ppm == 1e6") {
+    val exact = pairsOf(corpus, 600000L)
+      .find(p => p._1 == 1L && p._2 == 4L).get
+    assert(exact._3 == exact._4 && exact._5 == 1000000L)
+  }
+
+  test("integer ppm values are exact (7 of 9 shared shingles)") {
+    val p = pairsOf(corpus, 600000L)
+      .find(p => p._1 == 1L && p._2 == 2L).get
+    assert(p == ((1L, 2L, 7L, 9L, 7L * 1000000L / 9L)))
+  }
+
+  test("pair exactly AT the threshold is kept, just below is dropped") {
+    // J = 7/9 = 777777 ppm (truncated): kept at tauPpm = 777777,
+    // dropped at 777778
+    val at = pairsOf(corpus, 777777L).map(p => (p._1, p._2))
+    assert(at.contains((1L, 2L)))
+    val above = pairsOf(corpus, 777778L).map(p => (p._1, p._2))
+    assert(!above.contains((1L, 2L)))
+    assert(above.contains((1L, 4L))) // the exact duplicate survives
+  }
+
+  test("sub-shingle docs never pair, and never crash the join") {
+    val got = pairsOf(Seq((1L, "x y"), (2L, "x y"), (3L, "")), 100000L)
+    assert(got.isEmpty)
+  }
+
+  test("no-false-negative holds on a shifted-dup corpus vs brute force") {
+    val base = Tables.documents(spark, sf()).limit(120)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val got = pairsOf(base, 600000L).map(p => (p._1, p._2))
+    assert(got == bruteOf(base, 0.6))
+  }
+
+  // ---- integerHits ----
+
+  /** Independent reimplementation of the exact integer recurrence. */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val e = edges.distinct
+    var h = e.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val ar = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(x => h(x._1)).sum }
+      val amx = ar.values.max
+      a = ar.map { case (k, v) => k -> v * 1000000L / amx }
+      val hr = e.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(x => a(x._2)).sum }
+      val hmx = hr.values.max
+      h = hr.map { case (k, v) => k -> v * 1000000L / hmx }
+    }
+    (h, a)
+  }
+
+  private def runHits(edges: Seq[(Long, Long)], iters: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val (hd, ad) = PageRank.integerHits(
+      edges.toDF("s", "t"), "s", "t", iters,
+      broadcastScores = Some(true))
+    (hd.as[(Long, Long)].collect().toMap,
+      ad.as[(Long, Long)].collect().toMap)
+  }
+
+  test("hits matches the reference recurrence on a bipartite graph") {
+    // customers 1-3 → parts 11-13; 3 is the super-hub
+    val e = Seq((1L, 11L), (1L, 12L), (2L, 11L),
+      (3L, 11L), (3L, 12L), (3L, 13L))
+    for (it <- 1 to 3) assert(runHits(e, it) == refHits(e, it),
+      s"iters=$it")
+  }
+
+  test("hits: star center is the max authority at exactly 1e6") {
+    val e = Seq((1L, 99L), (2L, 99L), (3L, 99L), (3L, 4L))
+    val (_, a) = runHits(e, 2)
+    assert(a(99L) == 1000000L && a(4L) < 1000000L)
+  }
+
+  test("hits matches reference on a directed chain with a cycle") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    for (it <- 1 to 3) assert(runHits(e, it) == refHits(e, it),
+      s"iters=$it")
+  }
+
+  test("hits: duplicate edges are deduped") {
+    val e = Seq((1L, 2L), (1L, 2L), (3L, 2L))
+    assert(runHits(e, 2) == refHits(e, 2))
+  }
+
+  test("hits: scores stay within [0, 1e6]") {
+    val e = (1L to 40L).flatMap(c => (1L to (c % 7 + 1))
+      .map(p => (c, 100L + p)))
+    val (h, a) = runHits(e, 2)
+    assert((h.values ++ a.values).forall(v => v >= 0L && v <= 1000000L))
+    assert(h.values.max == 1000000L && a.values.max == 1000000L)
+  }
+}
