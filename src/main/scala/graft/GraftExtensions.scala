@@ -472,5 +472,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intConst(children(2), "subDim"), intConst(children(3), "k"))
       }))
     ext.injectOptimizerRule(_ => VectorizeDotProduct)
+    // Materialized-view answering (q207): rewrites a matching
+    // Aggregate-over-base-scan to a rollup over the registered
+    // summary — inert until graft.plans.MvRegistry.register is
+    // called; gated by spark.graft.mv.rewrite.
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }

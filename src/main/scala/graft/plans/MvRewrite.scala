@@ -1,0 +1,242 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And,
+  AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.internal.SQLConf
+
+/** Materialized-view answering: the classic OLAP summary-table
+  * rewrite, as a Catalyst optimizer rule. A registered MV records a
+  * base table (by scan path), its dimension columns, and its
+  * pre-aggregated measures; any later Aggregate over that base whose
+  * grouping is a SUBSET of the dims (roll-up), whose filters touch
+  * only dims, and whose every aggregate maps onto a recorded measure
+  * is rewritten to read the materialized summary instead — at 100 TB
+  * this turns a full fact scan into a rollup over a summary that is
+  * typically 4-6 orders of magnitude smaller. The rewrite preserves
+  * output attribute ids and (via an exact widening-reversal cast)
+  * data types, so parent plan nodes are untouched.
+  *
+  * Soundness contract (why an accidental match is still correct):
+  * the rule fires only when (a) the scan path IS the registered
+  * base — same files, same data; (b) EVERY output expression rewrites
+  * (no partial answers); (c) sums/mins/maxs match the recorded base
+  * expression structurally ([[MvRewrite.key]]) and COUNT maps to the
+  * summary's count column (re-aggregated as SUM, the standard
+  * count-rollup identity). Decimal-exact measures stay exact: the
+  * summary holds per-group DECIMAL partial sums, and decimal
+  * addition is associative, so sum-of-partial-sums equals the direct
+  * sum bit-for-bit.
+  *
+  * Scope (documented, not silently wrong — anything outside returns
+  * the plan unchanged): single Aggregate per registered base per
+  * query (the summary plan's attribute ids would collide if grafted
+  * twice into one tree), no DISTINCT aggregates, no agg-level FILTER
+  * clauses, no AVG (callers decompose into SUM/COUNT), filters only
+  * on dim columns.
+  *
+  * Registered via `SparkSessionExtensions.injectOptimizerRule` (the
+  * [[graft.functions.VectorizeDotProduct]] precedent) — the batch
+  * runs post-optimization, where the child tree has settled into
+  * attr-only Projects / dim Filters over the scan, which is exactly
+  * the shape [[MvRewrite.unwrap]] matches. Gate:
+  * `spark.graft.mv.rewrite` (default true; the registry starts empty
+  * so the rule is inert until something registers).
+  */
+object MvRegistry {
+
+  /** One registered summary.
+    * @param dims    base dim column name → summary column name
+    * @param sums    [[MvRewrite.key]] of base SUM term → summary col
+    * @param mins    likewise for MIN
+    * @param maxs    likewise for MAX
+    * @param cnt     summary column holding per-group COUNT(*)
+    * @param summary the MATERIALIZED summary frame (callers pass a
+    *                checkpointed/cached frame — registering a lazy
+    *                plan would re-scan the base on every use) */
+  final case class MvDef(path: String, dims: Map[String, String],
+      sums: Map[String, String], mins: Map[String, String],
+      maxs: Map[String, String], cnt: Option[String],
+      summary: DataFrame)
+
+  @volatile private var mvs: Map[String, MvDef] = Map.empty
+
+  private[plans] def get(path: String): Option[MvDef] = mvs.get(path)
+  private[plans] def isEmpty: Boolean = mvs.isEmpty
+
+  def clear(): Unit = synchronized { mvs = Map.empty }
+
+  /** Register `summary` as the MV of `base`. Measure columns are
+    * keyed by the STRUCTURAL fingerprint of their base expression,
+    * taken from the optimized form so it matches what the optimizer
+    * hands the rule at rewrite time. */
+  def register(base: DataFrame, dims: Map[String, String],
+      sums: Seq[(Column, String)], cnt: Option[String],
+      summary: DataFrame,
+      mins: Seq[(Column, String)] = Nil,
+      maxs: Seq[(Column, String)] = Nil): Unit = {
+    val path = scanPath(base.queryExecution.analyzed).getOrElse(
+      throw new IllegalArgumentException(
+        "MV base must be a single file-relation scan"))
+    def keyOf(c: Column): String = {
+      val plan = base.select(c.as("__m")).queryExecution.optimizedPlan
+      val e = plan.collectFirst { case p: Project => p.projectList.head }
+        .map { case Alias(e, _) => e; case e => e }
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot derive measure expression for ${c.toString}"))
+      MvRewrite.key(e)
+    }
+    def m(xs: Seq[(Column, String)]) =
+      xs.map { case (c, n) => keyOf(c) -> n }.toMap
+    val mv = MvDef(path, dims, m(sums), m(mins), m(maxs), cnt, summary)
+    synchronized { mvs = mvs + (path -> mv) }
+  }
+
+  /** Root path of the single file relation under `plan`, if any. */
+  private[plans] def scanPath(plan: LogicalPlan): Option[String] =
+    plan.collectLeaves() match {
+      case Seq(lr: LogicalRelation) => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map(_.toString)
+        case _ => None
+      }
+      case _ => None
+    }
+}
+
+object MvRewrite extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString("spark.graft.mv.rewrite", "true") == "true"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvRegistry.isEmpty || !enabled) plan
+    else plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+  /** Structural fingerprint of an expression: node class + literals +
+    * attribute NAMES (ids differ across plan instances of the same
+    * scan, names don't). Cast carries its target type. */
+  private[plans] def key(e: Expression): String = e match {
+    case a: AttributeReference => s"attr(${a.name.toLowerCase})"
+    case l: Literal => s"lit(${l.dataType.simpleString}:${l.value})"
+    case c: Cast => s"cast(${key(c.child)}:${c.dataType.simpleString})"
+    case _ =>
+      s"${e.getClass.getSimpleName}(${e.children.map(key).mkString(",")})"
+  }
+
+  /** Strip attr-only Projects and collect Filters between the
+    * Aggregate and the scan. */
+  @annotation.tailrec
+  private def unwrap(p: LogicalPlan, fs: List[Expression])
+      : (LogicalPlan, List[Expression]) = p match {
+    case Project(list, c) if list.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(c, fs)
+    case Filter(cond, c) => unwrap(c, cond :: fs)
+    case other => (other, fs)
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (leaf, filters) = unwrap(agg.child, Nil)
+    for {
+      path <- MvRegistry.scanPath(leaf)
+      mv <- MvRegistry.get(path)
+      plan <- rewrite(agg, filters, mv)
+    } yield plan
+  }
+
+  private def rewrite(agg: Aggregate, filters: List[Expression],
+      mv: MvRegistry.MvDef): Option[LogicalPlan] = {
+    val sumOut = mv.summary.queryExecution.analyzed.output
+      .map(a => a.name -> a).toMap
+    def dimAttr(baseName: String): Option[AttributeReference] =
+      mv.dims.get(baseName).flatMap(sumOut.get)
+        .collect { case a: AttributeReference => a }
+
+    // groupings: attribute refs over registered dims only
+    val newGroupings = agg.groupingExpressions.map {
+      case a: AttributeReference => dimAttr(a.name)
+      case _ => None
+    }
+    // filters: every referenced column must be a dim
+    val dimOnly = filters.forall(_.references.forall(
+      a => mv.dims.contains(a.name)))
+
+    def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      val fn = ae.aggregateFunction match {
+        case s: Sum => mv.sums.get(key(s.child)).flatMap(sumOut.get)
+          .map(Sum(_))
+        case m: Min => mv.mins.get(key(m.child)).flatMap(sumOut.get)
+          .map(Min(_))
+        case m: Max => mv.maxs.get(key(m.child)).flatMap(sumOut.get)
+          .map(Max(_))
+        case c: Count if c.children.forall(_.foldable) =>
+          mv.cnt.flatMap(sumOut.get).map(Sum(_))
+        case _ => None
+      }
+      fn.map(_.toAggregateExpression())
+    }
+
+    // Rewrite every embedded AggregateExpression (dsum-style outputs
+    // wrap the SUM in a Cast, so aggs sit at arbitrary depth), each
+    // cast back to its original type so the surrounding expression —
+    // and the plan above the Aggregate — see unchanged types. Any
+    // base attribute left OUTSIDE an agg (a grouping column used in
+    // an output expression) then remaps to its summary dim.
+    val sumAttrIds = mv.summary.queryExecution.analyzed.output
+      .map(_.exprId).toSet
+    def rewriteExpr(e: Expression): Option[Expression] = {
+      var failed = false
+      val aggsDone = e.transformUp {
+        case ae: AggregateExpression =>
+          rewriteAgg(ae) match {
+            case Some(r) =>
+              if (r.dataType == ae.dataType) r else Cast(r, ae.dataType)
+            case None => failed = true; ae
+          }
+      }
+      val remapped = aggsDone.transformUp {
+        case a: AttributeReference if !sumAttrIds.contains(a.exprId) =>
+          dimAttr(a.name).getOrElse { failed = true; a }
+      }
+      if (failed) None else Some(remapped)
+    }
+
+    val newOut: Seq[Option[NamedExpression]] =
+      agg.aggregateExpressions.map {
+        case a: AttributeReference =>
+          dimAttr(a.name).map(d =>
+            Alias(d, a.name)(exprId = a.exprId, qualifier = a.qualifier))
+        case al @ Alias(child, name) =>
+          rewriteExpr(child).map { r =>
+            val typed =
+              if (r.dataType == al.dataType) r else Cast(r, al.dataType)
+            Alias(typed, name)(exprId = al.exprId,
+              qualifier = al.qualifier)
+          }
+        case _ => None
+      }
+
+    if (!dimOnly || newGroupings.exists(_.isEmpty) ||
+        newOut.exists(_.isEmpty)) None
+    else {
+      val base = mv.summary.queryExecution.analyzed
+      val child =
+        if (filters.isEmpty) base
+        else Filter(
+          filters.map(_.transform {
+            case a: AttributeReference => dimAttr(a.name).get
+          }).reduce(And), base)
+      Some(Aggregate(newGroupings.map(_.get), newOut.map(_.get), child))
+    }
+  }
+}

@@ -121,5 +121,59 @@ object SqlSurface {
                ORDER BY s_acctbal DESC, s_name LIMIT 2)
       ORDER BY n_name, s_name"""))
 
-  val all: Seq[Qry] = Seq(q45, q46, q73, q110)
+  /** q207 — materialized-view answering ([[graft.plans.MvRewrite]],
+    * injected via SparkSessionExtensions): a summary table keyed by
+    * (returnflag, linestatus) with decimal-exact partial sums and a
+    * count is registered as the MV of `lineitem`; the user query — a
+    * ROLL-UP to returnflag alone, with a dim filter — is then
+    * rewritten by the optimizer to aggregate the summary instead of
+    * re-scanning the fact table (MvRewriteSpec pins the plan shape:
+    * no lineitem file scan remains, the scan is the checkpointed
+    * summary RDD). Decimal addition is associative, so
+    * sum-of-partial-sums is bit-identical to the direct sum and the
+    * oracle simply runs the direct aggregate.
+    *
+    * Scale shape: THE summary-table pattern — the 100 TB fact scan
+    * is paid once at MV build; every conforming rollup after that
+    * reads O(|dims|) rows. Count rolls up as SUM(cnt), sums as
+    * SUM(partial), both exact. */
+  val q207 = Qry(
+    "q207_mv_rewrite",
+    (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.{Tables => T}
+      val li = T.lineitem(s, d)
+      val revenue = round(col("l_extendedprice") *
+        (lit(1) - col("l_discount")), 4).cast("decimal(18,4)")
+      val qty = round(col("l_quantity"), 2).cast("decimal(18,2)")
+      val summary = li
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(revenue).as("sum_rev"), sum(qty).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      graft.plans.MvRegistry.register(
+        base = li,
+        dims = Map("l_returnflag" -> "l_returnflag",
+          "l_linestatus" -> "l_linestatus"),
+        sums = Seq(revenue -> "sum_rev", qty -> "sum_qty"),
+        cnt = Some("cnt"),
+        summary = summary)
+      li.filter(col("l_returnflag") =!= "N")
+        .groupBy(col("l_returnflag"))
+        .agg(Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+            4).as("revenue"),
+          Q.dsum(col("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      SELECT l_returnflag,
+             ${Q.dsumSql("l_extendedprice * (1 - l_discount)", 4)}
+               AS revenue,
+             ${Q.dsumSql("l_quantity", 2)} AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem WHERE l_returnflag <> 'N'
+      GROUP BY 1 ORDER BY l_returnflag"""))
+
+  val all: Seq[Qry] = Seq(q45, q46, q73, q110, q207)
 }

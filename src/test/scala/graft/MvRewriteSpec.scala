@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+
+import graft.plans.MvRegistry
+import graft.queries.Q
+
+/** Plan + semantics contract of the materialized-view rewrite
+  * ([[graft.plans.MvRewrite]], q207): a conforming rollup must stop
+  * scanning the fact parquet and read the summary RDD instead, with
+  * bit-identical results; anything outside the documented scope must
+  * be left alone (and therefore still correct).
+  */
+class MvRewriteSpec extends SparkSpec with BeforeAndAfterEach {
+
+  override def afterEach(): Unit = MvRegistry.clear()
+
+  private def li = Tables.lineitem(spark, sf())
+
+  private def revenueTerm =
+    round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+      .cast("decimal(18,4)")
+
+  private def registerMv(): Unit = {
+    val summary = li
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(revenueTerm).as("sum_rev"), count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    MvRegistry.register(li,
+      dims = Map("l_returnflag" -> "l_returnflag",
+        "l_linestatus" -> "l_linestatus"),
+      sums = Seq(revenueTerm -> "sum_rev"), cnt = Some("cnt"),
+      summary = summary)
+  }
+
+  private def scansLineitem(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("lineitem.parquet")
+
+  private def rollup: DataFrame = li
+    .groupBy(col("l_returnflag"))
+    .agg(Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"),
+      count(lit(1)).as("n_items"))
+    .orderBy(col("l_returnflag"))
+
+  test("conforming rollup reads the summary, not the fact scan") {
+    val before = rollup.collect()
+    registerMv()
+    val after = rollup
+    assert(!scansLineitem(after), after.queryExecution.executedPlan)
+    assert(after.queryExecution.executedPlan.toString
+      .contains("ExistingRDD"))
+    assert(after.collect().toSeq == before.toSeq)
+  }
+
+  test("dim filter rides the rewrite and stays correct") {
+    val q = () => li.filter(col("l_returnflag") =!= "N")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+    val before = q().collect()
+    registerMv()
+    assert(!scansLineitem(q()))
+    assert(q().collect().toSeq == before.toSeq)
+  }
+
+  test("grouping by ALL dims (no rollup) also answers from the MV") {
+    val q = () => li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        4).as("revenue"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+    val before = q().collect()
+    registerMv()
+    assert(!scansLineitem(q()))
+    assert(q().collect().toSeq == before.toSeq)
+  }
+
+  test("unregistered measure leaves the plan untouched") {
+    registerMv()
+    // avg is outside the recorded measures → full-coverage rule bails
+    val q = li.groupBy(col("l_returnflag"))
+      .agg(avg(col("l_tax")).as("t"))
+    assert(scansLineitem(q))
+  }
+
+  test("filter on a NON-dim column leaves the plan untouched") {
+    registerMv()
+    val q = li.filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansLineitem(q))
+  }
+
+  test("grouping by a non-dim column leaves the plan untouched") {
+    registerMv()
+    val q = li.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansLineitem(q))
+  }
+
+  test("distinct aggregate leaves the plan untouched") {
+    registerMv()
+    val q = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_linestatus")).as("n"))
+    assert(scansLineitem(q))
+  }
+
+  test("a different table's aggregate is never rewritten") {
+    registerMv()
+    val q = Tables.orders(spark, sf())
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    assert(scansLineitem(q) == false &&
+      q.queryExecution.executedPlan.toString.contains("orders.parquet"))
+  }
+
+  test("conf gate disables the rewrite") {
+    registerMv()
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try assert(scansLineitem(rollup))
+    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+  }
+
+  test("empty registry is inert") {
+    assert(scansLineitem(rollup))
+  }
+
+  test("decimal partial-sum rollup is bit-identical to the direct sum") {
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        4).as("revenue"))
+      .orderBy(col("l_returnflag"))
+      .collect().toSeq
+    registerMv()
+    val viaMv = rollup.select(col("l_returnflag"), col("revenue"))
+      .collect().toSeq
+    assert(viaMv == direct)
+  }
+}
