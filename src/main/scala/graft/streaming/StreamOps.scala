@@ -1233,4 +1233,40 @@ object StreamOps {
           graft.operators.Drift.mulDivPpb("r.cum_cur", "tc"))
           .as("d_ppb"))
   }
+
+  /** Streaming per-window percentile monitor — the q202 mergeable
+    * quantile sketch ([[graft.operators.QuantileSketch]]) as a
+    * watermarked windowed aggregation: each closed event-time window
+    * emits its row count and the sketch estimates at `qs`. The state
+    * store holds one O(k·log n) sketch buffer per open window (the
+    * Aggregator's buffer encoder serializes it), so a latency
+    * dashboard gets p50/p95-per-minute with bounded state at any
+    * volume — the streaming member of the sketch-rollup family
+    * (q115 HLL / q121 CMS / q202 quantiles).
+    *
+    * The estimate projection is a scalar function over the per-WINDOW
+    * state (output cardinality = windows, not events), so the
+    * non-codegen udf sits outside every hot path.
+    *
+    * Estimate contract (same as q202): sketch estimates depend on
+    * micro-batch partitioning via merge order, so stream==batch holds
+    * EXACTLY only while windows stay within one uncompacted level-0
+    * buffer (n ≤ k); beyond that the deterministic rank-error bound
+    * ≤ L·n/2k applies under any merge order (StreamQuantileSpec pins
+    * both regimes). n is always exact. */
+  def quantileStream(events: DataFrame, tsCol: String, valueCol: String,
+      windowLen: String, watermark: String, k: Int,
+      qs: Seq[Double]): DataFrame = {
+    import graft.operators.QuantileSketch
+    val sk = udaf(new QuantileSketch.SketchAgg(k),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val est = udf((s: Seq[Seq[Double]]) => QuantileSketch.estimate(s, qs))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(sk(col(valueCol).cast("double")).as("state"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"),
+        est(col("state")).as("est"))
+  }
 }
