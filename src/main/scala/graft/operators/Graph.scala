@@ -499,6 +499,96 @@ object Graph {
     * @return (id, n_reached, sum_hops, closeness_micro) for every
     *         vertex reached by at least one pivot (the pivot itself
     *         counts via its 0-hop row); unordered — callers sort */
+  /** Sampled bounded-radius betweenness centrality — Brandes (2001)
+    * with the two standard scale concessions: pivot SAMPLING (the
+    * `pivots` smallest vertex ids stand in for all sources, the
+    * Eppstein-Wang pivot trick q198's closeness shares) and a BFS
+    * radius cap (`maxHops`), i.e. k-bounded betweenness. The forward
+    * pass runs the |pivots| simultaneous level-synchronous BFS with
+    * exact shortest-PATH COUNTS σ (a per-level anti-join against the
+    * visited set plus a groupBy-sum of predecessor σ); the backward
+    * pass walks levels deepest-first accumulating the dependency
+    *
+    *   δ(u) = Σ_{v ∈ succ(u)} (σ_u · (10⁶ + δ(v))) div σ_v
+    *
+    * — each per-edge term is one integer multiply/divide (ppm
+    * scale), so the sum is associativity-free and engine-exact; the
+    * oracle unrolls the identical level chain. Betweenness(v) =
+    * Σ over pivots and levels ≥ 1 of δ(v) (roots excluded, per
+    * Brandes).
+    *
+    * Scale shape: every frame is (pivot × frontier)-sized — never
+    * |V|² and never all-pairs; each level is one edge join + one
+    * partial-agg groupBy forward, one edge join + one groupBy
+    * backward, all checkpointed so lineage stays flat. Overflow
+    * bound: σ ≤ maxdeg^maxHops and each δ term ≤ σ_u·(10⁶ + δ_v),
+    * so Long holds through maxHops 3 on degree-bounded basket
+    * graphs; web-scale hubs want σ in the log domain (documented
+    * not implemented).
+    *
+    * @return (id, bet_ppm): accumulated integer-ppm dependency for
+    *         every vertex appearing in at least one backward level;
+    *         unordered — callers sort */
+  def sampledBetweenness(edges: DataFrame, aCol: String, bCol: String,
+      pivots: Int, maxHops: Int): DataFrame = {
+    require(pivots >= 1, s"pivots must be >= 1: $pivots")
+    require(maxHops >= 2, s"maxHops must be >= 2: $maxHops")
+    val sym = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"),
+        col(aCol).as("dst")))
+      .distinct()
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val roots = sym.select(col("src").as("id")).distinct()
+      .orderBy(col("id")).limit(pivots)
+    // forward: lv(h) = (root, id, sigma), exact path counts
+    val lv = new Array[DataFrame](maxHops + 1)
+    lv(0) = roots.select(col("id").as("root"), col("id"),
+      lit(1L).as("sigma")).localCheckpoint(true)
+    var visited = lv(0).select(col("root"), col("id"))
+    for (h <- 1 to maxHops) {
+      lv(h) = sym
+        .join(lv(h - 1).select(col("root"), col("id").as("src"),
+          col("sigma")), Seq("src"))
+        .select(col("root"), col("dst").as("id"), col("sigma"))
+        .join(visited, Seq("root", "id"), "left_anti")
+        .groupBy(col("root"), col("id"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint(true)
+      visited = visited
+        .unionByName(lv(h).select(col("root"), col("id")))
+        .localCheckpoint(true)
+    }
+    // backward: δ at the deepest level is 0; levels maxHops-1 .. 1
+    // accumulate successor dependencies
+    var deltaNext = lv(maxHops)
+      .select(col("root"), col("id"), lit(0L).as("delta"))
+    var acc: DataFrame = null
+    for (h <- (maxHops - 1) to 1 by -1) {
+      val succ = lv(h + 1)
+        .select(col("root"), col("id").as("v"), col("sigma").as("sv"))
+        .join(deltaNext.select(col("root"), col("id").as("v"),
+          col("delta")), Seq("root", "v"), "left_outer")
+        .na.fill(0L, Seq("delta"))
+      val d = lv(h)
+        .select(col("root"), col("id").as("u"), col("sigma").as("su"))
+        .join(sym, col("u") === col("src"))
+        .select(col("root"), col("u"), col("su"), col("dst").as("v"))
+        .join(succ, Seq("root", "v"))
+        .select(col("root"), col("u"),
+          expr("(su * (1000000L + delta)) div sv").as("t"))
+        .groupBy(col("root"), col("u"))
+        .agg(sum(col("t")).as("delta"))
+        .select(col("root"), col("u").as("id"), col("delta"))
+        .localCheckpoint(true)
+      acc = if (acc == null) d else acc.unionByName(d)
+      deltaNext = d
+    }
+    acc.groupBy(col("id"))
+      .agg(sum(col("delta")).as("bet_ppm"))
+  }
+
   def sampledCloseness(edges: DataFrame, aCol: String, bCol: String,
       pivots: Int, maxHops: Int): DataFrame = {
     require(pivots >= 1, s"pivots must be >= 1: $pivots")

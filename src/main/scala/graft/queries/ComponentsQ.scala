@@ -1066,7 +1066,72 @@ object ComponentsQ {
       SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
       ORDER BY side, score DESC, id"""))
 
+  /** q208 — sampled bounded-radius betweenness centrality
+    * ([[Graph.sampledBetweenness]], 8 pivots, 3 hops): the broker
+    * score — which parts sit ON the shortest paths between others —
+    * completing the centrality family (degree-flavored PageRank q94,
+    * closeness q198, HITS q204). Exact integer-ppm Brandes
+    * dependency accumulation; the oracle unrolls the identical
+    * forward σ levels (anti-join exclusions included) and both
+    * backward δ levels, so a path-count or level-membership bug
+    * anywhere breaks the hash. */
+  val q208 = Qry(
+    "q208_betweenness",
+    (s: SparkSession, d: String) =>
+      Graph.sampledBetweenness(basketEdges(s, d), "src", "dst",
+          pivots = 8, maxHops = 3)
+        .orderBy(col("bet_ppm").desc, col("id"))
+        .limit(25),
+    Some(s"""
+      WITH $basketGraphSql,
+      roots AS MATERIALIZED (
+        SELECT DISTINCT src AS id FROM e0 ORDER BY src LIMIT 8),
+      l1 AS MATERIALIZED (
+        SELECT r.id AS root, e.dst AS id, CAST(COUNT(*) AS BIGINT)
+                 AS sigma
+        FROM roots r JOIN e0 e ON e.src = r.id
+        WHERE e.dst <> r.id
+        GROUP BY 1, 2),
+      l2 AS MATERIALIZED (
+        SELECT p.root, e.dst AS id, CAST(SUM(p.sigma) AS BIGINT)
+                 AS sigma
+        FROM l1 p JOIN e0 e ON e.src = p.id
+        WHERE e.dst <> p.root
+          AND NOT EXISTS (SELECT 1 FROM l1 x
+                          WHERE x.root = p.root AND x.id = e.dst)
+        GROUP BY 1, 2),
+      l3 AS MATERIALIZED (
+        SELECT p.root, e.dst AS id, CAST(SUM(p.sigma) AS BIGINT)
+                 AS sigma
+        FROM l2 p JOIN e0 e ON e.src = p.id
+        WHERE e.dst <> p.root
+          AND NOT EXISTS (SELECT 1 FROM l1 x
+                          WHERE x.root = p.root AND x.id = e.dst)
+          AND NOT EXISTS (SELECT 1 FROM l2 x
+                          WHERE x.root = p.root AND x.id = e.dst)
+        GROUP BY 1, 2),
+      d2 AS MATERIALIZED (
+        SELECT u.root, u.id,
+               CAST(SUM((u.sigma * 1000000) // v.sigma) AS BIGINT)
+                 AS delta
+        FROM l2 u
+        JOIN e0 e ON e.src = u.id
+        JOIN l3 v ON v.root = u.root AND v.id = e.dst
+        GROUP BY 1, 2),
+      d1 AS MATERIALIZED (
+        SELECT u.root, u.id,
+               CAST(SUM((u.sigma * (1000000 + COALESCE(d2.delta, 0)))
+                 // v.sigma) AS BIGINT) AS delta
+        FROM l1 u
+        JOIN e0 e ON e.src = u.id
+        JOIN l2 v ON v.root = u.root AND v.id = e.dst
+        LEFT JOIN d2 ON d2.root = v.root AND d2.id = v.id
+        GROUP BY 1, 2)
+      SELECT id, CAST(SUM(delta) AS BIGINT) AS bet_ppm
+      FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+      GROUP BY id ORDER BY bet_ppm DESC, id LIMIT 25"""))
+
   val all: Seq[Qry] =
     Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183,
-      q191, q194, q195, q196, q198, q199, q204)
+      q191, q194, q195, q196, q198, q199, q204, q208)
 }
