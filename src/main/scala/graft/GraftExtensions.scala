@@ -376,6 +376,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             intConstArg(children(4), "closeness: max_hops"))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("betweenness"),
+      new ExpressionInfo("graft.operators.Graph", "betweenness"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "betweenness expects (edges_view, a_col, b_col, pivots, " +
+            s"max_hops), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Graph.sampledBetweenness(
+            spark.table(strConst(children(0),
+              "betweenness: edges_view")),
+            strConst(children(1), "betweenness: a_col"),
+            strConst(children(2), "betweenness: b_col"),
+            intConstArg(children(3), "betweenness: pivots"),
+            intConstArg(children(4), "betweenness: max_hops"))
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

@@ -126,6 +126,48 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     assert(scansLineitem(rollup))
   }
 
+  test("incrementally maintained summary serves as the MV of the " +
+      "maintained base (IVM x MV-answering composition)") {
+    import graft.operators.Cdc
+    // initial base = orders with bucket < 80; CDC inserts the rest
+    // and deletes bucket < 10 → effective base = bucket in [10, 100)
+    val bucket = graft.operators.Splits.hashBucket(col("o_orderkey"))
+    val all = Tables.orders(spark, sf())
+    val initial = all.filter(bucket < 80)
+    val baseAgg = Cdc.aggOf(initial, "o_orderstatus", "o_totalprice", 2)
+    val cdc = all.filter(bucket >= 80)
+      .select(col("o_orderkey"), lit("i").as("op"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .unionByName(all.filter(bucket < 10)
+        .select(col("o_orderkey"), lit("d").as("op"),
+          col("o_orderstatus"), col("o_totalprice")))
+    val maintained = Cdc.maintainAgg(baseAgg, initial, cdc,
+        "o_orderkey", "op", "o_orderstatus", "o_totalprice", 2)
+      .localCheckpoint(true)
+    // materialize the maintained base as the file the MV answers for
+    val dir = java.nio.file.Files
+      .createTempDirectory("mv_ivm").toString + "/eff.parquet"
+    all.filter(bucket >= 10).write.mode("overwrite").parquet(dir)
+    val eff = spark.read.parquet(dir)
+    MvRegistry.register(eff,
+      dims = Map("o_orderstatus" -> "o_orderstatus"),
+      sums = Seq(round(col("o_totalprice"), 2).cast("decimal(18,2)")
+        -> "s"),
+      cnt = Some("cnt"), summary = maintained)
+    val q = eff.groupBy(col("o_orderstatus"))
+      .agg(Q.dsum(col("o_totalprice"), 2).as("rev"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+    assert(!q.queryExecution.executedPlan.toString.contains("eff.parquet"))
+    val direct = all.filter(bucket >= 10)
+      .groupBy(col("o_orderstatus"))
+      .agg(Q.dsum(col("o_totalprice"), 2).as("rev"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+      .collect().toSeq
+    assert(q.collect().toSeq == direct)
+  }
+
   test("decimal partial-sum rollup is bit-identical to the direct sum") {
     val direct = li.groupBy(col("l_returnflag"))
       .agg(Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),

@@ -313,4 +313,21 @@ class SqlTableFnSpec extends SparkSpec {
       .as[Long].collect()
     assert(best === Array(2L))
   }
+
+  test("betweenness from SQL equals the API result and finds the " +
+      "broker") {
+    // path 1-2-3: vertex 2 brokers everything
+    Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+      .createOrReplaceTempView("bet_edges_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM betweenness('bet_edges_sql', 'a', 'b', 3, 2) " +
+        "ORDER BY id")
+      .as[(Long, Long)].collect().toList
+    val viaApi = graft.operators.Graph.sampledBetweenness(
+        spark.table("bet_edges_sql"), "a", "b", pivots = 3,
+        maxHops = 2)
+      .orderBy("id").as[(Long, Long)].collect().toList
+    assert(viaSql === viaApi)
+    assert(viaSql === List((2L, 2000000L)))
+  }
 }
