@@ -25,6 +25,58 @@ import org.apache.spark.sql.functions._
   */
 object EntityRes {
 
+  /** Edit-distance-1 similarity self-join via DELETION-NEIGHBORHOOD
+    * blocking (the FastSS / SymSpell scheme): every string emits
+    * itself plus its |s| single-character-deletion variants as block
+    * keys; two strings within ED 1 ALWAYS share a key (substitution
+    * at i → both i-deletions coincide; insertion/deletion → the
+    * shorter string IS a variant of the longer), so an equi-join on
+    * variants finds every qualifying pair with zero false negatives,
+    * and an exact `levenshtein` verify removes the false positives
+    * (strings sharing a deletion at different positions can sit at
+    * ED 2). Generalizes to ED ≤ k with k-deletion neighborhoods
+    * (k+1 per-side growth |s|^k — documented, not implemented).
+    *
+    * Versus q203's prefix filter: that one prunes SET similarity
+    * (Jaccard over shingles), this prunes STRING similarity — the
+    * record-linkage key normalizer (names, SKUs, URLs) where a
+    * single typo must still match.
+    *
+    * Scale shape: key generation is one map-side HOF (|s|+1 rows per
+    * string); deletion variants of length-L strings are near-unique,
+    * so posting lists stay tiny and the candidate join is sharp —
+    * the opposite of a q-gram join, whose hot grams (shared
+    * prefixes) degenerate toward all-pairs. One key exchange, one
+    * pair distinct, one verify join.
+    *
+    * @return (a, b, ed) with a < b and ed = exact Levenshtein ≤ 1
+    */
+  def editDistance1Pairs(records: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val base = records.select(col(idCol).as("id"),
+        col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .localCheckpoint(true)
+    // keys = s plus delete-at-i for i in 0..|s|-1 (1-based substr:
+    // first i chars ++ chars from i+2 on)
+    val keyed = base.select(col("id"), explode(concat(
+        array(col("s")),
+        transform(sequence(lit(0), length(col("s")) - 1),
+          i => concat(col("s").substr(lit(1), i),
+            col("s").substr(i + lit(2), length(col("s"))))))).as("k"))
+    val cand = keyed.as("l")
+      .join(keyed.as("r"), col("l.k") === col("r.k") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("ed"))
+      .filter(col("ed") <= 1)
+  }
+
   /** Resolve records to entities by fuzzy name identity.
     *
     * @param records one row per record: `idCol` (unique long) +

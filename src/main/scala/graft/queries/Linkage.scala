@@ -138,5 +138,34 @@ object Linkage {
              CAST(SUM(b) AS BIGINT) AS sum_b
       FROM pairs GROUP BY cx ORDER BY cx"""))
 
-  val all: Seq[Qry] = Seq(q165, q168)
+  /** q209 — edit-distance-1 similarity join
+    * ([[graft.operators.EntityRes.editDistance1Pairs]]): the
+    * deletion-neighborhood (FastSS/SymSpell) blocking scheme on
+    * customer names — every single-typo pair is found by an
+    * equi-join on delete-one-char variants, then verified with exact
+    * Levenshtein. The oracle does NOT replay the blocking: it runs
+    * the brute-force all-pairs Levenshtein, so a lost candidate
+    * (wrong variant generation, off-by-one substring) breaks
+    * rows_match — the zero-false-negative property is verified
+    * against ground truth (the q203 auditing pattern). Fixture:
+    * sequential customer names differ in exactly one digit, so the
+    * ED-1 pair set is dense and position-diverse. */
+  val q209 = Qry(
+    "q209_edjoin",
+    (s: SparkSession, d: String) =>
+      graft.operators.EntityRes.editDistance1Pairs(
+          Tables.customer(s, d).filter(col("c_custkey") < 60),
+          "c_custkey", "c_name")
+        .orderBy(col("a"), col("b")),
+    Some("""
+      WITH c AS (
+        SELECT c_custkey AS id, c_name AS s FROM customer
+        WHERE c_custkey < 60)
+      SELECT a.id AS a, b.id AS b,
+             CAST(levenshtein(a.s, b.s) AS BIGINT) AS ed
+      FROM c a JOIN c b ON a.id < b.id
+      WHERE levenshtein(a.s, b.s) <= 1
+      ORDER BY a, b"""))
+
+  val all: Seq[Qry] = Seq(q165, q168, q209)
 }
