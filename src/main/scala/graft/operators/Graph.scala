@@ -499,6 +499,71 @@ object Graph {
     * @return (id, n_reached, sum_hops, closeness_micro) for every
     *         vertex reached by at least one pivot (the pivot itself
     *         counts via its 0-hop row); unordered — callers sort */
+  /** Single-source DIRECTED BFS hops (shortest hop count from
+    * `pivot`, edge direction respected — unlike [[perSourceHops]],
+    * which symmetrizes). One join + one anti-join + one distinct per
+    * level, frontier-sized frames, checkpointed lineage. */
+  def directedHops(edges: DataFrame, srcCol: String, dstCol: String,
+      pivot: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var frontier = e.sparkSession.range(1)
+      .select(lit(pivot).as("id"), lit(0).as("hop"))
+      .localCheckpoint(true)
+    var visited = frontier
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      frontier = e
+        .join(frontier.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier)
+    }
+    visited
+  }
+
+  /** The strongly connected component CONTAINING a pivot vertex, by
+    * the forward-backward reachability intersection (the pivot step
+    * of the classic divide-and-conquer distributed SCC — Fleischer
+    * et al. 2000; the full algorithm recurses on the three residues,
+    * documented not implemented): v ∈ SCC(pivot) ⟺ pivot →* v AND
+    * v →* pivot, i.e. v is in both the forward BFS (edges as given)
+    * and the backward BFS (edges reversed).
+    *
+    * Truncation honesty: both BFS runs are capped at `maxHops`, so
+    * the result is only the true SCC if both searches reached
+    * fixpoint within the cap. The returned frame exposes the hop of
+    * each reach; callers hash `count(hop = maxHops)` per direction
+    * as a LOUD convergence sentinel (must be 0 — the q182/q191
+    * pattern) so a still-growing frontier can never silently
+    * truncate the component.
+    *
+    * Scale shape: two frontier-sized BFS loops over one checkpointed
+    * distinct edge frame (the reverse direction swaps columns, no
+    * second build); the intersection is a vertex-sized full-outer
+    * join. Nothing all-pairs, nothing driver-sized.
+    *
+    * @return (id, fwd_hop, bwd_hop) — vertices reached in at least
+    *         one direction; fwd_hop/bwd_hop null when unreached;
+    *         in-SCC ⟺ both non-null */
+  def sccOfPivot(edges: DataFrame, srcCol: String, dstCol: String,
+      pivot: Long, maxHops: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val fwd = directedHops(e, "src", "dst", pivot, maxHops)
+      .select(col("id"), col("hop").as("fwd_hop"))
+    val bwd = directedHops(e, "dst", "src", pivot, maxHops)
+      .select(col("id"), col("hop").as("bwd_hop"))
+    fwd.join(bwd, Seq("id"), "full_outer")
+  }
+
   /** Sampled bounded-radius betweenness centrality — Brandes (2001)
     * with the two standard scale concessions: pivot SAMPLING (the
     * `pivots` smallest vertex ids stand in for all sources, the

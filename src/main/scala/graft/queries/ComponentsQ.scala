@@ -1131,7 +1131,105 @@ object ComponentsQ {
       FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
       GROUP BY id ORDER BY bet_ppm DESC, id LIMIT 25"""))
 
+  /** q210 — strongly connected component of a pivot
+    * ([[Graph.sccOfPivot]]): forward-backward reachability
+    * intersection on a genuinely DIRECTED graph (the q118 funnel is
+    * a DAG, so this fixture builds the low-diameter doubling graph
+    * v → 2v, 2v+1 (mod 512) over event-id residues — strongly
+    * connected with diameter ≤ 9 — plus one-way OUT-tail spurs
+    * (v → v+1000, reachable from the core but not back) and IN-tail
+    * spurs (v+1500 → v, reaching the core but unreachable from it)
+    * so the intersection is a PROPER subset of both searches). The
+    * digest hashes the SCC cardinality/id algebra, both
+    * one-direction-only counts, and the LOUD convergence sentinels:
+    * first-visits AT the hop cap must be 0 in both directions
+    * (12 hops vs diameter ≤ 10), or the hash breaks — a truncated
+    * search can never pass silently. */
+  val q210 = Qry(
+    "q210_scc_pivot",
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val r = ev.select((col("event_id") % 512).as("v")).distinct()
+      val t = ev.select((col("event_id") % 20).as("v")).distinct()
+      val e = r.select(col("v").as("src"),
+          ((col("v") * 2) % 512).as("dst"))
+        .unionAll(r.select(col("v").as("src"),
+          ((col("v") * 2 + 1) % 512).as("dst")))
+        .unionAll(r.filter(col("v") < 20)
+          .select(col("v").as("src"), (col("v") + 1000).as("dst")))
+        .unionAll(t.select((col("v") + 1500).as("src"),
+          col("v").as("dst")))
+      val m = Graph.sccOfPivot(e, "src", "dst", pivot = 0L,
+        maxHops = 12)
+      val inScc = col("fwd_hop").isNotNull && col("bwd_hop").isNotNull
+      m.agg(
+        sum(when(inScc, 1L).otherwise(0L)).as("n_scc"),
+        min(when(inScc, col("id"))).as("min_id"),
+        max(when(inScc, col("id"))).as("max_id"),
+        sum(when(inScc, col("id")).otherwise(0L)).as("id_sum"),
+        sum(when(col("fwd_hop").isNotNull && col("bwd_hop").isNull,
+          1L).otherwise(0L)).as("n_fwd_only"),
+        sum(when(col("bwd_hop").isNotNull && col("fwd_hop").isNull,
+          1L).otherwise(0L)).as("n_bwd_only"),
+        sum(when(col("fwd_hop") === 12, 1L).otherwise(0L))
+          .as("n_fwd_cap"),
+        sum(when(col("bwd_hop") === 12, 1L).otherwise(0L))
+          .as("n_bwd_cap"))
+    },
+    Some {
+      def relax(p: String, i: Int, step: String) = s"""
+      $p$i AS MATERIALIZED (
+        SELECT id, MIN(hop) AS hop FROM (
+          SELECT id, hop FROM $p${i - 1}
+          UNION ALL
+          $step)
+        GROUP BY 1)"""
+      val fSteps = (1 to 12).map(i => relax("f", i,
+        s"SELECT e.dst AS id, p.hop + 1 FROM f${i - 1} p " +
+          "JOIN e ON e.src = p.id")).mkString(",")
+      val bSteps = (1 to 12).map(i => relax("b", i,
+        s"SELECT e.src AS id, p.hop + 1 FROM b${i - 1} p " +
+          "JOIN e ON e.dst = p.id")).mkString(",")
+      s"""
+      WITH r AS MATERIALIZED (
+        SELECT DISTINCT event_id % 512 AS v FROM events),
+      t AS MATERIALIZED (
+        SELECT DISTINCT event_id % 20 AS v FROM events),
+      eraw AS (
+        SELECT v AS src, (2 * v) % 512 AS dst FROM r
+        UNION ALL SELECT v, (2 * v + 1) % 512 FROM r
+        UNION ALL SELECT v, v + 1000 FROM r WHERE v < 20
+        UNION ALL SELECT v + 1500, v FROM t),
+      e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+      f0 AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS hop),
+      b0 AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS hop),
+      $fSteps,
+      $bSteps,
+      m AS (
+        SELECT COALESCE(f.id, b.id) AS id, f.hop AS fh, b.hop AS bh
+        FROM f12 f FULL OUTER JOIN b12 b ON f.id = b.id)
+      SELECT
+        CAST(SUM(CASE WHEN fh IS NOT NULL AND bh IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_scc,
+        MIN(CASE WHEN fh IS NOT NULL AND bh IS NOT NULL THEN id END)
+          AS min_id,
+        MAX(CASE WHEN fh IS NOT NULL AND bh IS NOT NULL THEN id END)
+          AS max_id,
+        CAST(SUM(CASE WHEN fh IS NOT NULL AND bh IS NOT NULL
+          THEN id ELSE 0 END) AS BIGINT) AS id_sum,
+        CAST(SUM(CASE WHEN fh IS NOT NULL AND bh IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_fwd_only,
+        CAST(SUM(CASE WHEN bh IS NOT NULL AND fh IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_bwd_only,
+        CAST(SUM(CASE WHEN fh = 12 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_fwd_cap,
+        CAST(SUM(CASE WHEN bh = 12 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_bwd_cap
+      FROM m"""
+    })
+
   val all: Seq[Qry] =
     Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183,
-      q191, q194, q195, q196, q198, q199, q204, q208)
+      q191, q194, q195, q196, q198, q199, q204, q208, q210)
 }

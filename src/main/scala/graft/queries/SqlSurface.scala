@@ -158,13 +158,20 @@ object SqlSurface {
         sums = Seq(revenue -> "sum_rev", qty -> "sum_qty"),
         cnt = Some("cnt"),
         summary = summary)
-      li.filter(col("l_returnflag") =!= "N")
+      // eager: the rewrite fires HERE (against the registered MV);
+      // the registry is then cleared so no later query in the same
+      // session can match it — the rewrite would still be correct by
+      // the soundness contract, but a query's plan must never depend
+      // on which queries ran before it
+      val res = li.filter(col("l_returnflag") =!= "N")
         .groupBy(col("l_returnflag"))
         .agg(Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
             4).as("revenue"),
           Q.dsum(col("l_quantity"), 2).as("sum_qty"),
           count(lit(1)).as("n_items"))
-        .orderBy(col("l_returnflag"))
+        .localCheckpoint(true)
+      graft.plans.MvRegistry.clear()
+      res.orderBy(col("l_returnflag"))
     },
     Some(s"""
       SELECT l_returnflag,
