@@ -73,6 +73,64 @@ object Anonymize {
         col("anon_n") >= k && col("anon_div") >= l)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) for an
+    * ORDERED sensitive attribute — the skewness-attack fix over
+    * l-diversity: a class can be l-diverse yet still leak (all its
+    * values in the top decile of a salary scale). A QI class
+    * satisfies t-closeness iff the Earth Mover's Distance between
+    * its sensitive-value distribution and the GLOBAL distribution is
+    * ≤ t; for an ordered domain of m values the EMD is the mean of
+    * the m−1 absolute cumulative differences
+    * (1/(m−1))·Σᵢ|Σ_{j≤i}(p_j − q_j)|.
+    *
+    * Exact integer algebra (the q193/q200 lesson — no float ever
+    * reaches a hashed column): with class size n, global size N,
+    * per-value counts c_v (class) and g_v (global), the cumulative
+    * difference scaled by n·N is Cᵢ = Σ_{j≤i}(c_j·N − g_j·n), an
+    * integer; EMD·(m−1)·n·N = Σ|Cᵢ|. The audit compares
+    * emd_num·tDen ≤ emd_den·tNum with emd_den = (m−1)·n·N — exact
+    * for any rational threshold t = tNum/tDen. Overflow bound:
+    * |Cᵢ| ≤ n·N and emd_num ≤ m·n·N, so longs hold while
+    * m·n·N·tDen < 2⁶³ — at a billion rows with m ≤ 100 sensitive
+    * buckets and tDen ≤ 100 that is n ≤ 9×10⁸, far past any
+    * publishable class; beyond it, audit per-shard histograms.
+    *
+    * Scale shape: two partial-agg exchanges (per-(class,value) and
+    * per-class counts), the global histogram and the 1-row (N, m)
+    * totals are broadcast (bounded by the sensitive DOMAIN, not the
+    * data), the per-class×domain frame is classes×m rows with one
+    * class-keyed cumulative window. Nothing driver-sized.
+    *
+    * @param qi   quasi-identifier column NAMES (pre-projected)
+    * @param s    ordered sensitive column name (orderable, non-null)
+    * @return one row per QI class: qi…, anon_n, anon_m (global
+    *         domain size), anon_big_n (global rows), emd_num,
+    *         emd_den, anon_ok */
+  def tClosenessOrdered(records: DataFrame, qi: Seq[String], s: String,
+      tNum: Long, tDen: Long): DataFrame = {
+    require(tNum >= 0 && tDen > 0, s"bad threshold: $tNum/$tDen")
+    val r = records.select((qi :+ s).map(col): _*)
+    val glob = r.groupBy(col(s)).agg(count(lit(1)).as("g_cnt"))
+    val tot = glob.agg(sum(col("g_cnt")).as("anon_big_n"),
+      count(lit(1)).as("anon_m"))
+    val cls = r.groupBy(qi.map(col): _*).agg(count(lit(1)).as("anon_n"))
+    val cv = r.groupBy((qi :+ s).map(col): _*)
+      .agg(count(lit(1)).as("c_cnt"))
+    val w = Window.partitionBy(qi.map(col): _*).orderBy(col(s))
+    cls.crossJoin(broadcast(glob)).crossJoin(broadcast(tot))
+      .join(cv, qi :+ s, "left")
+      .withColumn("c_cnt", coalesce(col("c_cnt"), lit(0L)))
+      .withColumn("cum", sum(col("c_cnt") * col("anon_big_n") -
+        col("g_cnt") * col("anon_n")).over(w))
+      .groupBy((qi ++ Seq("anon_n", "anon_m", "anon_big_n"))
+        .map(col): _*)
+      .agg(sum(abs(col("cum"))).as("emd_num"))
+      .withColumn("emd_den",
+        (col("anon_m") - 1) * col("anon_n") * col("anon_big_n"))
+      .withColumn("anon_ok",
+        col("emd_num") * tDen <= col("emd_den") * tNum)
+  }
+
   /** Warner randomized-response report bit: the respondent reports
     * the TRUE bit with probability 3/4 and the flipped bit with
     * probability 1/4. The coin is derandomized for reproducibility —

@@ -354,5 +354,90 @@ object Pii {
                AS ok
       FROM g ORDER BY day"""))
 
-  val all: Seq[Qry] = Seq(q180, q181, q185, q205, q206)
+  /** q211 — t-closeness audit ([[graft.operators.Anonymize
+    * .tClosenessOrdered]], t = 1/5): the skewness-attack fix over
+    * q205's l-diversity — a class whose account-balance distribution
+    * sits far from the table-wide distribution leaks even when it is
+    * diverse, so publishability requires the ordered-domain Earth
+    * Mover's Distance to the global histogram to stay ≤ t. Same
+    * scaling QI fixture as q205 (md5 zip over a domain of count div 5
+    * classes); the ordered sensitive attribute is the account balance
+    * in 1000-unit buckets (m = 11 at every SF). All EMD algebra is
+    * exact integers (Cᵢ = Σ(c_j·N − g_j·n), emd_num = Σ|Cᵢ|,
+    * emd_den = (m−1)·n·N); the digest buckets classes by the
+    * overflow-safe ppb ratio decile and hashes class/record counts
+    * plus the exact min/max ppb per cell.
+    *
+    * Scale shape: two partial-agg exchanges + one class-keyed window
+    * over classes×m rows; global histogram and totals broadcast
+    * (bounded by the 11-bucket domain). */
+  val q211 = Qry(
+    "q211_t_closeness",
+    (s: SparkSession, d: String) => {
+      import graft.operators.{Anonymize, Drift}
+      val nCls = Tables.customer(s, d)
+        .agg(expr("GREATEST(CAST(1 AS BIGINT), COUNT(1) DIV 5)")
+          .as("n_cls"))
+      val recs = Tables.customer(s, d)
+        .crossJoin(broadcast(nCls))
+        .select(
+          (conv(substring(md5(col("c_custkey").cast("string")), 1, 4),
+            16, 10).cast("long") % col("n_cls")).as("zip"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_kb"))
+      Anonymize.tClosenessOrdered(recs, Seq("zip"), "bal_kb",
+          tNum = 1L, tDen = 5L)
+        .withColumn("emd_ppb", Drift.mulDivPpb("emd_num", "emd_den"))
+        .groupBy(col("anon_ok"),
+          expr("emd_ppb DIV CAST(100000000 AS BIGINT)").as("decile"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("anon_n")).as("n_records"),
+          min(col("emd_ppb")).as("min_ppb"),
+          max(col("emd_ppb")).as("max_ppb"))
+        .orderBy(col("anon_ok"), col("decile"))
+    },
+    Some(s"""
+      WITH dom AS (
+        SELECT GREATEST(1, COUNT(*) // 5) AS n_cls FROM customer),
+      r AS (
+        SELECT ${Q.md5Hex16Sql("c_custkey", 1)}
+                 % (SELECT n_cls FROM dom) AS zip,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_kb
+        FROM customer),
+      g AS (
+        SELECT bal_kb, CAST(COUNT(*) AS BIGINT) AS g_cnt
+        FROM r GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(g_cnt) AS BIGINT) AS big_n,
+               CAST(COUNT(*) AS BIGINT) AS m FROM g),
+      cls AS (
+        SELECT zip, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1),
+      cv AS (
+        SELECT zip, bal_kb, CAST(COUNT(*) AS BIGINT) AS c_cnt
+        FROM r GROUP BY 1, 2),
+      fullg AS (
+        SELECT cls.zip, cls.n, g.bal_kb, g.g_cnt,
+               COALESCE(cv.c_cnt, 0) AS c_cnt, tot.big_n, tot.m
+        FROM cls CROSS JOIN g CROSS JOIN tot
+        LEFT JOIN cv ON cv.zip = cls.zip AND cv.bal_kb = g.bal_kb),
+      cum AS (
+        SELECT zip, n, big_n, m,
+               SUM(c_cnt * big_n - g_cnt * n)
+                 OVER (PARTITION BY zip ORDER BY bal_kb) AS c
+        FROM fullg),
+      emd AS (
+        SELECT zip, n,
+               CAST(SUM(ABS(c)) AS BIGINT) AS num,
+               (m - 1) * n * big_n AS den
+        FROM cum GROUP BY zip, n, m, big_n),
+      scored AS (
+        SELECT n, (num * 5 <= den * 1) AS anon_ok,
+               ${graft.operators.Drift.mulDivPpbSql("num", "den")} AS ppb
+        FROM emd)
+      SELECT anon_ok, ppb // 100000000 AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(n) AS BIGINT) AS n_records,
+             MIN(ppb) AS min_ppb, MAX(ppb) AS max_ppb
+      FROM scored GROUP BY 1, 2 ORDER BY anon_ok, decile"""))
+
+  val all: Seq[Qry] = Seq(q180, q181, q185, q205, q206, q211)
 }

@@ -144,4 +144,65 @@ class AnonymizeSpec extends SparkSpec {
     assert(math.abs(est2 - 2 * agg._1) <= band,
       s"est2=$est2 truth2=${2 * agg._1} band=$band")
   }
+
+  // ---- t-closeness (q211) ----
+
+  /** (class, sensitive-bucket) rows → per-class (num, den, ok). */
+  private def tc(rows: Seq[(String, Long)], tNum: Long, tDen: Long)
+      : Map[String, (Long, Long, Boolean)] =
+    Anonymize.tClosenessOrdered(
+        rows.toDF("cls", "sb"), Seq("cls"), "sb", tNum, tDen)
+      .select(col("cls"), col("emd_num"), col("emd_den"),
+        col("anon_ok"))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("t-closeness: a class mirroring the global distribution has EMD 0") {
+    // two identical classes → each IS the global distribution
+    val rows = for (c <- Seq("a", "b"); s <- 0L to 3L) yield (c, s)
+    val m = tc(rows, 0, 1) // even t = 0 publishes an exact mirror
+    assert(m("a") == ((0L, 3L * 4 * 8, true)))
+    assert(m("b")._3)
+  }
+
+  test("t-closeness: EMD matches the hand-computed cumulative form") {
+    // global over {0,1}: a=(2,0), b=(1,1) → N=4, m=2, g=(3,1)
+    // class a: C1 = 2*4 - 3*2 = 2 → num=2, den=1*2*4=8 → EMD=1/4
+    // class b: C1 = 1*4 - 3*2 = -2 → num=2, den=8 → EMD=1/4
+    val rows = Seq(("a", 0L), ("a", 0L), ("b", 0L), ("b", 1L))
+    val m = tc(rows, 1, 4)
+    assert(m("a") == ((2L, 8L, true)))   // 2*4 <= 8*1
+    assert(m("b") == ((2L, 8L, true)))
+    val strict = tc(rows, 1, 5)          // t = 1/5 < 1/4 → fail
+    assert(!strict("a")._3 && !strict("b")._3)
+  }
+
+  test("t-closeness: ORDER matters — distance grows with displacement") {
+    // skewed class concentrated at bucket 3 vs one at bucket 1,
+    // same |p - q| per bucket but larger cumulative displacement
+    val base = for (c <- Seq("x", "y"); s <- 0L to 3L) yield (c, s)
+    val far = base ++ Seq.fill(4)(("far", 3L))
+    val near = base ++ Seq.fill(4)(("near", 1L))
+    val mFar = tc(far, 1, 1)
+    val mNear = tc(near, 1, 1)
+    // same den (same n, N, m) — compare nums directly
+    assert(mFar("far")._2 == mNear("near")._2)
+    assert(mFar("far")._1 > mNear("near")._1)
+  }
+
+  test("t-closeness: a class missing trailing domain values still audits") {
+    // class "hole" never emits bucket 2; the domain join must still
+    // charge it the full cumulative distance
+    val rows = Seq(("a", 0L), ("a", 1L), ("a", 2L),
+      ("hole", 0L), ("hole", 1L), ("hole", 1L))
+    val m = tc(rows, 1, 1)
+    // hole: c=(1,2,0), n=3, N=6, g=(2,3,1), m=3
+    // C1 = 1*6-2*3 = 0; C2 = 0 + (2*6-3*3) = 3; C3 = 3 + (0-1*3) = 0
+    assert(m("hole") == ((3L, 2L * 3 * 6, true)))
+  }
+
+  test("t-closeness: single-value domain is trivially 0-close") {
+    val m = tc(Seq(("a", 5L), ("a", 5L), ("b", 5L)), 0, 1)
+    assert(m.values.forall(v => v._1 == 0L && v._3))
+  }
 }
