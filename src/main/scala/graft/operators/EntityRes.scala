@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy entity resolution (record linkage): cluster records
@@ -35,7 +35,8 @@ object EntityRes {
     * and an exact `levenshtein` verify removes the false positives
     * (strings sharing a deletion at different positions can sit at
     * ED 2). Generalizes to ED ≤ k with k-deletion neighborhoods
-    * (k+1 per-side growth |s|^k — documented, not implemented).
+    * (~|s|^k per-side neighborhood growth — k = 2 implemented as
+    * [[editDistance2Pairs]]).
     *
     * Versus q203's prefix filter: that one prunes SET similarity
     * (Jaccard over shingles), this prunes STRING similarity — the
@@ -75,6 +76,71 @@ object EntityRes {
       .select(col("a"), col("b"),
         levenshtein(col("sa"), col("sb")).cast("long").as("ed"))
       .filter(col("ed") <= 1)
+  }
+
+  /** Edit-distance ≤ 2 similarity self-join — the k = 2 instance of
+    * the FastSS deletion-neighborhood scheme documented on
+    * [[editDistance1Pairs]]: every string emits its ≤2-deletion
+    * neighborhood (itself, |s| delete-one variants, |s|·(|s|−1)/2
+    * delete-two variants — ~|s|²/2 keys per string). Soundness of
+    * the block: if ED(u,v) = e ≤ 2, an optimal alignment has
+    * s substitutions + i insertions + d deletions with
+    * s + i + d = e; dropping the substituted/inserted/deleted
+    * positions from each side leaves one COMMON string reachable by
+    * ≤ e deletions from both — so every qualifying pair shares a
+    * neighborhood key and the equi-join has zero false negatives.
+    * The converse fails (ab/ba share a key at distance 2 deletions
+    * but ED can exceed it in general), hence the exact `levenshtein`
+    * verify.
+    *
+    * Scale shape: key generation stays map-side (nested HOF, no
+    * explode-join); `array_distinct` collapses the duplicate
+    * variants of repeated characters before the explode, and
+    * two-deletion variants of length-L strings are still near-unique
+    * so posting lists stay sharp. One key exchange, one pair
+    * distinct, one verify join — the growth versus k = 1 is the
+    * ~L²/2 keys per string (the documented |s|^k neighborhood
+    * cost), not any join blow-up.
+    *
+    * @return (a, b, ed) with a < b and ed = exact Levenshtein ≤ 2
+    */
+  def editDistance2Pairs(records: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val base = records.select(col(idCol).as("id"),
+        col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .localCheckpoint(true)
+    val L = length(col("s"))
+    val idx = sequence(lit(0), L - 1)
+    // delete position i (0-based): first i chars ++ chars from i+2
+    def del1(s: Column, i: Column) = concat(s.substr(lit(1), i),
+      s.substr(i + lit(2), length(s)))
+    // delete i < j: [1,i) ++ (i,j) ++ (j, L]
+    def del2(s: Column, i: Column, j: Column) = concat(
+      s.substr(lit(1), i),
+      s.substr(i + lit(2), j - i - lit(1)),
+      s.substr(j + lit(2), length(s)))
+    val neigh = when(L === 0, array(col("s"))).otherwise(
+      array_distinct(concat(
+        array(col("s")),
+        transform(idx, i => del1(col("s"), i)),
+        filter(
+          flatten(transform(idx, i => transform(idx, j =>
+            when(j > i, del2(col("s"), i, j))
+              .otherwise(lit(null).cast("string"))))),
+          v => v.isNotNull))))
+    val keyed = base.select(col("id"), explode(neigh).as("k"))
+    val cand = keyed.as("l")
+      .join(keyed.as("r"), col("l.k") === col("r.k") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("ed"))
+      .filter(col("ed") <= 2)
   }
 
   /** Resolve records to entities by fuzzy name identity.

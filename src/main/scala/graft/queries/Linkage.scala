@@ -167,5 +167,33 @@ object Linkage {
       WHERE levenshtein(a.s, b.s) <= 1
       ORDER BY a, b"""))
 
-  val all: Seq[Qry] = Seq(q165, q168, q209)
+  /** q212 — edit-distance ≤ 2 similarity join
+    * ([[graft.operators.EntityRes.editDistance2Pairs]]): the k = 2
+    * deletion-neighborhood instance — a two-typo pair (two digit
+    * substitutions in the sequential customer names) must still
+    * block together. Same auditing posture as q209: the oracle is
+    * the brute-force all-pairs Levenshtein ground truth, so any lost
+    * candidate (missing delete-two variant, wrong substring bounds)
+    * breaks rows_match — the zero-false-negative property of the
+    * ≤2-deletion block is verified, not replayed. The id band is
+    * wider than q209's so cross-magnitude names (one digit vs two)
+    * exercise the insert+substitute mixed alignments. */
+  val q212 = Qry(
+    "q212_edjoin2",
+    (s: SparkSession, d: String) =>
+      graft.operators.EntityRes.editDistance2Pairs(
+          Tables.customer(s, d).filter(col("c_custkey") < 120),
+          "c_custkey", "c_name")
+        .orderBy(col("a"), col("b")),
+    Some("""
+      WITH c AS (
+        SELECT c_custkey AS id, c_name AS s FROM customer
+        WHERE c_custkey < 120)
+      SELECT a.id AS a, b.id AS b,
+             CAST(levenshtein(a.s, b.s) AS BIGINT) AS ed
+      FROM c a JOIN c b ON a.id < b.id
+      WHERE levenshtein(a.s, b.s) <= 2
+      ORDER BY a, b"""))
+
+  val all: Seq[Qry] = Seq(q165, q168, q209, q212)
 }

@@ -70,4 +70,73 @@ class EdJoinSpec extends SparkSpec {
     // ed(a,b)=1 sub; ed(a,ab)=1 ins; ed(b,ab)=1 ins; ed(x,a)=1 ...
     assert(pairs(rows) === brute(rows))
   }
+
+  // ---- ED <= 2 (q212) ----
+
+  private def pairs2(rows: Seq[(Long, String)])
+      : Set[(Long, Long, Long)] =
+    EntityRes.editDistance2Pairs(rows.toDF("id", "s"), "id", "s")
+      .as[(Long, Long, Long)].collect().toSet
+
+  private def brute2(rows: Seq[(Long, String)])
+      : Set[(Long, Long, Long)] = {
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      x <- rows; y <- rows if x._1 < y._1
+      e = ed(x._2, y._2) if e <= 2
+    } yield (x._1, y._1, e.toLong)).toSet
+  }
+
+  test("ED2: every 2-edit composition is found") {
+    val rows = Seq((1L, "spark"),
+      (2L, "spork"),   // 1 sub
+      (3L, "stork"),   // 2 subs
+      (4L, "sprks"),   // del + ins elsewhere
+      (5L, "sparkle"), // 2 ins
+      (6L, "par"),     // 2 del
+      (7L, "flink"))   // far
+    assert(pairs2(rows) === brute2(rows))
+    // the far string pairs with nothing
+    assert(!pairs2(rows).exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
+  test("ED2: shared 2-deletion variant at true ED 3+ is verified away") {
+    // "xyab" and "abzw" share "ab" in their 2-deletion
+    // neighborhoods, but ED = 4
+    assert(pairs2(Seq((1L, "xyab"), (2L, "abzw"))).isEmpty)
+  }
+
+  test("ED2: transposition (ab -> ba) counts as 2 and is found") {
+    // the classic neighborhood-intersection false positive for
+    // k = 1 is a TRUE positive for k = 2
+    assert(pairs2(Seq((1L, "form"), (2L, "from"))) ===
+      Set((1L, 2L, 2L)))
+  }
+
+  test("ED2: matches brute force on digit-dense ids") {
+    val rows = (1L to 60L).map(i => i -> f"ID#$i%04d")
+    assert(pairs2(rows) === brute2(rows))
+  }
+
+  test("ED2: matches brute force on mixed/short strings") {
+    val words = Seq("data", "date", "dates", "dat", "da", "d", "",
+      "daze", "maze", "amazed", "plasma", "ab", "ba")
+    val rows = words.zipWithIndex.map { case (w, i) => (i + 1L, w) }
+    assert(pairs2(rows) === brute2(rows))
+  }
+
+  test("ED2: result is a superset of ED1 on the same corpus") {
+    val rows = (1L to 40L).map(i => i -> f"K$i%03d")
+    val p1 = pairs(rows)
+    val p2 = pairs2(rows)
+    assert(p1.subsetOf(p2))
+    assert(p2.filter(_._3 <= 1) === p1)
+  }
 }
