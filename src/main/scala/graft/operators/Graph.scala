@@ -530,8 +530,8 @@ object Graph {
   /** The strongly connected component CONTAINING a pivot vertex, by
     * the forward-backward reachability intersection (the pivot step
     * of the classic divide-and-conquer distributed SCC — Fleischer
-    * et al. 2000; the full algorithm recurses on the three residues,
-    * documented not implemented): v ∈ SCC(pivot) ⟺ pivot →* v AND
+    * et al. 2000; the FULL decomposition is [[sccLabels]]):
+    * v ∈ SCC(pivot) ⟺ pivot →* v AND
     * v →* pivot, i.e. v is in both the forward BFS (edges as given)
     * and the backward BFS (edges reversed).
     *
@@ -562,6 +562,141 @@ object Graph {
     val bwd = directedHops(e, "dst", "src", pivot, maxHops)
       .select(col("id"), col("hop").as("bwd_hop"))
     fwd.join(bwd, Seq("id"), "full_outer")
+  }
+
+  /** FULL strongly-connected-component decomposition — the
+    * trim + forward-coloring + backward-sweep scheme of the
+    * distributed SCC literature (FW-BW-Trim: Fleischer et al. 2000
+    * pivoting generalized to every color at once; Hong/Slota-style
+    * trimming), completing the pivot-only [[sccOfPivot]]:
+    *
+    *  1. TRIM — peel vertices with no in-edge or no out-edge in the
+    *     active subgraph (iterated: tails and sources unravel); each
+    *     peeled vertex is its own singleton SCC.
+    *  2. COLOR — min-label propagation FORWARD along edges to
+    *     fixpoint: color(v) = min{u : u →* v} within the active
+    *     subgraph. Every color class has exactly one ROOT r with
+    *     color(r) = r, and color is constant on SCC(r) (a smaller
+    *     ancestor of any member would be an ancestor of r too).
+    *  3. SWEEP — backward BFS from ALL roots simultaneously,
+    *     restricted to each root's own color class: the vertices
+    *     that reach their root within its class are exactly SCC(r)
+    *     for every root r at once. Settle them, drop them from the
+    *     active subgraph, repeat — each outer round settles one
+    *     antichain of the SCC DAG, so outer rounds ≤ its depth.
+    *
+    * Determinism: min-labels and set algebra only — no randomness,
+    * no floats; output is partitioning-independent.
+    *
+    * Scale shape: every step is an equi-join / semi-join / partial
+    * min-aggregate on vertex- or frontier-sized frames with
+    * checkpointed lineage; nothing all-pairs, nothing driver-sized
+    * (the driver sees only isEmpty flags). Round counts are
+    * data-bounded: trim by tail length, coloring by active diameter,
+    * sweep by SCC diameter, outer by SCC-DAG depth — the same
+    * latency profile as the repo's other fixpoint kernels (k-core,
+    * components); at cluster scale rounds amortize over partitions.
+    *
+    * @param maxRounds hard cap on TOTAL inner iterations (trim +
+    *        color + sweep across all outer rounds); exceeded ⇒
+    *        IllegalStateException — a silent partial decomposition
+    *        is never returned.
+    * @return (id, scc) for every vertex incident to an edge; scc =
+    *         min vertex id of the component */
+  def sccLabels(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 200): DataFrame = {
+    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var v = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val settled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var budget = maxRounds
+    def spend(): Unit = {
+      budget -= 1
+      if (budget < 0) throw new IllegalStateException(
+        s"sccLabels exceeded $maxRounds rounds before settling")
+    }
+    while (!v.isEmpty) {
+      // 1. TRIM singleton SCCs
+      var trimming = true
+      while (trimming && !v.isEmpty) {
+        spend()
+        val keep = v
+          .join(e.select(col("src").as("id")).distinct(), Seq("id"),
+            "left_semi")
+          .join(e.select(col("dst").as("id")).distinct(), Seq("id"),
+            "left_semi")
+          .localCheckpoint(true)
+        val drop = v.join(keep, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        if (drop.isEmpty) trimming = false
+        else {
+          settled += drop.select(col("id"), col("id").as("scc"))
+          v = keep
+          e = e.join(v.select(col("id").as("src")), Seq("src"),
+              "left_semi")
+            .join(v.select(col("id").as("dst")), Seq("dst"),
+              "left_semi")
+            .localCheckpoint(true)
+        }
+      }
+      if (!v.isEmpty) {
+        // 2. COLOR: forward min-label fixpoint
+        var color = v.select(col("id"), col("id").as("c"))
+          .localCheckpoint(true)
+        var changed = true
+        while (changed) {
+          spend()
+          val prop = e
+            .join(color.select(col("id").as("src"), col("c")),
+              Seq("src"))
+            .select(col("dst").as("id"), col("c"))
+          val upd = color.unionByName(prop)
+            .groupBy(col("id")).agg(min(col("c")).as("c"))
+            .localCheckpoint(true)
+          changed = !upd
+            .join(color.select(col("id"), col("c").as("c0")),
+              Seq("id"))
+            .filter(col("c") < col("c0"))
+            .isEmpty
+          color = upd
+        }
+        // 3. SWEEP: backward BFS from every root inside its class
+        var frontier = color.filter(col("id") === col("c"))
+          .localCheckpoint(true)
+        var reached = frontier
+        while (!frontier.isEmpty) {
+          spend()
+          frontier = e
+            .join(frontier.select(col("id").as("dst"), col("c")),
+              Seq("dst"))
+            .select(col("src").as("id"), col("c"))
+            .join(color.select(col("id"), col("c").as("vc")),
+              Seq("id"))
+            .filter(col("c") === col("vc"))
+            .select(col("id"), col("c"))
+            .distinct()
+            .join(reached.select(col("id")), Seq("id"), "left_anti")
+            .localCheckpoint(true)
+          reached = reached.unionByName(frontier)
+        }
+        settled += reached.select(col("id"), col("c").as("scc"))
+        v = v.join(reached.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        e = e.join(v.select(col("id").as("src")), Seq("src"),
+            "left_semi")
+          .join(v.select(col("id").as("dst")), Seq("dst"),
+            "left_semi")
+          .localCheckpoint(true)
+      }
+    }
+    settled.reduceOption(_ unionByName _)
+      .getOrElse(e.select(col("src").as("id"),
+        col("src").as("scc")).limit(0))
   }
 
   /** Sampled bounded-radius betweenness centrality — Brandes (2001)

@@ -1229,7 +1229,100 @@ object ComponentsQ {
       FROM m"""
     })
 
+  /** q213 — FULL strongly-connected-component decomposition
+    * ([[Graph.sccLabels]]): trim + forward-min-coloring + backward
+    * sweep over a fixture with every structural case at once — a
+    * base-4 doubling core (v → 4v+k mod 64, k=0..3: strongly
+    * connected, diameter 3), four directed cycle blocks of sizes
+    * 3-6 bridged ONE-WAY from the core (a proper SCC DAG, so the
+    * outer peel loop must run more than once), an in-tail (900 → 0)
+    * and an out-tail (5 → 950) that only trimming can settle. The
+    * digest is the component-size census: per distinct size, the
+    * component count plus min/sum of labels and member-id sums —
+    * any mislabeled vertex, merged SCC, or split SCC moves it.
+    *
+    * The oracle computes ground truth INDEPENDENTLY (the q203/q209
+    * auditing posture): reflexive-transitive closure by 5 rounds of
+    * relation doubling (covers paths ≤ 32; the fixture's longest
+    * shortest path is ≤ 9, so the closure is provably at fixpoint),
+    * then scc(v) = min{u : v →* u ∧ u →* v} — no replay of the
+    * trim/color/sweep rounds, so an algorithmic bug on either side
+    * breaks the match. */
+  val q213 = Qry(
+    "q213_scc_full",
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val r64 = ev.select((col("event_id") % 64).as("v")).distinct()
+      val b4 = ev.select((col("event_id") % 4 + 1).as("b")).distinct()
+      val r8 = ev.select((col("event_id") % 8).as("i")).distinct()
+      val core = (0 to 3).map(k =>
+        r64.select(col("v").as("src"),
+          ((col("v") * 4 + k) % 64).as("dst"))).reduce(_ unionAll _)
+      val blocks = b4.crossJoin(r8)
+        .filter(col("i") < col("b") + 2)
+        .select((col("b") * 100 + col("i")).as("src"),
+          (col("b") * 100 + (col("i") + 1) % (col("b") + 2)).as("dst"))
+      val bridges = r64.filter(col("v").between(1, 4))
+        .select(col("v").as("src"), (col("v") * 100).as("dst"))
+      val one = r8.filter(col("i") === 0)
+      val tails = one.select(lit(900L).as("src"), lit(0L).as("dst"))
+        .unionAll(one.select(lit(5L).as("src"), lit(950L).as("dst")))
+      val e = core.unionAll(blocks).unionAll(bridges).unionAll(tails)
+      Graph.sccLabels(e, "src", "dst")
+        .groupBy(col("scc"))
+        .agg(count(lit(1)).as("sz"), sum(col("id")).as("idsum"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_comps"),
+          min(col("scc")).as("min_scc"),
+          sum(col("scc")).as("sum_scc"),
+          sum(col("idsum")).as("sum_ids"))
+        .orderBy(col("sz"))
+    },
+    Some {
+      val close = (1 to 5).map(i => s"""
+      c$i AS MATERIALIZED (
+        SELECT DISTINCT x.a, y.b
+        FROM c${i - 1} x JOIN c${i - 1} y ON x.b = y.a)""")
+        .mkString(",")
+      s"""
+      WITH r64 AS MATERIALIZED (
+        SELECT DISTINCT event_id % 64 AS v FROM events),
+      b4 AS MATERIALIZED (
+        SELECT DISTINCT event_id % 4 + 1 AS b FROM events),
+      r8 AS MATERIALIZED (
+        SELECT DISTINCT event_id % 8 AS i FROM events),
+      eraw AS (
+        SELECT v AS src, (4 * v) % 64 AS dst FROM r64
+        UNION ALL SELECT v, (4 * v + 1) % 64 FROM r64
+        UNION ALL SELECT v, (4 * v + 2) % 64 FROM r64
+        UNION ALL SELECT v, (4 * v + 3) % 64 FROM r64
+        UNION ALL SELECT 100 * b + i, 100 * b + (i + 1) % (b + 2)
+          FROM b4 CROSS JOIN r8 WHERE i < b + 2
+        UNION ALL SELECT v, 100 * v FROM r64 WHERE v BETWEEN 1 AND 4
+        UNION ALL SELECT 900, 0 FROM r8 WHERE i = 0
+        UNION ALL SELECT 5, 950 FROM r8 WHERE i = 0),
+      e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+      vs AS (SELECT src AS a FROM e UNION SELECT dst FROM e),
+      c0 AS MATERIALIZED (
+        SELECT a, a AS b FROM vs UNION SELECT src, dst FROM e),
+      $close,
+      sccl AS (
+        SELECT f.a AS id, MIN(f.b) AS scc
+        FROM c5 f JOIN c5 g ON g.a = f.b AND g.b = f.a
+        GROUP BY 1),
+      comp AS (
+        SELECT scc, CAST(COUNT(*) AS BIGINT) AS sz,
+               CAST(SUM(id) AS BIGINT) AS idsum
+        FROM sccl GROUP BY 1)
+      SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_comps,
+             MIN(scc) AS min_scc,
+             CAST(SUM(scc) AS BIGINT) AS sum_scc,
+             CAST(SUM(idsum) AS BIGINT) AS sum_ids
+      FROM comp GROUP BY 1 ORDER BY sz"""
+    })
+
   val all: Seq[Qry] =
     Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183,
-      q191, q194, q195, q196, q198, q199, q204, q208, q210)
+      q191, q194, q195, q196, q198, q199, q204, q208, q210, q213)
 }
