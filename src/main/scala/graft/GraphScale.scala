@@ -18,7 +18,7 @@ import graft.operators.Graph
   * decades and wall growth isolates the ENGINE's scaling.
   *
   * Usage: runMain graft.GraphScale [n] [reps] [ops-csv]
-  * (ops-csv ⊆ kcore,lpa,walks; default all)
+  * (ops-csv ⊆ kcore,lpa,walks,scc; default all)
   * Prints one JSON line per rep per operator plus summary minima.
   */
 object GraphScale {
@@ -27,7 +27,7 @@ object GraphScale {
     val n = args.lift(0).map(_.toInt).getOrElse(100000)
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val ops = args.lift(2).map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("kcore", "lpa", "walks"))
+      .getOrElse(Set("kcore", "lpa", "walks", "scc"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = Tables.configure(SparkSession.builder()
@@ -65,10 +65,24 @@ object GraphScale {
         walksPerNode = 2, steps = 5).count()
     }
 
+    // scc treats the SAME generated edges as DIRECTED: avg
+    // out-degree 3 puts the digraph well past the giant-SCC
+    // threshold, so every decade has one large component, a
+    // singleton sea for trim, and a shallow residual SCC DAG —
+    // the round profile (trim depth, coloring diameter) stays
+    // comparable across decades
+    def sccRun(m: Long): (Long, Long) = {
+      val l = Graph.sccLabels(edges(m), "a", "b", maxRounds = 500)
+      val giant = l.groupBy(col("scc")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      (l.select(col("scc")).distinct().count(), giant)
+    }
+
     // warmup compiles the identical generated code at 1/10 size
     if (ops("kcore")) kcoreRun(math.max(n / 10L, 1000L))
     if (ops("lpa")) lpaRun(math.max(n / 10L, 1000L))
     if (ops("walks")) walkRun(math.max(n / 10L, 1000L))
+    if (ops("scc")) sccRun(math.max(n / 10L, 1000L))
 
     def timed(tag: String, run: () => (Long, Long)): Double = {
       val times = (1 to reps).map { r =>
@@ -88,9 +102,11 @@ object GraphScale {
       () => (lpaRun(n.toLong), 0L)) else -1d
     val wk = if (ops("walks")) timed("walks_e2e",
       () => (walkRun(n.toLong), 0L)) else -1d
+    val sc = if (ops("scc")) timed("scc_e2e",
+      () => sccRun(n.toLong)) else -1d
     println(f"""{"metric":"graph_scale_min","n":$n,""" +
       f""""kcore_sec":$kc%.4f,"lpa_sec":$lp%.4f,""" +
-      f""""walks_sec":$wk%.4f,"unit":"sec"}""")
+      f""""walks_sec":$wk%.4f,"scc_sec":$sc%.4f,"unit":"sec"}""")
     spark.stop()
   }
 }
