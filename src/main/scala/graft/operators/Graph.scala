@@ -564,6 +564,66 @@ object Graph {
     fwd.join(bwd, Seq("id"), "full_outer")
   }
 
+  /** TEMPORAL earliest-arrival reachability — single-source shortest
+    * "arrival time" over a temporal edge set (contact sequences:
+    * each row is one edge INSTANCE (src, dst, t) that can be
+    * traversed only at its own time): arr(v) = min over instances
+    * (u, v, t) with t ≥ arr(u) of t, arr(source) = 0. The
+    * time-respecting analogue of [[bfsHops]] — "who could the
+    * information have reached, and when" (Holme & Saramäki's
+    * temporal-network reachability; non-strict ≥, so simultaneous
+    * hops chain).
+    *
+    * Earliest-arrival needs no revisits (an earlier arrival at u
+    * admits a superset of u's outgoing instances), so arrivals are
+    * monotone and the synchronous relaxation converges within
+    * |V| − 1 rounds; practically within the temporal diameter. The
+    * operator runs a FIXED `rounds` relaxations (each: one
+    * instance⋈arrival equi-join + one partial-aggregable MIN — the
+    * [[weightedHops]] shape) and returns the previous round
+    * alongside, as a FIXPOINT WITNESS: semantics are exact
+    * reachability iff every row has at = at_prev (callers hash the
+    * witness — the q182/q210 loud-sentinel pattern); otherwise the
+    * result is "arrival within ≤ rounds hops", stated, never silent.
+    *
+    * Scale shape: the instance frame is scanned once per round
+    * against the vertex-sized arrival frame (broadcast-friendly);
+    * nothing all-pairs, nothing driver-sized, no driver-side
+    * convergence probe (fixed rounds ⇒ fixed plan depth).
+    *
+    * @param tCol integer time column (epoch micros by convention —
+    *             exact, hash-safe)
+    * @return (id, at, at_prev) for every vertex reached within
+    *         `rounds` hops; at_prev null only if first reached in
+    *         the final round (⇒ not yet at fixpoint) */
+  def earliestArrival(edges: DataFrame, srcCol: String,
+      dstCol: String, tCol: String, sourceId: Long,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(tCol).as("t"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    var arr = e.sparkSession.range(1)
+      .select(lit(sourceId).as("id"), lit(0L).as("at"))
+      .localCheckpoint(true)
+    var prev = arr
+    var i = 0
+    while (i < rounds) {
+      i += 1
+      prev = arr
+      arr = arr.unionByName(
+          e.join(arr.select(col("id").as("src"), col("at")),
+            Seq("src"))
+            .filter(col("t") >= col("at"))
+            .select(col("dst").as("id"), col("t").as("at")))
+        .groupBy(col("id")).agg(min(col("at")).as("at"))
+        .localCheckpoint(true)
+    }
+    arr.join(prev.select(col("id"), col("at").as("at_prev")),
+      Seq("id"), "left")
+  }
+
   /** FULL strongly-connected-component decomposition — the
     * trim + forward-coloring + backward-sweep scheme of the
     * distributed SCC literature (FW-BW-Trim: Fleischer et al. 2000

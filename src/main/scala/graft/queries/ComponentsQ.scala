@@ -1322,7 +1322,69 @@ object ComponentsQ {
       FROM comp GROUP BY 1 ORDER BY sz"""
     })
 
+  /** q215 — temporal earliest-arrival reachability
+    * ([[Graph.earliestArrival]]): time-respecting single-source
+    * arrival times over the event stream viewed as a contact
+    * sequence — every event contributes one traversable-only-at-its-
+    * own-time edge instance on the 32-residue doubling graph
+    * (dst = 2·src + an independent event-id bit), plus a SPARSE
+    * one-way attachment 5 → 100 (only every-97th event, so 100's
+    * arrival genuinely waits for a feasible instance ≥ arr(5)) and
+    * an emit-only vertex 200 → 0 (reaches the source, never reached
+    * — must be absent from the output). Times are exact epoch
+    * micros; arrivals are MINs of input values, so the digest hashes
+    * raw integers. Both engines run the identical 16 synchronous
+    * relaxations; the hashed at_prev fixpoint witness (at = at_prev
+    * on every row) proves convergence at the tested scales — a
+    * pre-fixpoint truncation would surface as a visible mismatch in
+    * the witness column, never silently. */
+  val q215 = Qry(
+    "q215_temporal_reach",
+    (s: SparkSession, d: String) => {
+      val base = Tables.events(s, d).select(
+        (col("event_id") % 32).as("v"),
+        expr("(event_id DIV 32) % 2").as("bit"),
+        unix_micros(col("ts")).as("t"),
+        col("event_id"))
+      val e = base.select(col("v").as("src"),
+          ((col("v") * 2 + col("bit")) % 32).as("dst"), col("t"))
+        .unionAll(base.filter(col("event_id") % 97 === 0)
+          .select(lit(5L).as("src"), lit(100L).as("dst"), col("t")))
+        .unionAll(base.filter(col("event_id") % 89 === 0)
+          .select(lit(200L).as("src"), lit(0L).as("dst"), col("t")))
+      Graph.earliestArrival(e, "src", "dst", "t", sourceId = 0L,
+          rounds = 16)
+        .orderBy(col("id"))
+    },
+    Some {
+      val steps = (1 to 16).map(i => s"""
+      a$i AS MATERIALIZED (
+        SELECT id, MIN(at) AS at FROM (
+          SELECT id, at FROM a${i - 1}
+          UNION ALL
+          SELECT e.dst, e.t FROM a${i - 1} p
+          JOIN e ON e.src = p.id AND e.t >= p.at)
+        GROUP BY 1)""").mkString(",")
+      s"""
+      WITH base AS MATERIALIZED (
+        SELECT event_id % 32 AS v, (event_id // 32) % 2 AS bit,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id
+        FROM events),
+      eraw AS (
+        SELECT v AS src, (2 * v + bit) % 32 AS dst, t FROM base
+        UNION ALL SELECT 5, 100, t FROM base WHERE event_id % 97 = 0
+        UNION ALL SELECT 200, 0, t FROM base WHERE event_id % 89 = 0),
+      e AS MATERIALIZED (
+        SELECT src, dst, t FROM eraw WHERE src <> dst),
+      a0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS at),
+      $steps
+      SELECT a16.id, a16.at, a15.at AS at_prev
+      FROM a16 LEFT JOIN a15 ON a15.id = a16.id
+      ORDER BY a16.id"""
+    })
+
   val all: Seq[Qry] =
     Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183,
-      q191, q194, q195, q196, q198, q199, q204, q208, q210, q213)
+      q191, q194, q195, q196, q198, q199, q204, q208, q210, q213,
+      q215)
 }

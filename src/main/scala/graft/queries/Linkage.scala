@@ -195,5 +195,45 @@ object Linkage {
       WHERE levenshtein(a.s, b.s) <= 2
       ORDER BY a, b"""))
 
-  val all: Seq[Qry] = Seq(q165, q168, q209, q212)
+  /** q214 — sorted-neighborhood blocking
+    * ([[graft.operators.EntityRes.sortedNeighborhoodPairs]], w = 5)
+    * over the FULL customer table by name: the positional-window
+    * complement to the q209/q212 variant blocks — candidate count is
+    * exactly (w−1)·n by construction regardless of key skew. The
+    * digest groups the window pairs by rank distance and hashes pair
+    * counts, id sums, and how many candidates verify at ED ≤ 1 —
+    * any rank off-by-one (wrong offsets, a dropped partition
+    * boundary, a duplicated bucket pair) moves a count. The oracle
+    * computes ranks with a plain ROW_NUMBER and a rank-band join —
+    * independent of the distributed offset/bucket mechanics it
+    * audits. */
+  val q214 = Qry(
+    "q214_sorted_neighborhood",
+    (s: SparkSession, d: String) =>
+      graft.operators.EntityRes.sortedNeighborhoodPairs(
+          Tables.customer(s, d), "c_custkey", "c_name", w = 5)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a")).as("sum_a"),
+          sum(col("b")).as("sum_b"),
+          sum(when(levenshtein(col("key_a"), col("key_b")) <= 1, 1L)
+            .otherwise(0L)).as("n_ed1"))
+        .orderBy(col("dist")),
+    Some("""
+      WITH r AS (
+        SELECT c_custkey AS id, c_name AS key,
+               ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rk
+        FROM customer),
+      p AS (
+        SELECT a.id AS a, b.id AS b, b.rk - a.rk AS dist,
+               levenshtein(a.key, b.key) AS ed
+        FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 5)
+      SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(a) AS BIGINT) AS sum_a,
+             CAST(SUM(b) AS BIGINT) AS sum_b,
+             CAST(SUM(CASE WHEN ed <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ed1
+      FROM p GROUP BY 1 ORDER BY dist"""))
+
+  val all: Seq[Qry] = Seq(q165, q168, q209, q212, q214)
 }
