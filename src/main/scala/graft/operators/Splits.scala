@@ -27,6 +27,39 @@ object Splits {
       nibble(h, 3) * 16 + nibble(h, 4)) % 100).cast("int")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * data-placement scheme whose defining property is MINIMAL
+    * RESHUFFLE: removing a shard moves ONLY that shard's rows
+    * (every survivor keeps its argmax; q217 hashes the full 8→7
+    * transition matrix to prove it), unlike mod-N hashing where
+    * dropping a shard remaps nearly everything. Pure map-side
+    * expression: per row, the shard with the greatest
+    * md5(id ":" shard) — no ring state, no coordination, exactly
+    * reproducible by any engine with md5.
+    *
+    * Tie-break (md5 collisions are astronomically unlikely but
+    * determinism must not depend on luck): the single-digit shard id
+    * is appended to the fixed-width 32-char score before GREATEST,
+    * so equal scores resolve to the larger shard in every engine.
+    * nShards ≤ 10 keeps the suffix fixed-width; wider fleets
+    * zero-pad (documented, not needed here). */
+  def hrwAssign(id: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 10,
+      s"nShards must be in [1, 10]: $nShards")
+    val scored = (0 until nShards).map(sh =>
+      concat(md5(concat(id.cast("string"), lit(":"), lit(sh.toString))),
+        lit(sh.toString)))
+    substring(greatest(lit("") +: scored: _*), 33, 1).cast("int")
+  }
+
+  /** DuckDB rendering of [[hrwAssign]] — identical score/tie-break
+    * algebra. */
+  def hrwAssignSql(id: String, nShards: Int): String = {
+    val scored = (0 until nShards).map(sh =>
+      s"md5($id || ':$sh') || '$sh'")
+    s"CAST(SUBSTR(GREATEST(${scored.mkString(", ")}), 33, 1) AS INT)"
+  }
+
   /** Split assignment from cumulative percent cutoffs, e.g.
     * `Seq("train" -> 80, "val" -> 90, "test" -> 100)`:
     * bucket < 80 → train, < 90 → val, else test. */

@@ -1383,8 +1383,75 @@ object ComponentsQ {
       ORDER BY a16.id"""
     })
 
+  /** q216 — degree assortativity moments (Newman 2002) on the
+    * co-purchase graph: do high-degree parts co-occur with other
+    * high-degree parts? The Pearson coefficient over edge-endpoint
+    * degree pairs needs a sqrt, so the digest hashes the EXACT
+    * integer moments instead (directed-both-ways count, Σxy, Σx,
+    * Σx² — symmetrization makes the x and y marginals identical)
+    * plus the sign decided in DECIMAL(38,0) (n·Σxy vs (Σx)² — the
+    * products can pass 2⁶³ on hub-heavy graphs, so the compare is
+    * done in 38-digit decimals in both engines; the raw moments
+    * themselves are bounded by E·deg²max, documented in-range for
+    * basket graphs). Completes the graph-statistics family
+    * (triangles, modularity, centralities → mixing).
+    *
+    * Scale shape: the bounded-basket co-occurrence expansion (one
+    * exchange), a two-row-per-edge degree count, and two
+    * broadcast-sized degree joins into one partial aggregate. */
+  val q216 = Qry(
+    "q216_assortativity",
+    (s: SparkSession, d: String) => {
+      val pairs = Graph.coOccurrencePairs(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+        .distinct()
+      val deg = pairs.select(col("src").as("x"))
+        .unionAll(pairs.select(col("dst").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val m = pairs
+        .join(deg.select(col("x").as("src"), col("d").as("dx")),
+          Seq("src"))
+        .join(deg.select(col("x").as("dst"), col("d").as("dy")),
+          Seq("dst"))
+      val sym = m.select(col("dx").as("x"), col("dy").as("y"))
+        .unionAll(m.select(col("dy").as("x"), col("dx").as("y")))
+      sym.agg(count(lit(1)).as("n_dir"),
+          sum(col("x") * col("y")).as("s_xy"),
+          sum(col("x")).as("s_x"),
+          sum(col("x") * col("x")).as("s_x2"))
+        .withColumn("assort_nonneg",
+          col("n_dir").cast("decimal(38,0)") *
+            col("s_xy").cast("decimal(38,0)") >=
+          col("s_x").cast("decimal(38,0)") *
+            col("s_x").cast("decimal(38,0)"))
+    },
+    Some("""
+      WITH pr AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.i AS u, b.i AS v
+        FROM pr a JOIN pr b ON a.g = b.g AND a.i < b.i),
+      deg AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+          SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1),
+      m AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+      sym AS (SELECT x, y FROM m UNION ALL SELECT y, x FROM m)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dir,
+             CAST(SUM(x * y) AS BIGINT) AS s_xy,
+             CAST(SUM(x) AS BIGINT) AS s_x,
+             CAST(SUM(x * x) AS BIGINT) AS s_x2,
+             (CAST(COUNT(*) AS DECIMAL(38,0))
+                * CAST(SUM(x * y) AS DECIMAL(38,0))
+              >= CAST(SUM(x) AS DECIMAL(38,0))
+                * CAST(SUM(x) AS DECIMAL(38,0))) AS assort_nonneg
+      FROM sym"""))
+
   val all: Seq[Qry] =
     Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183,
       q191, q194, q195, q196, q198, q199, q204, q208, q210, q213,
-      q215)
+      q215, q216)
 }

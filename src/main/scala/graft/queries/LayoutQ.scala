@@ -436,5 +436,42 @@ object LayoutQ {
       FROM keyed GROUP BY hbucket ORDER BY hbucket"""
     })
 
-  val all: Seq[Qry] = Seq(q106, q108, q116, q125, q132, q141, q150)
+  /** q217 — rendezvous (HRW) shard placement
+    * ([[graft.operators.Splits.hrwAssign]]): assign every document a
+    * shard under an 8-shard fleet AND under the same fleet with
+    * shard 7 removed, and hash the FULL 8→7 transition matrix
+    * (a8, a7, count, id-sum). The defining minimal-reshuffle
+    * property is the matrix SHAPE: diagonal rows for shards 0-6
+    * (survivors keep their argmax — removing a candidate can only
+    * promote the runner-up of the REMOVED shard's rows) plus the
+    * (7 → s) redistribution rows; any off-diagonal row with a8 ≠ 7
+    * is a property violation and breaks rows_match loudly. Pure
+    * map-side expression both sides — the 100 TB data-placement
+    * primitive (no ring state, no coordination, engine-portable
+    * md5). */
+  val q217 = Qry(
+    "q217_rendezvous_sharding",
+    (s: SparkSession, d: String) => {
+      import graft.operators.Splits
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("a8", Splits.hrwAssign(col("doc_id"), 8))
+        .withColumn("a7", Splits.hrwAssign(col("doc_id"), 7))
+        .groupBy(col("a8"), col("a7"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("a8"), col("a7"))
+    },
+    Some(s"""
+      WITH a AS (
+        SELECT doc_id,
+               ${graft.operators.Splits.hrwAssignSql("doc_id", 8)}
+                 AS a8,
+               ${graft.operators.Splits.hrwAssignSql("doc_id", 7)}
+                 AS a7
+        FROM documents)
+      SELECT a8, a7, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      FROM a GROUP BY 1, 2 ORDER BY a8, a7"""))
+
+  val all: Seq[Qry] =
+    Seq(q106, q108, q116, q125, q132, q141, q150, q217)
 }

@@ -94,4 +94,41 @@ class ShardIndexSpec extends SparkSpec {
     assert(e0.sorted.sameElements(e1.sorted))
     assert(!e0.sameElements(e1))
   }
+
+  // ---- rendezvous hashing (q217) ----
+
+  /** Driver-side HRW reference: argmax over md5(id:shard) with the
+    * shard-digit tie-break, same algebra as Splits.hrwAssign. */
+  private def hrwRef(id: Long, n: Int): Int =
+    (0 until n).map(sh => (md5hex(s"$id:$sh") + sh, sh)).max._2
+
+  test("hrwAssign matches a driver-side md5 argmax") {
+    import spark.implicits._
+    val got = spark.range(0, 500).toDF("id")
+      .select(col("id"),
+        graft.operators.Splits.hrwAssign(col("id"), 8).as("a"))
+      .as[(Long, Int)].collect().toMap
+    (0L until 500L).foreach(i => assert(got(i) === hrwRef(i, 8)))
+  }
+
+  test("hrwAssign minimal reshuffle: only the removed shard's rows move") {
+    import spark.implicits._
+    val moved = spark.range(0, 2000).toDF("id")
+      .select(graft.operators.Splits.hrwAssign(col("id"), 8).as("a8"),
+        graft.operators.Splits.hrwAssign(col("id"), 7).as("a7"))
+      .filter(col("a8") =!= col("a7"))
+      .as[(Int, Int)].collect()
+    assert(moved.nonEmpty)
+    assert(moved.forall(_._1 == 7))
+  }
+
+  test("hrwAssign spreads roughly uniformly") {
+    import spark.implicits._
+    val counts = spark.range(0, 8000).toDF("id")
+      .groupBy(graft.operators.Splits.hrwAssign(col("id"), 8).as("a"))
+      .count().as[(Int, Long)].collect().toMap
+    assert(counts.keySet === (0 until 8).toSet)
+    // 8000 over 8 shards: each within 20% of 1000
+    counts.values.foreach(c => assert(c > 800 && c < 1200, c))
+  }
 }
