@@ -152,6 +152,74 @@ object Similarity {
       .toSeq.toDF("rank", "n_id", "score")
   }
 
+  /** Sequential-fold squared L2 distance (index-order accumulation —
+    * bit-identical across engines that fold in list order). */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0d), (acc, v) => acc + v)
+
+  /** Farthest-first traversal (Gonzalez 1985) — the 2-approximation
+    * to k-center, the diversity-first coreset selector (pick the
+    * point farthest from everything picked so far): the complement
+    * to [[mmrTopK]] (query-relevance + diversity) when there is no
+    * query — "give me k maximally-spread exemplars" for evaluation
+    * sets, seed selection, or coverage probes.
+    *
+    * Determinism: seed = smallest id; every argmax tie breaks to the
+    * smallest id; distances fold in index order — no randomness, no
+    * partitioning dependence.
+    *
+    * Scale shape: k − 1 rounds, each one full scan computing
+    * `least(mind, dist2(e, last_chosen))` (the chosen vector rides
+    * along as a d-length literal — broadcast-equivalent, never a
+    * join) plus a 1-row argmax collect (the BpeTrain bounded-collect
+    * precedent). The min-distance frame is maintained incrementally,
+    * so the total work is O(k·n·d) — never k scans of an n×k
+    * cross product.
+    *
+    * @return k selection rows (step 1..k, n_id, d2 = squared
+    *         distance to the prior selection set; 0 for the seed)
+    *         plus one COVERAGE row (step k+1, n_id = −1, d2 = the
+    *         k-center radius: max over the corpus of the final min
+    *         distance) */
+  def farthestFirst(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = corpus.sparkSession
+    val pool = corpus
+      .select(col(idCol).cast("long").as("id"), col(embCol).as("e"))
+      .localCheckpoint(true)
+    val seed = pool.orderBy(col("id")).limit(1).collect()(0)
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (seed.getLong(0), seed.getSeq[Float](1).toArray, 0d))
+    def litVec(v: Array[Float]) = array(v.map(lit(_)): _*)
+    var mind = pool
+      .withColumn("mind", dist2(col("e"), litVec(picked.head._2)))
+      .localCheckpoint(true)
+    var step = 1
+    while (step < k) {
+      step += 1
+      val top = mind
+        .filter(!col("id").isin(picked.map(_._1).toSeq: _*))
+        .orderBy(col("mind").desc, col("id"))
+        .limit(1).collect()(0)
+      picked += ((top.getLong(0), top.getSeq[Float](1).toArray,
+        top.getDouble(2)))
+      mind = mind
+        .withColumn("mind",
+          least(col("mind"), dist2(col("e"), litVec(picked.last._2))))
+        .localCheckpoint(true)
+    }
+    val radius = mind.agg(max(col("mind"))).collect()(0).getDouble(0)
+    import spark.implicits._
+    (picked.zipWithIndex.map { case ((id, _, d2v), i) =>
+      (i + 1, id, d2v)
+    } :+ ((k + 1, -1L, radius))).toSeq.toDF("step", "n_id", "d2")
+  }
+
   /** IVF-style coarse quantization using an existing partition column
     * (or precomputed cluster assignment): centroids are the
     * per-partition element-wise means (decimal-summed for

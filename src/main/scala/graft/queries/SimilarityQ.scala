@@ -815,6 +815,70 @@ object SimilarityQ {
       ORDER BY t.q_id, t.rank"""
     })
 
+  /** DuckDB sequential-fold squared L2 — same index-order
+    * accumulation as [[graft.operators.Similarity.dist2]], so the
+    * doubles are bit-identical. */
+  private def dist2Sql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip($a, $b),
+            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        (acc, x) -> acc + x)"""
+
+  /** q218 — farthest-first k-center coreset
+    * ([[graft.operators.Similarity.farthestFirst]], k = 6): the
+    * diversity-first exemplar selector (Gonzalez 2-approximation) —
+    * seed at the smallest id, then repeatedly take the point
+    * farthest from everything chosen, maintaining the min-distance
+    * frame incrementally (O(k·n·d), one 1-row argmax collect per
+    * round — the BpeTrain bounded-collect shape). The digest hashes
+    * the full selection trajectory (step, id, distance-at-selection)
+    * PLUS the k-center coverage radius row — a wrong argmax, a stale
+    * min-distance, or a missed exclusion shifts the trajectory. The
+    * oracle unrolls the identical 6 rounds; distances fold in index
+    * order on both engines (bit-identical doubles, rounded only at
+    * hash time — the q31 contract). */
+  val q218 = Qry(
+    "q218_kcenter_coreset",
+    (s: SparkSession, d: String) =>
+      Similarity.farthestFirst(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 6)
+        .select(col("step"), col("n_id"),
+          round(col("d2"), 6).as("d2"))
+        .orderBy(col("step")),
+    Some {
+      def d2s(b: String) = dist2Sql("emb", b)
+      val rounds = (2 to 6).map { i =>
+        val excl = (1 until i).map(j => s"SELECT id FROM c$j")
+          .mkString(" UNION ALL ")
+        s""",
+      c$i AS MATERIALIZED (
+        SELECT id, emb, mind AS d FROM m${i - 1}
+        WHERE id NOT IN ($excl) ORDER BY mind DESC, id LIMIT 1),
+      m$i AS MATERIALIZED (
+        SELECT id, emb,
+               LEAST(mind, ${d2s(s"(SELECT emb FROM c$i)")}) AS mind
+        FROM m${i - 1})"""
+      }.mkString
+      val sel = (1 to 6).map(i =>
+        s"SELECT $i AS step, id AS n_id, d FROM c$i")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH e AS MATERIALIZED (
+        SELECT vec_id AS id, embedding AS emb FROM embeddings),
+      c1 AS MATERIALIZED (
+        SELECT id, emb, 0.0::DOUBLE AS d FROM e ORDER BY id LIMIT 1),
+      m1 AS MATERIALIZED (
+        SELECT id, emb, ${d2s("(SELECT emb FROM c1)")} AS mind
+        FROM e)$rounds
+      SELECT step, n_id, ROUND(d, 6) AS d2 FROM (
+        $sel
+        UNION ALL
+        SELECT 7, -1, (SELECT MAX(mind) FROM m6))
+      ORDER BY step"""
+    })
+
   val all: Seq[Qry] =
-    Seq(q31, q32, q33, q34, q71, q113, q137, q144, q186, q188, q189)
+    Seq(q31, q32, q33, q34, q71, q113, q137, q144, q186, q188, q189,
+      q218)
 }

@@ -58,4 +58,60 @@ class MmrSpec extends SparkSpec {
     assert(Similarity.mmrTopK(empty, "vec_id", "embedding",
       Array(1f), 3, 0.7).count() === 0)
   }
+
+  // ---- farthest-first k-center (q218) ----
+
+  private def ff(vecs: Seq[(Long, Array[Float])], k: Int)
+      : Seq[(Int, Long, Double)] =
+    Similarity.farthestFirst(vecs.toDF("id", "e"), "id", "e", k)
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+
+  /** Driver-side reference of the same greedy. */
+  private def ffRef(vecs: Seq[(Long, Array[Float])], k: Int)
+      : (Seq[Long], Double) = {
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble)
+      }.sum
+    val sorted = vecs.sortBy(_._1)
+    var picked = Seq(sorted.head)
+    while (picked.size < k) {
+      val rest = sorted.filterNot(v => picked.exists(_._1 == v._1))
+      val next = rest.maxBy(v =>
+        (picked.map(c => d2(v._2, c._2)).min, -v._1))
+      picked = picked :+ next
+    }
+    val radius = sorted
+      .map(v => picked.map(c => d2(v._2, c._2)).min).max
+    (picked.map(_._1), radius)
+  }
+
+  test("farthest-first: line of points picks the extremes first") {
+    // ids on a line at x = 0, 1, 2, 10: seed 1 (id 1, x=0), then
+    // x=10, then x=2 (dist 2^2=4 to {0}... min(4, 64)=4 beats x=1's 1)
+    val vs = Seq(1L -> Array(0f), 2L -> Array(1f), 3L -> Array(2f),
+      4L -> Array(10f))
+    val got = ff(vs, 3)
+    assert(got.map(_._2) === Seq(1L, 4L, 3L, -1L))
+    assert(got(1)._3 === 100.0) // 10^2 from the seed
+    assert(got(2)._3 === 4.0)
+    // radius after {0, 10, 2}: worst point is x=1 at d2 = 1
+    assert(got(3)._3 === 1.0)
+  }
+
+  test("farthest-first: matches the driver-side greedy on hashed vectors") {
+    val vs = (1L to 40L).map(i => i -> Array.tabulate(4)(j =>
+      (((i * 2654435761L + j * 40503L) % 97).toFloat / 97f)))
+    val got = ff(vs, 7)
+    val (ids, radius) = ffRef(vs, 7)
+    assert(got.take(7).map(_._2) === ids)
+    assert(math.abs(got.last._3 - radius) < 1e-12)
+  }
+
+  test("farthest-first: k = 1 is just the seed plus radius") {
+    val vs = Seq(5L -> Array(1f, 1f), 9L -> Array(4f, 5f))
+    val got = ff(vs, 1)
+    assert(got.map(_._2) === Seq(5L, -1L))
+    assert(got(1)._3 === 25.0) // (3^2 + 4^2)
+  }
 }
