@@ -538,6 +538,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q214: window pairs are an equi-join — no theta join, no nested loop") {
+    // the rank-band semantics must NOT plan as a range theta join:
+    // pairs come from the bucket equi-join (bkt) with the distance
+    // filter applied after
+    val p = planAtScaleStats("q214_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct"), s"q214:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q214:\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findFirstIn(p).isDefined,
+      s"q214 lost its equi-join:\n$p")
+  }
+
+  test("q216: assortativity is equi-joins plus one partial aggregate") {
+    val p = planAtScaleStats("q216_assortativity")
+    assert(!p.contains("CartesianProduct"), s"q216:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q216:\n$p")
+    assert("partial_".r.findFirstIn(p).isDefined, s"q216:\n$p")
+  }
+
+  test("q217: rendezvous assignment is pure map-side — no join at all") {
+    val p = plan("q217_rendezvous_sharding")
+    assert(!p.contains("Join"), s"q217 grew a join:\n$p")
+    assert("partial_".r.findFirstIn(p).isDefined,
+      s"q217 lost its map-side combine:\n$p")
+  }
+
   private def occurrences(hay: String, needle: String): Int =
     needle.r.findAllIn(hay).size
 }
