@@ -86,4 +86,50 @@ object BigramLm {
       .select(col(idCol), col("n_trans"),
         expr("s_nano div n_trans").as("score_nano"))
   }
+
+  /** Score one corpus under a model trained on ANOTHER — the
+    * cross-domain form behind importance-style data selection
+    * (q219): train the add-one bigram model on `train`, score every
+    * document of `score`. Unlike [[scoreDocs]] (train == score, so
+    * every gram is in-model), a scored gram may be UNSEEN: the left
+    * joins keep it and add-one smoothing gives it its floor
+    * probability 1/(c1+V) (prefix seen) or 1/V (prefix unseen) —
+    * exactly the smoothing's job; dropping unseen grams would
+    * instead reward out-of-domain text. Same integer nano-unit
+    * contract and scale shape as [[scoreDocs]] (one tokenization
+    * per corpus, model-sized aggregates, AQE-broadcastable scoring
+    * join).
+    * @return (idCol, n_trans, score_nano) over `score`'s documents */
+  def scoreAgainst(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def grams(df: DataFrame) = {
+      val toks = TextOps.tokens(col(textCol))
+      df.select(col(idCol), explode(TextOps.grams(toks, 2)).as("g"))
+        .select(col(idCol),
+          substring_index(col("g"), US, 1).as("w1"),
+          substring_index(col("g"), US, -1).as("w2"))
+        .groupBy(col(idCol), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val model = grams(train).groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cnt")).as("c12"))
+    val prefix = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = model
+      .select(explode(array(col("w1"), col("w2"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = grams(score)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(prefix, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("cnt"),
+        floor((coalesce(col("c12"), lit(0L)) + lit(1)).cast("double")
+            / (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
+            * lit(1e9) + lit(0.5))
+          .cast("long").as("p_nano"))
+    scored.groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_trans"),
+        sum(col("p_nano") * col("cnt")).as("s_nano"))
+      .select(col(idCol), col("n_trans"),
+        expr("s_nano div n_trans").as("score_nano"))
+  }
 }

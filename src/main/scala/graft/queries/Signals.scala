@@ -194,5 +194,105 @@ object Signals {
       FROM hits GROUP BY doc_id
       ORDER BY n_hits DESC, doc_id LIMIT 25"""))
 
-  val all: Seq[Qry] = Seq(q135, q136, q138)
+  /** q219 — importance-based domain selection (the DSIR shape:
+    * Xie et al.'s data selection via importance resampling, with the
+    * repo's derandomized-selection contract): score every document
+    * under TWO bigram models — one trained on the TARGET domain
+    * (source = src7) via [[BigramLm.scoreAgainst]] (left-join
+    * smoothing: unseen grams get their add-one floor, so
+    * out-of-domain text is penalized, not dropped), one trained on
+    * the full corpus — and keep documents whose target/corpus
+    * likelihood ratio ≥ 1 (ratio in exact integer ppm of the two
+    * nano-unit means; a FIXED threshold, so selection is map-side —
+    * no global ranking window). The digest is the per-source
+    * selected/rejected census with n_trans sums and the exact ppm
+    * extremes. Fixture honesty (the q62 note): the synthetic corpus
+    * shares one vocabulary across sources, so enrichment is mild —
+    * the query verifies the two-model mechanics, ratio algebra, and
+    * unseen-gram smoothing, not semantic domain separation.
+    *
+    * Scale shape: two tokenization passes (one per scored corpus
+    * expression; the model aggregates are model-sized), scoring
+    * joins AQE-broadcastable, selection and census one partial
+    * aggregate. */
+  val q219 = Qry(
+    "q219_importance_selection",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val t = BigramLm.scoreAgainst(
+          docs.filter(col("source") === "src7"), docs,
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_trans"),
+          col("score_nano").as("t_nano"))
+      val sc = BigramLm.scoreAgainst(docs, docs, "doc_id", "text")
+        .select(col("doc_id"), col("score_nano").as("s_nano"))
+      t.join(sc, Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("ratio_ppm",
+          expr("(t_nano * CAST(1000000 AS BIGINT))" +
+            " DIV GREATEST(s_nano, CAST(1 AS BIGINT))"))
+        .groupBy(col("source"),
+          (col("ratio_ppm") >= 1000000L).as("selected"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_trans")).as("sum_trans"),
+          min(col("ratio_ppm")).as("min_ppm"),
+          max(col("ratio_ppm")).as("max_ppm"))
+        .orderBy(col("source"), col("selected"))
+    },
+    Some {
+      def modelSql(p: String, trainRel: String) = s"""
+      ${p}model AS MATERIALIZED (
+        SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c12
+        FROM $trainRel GROUP BY 1, 2),
+      ${p}prefix AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+        FROM ${p}model GROUP BY 1),
+      ${p}vocab AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT unnest([w1, w2]) AS tok FROM ${p}model)),
+      ${p}per AS MATERIALIZED (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trans,
+               CAST(SUM(p_nano * cnt) AS BIGINT)
+                 // CAST(SUM(cnt) AS BIGINT) AS score_nano
+        FROM (
+          SELECT dg.doc_id, dg.cnt,
+                 CAST(FLOOR(CAST(COALESCE(m.c12, 0) + 1 AS DOUBLE)
+                   / CAST(COALESCE(pf.c1, 0)
+                       + (SELECT v FROM ${p}vocab) AS DOUBLE)
+                   * 1e9 + 0.5) AS BIGINT) AS p_nano
+          FROM dg
+          LEFT JOIN ${p}model m ON m.w1 = dg.w1 AND m.w2 = dg.w2
+          LEFT JOIN ${p}prefix pf ON pf.w1 = dg.w1)
+        GROUP BY doc_id)"""
+      s"""
+      WITH toks AS (SELECT doc_id, source, $Toks AS t FROM documents),
+      pairs AS (
+        SELECT doc_id,
+               string_split(g, $GramSep)[1] AS w1,
+               string_split(g, $GramSep)[2] AS w2
+        FROM (SELECT doc_id, unnest(${gramsSql("t", 2)}) AS g
+              FROM toks)),
+      dg AS MATERIALIZED (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY 1, 2, 3),
+      tgt AS (
+        SELECT dg.* FROM dg
+        JOIN documents USING (doc_id) WHERE source = 'src7'),
+      ${modelSql("t_", "tgt")},
+      ${modelSql("s_", "dg")},
+      w AS (
+        SELECT doc.source, tp.n_trans,
+               (tp.score_nano * 1000000)
+                 // GREATEST(sp.score_nano, 1) AS ratio_ppm
+        FROM t_per tp
+        JOIN s_per sp USING (doc_id)
+        JOIN documents doc USING (doc_id))
+      SELECT source, (ratio_ppm >= 1000000) AS selected,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_trans) AS BIGINT) AS sum_trans,
+             MIN(ratio_ppm) AS min_ppm, MAX(ratio_ppm) AS max_ppm
+      FROM w GROUP BY 1, 2 ORDER BY source, selected"""
+    })
+
+  val all: Seq[Qry] = Seq(q135, q136, q138, q219)
 }

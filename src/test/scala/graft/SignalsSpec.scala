@@ -118,4 +118,40 @@ class SignalsSpec extends SparkSpec {
       Postings.topBigram(docs, "text").collect().head
     assert((w1, w2) === ("b", "c"))
   }
+
+  // ---- cross-domain scoring (q219) ----
+
+  test("BigramLm.scoreAgainst(d, d) equals scoreDocs(d)") {
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "c a b"))
+      .toDF("id", "text")
+    val a = BigramLm.scoreDocs(docs, "id", "text")
+      .orderBy(col("id")).collect().toList
+    val b = BigramLm.scoreAgainst(docs, docs, "id", "text")
+      .orderBy(col("id")).collect().toList
+    assert(a === b)
+  }
+
+  test("BigramLm.scoreAgainst smooths unseen grams instead of dropping them") {
+    // train: "a b" -> model c(a,b)=1, prefix c(a)=1, V={a,b}=2
+    // score doc "a b x y":
+    //   ab seen:    (1+1)/(1+2) = 2/3 -> 666666667
+    //   bx unseen prefix b: (0+1)/(0+2) = 1/2 -> 500000000
+    //   xy unseen prefix x: (0+1)/(0+2) = 1/2 -> 500000000
+    // mean = 1666666667/3 = 555555555
+    val train = Seq((10L, "a b")).toDF("id", "text")
+    val score = Seq((1L, "a b x y")).toDF("id", "text")
+    val got = BigramLm.scoreAgainst(train, score, "id", "text")
+      .collect().head
+    assert((got.getLong(1), got.getLong(2)) === (3L, 555555555L))
+  }
+
+  test("BigramLm.scoreAgainst: in-domain text outscores out-of-domain") {
+    val train = Seq((10L, "the quick fox the quick fox"))
+      .toDF("id", "text")
+    val score = Seq((1L, "the quick fox"), (2L, "lorem ipsum dolor"))
+      .toDF("id", "text")
+    val got = BigramLm.scoreAgainst(train, score, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) > got(2L))
+  }
 }
