@@ -101,23 +101,37 @@ object BigramLm {
     * join).
     * @return (idCol, n_trans, score_nano) over `score`'s documents */
   def scoreAgainst(train: DataFrame, score: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    def grams(df: DataFrame) = {
-      val toks = TextOps.tokens(col(textCol))
-      df.select(col(idCol), explode(TextOps.grams(toks, 2)).as("g"))
-        .select(col(idCol),
-          substring_index(col("g"), US, 1).as("w1"),
-          substring_index(col("g"), US, -1).as("w2"))
-        .groupBy(col(idCol), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("cnt"))
-    }
-    val model = grams(train).groupBy(col("w1"), col("w2"))
+      textCol: String): DataFrame =
+    scoreAgainstGrams(docGrams(train, idCol, textCol),
+      docGrams(score, idCol, textCol), idCol)
+
+  /** The per-document aggregated gram relation (id, w1, w2, cnt) —
+    * exposed so a caller scoring one corpus under SEVERAL models
+    * (q219: target model + corpus model over the same documents)
+    * can tokenize ONCE, checkpoint, and feed every model and every
+    * scoring pass from the same frame instead of re-tokenizing per
+    * use. */
+  def docGrams(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(col(idCol), explode(TextOps.grams(toks, 2)).as("g"))
+      .select(col(idCol),
+        substring_index(col("g"), US, 1).as("w1"),
+        substring_index(col("g"), US, -1).as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[scoreAgainst]] on pre-aggregated [[docGrams]] relations. */
+  def scoreAgainstGrams(trainGrams: DataFrame, scoreGrams: DataFrame,
+      idCol: String): DataFrame = {
+    val model = trainGrams.groupBy(col("w1"), col("w2"))
       .agg(sum(col("cnt")).as("c12"))
     val prefix = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = model
       .select(explode(array(col("w1"), col("w2"))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
-    val scored = grams(score)
+    val scored = scoreGrams
       .join(model, Seq("w1", "w2"), "left")
       .join(prefix, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))

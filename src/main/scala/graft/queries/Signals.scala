@@ -211,20 +211,27 @@ object Signals {
     * the query verifies the two-model mechanics, ratio algebra, and
     * unseen-gram smoothing, not semantic domain separation.
     *
-    * Scale shape: two tokenization passes (one per scored corpus
-    * expression; the model aggregates are model-sized), scoring
-    * joins AQE-broadcastable, selection and census one partial
-    * aggregate. */
+    * Scale shape: the corpus is tokenized ONCE into the aggregated
+    * per-doc gram relation (checkpointed; both models and both
+    * scoring passes consume it — the target model's training grams
+    * are a semi-join of it), model aggregates are model-sized,
+    * scoring joins AQE-broadcastable, selection and census one
+    * partial aggregate. */
   val q219 = Qry(
     "q219_importance_selection",
     (s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
-      val t = BigramLm.scoreAgainst(
-          docs.filter(col("source") === "src7"), docs,
-          "doc_id", "text")
+      // tokenize ONCE: both models and both scoring passes consume
+      // the same checkpointed gram relation
+      val g = BigramLm.docGrams(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      val tgtGrams = g.join(
+        docs.filter(col("source") === "src7").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val t = BigramLm.scoreAgainstGrams(tgtGrams, g, "doc_id")
         .select(col("doc_id"), col("n_trans"),
           col("score_nano").as("t_nano"))
-      val sc = BigramLm.scoreAgainst(docs, docs, "doc_id", "text")
+      val sc = BigramLm.scoreAgainstGrams(g, g, "doc_id")
         .select(col("doc_id"), col("score_nano").as("s_nano"))
       t.join(sc, Seq("doc_id"))
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))

@@ -102,4 +102,37 @@ class QuantileSketchSpec extends SparkSpec {
       assert(math.abs(r - q) <= 0.02, s"q=$q est=$e rank=$r")
     }
   }
+
+  test("append-only maintenance: folding a delta's states preserves the band") {
+    // the IVM x sketch composition: an incrementally maintained
+    // percentile view never rescans the base — new rows build their
+    // own partial states and MERGE into the stored ones
+    // (mergeability is the whole point of the compactor family; the
+    // MRL rank bound holds under ANY merge order, so incremental ==
+    // from-scratch CONTRACT-wise even though the buffers differ)
+    val nBase = 16000
+    val nDelta = 4000
+    val n = nBase + nDelta
+    val sk = udaf(new SketchAgg(K), Encoders.scalaDouble)
+    val mg = udaf(new SketchMergeAgg(K, Seq(0.5, 0.9, 0.99)),
+      ExpressionEncoder[Seq[Seq[Double]]]())
+    def shards(from: Long, until: Long) =
+      spark.range(from, until)
+        .selectExpr(s"CAST((id * 7919) % $n AS DOUBLE) AS v",
+          "CAST(id % 8 AS INT) AS shard")
+        .groupBy(col("shard")).agg(sk(col("v")).as("state"))
+    // stored per-shard states (base) + the delta's own states,
+    // folded by the SAME second-level merge the query already runs —
+    // zero base rescan, just 8 more state rows into the rollup
+    val maintained = shards(0, nBase)
+      .unionByName(shards(nBase, n))
+      .agg(mg(col("state")).as("est"))
+      .select(col("est")).as[Seq[Double]].head()
+    val targets = Seq(0.5, 0.9, 0.99)
+    maintained.zip(targets).foreach { case (e, q) =>
+      val r = (e + 1) / n
+      assert(math.abs(r - q) <= 0.02,
+        s"maintained q=$q est=$e rank=$r")
+    }
+  }
 }
