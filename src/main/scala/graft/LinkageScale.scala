@@ -125,9 +125,24 @@ object LinkageScale {
       spark.stop(); return
     }
 
+    // ---- SNM: n md5 keys through the distributed global rank —
+    // probes the range-repartition + offset ranking machinery of
+    // q214 at parametric size; the pair count (w−1)·n − w(w−1)/2 is
+    // exact by construction, so the probe doubles as an at-scale
+    // correctness check of the rank/bucket algebra
+    def snmRun(m: Long): Long = {
+      val got = EntityRes.sortedNeighborhoodPairs(
+        spark.range(m).selectExpr("id", "md5(CAST(id AS STRING)) AS k"),
+        "id", "k", w = 5).count()
+      val want = 4L * m - 10L
+      require(got == want, s"SNM pair count $got != $want at n=$m")
+      got
+    }
+
     // warmup compiles the identical generated code at 1/10 size
     geoRun(math.max(n / 10L, 1000L))
     erRun(math.max(n / 10L, 1000L))
+    snmRun(math.max(n / 10L, 1000L))
 
     def timed(tag: String, run: () => Long): Double = {
       val times = (1 to reps).map { r =>
@@ -142,8 +157,10 @@ object LinkageScale {
     }
     val g = timed("geo_proximity_e2e", () => geoRun(n.toLong))
     val e = timed("entity_resolution_e2e", () => erRun(n.toLong))
+    val sn = timed("snm_e2e", () => snmRun(n.toLong))
     println(f"""{"metric":"linkage_scale_min","n":$n,""" +
-      f""""geo_sec":$g%.4f,"er_sec":$e%.4f,"unit":"sec"}""")
+      f""""geo_sec":$g%.4f,"er_sec":$e%.4f,""" +
+      f""""snm_sec":$sn%.4f,"unit":"sec"}""")
     spark.stop()
   }
 }
