@@ -564,6 +564,57 @@ object Graph {
     fwd.join(bwd, Seq("id"), "full_outer")
   }
 
+  /** Link prediction by common-neighbor count — the classic
+    * structural scores (Liben-Nowell & Kleinberg 2003): for every
+    * NON-edge (u, v), cn = |Γ(u) ∩ Γ(v)| (the number of length-2
+    * paths) and pa = deg(u)·deg(v) (preferential attachment), both
+    * exact integers. Candidates come from the 2-hop expansion
+    * e(u,w) ⋈ e(w,v) — only pairs with ≥ 1 common neighbor are ever
+    * materialized (the zero-score pairs a quadratic scorer would
+    * enumerate never exist) — then an anti-join removes existing
+    * edges.
+    *
+    * Scale shape: the expansion is Σ_w deg(w)² rows, which hubs
+    * dominate — so the expansion is DEGREE-CAPPED: vertices with
+    * deg > `degCap` are excluded as path midpoints (the standard
+    * industrial concession: a hub shared by everyone carries almost
+    * no signal about any specific pair, exactly the IDF argument;
+    * production variants reweight by 1/log deg — Adamic-Adar — or
+    * sample hub neighborhoods). With the cap the expansion is
+    * ≤ degCap²·|V| rows through ordinary equi-joins; deg frames are
+    * vertex-sized; nothing quadratic in |V|.
+    *
+    * @param edges undirected edge list (one row per edge, any
+    *              orientation; symmetrized + dedup'd internally)
+    * @return (u, v, cn, pa_u_deg, pa_v_deg) for non-adjacent u < v
+    *         with cn ≥ 1 and both endpoints under the cap */
+  def commonNeighborCandidates(edges: DataFrame, aCol: String,
+      bCol: String, degCap: Int): DataFrame = {
+    require(degCap >= 1, s"degCap must be >= 1: $degCap")
+    val und = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    val e = und.select(col("a"), col("b"))
+      .unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("a").as("x")).agg(count(lit(1)).as("d"))
+    val low = deg.filter(col("d") <= degCap).localCheckpoint(true)
+    val eLow = e
+      .join(low.select(col("x").as("a")), Seq("a"), "left_semi")
+      .join(low.select(col("x").as("b")), Seq("b"), "left_semi")
+    val paths = eLow.select(col("a").as("u"), col("b").as("w"))
+      .join(eLow.select(col("a").as("w"), col("b").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val cn = paths.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"))
+      .join(e.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+    cn.join(low.select(col("x").as("u"), col("d").as("pa_u_deg")),
+        Seq("u"))
+      .join(low.select(col("x").as("v"), col("d").as("pa_v_deg")),
+        Seq("v"))
+  }
+
   /** TEMPORAL earliest-arrival reachability — single-source shortest
     * "arrival time" over a temporal edge set (contact sequences:
     * each row is one edge INSTANCE (src, dst, t) that can be

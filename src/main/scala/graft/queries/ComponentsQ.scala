@@ -1450,8 +1450,81 @@ object ComponentsQ {
                 * CAST(SUM(x) AS DECIMAL(38,0))) AS assort_nonneg
       FROM sym"""))
 
+  /** q220 — link prediction by common neighbors
+    * ([[Graph.commonNeighborCandidates]], degCap 256): the classic
+    * structural link-prediction scores on the weight-≥2 co-purchase
+    * graph (parts co-bought in at least two orders — the
+    * noise-floor sparsification that makes a basket graph a real
+    * similarity graph): for every non-adjacent pair with ≥ 1 common
+    * neighbor, the exact common-neighbor count and both endpoint
+    * degrees (the preferential-attachment factors). Candidates come
+    * only from the 2-hop expansion — zero-score pairs never
+    * materialize — and the digest hashes the top-20 by
+    * (cn, deg-product, pair), a fully tie-broken total order. The
+    * degree cap is inert on this fixture (max degree 51 across SFs);
+    * its hub-exclusion semantics are pinned in the spec.
+    *
+    * Scale shape: bounded-basket co-occurrence + weight filter (one
+    * exchange), the capped 2-hop equi-join (≤ degCap²·|V| rows),
+    * one pair aggregate, an anti-join against the edge set, two
+    * vertex-sized degree joins, TakeOrdered(20). */
+  val q220 = Qry(
+    "q220_link_prediction",
+    (s: SparkSession, d: String) => {
+      val und = Graph.coOccurrencePairs(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      Graph.commonNeighborCandidates(und, "src", "dst", degCap = 256)
+        .orderBy(col("cn").desc,
+          (col("pa_u_deg") * col("pa_v_deg")).desc, col("u"),
+          col("v"))
+        .limit(20)
+    },
+    Some("""
+      WITH pr AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        FROM lineitem),
+      ew AS (
+        SELECT a.i AS u, b.i AS v, COUNT(*) AS w
+        FROM pr a JOIN pr b ON a.g = b.g AND a.i < b.i
+        GROUP BY 1, 2),
+      und AS (SELECT u, v FROM ew WHERE w >= 2),
+      e AS MATERIALIZED (
+        SELECT u AS a, v AS b FROM und
+        UNION SELECT v, u FROM und),
+      deg AS (
+        SELECT a AS x, CAST(COUNT(*) AS BIGINT) AS d
+        FROM e GROUP BY 1),
+      low AS (SELECT x, d FROM deg WHERE d <= 256),
+      elow AS (
+        SELECT e.a, e.b FROM e
+        JOIN low la ON la.x = e.a
+        JOIN low lb ON lb.x = e.b),
+      paths AS (
+        SELECT p1.a AS u, p2.b AS v
+        FROM elow p1 JOIN elow p2 ON p1.b = p2.a
+        WHERE p1.a < p2.b),
+      cn AS (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM paths GROUP BY 1, 2),
+      cand AS (
+        SELECT * FROM cn
+        WHERE NOT EXISTS (
+          SELECT 1 FROM e WHERE e.a = cn.u AND e.b = cn.v)),
+      scored AS (
+        SELECT cand.u, cand.v, cand.cn,
+               lu.d AS pa_u_deg, lv.d AS pa_v_deg
+        FROM cand
+        JOIN low lu ON lu.x = cand.u
+        JOIN low lv ON lv.x = cand.v)
+      SELECT u, v, cn, pa_u_deg, pa_v_deg FROM scored
+      ORDER BY cn DESC, pa_u_deg * pa_v_deg DESC, u, v LIMIT 20"""))
+
   val all: Seq[Qry] =
     Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183,
       q191, q194, q195, q196, q198, q199, q204, q208, q210, q213,
-      q215, q216)
+      q215, q216, q220)
 }

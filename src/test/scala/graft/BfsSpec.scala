@@ -87,4 +87,49 @@ class BfsSpec extends SparkSpec {
       "id", 2)
     assert(rounds === 2)
   }
+
+  // ---- link prediction (q220) ----
+
+  private def lp(es: Seq[(Long, Long)], cap: Int)
+      : Map[(Long, Long), (Long, Long, Long)] =
+    Graph.commonNeighborCandidates(es.toDF("a", "b"), "a", "b", cap)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._2, r._1) -> ((r._3, r._4, r._5))).toMap
+      // columns come back (v, u, cn, du, dv) — key by (u, v)
+
+  test("common neighbors: non-edges score, existing edges are excluded") {
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) each share 2
+    // common neighbors; the square's own edges must NOT appear
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val m = lp(es, cap = 10)
+    assert(m.keySet === Set((1L, 3L), (2L, 4L)))
+    assert(m((1L, 3L)) === ((2L, 2L, 2L)))
+    assert(m((2L, 4L)) === ((2L, 2L, 2L)))
+  }
+
+  test("cn counts length-2 paths exactly; degrees ride along") {
+    // star center 9 with leaves 1,2,3 and an extra edge 1-2:
+    // non-edges (1,3),(2,3) have cn=1 via 9; (1,2) is an edge
+    val es = Seq((9L, 1L), (9L, 2L), (9L, 3L), (1L, 2L))
+    val m = lp(es, cap = 10)
+    assert(m.keySet === Set((1L, 3L), (2L, 3L)))
+    assert(m((1L, 3L)) === ((1L, 2L, 1L))) // deg(1)=2, deg(3)=1
+  }
+
+  test("degree cap excludes hub midpoints AND hub endpoints") {
+    // hub 9 connects 1..5 (deg 5); with cap 2 the hub is excluded,
+    // so the hub-mediated pairs vanish; triangle path 20-21, 21-22
+    // (all deg <= 2) still yields (20,22)
+    val es = (1L to 5L).map(i => (9L, i)) ++
+      Seq((20L, 21L), (21L, 22L))
+    val capped = lp(es, cap = 2)
+    assert(capped.keySet === Set((20L, 22L)))
+    // with a generous cap the hub pairs appear: C(5,2) = 10 pairs
+    assert(lp(es, cap = 10).keySet.size === 10 + 1)
+  }
+
+  test("orientation and duplicate edges do not double-count") {
+    val m = lp(Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L)), cap = 5)
+    assert(m === Map((1L, 3L) -> ((1L, 1L, 1L))))
+  }
 }
