@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration PageRank in integer micro-units.
@@ -301,11 +301,16 @@ object PageRank {
     * the integer MAX-rescale instead of the float L2 norm: magnitudes
     * stay in [0, 1e6], every op is integer multiply/divide/sum, so
     * both engines agree bit-for-bit (the oracle unrolls the identical
-    * chain, max() included). Overflow bound: a raw score is
-    * ≤ 1e6·deg and the rescale multiplies by 1e6, so max weighted
-    * degree must stay < 9.2e6 (Long.Max/1e12) — far above any
-    * bounded-basket graph; web-scale hubs would rescale BEFORE the
-    * multiply (two divs) at the cost of one extra truncation.
+    * chain, max() included). The raw sums and the (v·1e6) div mx
+    * rescale run in DECIMAL(38,0) — the same width DuckDB's
+    * SUM(BIGINT)→HUGEINT chain computes in — because a raw score is
+    * ≤ 1e6·deg and the rescale multiplies by 1e6 again: an int64
+    * chain wraps silently once weighted in-degree passes ~9.2e6
+    * (Long.Max/1e12), a bound a hub vertex in a heavy-tailed degree
+    * distribution CAN pass. In decimal(38,0) the bound is ~1e26
+    * edges; past even that, the sum overflows to NULL (never a
+    * wrapped value), which the caller-side overflow witness turns
+    * into a loud extra row rather than a silent divergence.
     *
     * Scale shape: the distinct edge frame is built and checkpointed
     * once; each half-round is one vertex-frame join + one
@@ -333,12 +338,17 @@ object PageRank {
       e.select(col("src")).distinct().count() <= BroadcastVertexCap)
     def bcast(df: DataFrame) = if (bc) broadcast(df) else df
     // (score·1e6) div max — integer max-normalization; the 1-row max
-    // is a broadcast cross join, so the rescale is map-side
+    // is a broadcast cross join, so the rescale is map-side. The
+    // multiply runs on the decimal(38,0) sum; div returns long back
+    // in [0, 1e6].
     def rescale(raw: DataFrame): DataFrame = {
       val r = raw.localCheckpoint(true)
       r.crossJoin(broadcast(r.agg(max(col("v")).as("mx"))))
         .select(col("id"), expr("(v * 1000000L) div mx").as("v"))
     }
+    // Sums widen to decimal(38,0): matches DuckDB's HUGEINT SUM, and
+    // overflow degrades to NULL (caught by the witness), never wraps.
+    def wide(c: Column): Column = c.cast("decimal(38,0)")
     var hubs = e.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1000000L).as("v"))
     var auths = hubs.limit(0)
@@ -346,16 +356,27 @@ object PageRank {
       auths = rescale(
         e.join(bcast(hubs.select(col("id").as("hid"), col("v"))),
             col("src") === col("hid"))
-          .groupBy(col("dst")).agg(sum(col("v")).as("v"))
+          .groupBy(col("dst")).agg(sum(wide(col("v"))).as("v"))
           .select(col("dst").as("id"), col("v")))
       hubs = rescale(
         e.join(bcast(auths.select(col("id").as("aid"), col("v"))),
             col("dst") === col("aid"))
-          .groupBy(col("src")).agg(sum(col("v")).as("v"))
+          .groupBy(col("src")).agg(sum(wide(col("v"))).as("v"))
           .select(col("src").as("id"), col("v")))
     }
     (hubs, auths)
   }
+
+  /** Empty-unless-broken overflow witness for [[integerHits]]: rows
+    * whose score is NULL (a decimal(38,0) sum overflow — ~1e26-edge
+    * territory) or outside [0, 1e6] (impossible by construction —
+    * present so any future regression of the rescale is loud). Union
+    * this under a hashed result so a bound violation breaks
+    * rows_match visibly instead of silently reshuffling a top-k
+    * (the q182/q210/q215 loud-sentinel pattern). */
+  def hitsOverflowWitness(scores: DataFrame): DataFrame =
+    scores.filter(col("v").isNull || col("v") < 0L ||
+      col("v") > 1000000L)
 
   def personalizedRanks(edges: DataFrame, srcCol: String,
       dstCol: String, sources: DataFrame, iters: Int,

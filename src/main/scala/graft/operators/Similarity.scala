@@ -192,6 +192,10 @@ object Similarity {
     val pool = corpus
       .select(col(idCol).cast("long").as("id"), col(embCol).as("e"))
       .localCheckpoint(true)
+    val n = pool.count()
+    require(n > 0, "farthestFirst: empty corpus")
+    require(k <= n,
+      s"farthestFirst: k=$k exceeds corpus size $n")
     val seed = pool.orderBy(col("id")).limit(1).collect()(0)
     val picked = scala.collection.mutable.ArrayBuffer(
       (seed.getLong(0), seed.getSeq[Float](1).toArray, 0d))

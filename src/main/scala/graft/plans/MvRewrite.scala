@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And,
-  AttributeReference, Cast, Expression, Literal, NamedExpression}
+  AttributeReference, Cast, Coalesce, Expression, Literal,
+  NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
@@ -37,10 +38,23 @@ import org.apache.spark.sql.internal.SQLConf
   *
   * Scope (documented, not silently wrong — anything outside returns
   * the plan unchanged): single Aggregate per registered base per
-  * query (the summary plan's attribute ids would collide if grafted
-  * twice into one tree), no DISTINCT aggregates, no agg-level FILTER
-  * clauses, no AVG (callers decompose into SUM/COUNT), filters only
-  * on dim columns.
+  * query — ENFORCED: [[MvRewrite.apply]] counts would-rewrite
+  * Aggregates first and bails when more than one matches, because
+  * grafting the same analyzed summary plan (identical exprIds) into
+  * two branches of one tree would produce ambiguous attribute
+  * bindings. No DISTINCT aggregates, no agg-level FILTER clauses, no
+  * AVG (callers decompose into SUM/COUNT), filters only on dim
+  * columns and only DETERMINISTIC ones (a rand()-style predicate
+  * references no columns but re-applying it over summary rows would
+  * change semantics).
+  *
+  * Staleness: MV identity includes a fingerprint of the base's file
+  * listing (path, length, modification time per file) captured at
+  * [[MvRegistry.register]] time; files appended, rewritten, or
+  * removed at the registered path after registration make the
+  * fingerprint mismatch and the rule refuses to rewrite — answering
+  * from a stale summary silently is the one failure mode a summary
+  * rewrite must never have.
   *
   * Registered via `SparkSessionExtensions.injectOptimizerRule` (the
   * [[graft.functions.VectorizeDotProduct]] precedent) — the batch
@@ -61,7 +75,8 @@ object MvRegistry {
     * @param summary the MATERIALIZED summary frame (callers pass a
     *                checkpointed/cached frame — registering a lazy
     *                plan would re-scan the base on every use) */
-  final case class MvDef(path: String, dims: Map[String, String],
+  final case class MvDef(path: String, fingerprint: String,
+      dims: Map[String, String],
       sums: Map[String, String], mins: Map[String, String],
       maxs: Map[String, String], cnt: Option[String],
       summary: DataFrame)
@@ -82,8 +97,8 @@ object MvRegistry {
       summary: DataFrame,
       mins: Seq[(Column, String)] = Nil,
       maxs: Seq[(Column, String)] = Nil): Unit = {
-    val path = scanPath(base.queryExecution.analyzed).getOrElse(
-      throw new IllegalArgumentException(
+    val (path, fp) = scanIdentity(base.queryExecution.analyzed)
+      .getOrElse(throw new IllegalArgumentException(
         "MV base must be a single file-relation scan"))
     def keyOf(c: Column): String = {
       val plan = base.select(c.as("__m")).queryExecution.optimizedPlan
@@ -95,16 +110,32 @@ object MvRegistry {
     }
     def m(xs: Seq[(Column, String)]) =
       xs.map { case (c, n) => keyOf(c) -> n }.toMap
-    val mv = MvDef(path, dims, m(sums), m(mins), m(maxs), cnt, summary)
+    val mv =
+      MvDef(path, fp, dims, m(sums), m(mins), m(maxs), cnt, summary)
     synchronized { mvs = mvs + (path -> mv) }
   }
 
-  /** Root path of the single file relation under `plan`, if any. */
-  private[plans] def scanPath(plan: LogicalPlan): Option[String] =
+  /** (root path, file-listing fingerprint) of the single file
+    * relation under `plan`, if any. The fingerprint hashes every
+    * file's (path, length, modification time), so an append, rewrite
+    * or delete at the same root path changes it — the staleness
+    * check that keeps a registered summary from answering for data
+    * it no longer summarizes. The listing rides the relation's
+    * already-built file index (no extra filesystem walk). */
+  private[plans] def scanIdentity(plan: LogicalPlan)
+      : Option[(String, String)] =
     plan.collectLeaves() match {
       case Seq(lr: LogicalRelation) => lr.relation match {
         case fs: HadoopFsRelation =>
-          fs.location.rootPaths.headOption.map(_.toString)
+          fs.location.rootPaths.headOption.map { root =>
+            val files = fs.location.listFiles(Nil, Nil)
+              .flatMap(_.files)
+              .map(f => s"${f.getPath}|${f.getLen}|${f.getModificationTime}")
+              .sorted
+            val md = java.security.MessageDigest.getInstance("MD5")
+            files.foreach(s => md.update(s.getBytes("UTF-8")))
+            (root.toString, md.digest().map("%02x".format(_)).mkString)
+          }
         case _ => None
       }
       case _ => None
@@ -118,8 +149,19 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (MvRegistry.isEmpty || !enabled) plan
-    else plan.transformUp {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    else {
+      // single-rewrite enforcement: the summary plan is grafted with
+      // its analyzed exprIds, so rewriting two Aggregates in one tree
+      // (join/union of two rollups over the registered base) would
+      // duplicate attribute ids — count first, bail unless exactly one
+      val hits = plan.collect {
+        case agg: Aggregate if tryRewrite(agg).isDefined => agg
+      }
+      if (hits.sizeIs != 1) plan
+      else plan.transformUp {
+        case agg: Aggregate if agg eq hits.head =>
+          tryRewrite(agg).getOrElse(agg)
+      }
     }
 
   /** Structural fingerprint of an expression: node class + literals +
@@ -147,8 +189,10 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (leaf, filters) = unwrap(agg.child, Nil)
     for {
-      path <- MvRegistry.scanPath(leaf)
+      (path, fp) <- MvRegistry.scanIdentity(leaf)
       mv <- MvRegistry.get(path)
+      // staleness: refuse when the file listing changed since register
+      if mv.fingerprint == fp
       plan <- rewrite(agg, filters, mv)
     } yield plan
   }
@@ -166,24 +210,32 @@ object MvRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => dimAttr(a.name)
       case _ => None
     }
-    // filters: every referenced column must be a dim
-    val dimOnly = filters.forall(_.references.forall(
-      a => mv.dims.contains(a.name)))
+    // filters: every referenced column must be a dim, and the
+    // predicate must be deterministic — a rand()-style filter has no
+    // references, would pass the dim check, and re-evaluating it over
+    // summary group rows instead of base rows changes semantics
+    val dimOnly = filters.forall(f =>
+      f.deterministic &&
+        f.references.forall(a => mv.dims.contains(a.name)))
 
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
-      val fn = ae.aggregateFunction match {
+      ae.aggregateFunction match {
         case s: Sum => mv.sums.get(key(s.child)).flatMap(sumOut.get)
-          .map(Sum(_))
+          .map(Sum(_).toAggregateExpression())
         case m: Min => mv.mins.get(key(m.child)).flatMap(sumOut.get)
-          .map(Min(_))
+          .map(Min(_).toAggregateExpression())
         case m: Max => mv.maxs.get(key(m.child)).flatMap(sumOut.get)
-          .map(Max(_))
+          .map(Max(_).toAggregateExpression())
         case c: Count if c.children.forall(_.foldable) =>
-          mv.cnt.flatMap(sumOut.get).map(Sum(_))
+          // COUNT(*) → SUM(cnt), coalesced to 0: a global (no-group)
+          // aggregate whose filter kills every summary row must yield
+          // 0 like COUNT does, not SUM's NULL — and coalescing keeps
+          // the output non-nullable, matching Count's contract
+          mv.cnt.flatMap(sumOut.get).map(a => Coalesce(Seq(
+            Sum(a).toAggregateExpression(), Literal(0L))))
         case _ => None
       }
-      fn.map(_.toAggregateExpression())
     }
 
     // Rewrite every embedded AggregateExpression (dsum-style outputs

@@ -1026,7 +1026,12 @@ object ComponentsQ {
         .orderBy(col("v").desc, col("id"))
         .limit(15)
         .select(lit(side).as("side"), col("id"), col("v").as("score"))
-      top(auths, "auth").unionAll(top(hubs, "hub"))
+      // empty unless a score escapes [0, 1e6] — overflow breaks
+      // rows_match loudly instead of silently reshuffling the top-k
+      val witness = PageRank.hitsOverflowWitness(hubs.unionAll(auths))
+        .select(lit("OVERFLOW").as("side"), col("id"),
+          col("v").as("score"))
+      top(auths, "auth").unionAll(top(hubs, "hub")).unionAll(witness)
         .orderBy(col("side"), col("score").desc, col("id"))
     },
     Some("""

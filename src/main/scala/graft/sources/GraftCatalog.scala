@@ -34,26 +34,48 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * not-matched clauses, cardinality check) stay Catalyst's, exactly
   * as they would on a real lakehouse format.
   *
-  * Storage is in-memory (driver-held UnsafeRow buffers) — the
-  * catalog exists to exercise the DML planning path end-to-end, not
-  * to be a storage engine; the durable path in this library is
+  * Storage: the working copy is in-memory (driver-held UnsafeRow
+  * buffers); with the optional `path` catalog option
+  * (`spark.sql.catalog.<name>.path`) every committed write is ALSO
+  * persisted as a parquet snapshot under `<path>/<ns>/<table>/` via
+  * the two-rename swap ([[graft.streaming.StreamOps.cdcSnapshot]]'s
+  * crash-safety pattern: write to `data.tmp`, swap in, delete old),
+  * and [[loadTable]] reconstructs a table from its on-disk snapshot
+  * after a session restart — so ANSI `MERGE INTO` / `INSERT
+  * OVERWRITE` run against durable on-disk data. The snapshot write
+  * itself is a distributed Spark job over the table's own scan (no
+  * driver-side serialization loop). The working copy stays
+  * driver-bounded by design: this catalog is the declarative DML
+  * planning surface; the unbounded-scale row-level path remains
   * parquet + [[graft.operators.Cdc.mergeLatest]] (q162), whose
-  * result the MERGE spec pins as semantically equal. Whole-table =
-  * one replacement group (the constant `_group` metadata column),
-  * which is the degenerate-but-correct form of Iceberg's
-  * file-granular copy-on-write.
+  * result the MERGE spec pins as semantically equal. Single-writer
+  * contract: two live catalog instances over one `path` would each
+  * trust their own working copy — run one writer per path, as with
+  * any snapshot-swapped directory ([[graft.operators.Compaction]]).
+  * Whole-table = one replacement group (the constant `_group`
+  * metadata column), which is the degenerate-but-correct form of
+  * Iceberg's file-granular copy-on-write.
   *
   * Registered by [[graft.Tables.configure]] as
-  * `spark.sql.catalog.graft`.
+  * `spark.sql.catalog.graft` (in-memory; add a `.path` conf for a
+  * persisted catalog instance).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName = "graft"
+  private var root: Option[String] = None
   private val tables = new ConcurrentHashMap[Identifier, GraftMemTable]()
 
   override def initialize(name: String,
-      options: CaseInsensitiveStringMap): Unit = catalogName = name
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("path")).filter(_.nonEmpty)
+  }
   override def name(): String = catalogName
+
+  private def dirFor(ident: Identifier): Option[String] =
+    root.map(r =>
+      (r +: ident.namespace().toSeq :+ ident.name()).mkString("/"))
 
   override def listTables(ns: Array[String]): Array[Identifier] =
     tables.keySet().asScala
@@ -61,8 +83,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val t = tables.get(ident)
-    if (t == null) throw new NoSuchTableException(ident)
-    t
+    // cross-instance staleness: another catalog instance (a cloned
+    // session — foreachBatch runs in one — or another process under
+    // the single-writer contract) may have swapped a newer snapshot
+    // under this path; the data-dir fingerprint detects it and this
+    // instance reloads rather than serving its stale working copy
+    if (t != null && !t.isStaleOnDisk) return t
+    // restart / staleness path: reconstruct from the parquet snapshot
+    dirFor(ident)
+      .flatMap(GraftMemTable.loadPersisted(ident, _, catalogName))
+      .map { loaded =>
+        if (t == null) {
+          val prior = tables.putIfAbsent(ident, loaded)
+          if (prior != null) prior else loaded
+        } else { tables.put(ident, loaded); loaded }
+      }
+      .getOrElse(
+        if (t != null) t else throw new NoSuchTableException(ident))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -71,9 +108,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(partitions.isEmpty,
       "graft catalog tables are unpartitioned (whole-table " +
         "replacement group)")
-    val t = new GraftMemTable(ident.toString, schema)
+    val t = new GraftMemTable(ident.toString, schema,
+      persistDir = dirFor(ident),
+      qualifiedName = s"$catalogName.${ident.toString}")
     if (tables.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident)
+    t.persistSchema()
     t
   }
 
@@ -82,10 +122,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "graft catalog: ALTER TABLE not supported")
 
-  override def dropTable(ident: Identifier): Boolean =
-    tables.remove(ident) != null
+  override def dropTable(ident: Identifier): Boolean = {
+    val hadMem = tables.remove(ident) != null
+    val hadDisk = dirFor(ident).exists(GraftMemTable.deletePersisted)
+    hadMem || hadDisk
+  }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
+    require(root.isEmpty,
+      "graft catalog: RENAME not supported on a persisted catalog " +
+        "(the table's qualified name is baked into its snapshot " +
+        "writer) — CREATE + INSERT + DROP instead")
     val t = tables.remove(from)
     if (t == null) throw new NoSuchTableException(from)
     if (tables.putIfAbsent(to, t) != null)
@@ -128,19 +175,78 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * the `__row_operation` column still attached. This mirrors real
   * lakehouse connectors, whose group metadata (file, partition) is
   * never empty. */
-class GraftMemTable(tableName: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+class GraftMemTable(tableName: String, tableSchema: StructType,
+    persistDir: Option[String] = None,
+    qualifiedName: String = "") extends Table with SupportsRead
+    with SupportsWrite with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
   require(!tableSchema.fieldNames.contains(GraftMemTable.GroupCol),
     s"column name ${GraftMemTable.GroupCol} is reserved")
 
   @volatile private var rows: Array[InternalRow] = Array.empty
+  // fingerprint of the data dir this working copy corresponds to —
+  // set by persistData (what we wrote) and loadPersisted (what we
+  // read); a mismatch with the live listing means another catalog
+  // instance swapped a newer snapshot in
+  @volatile private var diskFp: String = ""
 
   def currentRows: Array[InternalRow] = rows
   private[sources] def replaceAll(rs: Array[InternalRow]): Unit =
-    synchronized { rows = rs }
+    synchronized { rows = rs; persistData() }
   private[sources] def appendAll(rs: Array[InternalRow]): Unit =
-    synchronized { rows = rows ++ rs }
+    synchronized { rows = rows ++ rs; persistData() }
+  private[sources] def loadRows(rs: Array[InternalRow]): Unit =
+    synchronized { rows = rs; diskFp = computeDiskFp() }
+
+  private def computeDiskFp(): String = persistDir.map { dir =>
+    val spark = org.apache.spark.sql.SparkSession.active
+    val data = new org.apache.hadoop.fs.Path(dir, "data")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(data)) ""
+    else fs.listStatus(data)
+      .map(s => s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}")
+      .sorted.mkString("\n")
+  }.getOrElse("")
+
+  private[sources] def isStaleOnDisk: Boolean =
+    persistDir.isDefined && diskFp != computeDiskFp()
+
+  /** Write `<dir>/schema.json` so [[GraftMemTable.loadPersisted]]
+    * can reconstruct the table after a restart. No-op when the
+    * catalog has no `path`. */
+  private[sources] def persistSchema(): Unit = persistDir.foreach {
+    dir =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      val p = new org.apache.hadoop.fs.Path(dir, "schema.json")
+      val fs =
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(tableSchema.json.getBytes("UTF-8"))
+      finally out.close()
+  }
+
+  /** Snapshot the committed rows to `<dir>/data` via the two-rename
+    * swap (write to `data.tmp`, swap in, delete old): readers of the
+    * persisted dir never see a half-written snapshot, and a crash
+    * mid-write leaves the previous snapshot intact. The write is a
+    * distributed job over this table's own scan — the driver
+    * orchestrates, executors serialize. */
+  private def persistData(): Unit = persistDir.foreach { dir =>
+    val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(dir, "data.tmp")
+    val old = new Path(dir, "data.old")
+    val dst = new Path(dir, "data")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.table(qualifiedName).write
+      .mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst))
+      require(fs.rename(dst, old), s"rename $dst -> $old failed")
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    fs.delete(old, true)
+    diskFp = computeDiskFp()
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -170,6 +276,44 @@ class GraftMemTable(tableName: String, tableSchema: StructType)
 
 object GraftMemTable {
   val GroupCol = "_group"
+
+  /** Reconstruct a persisted table from `<dir>/schema.json` +
+    * `<dir>/data` (the restart path). Returns None when no snapshot
+    * exists at `dir`. The row load is a distributed parquet scan
+    * collected to the driver-bounded working copy — same bound as
+    * every other write to this catalog. */
+  private[sources] def loadPersisted(ident: Identifier, dir: String,
+      catalogName: String): Option[GraftMemTable] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val schemaPath = new org.apache.hadoop.fs.Path(dir, "schema.json")
+    val fs = schemaPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(schemaPath)) return None
+    val in = fs.open(schemaPath)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[StructType]
+    val t = new GraftMemTable(ident.toString, schema,
+      persistDir = Some(dir),
+      qualifiedName = s"$catalogName.${ident.toString}")
+    val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
+    if (fs.exists(dataDir))
+      t.loadRows(spark.read.schema(schema)
+        .parquet(dataDir.toString)
+        .queryExecution.toRdd.map(_.copy()).collect())
+    Some(t)
+  }
+
+  private[sources] def deletePersisted(dir: String): Boolean = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.delete(p, true)
+  }
 }
 
 /** Group-based row-level operation: scan = the whole table, write =

@@ -995,6 +995,75 @@ object StreamOps {
       }
       .start()
 
+  /** One micro-batch of the declarative streaming upsert: collapse
+    * the batch to its per-key latest change ([[graft.operators.Cdc
+    * .mergeLatest]], tombstones kept) and MERGE it into a catalog
+    * table — the ANSI form of [[applyCdcBatch]], planned by Spark's
+    * own `RewriteMergeIntoTable` against the target's row-level
+    * operation ([[graft.sources.GraftCatalog]], in-memory or
+    * parquet-persisted).
+    *
+    * Target schema contract: keyCols ++ payload ++ (last_seq,
+    * last_op) — exactly [[graft.operators.Cdc.mergeLatest]]'s
+    * keepTombstones=true output, so the table after any prefix of
+    * batches equals mergeLatest over the union of those batches
+    * (tombstone rows persist with last_op = "D"; readers filter,
+    * same contract as [[cdcSnapshot]] — dropping them would let a
+    * late lower-seq change resurrect a deleted key).
+    *
+    * Idempotence (the exactly-once half foreachBatch can't give
+    * you): the matched clause guards on `s.last_seq >= t.last_seq`,
+    * so replaying a batch after a restart-before-checkpoint-commit
+    * re-applies equal-seq rows to their identical values — the
+    * [[writeBatchIdempotent]] property, in MERGE form.
+    *
+    * Scale shape: per trigger, one batch-sized partial-aggregable
+    * collapse + one MERGE whose source is batch-sized — the target
+    * is touched only through the catalog's row-level scan/replace
+    * contract, never rescanned driver-side. */
+  def mergeUpsertBatch(batch: DataFrame, targetTable: String,
+      keyCols: Seq[String], seqCol: String, opCol: String): Unit = {
+    val spark = batch.sparkSession
+    val collapsed = graft.operators.Cdc.mergeLatest(batch, keyCols,
+      seqCol, opCol, keepTombstones = true)
+    val view = "graft_upsert_src_" +
+      targetTable.replaceAll("[^A-Za-z0-9]", "_")
+    collapsed.createOrReplaceTempView(view)
+    val on = keyCols.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+    spark.sql(
+      s"""MERGE INTO $targetTable t USING $view s ON $on
+          WHEN MATCHED AND s.last_seq >= t.last_seq
+            THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    ()
+  }
+
+  /** Standing declarative streaming upsert: every micro-batch of
+    * change rows MERGEs into `targetTable` via [[mergeUpsertBatch]]
+    * — the deployment composition of [[startCdcApply]] (same change
+    * log, same final snapshot) with the ANSI MERGE surface (q162).
+    * Exactly-once = checkpointed offsets + the seq-guarded
+    * idempotent MERGE. The target table must pre-exist with the
+    * mergeLatest(keepTombstones) schema, in a PERSISTED catalog
+    * (`spark.sql.catalog.<name>.path`): foreachBatch runs in a
+    * cloned session whose own catalog instance resolves the table
+    * from its parquet snapshot — a purely in-memory catalog table
+    * isn't visible across the clone, and the snapshot-fingerprint
+    * staleness check in [[graft.sources.GraftCatalog.loadTable]] is
+    * what lets the user's session see each micro-batch's result. */
+  def startMergeUpsert(changes: DataFrame, targetTable: String,
+      checkpointDir: String, keyCols: Seq[String], seqCol: String,
+      opCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        mergeUpsertBatch(batch.toDF(), targetTable, keyCols, seqCol,
+          opCol)
+      }
+      .start()
+
   /** Reader view of a [[startCdcApply]] snapshot: live rows only.
     * During the two-rename swap window the main path briefly doesn't
     * exist; this falls back to the `.old` snapshot (the pre-swap

@@ -136,6 +136,44 @@ class SetSimHitsSpec extends SparkSpec {
     assert(runHits(e, 2) == refHits(e, 2))
   }
 
+  test("hits is exact past int64: 10M-edge star whose raw rescale " +
+      "product exceeds Long.Max") {
+    // 10M hubs all pointing at vertex 0: round-1 raw authority sum is
+    // 1e7·1e6 = 1e13, and the max-rescale multiplies by 1e6 again —
+    // 1e19 > Long.Max (~9.2e18). An int64 chain wraps negative here;
+    // the decimal(38,0) chain must stay exact. A second authority
+    // (half the hubs) checks the truncated div, not just the max row.
+    val spark = this.spark
+    import spark.implicits._
+    val n = 10000000L
+    val star = spark.range(1L, n + 1L)
+      .select(col("id").as("s"), lit(0L).as("t"))
+    val half = spark.range(1L, n / 2 + 1L)
+      .select(col("id").as("s"), lit(-1L).as("t"))
+    val (hd, ad) = PageRank.integerHits(
+      star.unionAll(half).toDF, "s", "t", iters = 1,
+      broadcastScores = Some(false))
+    val a = ad.as[(Long, Long)].collect().toMap
+    assert(a(0L) == 1000000L, s"star center rescales to 1e6: $a")
+    // exact: (5e12 · 1e6) div 1e13 = 500000 — a wrapped int64 sum
+    // lands anywhere but here
+    assert(a(-1L) == 500000L, s"half-degree authority exact: $a")
+    val h = hd.as[(Long, Long)].collect()
+    assert(h.forall { case (_, v) => v >= 0L && v <= 1000000L })
+    assert(PageRank.hitsOverflowWitness(ad.unionAll(hd)).count() == 0L)
+  }
+
+  test("overflow witness flags null and out-of-range scores") {
+    val spark = this.spark
+    import spark.implicits._
+    val ok = Seq((1L, Some(0L)), (2L, Some(1000000L)))
+    val bad = Seq((3L, None), (4L, Some(-1L)), (5L, Some(1000001L)))
+    val df = (ok ++ bad).toDF("id", "v")
+    val flagged = PageRank.hitsOverflowWitness(df)
+      .select("id").as[Long].collect().toSet
+    assert(flagged == Set(3L, 4L, 5L))
+  }
+
   test("hits: scores stay within [0, 1e6]") {
     val e = (1L to 40L).flatMap(c => (1L to (c % 7 + 1))
       .map(p => (c, 100L + p)))
