@@ -18,9 +18,12 @@ import graft.functions.{Hilbert2D, HilbertN, PqAssign, ShingleNGrams,
   * Also registers the whole-operator TABLE functions `cdc_merge`,
   * `attribution_credits`, `sq8_search`, `bfs_hops`,
   * `shortest_paths`, `k_core`, `label_propagation`, `item_cooccur`,
-  * `hist_drift`, `chunk_tokens`, `personalized_pagerank`, and the
+  * `hist_drift`, `chunk_tokens`, `personalized_pagerank`, the
   * r10 graph completions `random_walks`, `modularity`,
-  * `core_numbers`, `closeness`
+  * `core_numbers`, `closeness`, and the r11 row-pattern matcher
+  * `match_recognize` ([[graft.operators.Journeys.matchRecognize]] —
+  * the SQL:2016 MATCH_RECOGNIZE shape: contiguous pattern +
+  * quantifiers + gap policy, skip past last row)
   * ([[graft.operators.Graph.randomWalks]],
   * [[graft.operators.Graph.modularity]],
   * [[graft.operators.Graph.coreNumbers]],
@@ -271,6 +274,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strConst(children(2), "chunk_tokens: text_col"),
             intConstArg(children(3), "chunk_tokens: size"),
             intConstArg(children(4), "chunk_tokens: overlap"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("match_recognize"),
+      new ExpressionInfo("graft.operators.Journeys",
+        "match_recognize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 7,
+          "match_recognize expects (events_view, key_col, ts_col, " +
+            "tiebreak_col, type_col, pattern, gap_sec), " +
+            s"got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val gap = {
+          val e = children(6)
+          require(e.foldable,
+            s"match_recognize: gap_sec must be a literal, got ${e.sql}")
+          e.eval() match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case v => throw new IllegalArgumentException(
+              s"match_recognize: gap_sec must be integral, got $v")
+          }
+        }
+        graft.operators.Journeys.matchRecognize(
+            spark.table(strConst(children(0),
+              "match_recognize: events_view")),
+            strConst(children(1), "match_recognize: key_col"),
+            strConst(children(2), "match_recognize: ts_col"),
+            strConst(children(3), "match_recognize: tiebreak_col"),
+            strConst(children(4), "match_recognize: type_col"),
+            strConst(children(5), "match_recognize: pattern"), gap)
           .queryExecution.analyzed
       }))
     ext.injectTableFunction((

@@ -91,6 +91,89 @@ object Journeys {
     * collect_list is [[topPaths]]'s map-side gram + one
     * partial-aggregable count shuffle.
     * @return (path, n) with path the '>'-joined type n-gram */
+  /** Compile a MATCH_RECOGNIZE-style pattern — whitespace-separated
+    * event-type steps, each optionally quantified with `+` (one or
+    * more), `*` (zero or more) or `?` (optional) — into the Java/RE2
+    * regex that matches it against a '>'-terminated type sequence
+    * string ("view>click>click>purchase>"). At least one step must
+    * be required (`name` or `name+`), so a match is never empty.
+    * Step names are restricted to identifier characters: the pattern
+    * parameterizes a regex, and this is what keeps it injection-free. */
+  private[operators] def compilePattern(pattern: String): String = {
+    val toks = pattern.trim.split("\\s+").toSeq
+      .filter(_.nonEmpty)
+    require(toks.nonEmpty, "matchRecognize: empty pattern")
+    val steps = toks.map { t =>
+      val (name, q) =
+        if ("+*?".contains(t.takeRight(1))) (t.dropRight(1),
+          t.takeRight(1))
+        else (t, "")
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"matchRecognize: step '$t' must be an identifier with an " +
+          "optional trailing + * or ?")
+      (s"(?:$name>)$q", q)
+    }
+    require(steps.exists(s => s._2 == "" || s._2 == "+"),
+      "matchRecognize: pattern needs at least one required step " +
+        "(a match of all-optional steps would be empty)")
+    steps.map(_._1).mkString
+  }
+
+  /** Declarative row-pattern matching — the MATCH_RECOGNIZE shape
+    * (SQL:2016 ch. 12; Trino/Flink ship the same surface) over
+    * gap-sessionized per-key event sequences: find every
+    * non-overlapping CONTIGUOUS run of events whose types match
+    * `pattern` (steps + quantifiers, [[compilePattern]]), with the
+    * standard AFTER MATCH SKIP PAST LAST ROW policy (a regex engine's
+    * leftmost-then-continue scan IS that policy). Contiguity is what
+    * the imperative funnel family ([[funnelTimes]] — first occurrence
+    * after, gaps allowed) cannot express, and the gap policy is the
+    * session bound: no match spans `gapSec` of inactivity.
+    *
+    * Execution is Spark-first and regex-shaped, not NFA-per-row: one
+    * shuffle on the key serves session assignment AND the (key,
+    * session) sequence collect (same plan shape as
+    * [[topPathsSessionized]]); the session's type sequence folds to
+    * a '>'-terminated string and `regexp_extract_all` (codegen'd,
+    * no UDF) emits the matches. The largest intermediate is one
+    * session's events — bounded by the gap contract, never a user's
+    * lifetime.
+    *
+    * Data contract: type values must not contain '>' (the sequence
+    * delimiter); step names are identifier-restricted so arbitrary
+    * regex can't be injected through `pattern`.
+    *
+    * @return (keyCol, session_id, match_no, match_path, match_len):
+    *         one row per match; match_no is 1-based in sequence
+    *         order, match_path the '>'-joined matched types */
+  def matchRecognize(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, typeCol: String, pattern: String,
+      gapSec: Long): DataFrame = {
+    val rx = compilePattern(pattern)
+    val sess = Sessionize.withSessionId(
+      events.select(col(keyCol), col(typeCol), col(tsCol),
+        col(tiebreakCol)),
+      keyCol, tsCol, gapSec)
+    val seqs = sess
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("t"), col(tiebreakCol).as("i"),
+        col(typeCol).as("y")))).as("s"))
+      .select(col(keyCol), col("session_id"),
+        concat(concat_ws(">",
+          transform(col("s"), x => x.getField("y"))), lit(">"))
+          .as("str"))
+    seqs
+      .select(col(keyCol), col("session_id"),
+        posexplode(regexp_extract_all(col("str"), lit(rx), lit(0))))
+      .select(col(keyCol), col("session_id"),
+        (col("pos") + 1).cast("long").as("match_no"),
+        expr("trim(TRAILING '>' FROM col)").as("match_path"),
+        (length(col("col")) -
+          length(regexp_replace(col("col"), ">", "")))
+          .cast("long").as("match_len"))
+  }
+
   def topPathsSessionized(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, tiebreakCol: String,
       gapSec: Long, n: Int, k: Int): DataFrame = {

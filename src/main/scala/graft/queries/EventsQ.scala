@@ -392,6 +392,67 @@ object EventsQ {
       FROM dau d JOIN wau w ON w.wday = d.day
       ORDER BY day"""))
 
+  /** q221 — declarative row-pattern matching ([[graft.operators
+    * .Journeys.matchRecognize]], the MATCH_RECOGNIZE shape):
+    * every non-overlapping contiguous `view click+ purchase` run
+    * inside a 6-hour session, AFTER MATCH SKIP PAST LAST ROW. The
+    * imperative funnel (q139) allows gaps between steps; this is the
+    * strict-adjacency complement, the form a warehouse user types.
+    * The oracle replays session assignment (q148's lag → flag →
+    * running sum) AND the identical regex scan in DuckDB's RE2, so
+    * boundary semantics, contiguity, greed, and the skip policy all
+    * gate — a match crossing a session boundary or overlapping its
+    * predecessor breaks the hash. */
+  val q221 = Qry(
+    "q221_match_recognize",
+    (s: SparkSession, d: String) =>
+      graft.operators.Journeys.matchRecognize(
+        Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type", pattern = "view click+ purchase",
+        gapSec = 21600L)
+        .orderBy(col("user_id"), col("session_id"), col("match_no")),
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               event_id,
+               CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id ORDER BY
+                              CAST(ts AS TIMESTAMP)) IS NULL THEN 1
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                      - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id ORDER BY
+                              CAST(ts AS TIMESTAMP))
+                      > CAST(21600 AS BIGINT) * 1000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events),
+      sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                 AS session_id
+        FROM flagged),
+      seqs AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id)
+                 || '>' AS str
+        FROM sess GROUP BY user_id, session_id),
+      m AS (
+        SELECT user_id, session_id,
+               regexp_extract_all(str,
+                 '(?:view>)(?:click>)+(?:purchase>)') AS l
+        FROM seqs),
+      x AS (
+        SELECT user_id, session_id,
+               unnest(l) AS mm,
+               unnest(generate_series(1, len(l))) AS match_no
+        FROM m)
+      SELECT user_id, session_id, CAST(match_no AS BIGINT) AS match_no,
+             rtrim(mm, '>') AS match_path,
+             CAST(length(mm) - length(replace(mm, '>', ''))
+               AS BIGINT) AS match_len
+      FROM x
+      ORDER BY user_id, session_id, match_no"""))
+
   val all: Seq[Qry] =
-    Seq(q35, q36, q37, q38, q72, q139, q140, q148, q172)
+    Seq(q35, q36, q37, q38, q72, q139, q140, q148, q172, q221)
 }

@@ -118,4 +118,73 @@ class JourneysSpec extends SparkSpec {
       .findAllIn(plan).length
     assert(exchanges <= 2, s"unexpected extra shuffle:\n$plan")
   }
+
+  // ---- matchRecognize ----
+
+  private def mr(events: org.apache.spark.sql.DataFrame,
+      pattern: String, gapSec: Long = 1000L) =
+    Journeys.matchRecognize(events, "user_id", "ts", "event_id",
+        "event_type", pattern, gapSec)
+      .orderBy("user_id", "session_id", "match_no")
+      .as[(Long, Long, Long, String, Long)].collect().toList
+
+  test("matchRecognize: contiguous matches only, skip past last row") {
+    // user 1: a b b c a c — 'a b+ c' matches a>b>b>c once; the later
+    // a,c are NOT adjacent so no second match. user 2: a c adjacent
+    // but no b (required +) -> no match.
+    val events = ev(Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "b", 3L),
+      (1L, 4L, "c", 4L), (1L, 5L, "a", 5L), (1L, 6L, "c", 6L),
+      (2L, 1L, "a", 7L), (2L, 2L, "c", 8L)))
+    assert(mr(events, "a b+ c") ===
+      List((1L, 0L, 1L, "a>b>b>c", 4L)))
+    // optional step: 'a b? c' admits at most ONE b, so user 1's
+    // a>b>b>c run does NOT match — the trailing a>c does, as does
+    // user 2's
+    assert(mr(events, "a b? c") ===
+      List((1L, 0L, 1L, "a>c", 2L), (2L, 0L, 1L, "a>c", 2L)))
+  }
+
+  test("matchRecognize: non-overlapping — second match starts after " +
+      "the first ends") {
+    // a b c a b c: two disjoint matches, match_no 1 and 2
+    val events = ev((1L to 6L).map(i =>
+      (1L, i, Seq("a", "b", "c")((i.toInt - 1) % 3), i)))
+    assert(mr(events, "a b c") ===
+      List((1L, 0L, 1L, "a>b>c", 3L), (1L, 0L, 2L, "a>b>c", 3L)))
+  }
+
+  test("matchRecognize: a match never spans an inactivity gap") {
+    // a b | (gap) | c  with gap=60: b and c are adjacent in lifetime
+    // order but in different sessions -> no 'a b c' match; with a
+    // huge gap the match appears
+    val events = ev(Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 200L, "c", 3L)))
+    assert(mr(events, "a b c", gapSec = 60L) === Nil)
+    assert(mr(events, "a b c", gapSec = 100000L) ===
+      List((1L, 0L, 1L, "a>b>c", 3L)))
+  }
+
+  test("matchRecognize: ties break on the tiebreak column") {
+    // same ts: event_id orders a before b
+    val events = ev(Seq(
+      (1L, 5L, "b", 2L), (1L, 5L, "a", 1L), (1L, 6L, "c", 3L)))
+    assert(mr(events, "a b c") === List((1L, 0L, 1L, "a>b>c", 3L)))
+  }
+
+  test("matchRecognize rejects malformed and all-optional patterns") {
+    val events = ev(Seq((1L, 1L, "a", 1L)))
+    intercept[IllegalArgumentException] {
+      Journeys.matchRecognize(events, "user_id", "ts", "event_id",
+        "event_type", "a.* b", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Journeys.matchRecognize(events, "user_id", "ts", "event_id",
+        "event_type", "a? b*", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Journeys.matchRecognize(events, "user_id", "ts", "event_id",
+        "event_type", "  ", 10L)
+    }
+  }
 }

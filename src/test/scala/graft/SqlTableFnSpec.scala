@@ -330,4 +330,29 @@ class SqlTableFnSpec extends SparkSpec {
     assert(viaSql === viaApi)
     assert(viaSql === List((2L, 2000000L)))
   }
+
+  test("match_recognize from SQL plans identically to the API form " +
+      "and finds the contiguous runs") {
+    Seq((1L, 1L, "view", 1L), (1L, 2L, "click", 2L),
+      (1L, 3L, "click", 3L), (1L, 4L, "purchase", 4L),
+      (1L, 5L, "view", 5L), (1L, 6L, "purchase", 6L),
+      (2L, 1L, "view", 7L), (2L, 2L, "purchase", 8L))
+      .toDF("user_id", "tsec", "event_type", "event_id")
+      .select(col("user_id"),
+        expr("timestamp_micros(tsec * 1000000)").as("ts"),
+        col("event_type"), col("event_id"))
+      .createOrReplaceTempView("mr_events_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM match_recognize('mr_events_sql', 'user_id', " +
+        "'ts', 'event_id', 'event_type', 'view click+ purchase', " +
+        "3600)")
+    val viaApi = graft.operators.Journeys.matchRecognize(
+      spark.table("mr_events_sql"), "user_id", "ts", "event_id",
+      "event_type", "view click+ purchase", 3600L)
+    assert(viaSql.queryExecution.optimizedPlan.canonicalized ===
+      viaApi.queryExecution.optimizedPlan.canonicalized)
+    assert(viaSql.orderBy("user_id", "session_id", "match_no")
+      .as[(Long, Long, Long, String, Long)].collect().toList ===
+      List((1L, 0L, 1L, "view>click>click>purchase", 4L)))
+  }
 }
