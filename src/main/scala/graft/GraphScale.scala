@@ -18,7 +18,7 @@ import graft.operators.Graph
   * decades and wall growth isolates the ENGINE's scaling.
   *
   * Usage: runMain graft.GraphScale [n] [reps] [ops-csv]
-  * (ops-csv ⊆ kcore,lpa,walks,scc; default all)
+  * (ops-csv ⊆ kcore,lpa,walks,scc,temporal; default all)
   * Prints one JSON line per rep per operator plus summary minima.
   */
 object GraphScale {
@@ -27,7 +27,7 @@ object GraphScale {
     val n = args.lift(0).map(_.toInt).getOrElse(100000)
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val ops = args.lift(2).map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("kcore", "lpa", "walks", "scc"))
+      .getOrElse(Set("kcore", "lpa", "walks", "scc", "temporal"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = Tables.configure(SparkSession.builder()
@@ -65,6 +65,31 @@ object GraphScale {
         walksPerNode = 2, steps = 5).count()
     }
 
+    // temporal reachability: the SAME generated edges as directed
+    // edge INSTANCES, each with an md5-derived timestamp — probes
+    // q215's earliestArrival at parametric instance-frame size with
+    // the q215 round budget (16). The r11 frontier restriction is
+    // what this ladder proves out: per-round instance-join cost
+    // rides the improving frontier, so rounds amortize once the
+    // expansion waves pass (and an empty frontier ends the run).
+    // `extra` reports rows still moving at the budget (at != at_prev
+    // — 0 means the witness reads exact fixpoint).
+    def temporalRun(m: Long): (Long, Long) = {
+      val inst = spark.range(3L * m).selectExpr(
+        s"id % $m AS a",
+        s"CAST(conv(substring(md5(CAST(id AS STRING)), 1, 12), 16," +
+          s" 10) AS BIGINT) % $m AS b",
+        s"CAST(conv(substring(md5(CAST(id AS STRING)), 13, 8), 16," +
+          s" 10) AS BIGINT) % 1000000 AS t")
+        .filter(col("a") =!= col("b"))
+      val arr = Graph.earliestArrival(inst, "a", "b", "t",
+        sourceId = 0L, rounds = 16)
+      val tot = arr.count()
+      val moving = arr.filter(col("at_prev").isNull ||
+        col("at") =!= col("at_prev")).count()
+      (tot, moving)
+    }
+
     // scc treats the SAME generated edges as DIRECTED: avg
     // out-degree 3 puts the digraph well past the giant-SCC
     // threshold, so every decade has one large component, a
@@ -83,6 +108,7 @@ object GraphScale {
     if (ops("lpa")) lpaRun(math.max(n / 10L, 1000L))
     if (ops("walks")) walkRun(math.max(n / 10L, 1000L))
     if (ops("scc")) sccRun(math.max(n / 10L, 1000L))
+    if (ops("temporal")) temporalRun(math.max(n / 10L, 1000L))
 
     def timed(tag: String, run: () => (Long, Long)): Double = {
       val times = (1 to reps).map { r =>
@@ -104,9 +130,12 @@ object GraphScale {
       () => (walkRun(n.toLong), 0L)) else -1d
     val sc = if (ops("scc")) timed("scc_e2e",
       () => sccRun(n.toLong)) else -1d
+    val tp = if (ops("temporal")) timed("temporal_e2e",
+      () => temporalRun(n.toLong)) else -1d
     println(f"""{"metric":"graph_scale_min","n":$n,""" +
       f""""kcore_sec":$kc%.4f,"lpa_sec":$lp%.4f,""" +
-      f""""walks_sec":$wk%.4f,"scc_sec":$sc%.4f,"unit":"sec"}""")
+      f""""walks_sec":$wk%.4f,"scc_sec":$sc%.4f,""" +
+      f""""temporal_sec":$tp%.4f,"unit":"sec"}""")
     spark.stop()
   }
 }

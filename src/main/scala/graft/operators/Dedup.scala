@@ -270,6 +270,28 @@ object Dedup {
         shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(true)
+    val candidates = prefixFilterCandidates(sh, tauPpm)
+    candidates
+      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("szs"))
+      .select(col("a"), col("b"), col("inter"),
+        (col("szs") - col("inter")).as("uni"))
+      .withColumn("jacc_ppm", expr("(inter * 1000000L) div uni"))
+      .filter(col("jacc_ppm") >= tauPpm)
+  }
+
+  /** Candidate stage of [[prefixFilterPairs]], exposed so scale
+    * probes can assert the posting-list bound directly: (a, b) pairs
+    * (a < b) sharing a PREFIX shingle under the df-asc global order
+    * and passing the length filter — a superset of the true
+    * Jaccard ≥ τ pairs (the prefix principle guarantees no false
+    * negatives), before exact verification. Input is the (id, sh)
+    * shingle-set frame [[prefixFilterPairs]] builds. */
+  def prefixFilterCandidates(sh: DataFrame, tauPpm: Long): DataFrame = {
     val tok = sh.select(col("id"), explode(col("sh")).as("g"))
     val freq = tok.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // per-doc shingle list in global (df asc, shingle asc) order —
@@ -287,7 +309,7 @@ object Dedup {
           (size(col("toks")).cast("long") -
             expr(s"(CAST(size(toks) AS BIGINT) * $tauPpm + 999999) " +
               "div 1000000") + lit(1L)).cast("int"))).as("g"))
-    val candidates = pref.as("l")
+    pref.as("l")
       .join(pref.as("r"), col("l.g") === col("r.g") &&
         col("l.id") < col("r.id") &&
         // length filter: τ·|x| ≤ |y| ≤ |x|/τ (x the shorter side)
@@ -295,17 +317,6 @@ object Dedup {
         col("r.n_sh") * tauPpm <= col("l.n_sh") * 1000000L)
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
-    candidates
-      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .select(col("a"), col("b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-          .as("inter"),
-        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("szs"))
-      .select(col("a"), col("b"), col("inter"),
-        (col("szs") - col("inter")).as("uni"))
-      .withColumn("jacc_ppm", expr("(inter * 1000000L) div uni"))
-      .filter(col("jacc_ppm") >= tauPpm)
   }
 
   /** 16-bit SimHash over the token multiset: bit b of the hash is set

@@ -110,6 +110,22 @@ object EntityRes {
         col(strCol).as("s"))
       .filter(col("s").isNotNull)
       .localCheckpoint(true)
+    val cand = editDistance2Candidates(base)
+    cand
+      .join(base.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("ed"))
+      .filter(col("ed") <= 2)
+  }
+
+  /** Candidate stage of [[editDistance2Pairs]], exposed so scale
+    * probes can assert the posting-list bound directly: (a, b) pairs
+    * (a < b) sharing at least one ≤2-deletion variant — a superset
+    * of the true ED ≤ 2 pairs (FastSS guarantees no false
+    * negatives), before Levenshtein verification. Input must be an
+    * (id, s) frame. */
+  def editDistance2Candidates(base: DataFrame): DataFrame = {
     val L = length(col("s"))
     val idx = sequence(lit(0), L - 1)
     // delete position i (0-based): first i chars ++ chars from i+2
@@ -130,17 +146,11 @@ object EntityRes {
               .otherwise(lit(null).cast("string"))))),
           v => v.isNotNull))))
     val keyed = base.select(col("id"), explode(neigh).as("k"))
-    val cand = keyed.as("l")
+    keyed.as("l")
       .join(keyed.as("r"), col("l.k") === col("r.k") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
-    cand
-      .join(base.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
-      .join(base.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
-      .select(col("a"), col("b"),
-        levenshtein(col("sa"), col("sb")).cast("long").as("ed"))
-      .filter(col("ed") <= 2)
   }
 
   /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the

@@ -586,8 +586,10 @@ object Graph {
     *
     * @param edges undirected edge list (one row per edge, any
     *              orientation; symmetrized + dedup'd internally)
-    * @return (u, v, cn, pa_u_deg, pa_v_deg) for non-adjacent u < v
-    *         with cn ≥ 1 and both endpoints under the cap */
+    * @return (u, v, cn, ra_ppm, pa_u_deg, pa_v_deg) for non-adjacent
+    *         u < v with cn ≥ 1 and both endpoints under the cap;
+    *         ra_ppm = Σ over shared neighbors of (1e6 div deg) — the
+    *         resource-allocation index in exact integer ppm */
   def commonNeighborCandidates(edges: DataFrame, aCol: String,
       bCol: String, degCap: Int): DataFrame = {
     require(degCap >= 1, s"degCap must be >= 1: $degCap")
@@ -602,17 +604,27 @@ object Graph {
     val eLow = e
       .join(low.select(col("x").as("a")), Seq("a"), "left_semi")
       .join(low.select(col("x").as("b")), Seq("b"), "left_semi")
+    // each 2-path u-w-v also carries the midpoint degree, so the
+    // aggregate emits the resource-allocation index (Zhou-Lü-Zhang
+    // 2009: Σ_w 1/deg(w)) alongside cn — in exact integer ppm
+    // (1e6 div deg), the cheap-midpoints-count-more refinement that
+    // outranks raw CN empirically, with zero extra shuffles (deg
+    // rides the path row)
     val paths = eLow.select(col("a").as("u"), col("b").as("w"))
       .join(eLow.select(col("a").as("w"), col("b").as("v")), Seq("w"))
       .filter(col("u") < col("v"))
+      .join(low.select(col("x").as("w"), col("d").as("dw")), Seq("w"))
     val cn = paths.groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("cn"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000L div dw")).as("ra_ppm"))
       .join(e.select(col("a").as("u"), col("b").as("v")),
         Seq("u", "v"), "left_anti")
     cn.join(low.select(col("x").as("u"), col("d").as("pa_u_deg")),
         Seq("u"))
       .join(low.select(col("x").as("v"), col("d").as("pa_v_deg")),
         Seq("v"))
+      .select(col("u"), col("v"), col("cn"), col("ra_ppm"),
+        col("pa_u_deg"), col("pa_v_deg"))
   }
 
   /** TEMPORAL earliest-arrival reachability — single-source shortest
@@ -629,18 +641,26 @@ object Graph {
     * admits a superset of u's outgoing instances), so arrivals are
     * monotone and the synchronous relaxation converges within
     * |V| − 1 rounds; practically within the temporal diameter. The
-    * operator runs a FIXED `rounds` relaxations (each: one
-    * instance⋈arrival equi-join + one partial-aggregable MIN — the
-    * [[weightedHops]] shape) and returns the previous round
-    * alongside, as a FIXPOINT WITNESS: semantics are exact
-    * reachability iff every row has at = at_prev (callers hash the
-    * witness — the q182/q210 loud-sentinel pattern); otherwise the
-    * result is "arrival within ≤ rounds hops", stated, never silent.
+    * operator runs UP TO `rounds` relaxations and returns the
+    * previous round alongside, as a FIXPOINT WITNESS: semantics are
+    * exact reachability iff every row has at = at_prev (callers hash
+    * the witness — the q182/q210 loud-sentinel pattern); otherwise
+    * the result is "arrival within ≤ rounds hops", stated, never
+    * silent.
     *
-    * Scale shape: the instance frame is scanned once per round
-    * against the vertex-sized arrival frame (broadcast-friendly);
-    * nothing all-pairs, nothing driver-sized, no driver-side
-    * convergence probe (fixed rounds ⇒ fixed plan depth).
+    * Scale shape — FRONTIER-RESTRICTED (r11): each round joins the
+    * instance frame against only the arrivals that IMPROVED last
+    * round (new vertex, or an earlier time), not the whole arrival
+    * map — identical per-round arrivals (an unchanged vertex's
+    * relaxations were all emitted the round after it last improved;
+    * re-emitting them into a MIN changes nothing) at instance-join
+    * cost proportional to the ACTIVE frontier, which after the
+    * expansion waves pass is a tiny fraction of the reached set.
+    * The frontier diff is one vertex-sized left join per round; the
+    * frontier frame broadcasts when small. An empty frontier is a
+    * proven fixpoint, so remaining rounds are skipped — the output
+    * (witness included) is identical to running them, each would be
+    * a no-op. Nothing all-pairs, nothing driver-sized.
     *
     * @param tCol integer time column (epoch micros by convention —
     *             exact, hash-safe)
@@ -658,19 +678,32 @@ object Graph {
     var arr = e.sparkSession.range(1)
       .select(lit(sourceId).as("id"), lit(0L).as("at"))
       .localCheckpoint(true)
+    var delta = arr
     var prev = arr
     var i = 0
-    while (i < rounds) {
+    while (i < rounds && !delta.isEmpty) {
       i += 1
       prev = arr
-      arr = arr.unionByName(
-          e.join(arr.select(col("id").as("src"), col("at")),
-            Seq("src"))
-            .filter(col("t") >= col("at"))
-            .select(col("dst").as("id"), col("t").as("at")))
+      val relaxed = e
+        .join(delta.select(col("id").as("src"), col("at")),
+          Seq("src"))
+        .filter(col("t") >= col("at"))
+        .select(col("dst").as("id"), col("t").as("at"))
+      val merged = arr.unionByName(relaxed)
         .groupBy(col("id")).agg(min(col("at")).as("at"))
         .localCheckpoint(true)
+      delta = merged
+        .join(arr.select(col("id"), col("at").as("__old")),
+          Seq("id"), "left")
+        .filter(col("__old").isNull || col("at") < col("__old"))
+        .select(col("id"), col("at"))
+        .localCheckpoint(true)
+      arr = merged
     }
+    // converged before the budget: arr is a fixpoint, so the witness
+    // reads at = at_prev everywhere — identical to running the
+    // remaining (no-op) rounds
+    if (i < rounds) prev = arr
     arr.join(prev.select(col("id"), col("at").as("at_prev")),
       Seq("id"), "left")
   }

@@ -426,5 +426,94 @@ object Changes {
       SELECT cust, COUNT(*) AS cnt, ${dsumSql("v", 2)} AS total
       FROM final GROUP BY cust ORDER BY cust"""))
 
-  val all: Seq[Qry] = Seq(q162, q163, q164, q175, q197)
+  /** q222 — ANSI `MERGE INTO` round-trip through the graft v2
+    * catalog ([[graft.sources.GraftCatalog]]): the declarative DML
+    * path itself driver-gated, not just spec'd. Seeds a catalog
+    * table from `customer` (balances in exact cents), MERGEs one
+    * change set derived from `orders` — high-frequency customers
+    * (≥ 12 orders) DELETE, the rest UPDATE (balance += order-total
+    * cents), synthetic shifted keys INSERT as segment 'NEW' — then
+    * hashes the per-segment rollup of the post-MERGE table. Spark's
+    * own `RewriteMergeIntoTable` plans the statement against the
+    * catalog's row-level operation; the oracle replays matched/
+    * not-matched semantics as two join legs. All money integer
+    * cents; sums cast to BIGINT both sides.
+    *
+    * Scale shape: the MERGE source is one partial-aggregable groupBy
+    * over orders; the statement plans the group-based ReplaceData
+    * rewrite (plan-locked in `MergeIntoSpec`) — on a lakehouse
+    * format the same plan replaces only matched file groups. */
+  val q222 = Qry(
+    "q222_ansi_merge",
+    (s: SparkSession, d: String) => {
+      s.sql("DROP TABLE IF EXISTS graft.q222_tgt")
+      s.sql("CREATE TABLE graft.q222_tgt (k BIGINT, " +
+        "bal_cents BIGINT, seg STRING, changed BIGINT)")
+      Tables.customer(s, d).select(
+          col("c_custkey").as("k"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+            .as("bal_cents"),
+          col("c_mktsegment").as("seg"),
+          lit(0L).as("changed"))
+        .createOrReplaceTempView("q222_seed")
+      s.sql("INSERT INTO graft.q222_tgt SELECT * FROM q222_seed")
+      val chg = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+            .cast("long")).as("delta"),
+          count(lit(1)).as("n_ord"))
+      chg.unionByName(chg.filter(col("k") % 97 === 0)
+          .select((col("k") + 10000000L).as("k"), col("delta"),
+            col("n_ord")))
+        .createOrReplaceTempView("q222_chg")
+      s.sql("""
+        MERGE INTO graft.q222_tgt t USING q222_chg s ON t.k = s.k
+        WHEN MATCHED AND s.n_ord >= 12 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+          bal_cents = t.bal_cents + s.delta, changed = 1
+        WHEN NOT MATCHED THEN
+          INSERT (k, bal_cents, seg, changed)
+          VALUES (s.k, s.delta, 'NEW', 1)""")
+      s.table("graft.q222_tgt")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal_cents")).as("bal_cents"),
+          sum(col("changed")).as("n_changed"))
+        .orderBy(col("seg"))
+    },
+    Some("""
+      WITH seed AS (
+        SELECT c_custkey AS k,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                 AS bal_cents,
+               c_mktsegment AS seg
+        FROM customer),
+      chg AS (
+        SELECT o_custkey AS k,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS delta,
+               COUNT(*) AS n_ord
+        FROM orders GROUP BY 1),
+      src AS (
+        SELECT * FROM chg
+        UNION ALL
+        SELECT k + 10000000, delta, n_ord FROM chg WHERE k % 97 = 0),
+      merged AS (
+        SELECT t.k,
+               CASE WHEN s.k IS NULL THEN t.bal_cents
+                    ELSE t.bal_cents + s.delta END AS bal_cents,
+               t.seg,
+               CASE WHEN s.k IS NULL THEN 0 ELSE 1 END AS changed
+        FROM seed t LEFT JOIN src s ON s.k = t.k
+        WHERE s.k IS NULL OR s.n_ord < 12
+        UNION ALL
+        SELECT s.k, s.delta, 'NEW', 1
+        FROM src s LEFT JOIN seed t ON t.k = s.k
+        WHERE t.k IS NULL)
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(bal_cents) AS BIGINT) AS bal_cents,
+             CAST(SUM(changed) AS BIGINT) AS n_changed
+      FROM merged GROUP BY seg ORDER BY seg"""))
+
+  val all: Seq[Qry] = Seq(q162, q163, q164, q175, q197, q222)
 }

@@ -1483,6 +1483,8 @@ object ComponentsQ {
         .filter(col("w") >= 2)
         .select(col("src"), col("dst"))
       Graph.commonNeighborCandidates(und, "src", "dst", degCap = 256)
+        .select(col("u"), col("v"), col("cn"), col("pa_u_deg"),
+          col("pa_v_deg"))
         .orderBy(col("cn").desc,
           (col("pa_u_deg") * col("pa_v_deg")).desc, col("u"),
           col("v"))
@@ -1528,8 +1530,75 @@ object ComponentsQ {
       SELECT u, v, cn, pa_u_deg, pa_v_deg FROM scored
       ORDER BY cn DESC, pa_u_deg * pa_v_deg DESC, u, v LIMIT 20"""))
 
+  /** q223 — resource-allocation link prediction (Zhou-Lü-Zhang
+    * 2009) on the q220 co-purchase graph: same degree-capped 2-hop
+    * expansion, but each shared neighbor w contributes 1e6 div
+    * deg(w) instead of 1 — cheap midpoints (exclusive co-purchase
+    * partners) outrank hubs, the refinement that beats raw CN and
+    * Adamic-Adar empirically WITHOUT floats (Adamic-Adar's 1/log d
+    * would put libm in the hash; 1e6 div d is exact in both
+    * engines). The ranking genuinely reorders vs q220: a pair with
+    * fewer but rarer shared neighbors overtakes a hub-mediated
+    * pair. Zero extra shuffles vs q220 — the midpoint degree rides
+    * the path row into the same aggregate. */
+  val q223 = Qry(
+    "q223_resource_allocation",
+    (s: SparkSession, d: String) => {
+      val und = Graph.coOccurrencePairs(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      Graph.commonNeighborCandidates(und, "src", "dst", degCap = 256)
+        .orderBy(col("ra_ppm").desc, col("cn").desc, col("u"),
+          col("v"))
+        .limit(20)
+    },
+    Some("""
+      WITH pr AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        FROM lineitem),
+      ew AS (
+        SELECT a.i AS u, b.i AS v, COUNT(*) AS w
+        FROM pr a JOIN pr b ON a.g = b.g AND a.i < b.i
+        GROUP BY 1, 2),
+      und AS (SELECT u, v FROM ew WHERE w >= 2),
+      e AS MATERIALIZED (
+        SELECT u AS a, v AS b FROM und
+        UNION SELECT v, u FROM und),
+      deg AS (
+        SELECT a AS x, CAST(COUNT(*) AS BIGINT) AS d
+        FROM e GROUP BY 1),
+      low AS (SELECT x, d FROM deg WHERE d <= 256),
+      elow AS (
+        SELECT e.a, e.b FROM e
+        JOIN low la ON la.x = e.a
+        JOIN low lb ON lb.x = e.b),
+      paths AS (
+        SELECT p1.a AS u, p2.b AS v, lw.d AS dw
+        FROM elow p1 JOIN elow p2 ON p1.b = p2.a
+        JOIN low lw ON lw.x = p1.b
+        WHERE p1.a < p2.b),
+      cn AS (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(SUM(1000000 // dw) AS BIGINT) AS ra_ppm
+        FROM paths GROUP BY 1, 2),
+      cand AS (
+        SELECT * FROM cn
+        WHERE NOT EXISTS (
+          SELECT 1 FROM e WHERE e.a = cn.u AND e.b = cn.v)),
+      scored AS (
+        SELECT cand.u, cand.v, cand.cn, cand.ra_ppm,
+               lu.d AS pa_u_deg, lv.d AS pa_v_deg
+        FROM cand
+        JOIN low lu ON lu.x = cand.u
+        JOIN low lv ON lv.x = cand.v)
+      SELECT u, v, cn, ra_ppm, pa_u_deg, pa_v_deg FROM scored
+      ORDER BY ra_ppm DESC, cn DESC, u, v LIMIT 20"""))
+
   val all: Seq[Qry] =
     Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183,
       q191, q194, q195, q196, q198, q199, q204, q208, q210, q213,
-      q215, q216, q220)
+      q215, q216, q220, q223)
 }

@@ -93,9 +93,16 @@ class BfsSpec extends SparkSpec {
   private def lp(es: Seq[(Long, Long)], cap: Int)
       : Map[(Long, Long), (Long, Long, Long)] =
     Graph.commonNeighborCandidates(es.toDF("a", "b"), "a", "b", cap)
+      .select("u", "v", "cn", "pa_u_deg", "pa_v_deg")
       .as[(Long, Long, Long, Long, Long)].collect()
-      .map(r => (r._2, r._1) -> ((r._3, r._4, r._5))).toMap
-      // columns come back (v, u, cn, du, dv) — key by (u, v)
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+
+  private def ra(es: Seq[(Long, Long)], cap: Int)
+      : Map[(Long, Long), Long] =
+    Graph.commonNeighborCandidates(es.toDF("a", "b"), "a", "b", cap)
+      .select("u", "v", "ra_ppm")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
 
   test("common neighbors: non-edges score, existing edges are excluded") {
     // square 1-2-3-4-1: diagonals (1,3) and (2,4) each share 2
@@ -131,5 +138,24 @@ class BfsSpec extends SparkSpec {
   test("orientation and duplicate edges do not double-count") {
     val m = lp(Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L)), cap = 5)
     assert(m === Map((1L, 3L) -> ((1L, 1L, 1L))))
+  }
+
+  test("resource allocation: cheap midpoints outrank hubs, exact " +
+      "integer ppm") {
+    // (1,3) share midpoint 2 (deg 2 -> 500000 ppm); (4,6) share
+    // midpoint 5, a deg-4 hub (-> 250000 ppm); (7,9) share TWO
+    // midpoints 8 (deg 2) and 10 (deg 4) -> 500000 + 250000
+    val es = Seq((1L, 2L), (2L, 3L),
+      (4L, 5L), (5L, 6L), (5L, 11L), (5L, 12L),
+      (7L, 8L), (8L, 9L), (7L, 10L), (10L, 9L),
+      (10L, 13L), (10L, 14L))
+    val m = ra(es, cap = 10)
+    assert(m((1L, 3L)) === 500000L)
+    assert(m((4L, 6L)) === 250000L)
+    assert(m((7L, 9L)) === 750000L)
+    // RA reorders vs CN: (1,3) has cn=1 like (4,6) but higher RA
+    val cn = lp(es, cap = 10)
+    assert(cn((1L, 3L))._1 === cn((4L, 6L))._1)
+    assert(m((1L, 3L)) > m((4L, 6L)))
   }
 }
