@@ -51,14 +51,17 @@ object JoinScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // ---- set-sim: 20 md5 words per doc; id % 3 == 2 clones doc
-    // id-1 with the last two words rewritten — 16 of 18 3-word
-    // shingles shared, J = 16/20 = 0.8; all other docs disjoint
+    // ---- set-sim: 20 hash words (12 hex chars — 16^12 key space,
+    // collision-free at any probe size while keeping shuffle bytes
+    // ~40% of full md5) per doc; id % 3 == 2 clones doc id-1 with
+    // the last two words rewritten — 16 of 18 3-word shingles
+    // shared, J = 16/20 = 0.8; all other docs disjoint
     def docs(m: Long) = spark.range(m).selectExpr(
       "id AS doc_id",
       s"""concat_ws(' ', transform(sequence(0, 19), w ->
-            md5(concat(CAST(if(id % 3 = 2 AND w < 18, id - 1, id)
-              AS STRING), '_', CAST(w AS STRING))))) AS text""")
+            substring(md5(concat(
+              CAST(if(id % 3 = 2 AND w < 18, id - 1, id) AS STRING),
+              '_', CAST(w AS STRING))), 1, 12))) AS text""")
     def setsimRun(m: Long): Long = {
       val planted = m / 3L // ids ≡ 2 (mod 3), m multiple of 3
       val d = docs(m)

@@ -76,21 +76,6 @@ object Journeys {
       .select(translate(col("g"), "\u001f", ">").as("path"), col("n"))
   }
 
-  /** [[topPaths]] with its 100 TB state bound made real: events are
-    * gap-sessionized first ([[Sessionize.withSessionId]]) and the
-    * collected type sequence is keyed by (user, SESSION), so the
-    * largest super-row is one session's events — bounded by the gap
-    * contract — instead of one user's lifetime activity, and no
-    * n-gram ever spans an inactivity gap (a path interrupted by
-    * `gapSec` of silence is two journeys, not one).
-    *
-    * Scale shape: ONE shuffle on the user key serves both the
-    * session-id window and the (user, session) grouping — hash
-    * partitioning on user already co-locates (user, session), so
-    * Catalyst plans no second exchange; everything after the
-    * collect_list is [[topPaths]]'s map-side gram + one
-    * partial-aggregable count shuffle.
-    * @return (path, n) with path the '>'-joined type n-gram */
   /** Compile a MATCH_RECOGNIZE-style pattern — whitespace-separated
     * event-type steps, each optionally quantified with `+` (one or
     * more), `*` (zero or more) or `?` (optional) — into the Java/RE2
@@ -99,7 +84,7 @@ object Journeys {
     * be required (`name` or `name+`), so a match is never empty.
     * Step names are restricted to identifier characters: the pattern
     * parameterizes a regex, and this is what keeps it injection-free. */
-  private[operators] def compilePattern(pattern: String): String = {
+  private[graft] def compilePattern(pattern: String): String = {
     val toks = pattern.trim.split("\\s+").toSeq
       .filter(_.nonEmpty)
     require(toks.nonEmpty, "matchRecognize: empty pattern")
@@ -174,6 +159,21 @@ object Journeys {
           .cast("long").as("match_len"))
   }
 
+  /** [[topPaths]] with its 100 TB state bound made real: events are
+    * gap-sessionized first ([[Sessionize.withSessionId]]) and the
+    * collected type sequence is keyed by (user, SESSION), so the
+    * largest super-row is one session's events — bounded by the gap
+    * contract — instead of one user's lifetime activity, and no
+    * n-gram ever spans an inactivity gap (a path interrupted by
+    * `gapSec` of silence is two journeys, not one).
+    *
+    * Scale shape: ONE shuffle on the user key serves both the
+    * session-id window and the (user, session) grouping — hash
+    * partitioning on user already co-locates (user, session), so
+    * Catalyst plans no second exchange; everything after the
+    * collect_list is [[topPaths]]'s map-side gram + one
+    * partial-aggregable count shuffle.
+    * @return (path, n) with path the '>'-joined type n-gram */
   def topPathsSessionized(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, tiebreakCol: String,
       gapSec: Long, n: Int, k: Int): DataFrame = {

@@ -54,6 +54,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-similar corpus vectors with a DIFFERENT
+    * label — the negatives that actually move a contrastive loss
+    * (Schroff et al. 2015's (semi-)hard negatives; random negatives
+    * are trivially separated and contribute ~zero gradient). Same
+    * exact-cosine contract as [[topKBrute]] (index-order double
+    * fold, rank ties to smallest id), restricted to cross-label
+    * pairs BEFORE ranking, so rank k is the k-th hardest negative,
+    * not "top-k that happen to be negatives".
+    *
+    * Scale shape: queries broadcast against the corpus (the q31
+    * bounded-baseline contract — queries are the small side, a
+    * training batch or probe set). For corpus×corpus mining at
+    * 100 TB, route candidates through IVF cells first
+    * ([[graft.operators.Pq.adcTopKInCells]]'s coarse quantizer):
+    * hard negatives are by definition NEAR the query, so they
+    * concentrate in the query's own probe cells — the same
+    * restriction ANN search already prices (q144's per-query
+    * recall).
+    *
+    * @return (q_id, q_label, rank, n_id, n_label, cos), rank 1..k
+    *         per query over different-label neighbors only */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      idCol: String, embCol: String, labelCol: String, k: Int)
+      : DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      col(embCol).as("q_emb"), col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("n_id"),
+      col(embCol).as("n_emb"), col(labelCol).as("n_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_label") =!= col("n_label"))
+      .select(col("q_id"), col("q_label"), col("n_id"),
+        col("n_label"), cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("rank"), col("n_id"),
+        col("n_label"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim i): LCG over pure integer arithmetic, reproducible in any
     * SQL engine — no RNG state, no hash function dependence. */

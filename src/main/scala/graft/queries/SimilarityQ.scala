@@ -878,7 +878,45 @@ object SimilarityQ {
       ORDER BY step"""
     })
 
+  /** q224 — hard-negative mining ([[Similarity.hardNegatives]]):
+    * the contrastive-training curation step — for each probe
+    * vector, the 2 most-similar DIFFERENT-label vectors (the
+    * negatives that carry gradient; random negatives are trivially
+    * separated). Exact cosine under the q31 fold contract; the
+    * cross-label restriction happens BEFORE ranking, so rank k is
+    * the k-th hardest negative. The oracle replays the filter +
+    * ranking; a same-label leak anywhere breaks the hash. */
+  val q224 = Qry(
+    "q224_hard_negatives",
+    (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(
+          e.filter(col("vec_id") < 25), e, "vec_id", "embedding",
+          "label", k = 2)
+        .select(col("q_id"), col("q_label"), col("rank"),
+          col("n_id"), col("n_label"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                        embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 25),
+      scored AS (
+        SELECT q_id, q_label, vec_id AS n_id, label AS n_label,
+               ${cosSql("q_emb", "embedding")} AS cos
+        FROM q CROSS JOIN embeddings
+        WHERE q_label <> label),
+      ranked AS (
+        SELECT q_id, q_label, n_id, n_label, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, n_id) AS rank
+        FROM scored)
+      SELECT q_id, q_label, rank, n_id, n_label,
+             ROUND(cos, 6) AS cos
+      FROM ranked WHERE rank <= 2 ORDER BY q_id, rank"""))
+
   val all: Seq[Qry] =
     Seq(q31, q32, q33, q34, q71, q113, q137, q144, q186, q188, q189,
-      q218)
+      q218, q224)
 }

@@ -328,6 +328,77 @@ object StreamOps {
       }
   }
 
+  /** One streaming row-pattern match — the [[graft.operators
+    * .Journeys.matchRecognize]] output shape per closed session. */
+  final case class SessionMatch(key: Long, session_start: Timestamp,
+      match_no: Long, match_path: String, match_len: Long)
+
+  /** Streaming twin of [[graft.operators.Journeys.matchRecognize]]
+    * (MATCH_RECOGNIZE over a live stream): gap sessionization rides
+    * the same `flatMapGroupsWithState` session machinery as
+    * [[sessionPathsStream]] — ONE session's events in state, closed
+    * by an in-batch gap or the event-time timeout — and each closed
+    * session's '>'-terminated type string is scanned by the SAME
+    * compiled pattern regex (both sides run java.util.regex, so
+    * greed/skip semantics are identical by construction). Emits one
+    * row per match, match_no 1-based within the session — the spec
+    * pins the multiset equal to the batch operator over the same
+    * events. State is bounded by one session (the gap contract);
+    * matching is CPU-only at close time, no extra state. */
+  def matchRecognizeStream(
+      events: Dataset[(Long, Timestamp, Long, String)],
+      gapMs: Long, pattern: String): Dataset[SessionMatch] = {
+    import events.sparkSession.implicits._
+    val rx = graft.operators.Journeys.compilePattern(pattern).r
+    def matches(start: Long, key: Long,
+        evs: Seq[(Long, Long, String)]): Iterator[SessionMatch] = {
+      val str = evs.sortBy(e => (e._1, e._2)).map(_._3)
+        .mkString("", ">", ">")
+      rx.findAllIn(str).zipWithIndex.map { case (m, i) =>
+        SessionMatch(key, new Timestamp(start), i + 1L,
+          m.stripSuffix(">"), m.count(_ == '>').toLong)
+      }
+    }
+    def close(key: Long, s: SessPathsState): Iterator[SessionMatch] =
+      matches(s.start, key, s.evs)
+    events
+      .toDF("key", "ts", "event_id", "event_type")
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessPathsState, SessionMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Timestamp, Long, String)],
+         state: GroupState[SessPathsState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            close(key, s)
+          } else {
+            val batch = rows.toSeq
+              .map(r => (r._2.getTime, r._3, r._4))
+              .sortBy(e => (e._1, e._2))
+            val closed =
+              scala.collection.mutable.Buffer[SessionMatch]()
+            var cur = state.getOption.orNull
+            batch.foreach { case e @ (t, _, _) =>
+              cur match {
+                case null => cur = SessPathsState(t, t, Seq(e))
+                case s if t - s.end <= gapMs =>
+                  cur = SessPathsState(s.start, math.max(s.end, t),
+                    s.evs :+ e)
+                case s =>
+                  closed ++= close(key, s)
+                  cur = SessPathsState(t, t, Seq(e))
+              }
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.end + gapMs)
+            closed.iterator
+          }
+      }
+  }
+
   /** One attribution credit row — the [[graft.operators.Attribution
     * .credits]] output shape: one row per (conversion, touch) plus a
     * `(direct)` row for untouched conversions. */

@@ -183,6 +183,28 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 4L), (2, 2L)))
   }
 
+  test("hardNegatives: nearest DIFFERENT-label vector wins, " +
+      "same-label nearer vectors are skipped") {
+    // query 1 (label 0): vector 4 (label 0) is nearest but shares
+    // the label — the hardest NEGATIVE is 2 (label 1), then 3
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0f, 1f), 1), (4L, Array(1f, 0f), 0))
+      .toDF("vec_id", "emb", "label")
+    val out = Similarity.hardNegatives(
+        corpus.filter($"vec_id" === 1), corpus, "vec_id", "emb",
+        "label", k = 2)
+      .select($"rank", $"n_id", $"n_label")
+      .as[(Int, Long, Int)].collect().sorted
+    assert(out.toSeq == Seq((1, 2L, 1), (2, 3L, 1)))
+    // k exceeding available negatives: emits what exists, no pad
+    val all3 = Similarity.hardNegatives(
+        corpus.filter($"vec_id" === 1), corpus, "vec_id", "emb",
+        "label", k = 10)
+      .count()
+    assert(all3 == 2L)
+  }
+
   test("lsh buckets: same vector → same bucket, bounded range") {
     val df = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)))
       .toDF("id", "emb")

@@ -212,4 +212,62 @@ class StreamingSpec extends SparkSpec {
       == expected,
       s"stream grams $streamed vs batch $expected")
   }
+
+  test("matchRecognizeStream == batch matchRecognize over the same " +
+      "events, matches never span gaps or micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val out = StreamOps.matchRecognizeStream(in.toDS(),
+      gapMs = 5 * 60 * 1000L, pattern = "a b+ c")
+    val q = out.writeStream.format("memory").queryName("smatch")
+      .outputMode("append").start()
+    // user 1: a b (batch 1) then b c (batch 2) — one contiguous
+    // a>b>b>c match that must survive the micro-batch boundary;
+    // then a gap, then a c — NOT a match (b+ requires a b, and the
+    // pre-gap events must not chain across)
+    in.addData(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 00:01:00"), 2L, "b"),
+      (2L, ts("2024-01-01 00:00:00"), 3L, "a"),
+      (2L, ts("2024-01-01 00:01:00"), 4L, "c"))
+    processAll(q)
+    in.addData(
+      (1L, ts("2024-01-01 00:02:00"), 5L, "b"),
+      (1L, ts("2024-01-01 00:03:00"), 6L, "c"))
+    processAll(q)
+    in.addData(
+      (1L, ts("2024-01-01 01:00:00"), 7L, "a"),
+      (1L, ts("2024-01-01 01:01:00"), 8L, "c"))
+    processAll(q)
+    // event-time jump closes everything
+    in.addData((1L, ts("2024-01-01 09:00:00"), 9L, "z"),
+      (2L, ts("2024-01-01 09:00:00"), 10L, "z"))
+    processAll(q)
+    in.addData((1L, ts("2024-01-01 18:00:00"), 11L, "z"),
+      (2L, ts("2024-01-01 18:00:00"), 12L, "z"))
+    processAll(q)
+    q.stop()
+    val got = spark.table("smatch")
+      .select($"key", $"match_no", $"match_path", $"match_len")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got === Set((1L, 1L, "a>b>b>c", 4L)),
+      s"stream matches wrong: $got")
+    // batch operator over the same events agrees
+    val batch = graft.operators.Journeys.matchRecognize(
+        Seq(
+          (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+          (1L, ts("2024-01-01 00:01:00"), 2L, "b"),
+          (2L, ts("2024-01-01 00:00:00"), 3L, "a"),
+          (2L, ts("2024-01-01 00:01:00"), 4L, "c"),
+          (1L, ts("2024-01-01 00:02:00"), 5L, "b"),
+          (1L, ts("2024-01-01 00:03:00"), 6L, "c"),
+          (1L, ts("2024-01-01 01:00:00"), 7L, "a"),
+          (1L, ts("2024-01-01 01:01:00"), 8L, "c"))
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type", "a b+ c",
+        gapSec = 300L)
+      .select($"user_id", $"match_no", $"match_path", $"match_len")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(batch === got, s"batch $batch != stream $got")
+  }
 }
