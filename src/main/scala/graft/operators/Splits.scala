@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting — the reproducible train/val/test
@@ -77,4 +77,63 @@ object Splits {
     * over growing data (a row's membership never changes). */
   def hashSample(id: Column, percent: Int): Column =
     hashBucket(id) < percent
+
+  /** Temperature-scaled mixture quotas — the data-mixing step of a
+    * multi-source training corpus (GPT-3's α-weighted sampling; The
+    * Pile's epoch weights): apportion a budget of `n` examples over
+    * sources with weight count^α, as EXACT integer largest-remainder
+    * apportionment (Hamilton's method — quotas sum to n by
+    * construction, no float drift can gain or lose an example).
+    *
+    *  - α = 1.0: proportional (w = count, the no-op mix)
+    *  - α = 0.5: square-root temperature (upweights small sources) —
+    *    w = floor(sqrt(count)·1e6). IEEE `sqrt` is correctly rounded
+    *    (unlike log/pow — the same reason q223 uses 1e6 div d over
+    *    Adamic-Adar and q225 uses dyadic RBP over nDCG), so the
+    *    micro-sqrt is bit-identical in any engine.
+    *  - α = 0.0: uniform (w = 1)
+    *
+    * quota_i = (n·w_i) div W with W = Σw (decimal(38,0) — source
+    * counts at 100 TB pass int64 products), then the n − Σquota
+    * leftover seats go to the largest remainders (ties → smaller
+    * key). The ranking window runs over SOURCE cardinality rows (a
+    * dimension, not the data), so the single-partition window is
+    * bounded by construction.
+    *
+    * @param counts one row per source: (keyCol, cntCol)
+    * @return (keyCol, cnt, w, quota_floor, seat_rank, quota) with
+    *         Σquota = n exactly */
+  def temperatureQuotas(counts: DataFrame, keyCol: String,
+      cntCol: String, n: Long, alpha: Double): DataFrame = {
+    require(n >= 0, s"n must be >= 0: $n")
+    val w = alpha match {
+      case 1.0 => col("cnt") * lit(1000000L)
+      case 0.5 => floor(sqrt(col("cnt").cast("double")) * 1e6)
+        .cast("long")
+      case 0.0 => lit(1000000L)
+      case a => throw new IllegalArgumentException(
+        s"alpha must be 1.0, 0.5 or 0.0 (exact cross-engine forms): $a")
+    }
+    val base = counts
+      .select(col(keyCol).as("key"), col(cntCol).cast("long").as("cnt"))
+      .withColumn("w", w.cast("decimal(38,0)"))
+    val tot = base.agg(sum(col("w")).as("tw"))
+    val scored = base.crossJoin(broadcast(tot))
+      .withColumn("quota_floor",
+        expr(s"(CAST($n AS DECIMAL(38,0)) * w) div tw"))
+      .withColumn("rem", expr(s"(CAST($n AS DECIMAL(38,0)) * w) % tw"))
+    val leftover = scored
+      .agg((lit(n) - sum(col("quota_floor"))).as("lo"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("key"))
+    scored.crossJoin(broadcast(leftover))
+      .withColumn("seat_rank",
+        org.apache.spark.sql.functions.row_number().over(rankW)
+          .cast("long"))
+      .withColumn("quota",
+        col("quota_floor") +
+          when(col("seat_rank") <= col("lo"), 1L).otherwise(0L))
+      .select(col("key"), col("cnt"), col("w").cast("long").as("w"),
+        col("quota_floor"), col("seat_rank"), col("quota"))
+  }
 }

@@ -1255,7 +1255,54 @@ object CorpusQ {
                " / MIN(alloc_tokens)")} AS achieved
       FROM m GROUP BY lang ORDER BY lang"""))
 
+  /** q226 — temperature-scaled mixture quotas ([[graft.operators
+    * .Splits.temperatureQuotas]], α = 0.5): apportion a 1000-example
+    * budget over the 20 documents sources with weight √count — the
+    * GPT-3/Pile data-mixing step that upweights small sources — as
+    * EXACT integer largest-remainder apportionment: quotas sum to
+    * 1000 by construction, micro-sqrt weights are bit-identical
+    * cross-engine (IEEE sqrt is correctly rounded; log/pow are not,
+    * which is why α is restricted to {0, 0.5, 1}). The oracle
+    * replays weights, floor quotas, remainders, seat ranking and the
+    * leftover distribution; a single seat landing on the wrong
+    * source breaks the hash. */
+  val q226 = Qry(
+    "q226_temperature_mix",
+    (s: SparkSession, d: String) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source").as("src"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.Splits.temperatureQuotas(counts, "src", "c",
+          n = 1000L, alpha = 0.5)
+        .orderBy(col("key"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1),
+      w AS (
+        SELECT key, cnt,
+               CAST(FLOOR(sqrt(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT)
+                 AS w
+        FROM c),
+      t AS (SELECT SUM(w) AS tw FROM w),
+      q AS (
+        SELECT key, cnt, w,
+               (1000 * w) // tw AS qf, (1000 * w) % tw AS rem
+        FROM w, t),
+      lo AS (SELECT 1000 - SUM(qf) AS lo FROM q),
+      r AS (
+        SELECT key, cnt, w, qf,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, key)
+                 AS seat_rank
+        FROM q)
+      SELECT key, cnt, w, CAST(qf AS BIGINT) AS quota_floor,
+             CAST(seat_rank AS BIGINT) AS seat_rank,
+             CAST(qf + CASE WHEN seat_rank <= (SELECT lo FROM lo)
+                            THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM r ORDER BY key"""))
+
   val all: Seq[Qry] =
     Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104,
-      q120, q123, q152, q153, q154, q155, q156, q158, q159)
+      q120, q123, q152, q153, q154, q155, q156, q158, q159, q226)
 }

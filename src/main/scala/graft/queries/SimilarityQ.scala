@@ -916,7 +916,97 @@ object SimilarityQ {
              ROUND(cos, 6) AS cos
       FROM ranked WHERE rank <= 2 ORDER BY q_id, rank"""))
 
+  /** q225 — rank-biased precision (Moffat & Zobel 2008, p = 1/2)
+    * for the q113 ANN-vs-exact eval: the top-weighted rank metric
+    * nDCG wants, WITHOUT nDCG's 1/log₂(rank+1) — libm logs are not
+    * correctly-rounded and differ across engines, which is exactly
+    * why the graph family uses 1e6 div d (q223) instead of
+    * Adamic-Adar. RBP's weights are dyadic (0.5^rank via an integer
+    * shift, 1.0 / (1 << rank)): every weight and every partial sum
+    * is EXACT in IEEE doubles, so the metric hashes bit-identical
+    * unrounded. A relevant hit at rank 1 is worth all ranks 2-10
+    * combined — the top-heaviness recall@10 (flat) and MRR
+    * (first-hit-only) both miss. */
+  val q225 = Qry(
+    "q225_rank_biased_precision",
+    (s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val exact = Similarity.topKBrute(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+          k = 10)
+        .select(col("q_id"), col("n_id"))
+      val bucketed = e.select(col("vec_id"), col("embedding"),
+        Similarity.lshBucket(col("embedding"), planes = 4, dim = DIM)
+          .as("bucket"))
+      val qs = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      val approx = broadcast(qs)
+        .join(bucketed.select(col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"), col("bucket")), Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          Similarity.cosine(col("q_emb"), col("n_emb")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      val rbp = approx.join(exact, Seq("q_id", "n_id"))
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          sum(lit(1.0) /
+            expr("CAST(shiftleft(1L, rank) AS DOUBLE)")).as("rbp"))
+      qs.select(col("q_id")).distinct()
+        .join(rbp, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("rbp"), lit(0.0)).as("rbp"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 10),
+      ex0 AS (
+        SELECT q_id, vec_id AS n_id,
+               ${cosSql("q_emb", "embedding")} AS cos
+        FROM q CROSS JOIN embeddings WHERE q_id <> vec_id),
+      ex AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, n_id) AS rank
+          FROM ex0)
+        WHERE rank <= 10),
+      b AS (SELECT vec_id, embedding, ${bucketSql(4)} AS bucket
+            FROM embeddings),
+      ap0 AS (
+        SELECT qb.q_id, cb.vec_id AS n_id,
+               ${cosSql("qb.q_emb", "cb.embedding")} AS cos
+        FROM (SELECT vec_id AS q_id, embedding AS q_emb, bucket
+              FROM b WHERE vec_id < 10) qb
+        JOIN b cb USING (bucket)
+        WHERE qb.q_id <> cb.vec_id),
+      ap AS (
+        SELECT q_id, n_id, rank FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, n_id) AS rank
+          FROM ap0)
+        WHERE rank <= 10),
+      m AS (
+        SELECT ap.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+               SUM(1.0 / CAST((CAST(1 AS BIGINT) << ap.rank)
+                 AS DOUBLE)) AS rbp
+        FROM ap JOIN ex ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+        GROUP BY ap.q_id)
+      SELECT q.q_id,
+             COALESCE(m.n_hits, 0) AS n_hits,
+             COALESCE(m.rbp, 0.0) AS rbp
+      FROM (SELECT DISTINCT q_id FROM q) q
+      LEFT JOIN m ON m.q_id = q.q_id
+      ORDER BY q.q_id"""))
+
   val all: Seq[Qry] =
     Seq(q31, q32, q33, q34, q71, q113, q137, q144, q186, q188, q189,
-      q218, q224)
+      q218, q224, q225)
 }

@@ -131,4 +131,46 @@ class ShardIndexSpec extends SparkSpec {
     // 8000 over 8 shards: each within 20% of 1000
     counts.values.foreach(c => assert(c > 800 && c < 1200, c))
   }
+
+  // ---- temperatureQuotas (q226) ----
+
+  import spark.implicits._
+
+  private def quotas(cs: Seq[(String, Long)], n: Long, a: Double)
+      : Map[String, Long] =
+    graft.operators.Splits.temperatureQuotas(
+        cs.toDF("src", "c"), "src", "c", n, a)
+      .select($"key", $"quota").as[(String, Long)].collect().toMap
+
+  test("temperatureQuotas: quotas always sum to n exactly") {
+    val cs = Seq(("a", 1L), ("b", 7L), ("c", 13L), ("d", 997L))
+    for (a <- Seq(0.0, 0.5, 1.0); n <- Seq(0L, 1L, 10L, 999L))
+      assert(quotas(cs, n, a).values.sum === n, s"alpha=$a n=$n")
+  }
+
+  test("temperatureQuotas: alpha interpolates uniform <-> " +
+      "proportional, sqrt upweights small sources") {
+    val cs = Seq(("small", 100L), ("big", 10000L))
+    // proportional: 100:10000 -> ~10 of 1010... use n=101
+    assert(quotas(cs, 101L, 1.0) === Map("small" -> 1L, "big" -> 100L))
+    // uniform: split evenly regardless of counts
+    assert(quotas(cs, 100L, 0.0) === Map("small" -> 50L, "big" -> 50L))
+    // sqrt: weights 10:100 -> small gets ~10x its proportional share
+    val sq = quotas(cs, 110L, 0.5)
+    assert(sq("small") === 10L && sq("big") === 100L, sq.toString)
+  }
+
+  test("temperatureQuotas: largest remainder wins the leftover seat, " +
+      "ties break to the smaller key") {
+    // n=10 over counts 1,1,1 (uniform weights): 3*3=9 floor seats,
+    // 1 leftover -> equal remainders, key order gives it to 'a'
+    val q = quotas(Seq(("b", 5L), ("a", 5L), ("c", 5L)), 10L, 0.0)
+    assert(q === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+  }
+
+  test("temperatureQuotas rejects unsupported alpha") {
+    intercept[IllegalArgumentException] {
+      quotas(Seq(("a", 1L)), 10L, 0.7)
+    }
+  }
 }
