@@ -1302,7 +1302,80 @@ object CorpusQ {
                             THEN 1 ELSE 0 END AS BIGINT) AS quota
       FROM r ORDER BY key"""))
 
+  /** q227 — quota-exact mixture sample: q226's temperature quotas
+    * MATERIALIZED — each source contributes exactly its quota of
+    * documents, chosen by md5(doc_id) rank (deterministic,
+    * engine-independent, stable under corpus growth for the kept
+    * prefix — the [[graft.operators.Splits]] hash-order contract).
+    * The per-source rank window rides one shuffle on source; the
+    * output hashes the per-source census AND an md5 digest of the
+    * selected doc_id set, so one wrong document (not just a wrong
+    * count) breaks the gate.
+    *
+    * Scale shape: quotas are a broadcast dimension; the sample is
+    * one window over source partitions (bounded by per-source doc
+    * count — at 100 TB switch the rank to the q104 epoch-shard form
+    * if a single source outgrows a partition). */
+  val q227 = Qry(
+    "q227_quota_sample",
+    (s: SparkSession, d: String) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source").as("src"))
+        .agg(count(lit(1)).as("c"))
+      val quotas = graft.operators.Splits.temperatureQuotas(
+          counts, "src", "c", n = 200L, alpha = 0.5)
+        .select(col("key").as("source"), col("quota"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("pick"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("pick"))
+        .join(broadcast(quotas), Seq("source"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .filter(col("r") <= col("quota"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          md5(concat_ws(",",
+            sort_array(collect_list(col("doc_id"))))).as("ids_md5"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1),
+      w AS (
+        SELECT key, cnt,
+               CAST(FLOOR(sqrt(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT)
+                 AS w
+        FROM c),
+      t AS (SELECT SUM(w) AS tw FROM w),
+      q AS (
+        SELECT key, w.w, (200 * w.w) // tw AS qf,
+               (200 * w.w) % tw AS rem
+        FROM w, t),
+      lo AS (SELECT 200 - SUM(qf) AS lo FROM q),
+      quotas AS (
+        SELECT key AS source,
+               qf + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC,
+                 key) <= (SELECT lo FROM lo) THEN 1 ELSE 0 END
+                 AS quota
+        FROM q),
+      ranked AS (
+        SELECT d.source, d.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                 ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                 AS r,
+               quota
+        FROM documents d JOIN quotas USING (source)),
+      kept AS (SELECT source, doc_id FROM ranked WHERE r <= quota)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY doc_id)) AS ids_md5
+      FROM kept GROUP BY source ORDER BY source"""))
+
   val all: Seq[Qry] =
     Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104,
-      q120, q123, q152, q153, q154, q155, q156, q158, q159, q226)
+      q120, q123, q152, q153, q154, q155, q156, q158, q159, q226,
+      q227)
 }
