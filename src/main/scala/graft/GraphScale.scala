@@ -65,23 +65,33 @@ object GraphScale {
         walksPerNode = 2, steps = 5).count()
     }
 
-    // temporal reachability: the SAME generated edges as directed
-    // edge INSTANCES, each with an md5-derived timestamp — probes
-    // q215's earliestArrival at parametric instance-frame size with
-    // the q215 round budget (16). The r11 frontier restriction is
-    // what this ladder proves out: per-round instance-join cost
-    // rides the improving frontier, so rounds amortize once the
-    // expansion waves pass (and an empty frontier ends the run).
-    // `extra` reports rows still moving at the budget (at != at_prev
-    // — 0 means the witness reads exact fixpoint).
+    // temporal reachability: the generated edges as directed contact
+    // sequences — 8 md5-phased instances per edge slot (REPEATED
+    // contacts: with one uniform time per edge, time-increasing
+    // paths die after ~2 hops — 3·2^-k usable out-degree — and the
+    // probe degenerates to a 36-vertex cascade; with 8 phases the
+    // usable out-degree at arrival τ is ~24·(1−τ/T), which sustains
+    // a deep expansion, the contact-network regime q215 models).
+    // Probes q215's earliestArrival with its 16-round budget; the
+    // instance frame is 24·m rows (structural degree 3 × 8 phases)
+    // — pass m = instances/24 when targeting an instance-frame
+    // size. The r11 frontier restriction is what this ladder proves
+    // out: per-round instance-join cost rides the improving
+    // frontier (and an empty frontier ends the run early). `extra`
+    // reports rows still moving at the budget (0 = exact fixpoint
+    // witness).
     def temporalRun(m: Long): (Long, Long) = {
-      val inst = spark.range(3L * m).selectExpr(
+      val slots = spark.range(3L * m).selectExpr(
         s"id % $m AS a",
         s"CAST(conv(substring(md5(CAST(id AS STRING)), 1, 12), 16," +
           s" 10) AS BIGINT) % $m AS b",
         s"CAST(conv(substring(md5(CAST(id AS STRING)), 13, 8), 16," +
-          s" 10) AS BIGINT) % 1000000 AS t")
+          s" 10) AS BIGINT) % 1000000 AS t0")
         .filter(col("a") =!= col("b"))
+      val inst = slots.select(col("a"), col("b"),
+        explode(expr(
+          "transform(sequence(0, 7), k -> (t0 + k * 125000) % 1000000)"))
+          .as("t"))
       val arr = Graph.earliestArrival(inst, "a", "b", "t",
         sourceId = 0L, rounds = 16)
       val tot = arr.count()

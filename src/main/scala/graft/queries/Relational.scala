@@ -340,6 +340,106 @@ object Relational {
              MAX(l_extendedprice) AS max_price
       FROM lineitem"""))
 
+  /** Shared star join for q228/q229: revenue cents by
+    * (nation, order priority) — dims broadcast, fact aggregated
+    * once. */
+  private def nationPriorityCents(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+          .as("cents"))
+      .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority").as("pri")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("pri"), col("cents"))
+
+  private val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW")
+  private val PriCols = Seq("p_urgent", "p_high", "p_medium",
+    "p_notspec", "p_low")
+
+  /** q228 — relational PIVOT (G6 completion): revenue cents by
+    * nation, order priorities rotated into columns — the
+    * crosstab/report shape every warehouse user types. The value
+    * list is EXPLICIT (`pivot(col, values)`), the scale-correct
+    * form: an implicit pivot runs a distinct-values collect first
+    * and bakes an unbounded column count into the plan; explicit
+    * values keep the plan static and the pivot a single
+    * partial-aggregable pass (Spark compiles it to one aggregate
+    * with `pivotfirst`, not five). Missing cells coalesce to 0
+    * cents both sides. */
+  val q228 = Qry(
+    "q228_pivot",
+    (s: SparkSession, d: String) =>
+      nationPriorityCents(s, d)
+        .groupBy(col("n_name"))
+        .pivot("pri", Priorities)
+        .agg(sum(col("cents")))
+        .select(col("n_name") +:
+          Priorities.zip(PriCols).map { case (v, n) =>
+            coalesce(expr(s"`$v`"), lit(0L)).as(n) }: _*)
+        .orderBy(col("n_name")),
+    Some("""
+      WITH rev AS (
+        SELECT n_name, o_orderpriority AS pri,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 AS cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey)
+      SELECT n_name,
+             CAST(COALESCE(SUM(cents) FILTER (WHERE pri = '1-URGENT'),
+               0) AS BIGINT) AS p_urgent,
+             CAST(COALESCE(SUM(cents) FILTER (WHERE pri = '2-HIGH'),
+               0) AS BIGINT) AS p_high,
+             CAST(COALESCE(SUM(cents) FILTER (WHERE pri = '3-MEDIUM'),
+               0) AS BIGINT) AS p_medium,
+             CAST(COALESCE(SUM(cents) FILTER (
+               WHERE pri = '4-NOT SPECIFIED'), 0) AS BIGINT)
+               AS p_notspec,
+             CAST(COALESCE(SUM(cents) FILTER (WHERE pri = '5-LOW'),
+               0) AS BIGINT) AS p_low
+      FROM rev GROUP BY n_name ORDER BY n_name"""))
+
+  /** q229 — UNPIVOT round-trip (stack): q228's wide crosstab folded
+    * back to long form with the `stack` generator, which must equal
+    * the direct GROUP BY — the oracle IS the direct aggregate, so
+    * the pivot→unpivot composition is gated against first
+    * principles, not against itself. NULL cells (no rows for the
+    * combination) are dropped on unpivot, matching the direct
+    * aggregate's absent groups; `stack` is a map-side generator —
+    * no extra shuffle beyond the pivot's own. */
+  val q229 = Qry(
+    "q229_unpivot",
+    (s: SparkSession, d: String) =>
+      nationPriorityCents(s, d)
+        .groupBy(col("n_name"))
+        .pivot("pri", Priorities)
+        .agg(sum(col("cents")))
+        .selectExpr("n_name",
+          "stack(5, " + Priorities.map(v =>
+            s"'$v', `$v`").mkString(", ") + ") AS (pri, cents)")
+        .filter(col("cents").isNotNull)
+        .orderBy(col("n_name"), col("pri")),
+    Some("""
+      SELECT n_name, o_orderpriority AS pri,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, pri ORDER BY n_name, pri"""))
+
   val all: Seq[Qry] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q129)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q129,
+      q228, q229)
 }
