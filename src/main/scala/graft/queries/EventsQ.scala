@@ -394,8 +394,9 @@ object EventsQ {
 
   /** q221 — declarative row-pattern matching ([[graft.operators
     * .Journeys.matchRecognize]], the MATCH_RECOGNIZE shape):
-    * every non-overlapping contiguous `view click+ purchase` run
-    * inside a 6-hour session, AFTER MATCH SKIP PAST LAST ROW. The
+    * every non-overlapping contiguous `view click+` run (a view
+    * followed by an unbroken click burst) inside a 6-hour session,
+    * AFTER MATCH SKIP PAST LAST ROW. The
     * imperative funnel (q139) allows gaps between steps; this is the
     * strict-adjacency complement, the form a warehouse user types.
     * The oracle replays session assignment (q148's lag → flag →
@@ -408,7 +409,7 @@ object EventsQ {
     (s: SparkSession, d: String) =>
       graft.operators.Journeys.matchRecognize(
         Tables.events(s, d), "user_id", "ts", "event_id",
-        "event_type", pattern = "view click+ purchase",
+        "event_type", pattern = "view click+",
         gapSec = 21600L)
         .orderBy(col("user_id"), col("session_id"), col("match_no")),
     Some("""
@@ -439,7 +440,7 @@ object EventsQ {
       m AS (
         SELECT user_id, session_id,
                regexp_extract_all(str,
-                 '(?:view>)(?:click>)+(?:purchase>)') AS l
+                 '(?:view>)(?:click>)+') AS l
         FROM seqs),
       x AS (
         SELECT user_id, session_id,
