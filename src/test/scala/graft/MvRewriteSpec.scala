@@ -179,4 +179,70 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterEach {
       .collect().toSeq
     assert(viaMv == direct)
   }
+
+  // ---- r11 guard regressions (the ADVICE fixes) ----
+
+  test("two rewritable Aggregates in one tree: neither rewrites " +
+      "(duplicate summary exprIds must never be grafted twice)") {
+    registerMv()
+    val a = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_a"))
+    val b = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_b"))
+    val joined = a.join(b, Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+    // each aggregate alone rewrites; together they must bail — and
+    // the un-rewritten plan is still correct
+    assert(!scansLineitem(li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))))
+    assert(scansLineitem(joined),
+      joined.queryExecution.executedPlan)
+    val rows = joined.collect()
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
+  test("nondeterministic filter (no column references) blocks the " +
+      "rewrite instead of re-evaluating over summary rows") {
+    registerMv()
+    // not always-true (Spark 4 folds rand() < 2.0 away entirely);
+    // the surviving nondeterministic Filter must block the rewrite
+    val q = li.filter(rand(7) < 0.9999)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansLineitem(q), q.queryExecution.executedPlan)
+  }
+
+  test("global COUNT(*) over a filter that kills every summary row " +
+      "returns 0, not NULL") {
+    registerMv()
+    val q = li.filter(col("l_returnflag") === "ZZ")
+      .agg(count(lit(1)).as("n"))
+    assert(!scansLineitem(q), q.queryExecution.executedPlan)
+    val r = q.collect()
+    assert(r.length == 1 && !r(0).isNullAt(0) && r(0).getLong(0) == 0L)
+  }
+
+  test("files changing under the registered path make the rewrite " +
+      "refuse (staleness fingerprint)") {
+    // register an MV over a COPY of lineitem we can append to
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mv-stale").toString + "/fact"
+    li.limit(500).write.parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val summary = fact.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+    MvRegistry.register(fact,
+      dims = Map("l_returnflag" -> "l_returnflag"),
+      sums = Nil, cnt = Some("cnt"), summary = summary)
+    def q = spark.read.parquet(dir).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n")).orderBy(col("l_returnflag"))
+    assert(!q.queryExecution.executedPlan.toString.contains("fact"),
+      "pre-append: answers from the summary")
+    // append more rows at the same path — the fingerprint changes
+    li.limit(100).write.mode("append").parquet(dir)
+    val after = q
+    assert(after.queryExecution.executedPlan.toString.contains("fact"),
+      "post-append: must scan the (changed) base, not the stale MV")
+    assert(after.agg(sum(col("n"))).collect()(0).getLong(0) == 600L)
+  }
 }
