@@ -95,6 +95,41 @@ object Similarity {
         col("n_label"), col("cos"))
   }
 
+  /** [[hardNegatives]]'s corpus×corpus form at scale: candidates are
+    * restricted to the query's own cell (an IVF coarse-quantizer
+    * assignment, an LSH bucket, or any precomputed partition column
+    * — [[centroids]] / [[lshBucket]] / `Pq` supply one), so the
+    * all-pairs cross join becomes ONE equi-join on the cell key —
+    * the same restriction ANN search already prices (q144's
+    * per-query recall): hard negatives are by definition NEAR the
+    * query, so they concentrate in its cell; a negative outside the
+    * cell was far enough to carry little gradient anyway. Ranking
+    * and tie-breaks are [[hardNegatives]]'s exactly, so on a
+    * single-cell corpus the two are identical (spec'd).
+    *
+    * @return (q_id, q_label, rank, n_id, n_label, cos), rank 1..k
+    *         per query over different-label SAME-CELL neighbors */
+  def hardNegativesInCells(corpus: DataFrame, idCol: String,
+      embCol: String, labelCol: String, cellCol: String, k: Int)
+      : DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
+      col(labelCol).as("label"), col(cellCol).as("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    c.select(col("id").as("q_id"), col("emb").as("q_emb"),
+        col("label").as("q_label"), col("cell"))
+      .join(c.select(col("id").as("n_id"), col("emb").as("n_emb"),
+        col("label").as("n_label"), col("cell")), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id") &&
+        col("q_label") =!= col("n_label"))
+      .select(col("q_id"), col("q_label"), col("n_id"),
+        col("n_label"), cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("rank"), col("n_id"),
+        col("n_label"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim i): LCG over pure integer arithmetic, reproducible in any
     * SQL engine — no RNG state, no hash function dependence. */

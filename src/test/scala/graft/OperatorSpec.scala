@@ -205,6 +205,32 @@ class OperatorSpec extends SparkSpec {
     assert(all3 == 2L)
   }
 
+  test("hardNegativesInCells: single cell equals the brute form; " +
+      "cross-cell negatives are excluded") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 0, 7), (2L, Array(0.9f, 0.1f), 1, 7),
+      (3L, Array(0f, 1f), 1, 7), (4L, Array(1f, 0f), 0, 7))
+      .toDF("vec_id", "emb", "label", "cell")
+    val routed = Similarity.hardNegativesInCells(
+        corpus, "vec_id", "emb", "label", "cell", k = 2)
+      .select($"q_id", $"rank", $"n_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.hardNegatives(
+        corpus, corpus, "vec_id", "emb", "label", k = 2)
+      .select($"q_id", $"rank", $"n_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(routed === brute)
+    // split cells: 2 (the hardest negative of 1) moves to another
+    // cell — the routed form must fall back to 3, the brute keeps 2
+    val split = corpus.withColumn("cell",
+      when($"vec_id" === 2, 8).otherwise(7))
+    val got = Similarity.hardNegativesInCells(
+        split, "vec_id", "emb", "label", "cell", k = 1)
+      .filter($"q_id" === 1)
+      .select($"n_id").as[Long].collect().toList
+    assert(got === List(3L))
+  }
+
   test("lsh buckets: same vector → same bucket, bounded range") {
     val df = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)))
       .toDF("id", "emb")
