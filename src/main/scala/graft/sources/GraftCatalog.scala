@@ -298,11 +298,20 @@ object GraftMemTable {
     val t = new GraftMemTable(ident.toString, schema,
       persistDir = Some(dir),
       qualifiedName = s"$catalogName.${ident.toString}")
+    // during the writer's two-rename swap the main data dir briefly
+    // doesn't exist; fall back to the pre-swap `.old` snapshot (a
+    // consistent, one-commit-stale view — the cdcSnapshot contract)
+    // instead of silently loading an empty table
     val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
-    if (fs.exists(dataDir))
+    val oldDir = new org.apache.hadoop.fs.Path(dir, "data.old")
+    val readFrom =
+      if (fs.exists(dataDir)) Some(dataDir)
+      else if (fs.exists(oldDir)) Some(oldDir)
+      else None
+    readFrom.foreach(p =>
       t.loadRows(spark.read.schema(schema)
-        .parquet(dataDir.toString)
-        .queryExecution.toRdd.map(_.copy()).collect())
+        .parquet(p.toString)
+        .queryExecution.toRdd.map(_.copy()).collect()))
     Some(t)
   }
 
