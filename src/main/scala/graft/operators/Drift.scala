@@ -199,4 +199,57 @@ object Drift {
         abs(mulDivPpb("cum_base", "tb") -
           mulDivPpb("cum_cur", "tc")).as("d_ppb"))
   }
+
+  /** EMBEDDING-space drift between two corpus snapshots: per label,
+    * the squared L2 distance between the baseline and candidate
+    * centroids — the monitor that catches "the new crawl's `en` text
+    * embeds somewhere else" even when every scalar histogram (length,
+    * quality, token stats — [[histDrift]]'s beat) stays flat.
+    *
+    * Exact-integer construction (the Drift determinism contract):
+    * components snap to micro-ints (floor(x·1e6 + 0.5) — one IEEE
+    * multiply both engines share), centroid comparison avoids the
+    * division entirely via cross-multiplication:
+    *
+    *   ‖μA − μB‖² = Σ_j (sA_j·cB − sB_j·cA)² / (cA·cB)²
+    *
+    * — numerator summed in DECIMAL(38,0), ONE integral divide at the
+    * end, result in pico units (micro²). Bound: |sA_j·cB − sB_j·cA|
+    * ≤ 2·maxMicro·cA·cB, so the squared sum stays inside 38 digits
+    * while maxMicro·cA·cB < ~1e18 — beyond that (1e12-row labels),
+    * pre-divide per term (t div (cA·cB), two truncations) — the
+    * documented trade, same as [[graft.operators.PageRank
+    * .integerHits]]'s width note.
+    *
+    * Scale shape: one explode (map-side), one (label, dim) partial
+    * aggregate, one label-sized rollup. Labels with an empty side
+    * are dropped (no centroid to compare).
+    *
+    * @param inBaseline boolean column: true = baseline snapshot
+    * @return (label, c_base, c_cand, drift_pico) */
+  def embeddingCentroidDrift(vectors: DataFrame, labelCol: String,
+      embCol: String, inBaseline: Column): DataFrame = {
+    val m = vectors
+      .select(col(labelCol).as("label"), inBaseline.as("a"),
+        posexplode(col(embCol)))
+      .select(col("label"), col("a"), col("pos").as("j"),
+        floor(col("col").cast("double") * 1e6 + lit(0.5))
+          .cast("long").as("v"))
+    m.groupBy(col("label"), col("j"))
+      .agg(
+        sum(when(col("a"), col("v")).otherwise(0L)).as("sA"),
+        sum(when(!col("a"), col("v")).otherwise(0L)).as("sB"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("cA"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cB"))
+      .filter(col("cA") > 0 && col("cB") > 0)
+      .select(col("label"), col("cA"), col("cB"),
+        (col("sA").cast("decimal(38,0)") * col("cB") -
+          col("sB").cast("decimal(38,0)") * col("cA")).as("t"))
+      .groupBy(col("label"), col("cA"), col("cB"))
+      .agg(sum(expr("t * t")).as("num"))
+      .select(col("label"),
+        col("cA").as("c_base"), col("cB").as("c_cand"),
+        expr("""num div ((CAST(cA AS DECIMAL(38,0)) * cB) *
+                (CAST(cA AS DECIMAL(38,0)) * cB))""").as("drift_pico"))
+  }
 }

@@ -116,5 +116,49 @@ object DriftQ {
                CAST(0 AS BIGINT), MAX(d_ppb) FROM rows_)
       ORDER BY bin"""))
 
-  val all: Seq[Qry] = Seq(q193, q200)
+  /** q230 — embedding-centroid drift ([[Drift
+    * .embeddingCentroidDrift]]): per label, the exact-integer
+    * squared L2 between the even-vec_id (baseline) and odd-vec_id
+    * (candidate) centroids — the embedding-space member of the
+    * drift family (q193/q200 watch scalar histograms; this watches
+    * WHERE the text embeds). Micro-snap → cross-multiplied
+    * comparison → DECIMAL(38,0) sum → one integral divide; the
+    * oracle replays every step in HUGEINT, so a single component's
+    * rounding or a lost dimension breaks the hash. */
+  val q230 = Qry(
+    "q230_embedding_drift",
+    (s: SparkSession, d: String) =>
+      Drift.embeddingCentroidDrift(
+          Tables.embeddings(s, d), "label", "embedding",
+          inBaseline = col("vec_id") % 2 === 0)
+        .orderBy(col("label")),
+    Some("""
+      WITH m AS (
+        SELECT label, vec_id % 2 = 0 AS a, j,
+               CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                 AS v
+        FROM (SELECT label, vec_id,
+                unnest(embedding) AS x,
+                unnest(generate_series(1, len(embedding))) AS j
+              FROM embeddings)),
+      perdim AS (
+        SELECT label, j,
+               SUM(CASE WHEN a THEN v ELSE 0 END) AS sA,
+               SUM(CASE WHEN NOT a THEN v ELSE 0 END) AS sB,
+               SUM(CASE WHEN a THEN 1 ELSE 0 END) AS cA,
+               SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS cB
+        FROM m GROUP BY 1, 2),
+      terms AS (
+        SELECT label, cA, cB, (sA * cB - sB * cA) AS t
+        FROM perdim WHERE cA > 0 AND cB > 0),
+      agg AS (
+        SELECT label, cA, cB, SUM(t * t) AS num
+        FROM terms GROUP BY 1, 2, 3)
+      SELECT label, CAST(cA AS BIGINT) AS c_base,
+             CAST(cB AS BIGINT) AS c_cand,
+             CAST(num // ((cA * cB) * (cA * cB)) AS BIGINT)
+               AS drift_pico
+      FROM agg ORDER BY label"""))
+
+  val all: Seq[Qry] = Seq(q193, q200, q230)
 }

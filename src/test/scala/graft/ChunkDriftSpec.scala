@@ -158,4 +158,41 @@ class ChunkDriftSpec extends SparkSpec {
     assert(r.head._2 === 3L && r.head._3 === 2L)
     assert(r.tail.forall(x => x._2 === 0L && x._3 === 0L))
   }
+
+  // ---- embeddingCentroidDrift (q230) ----
+
+  private def centroidDrift(rows: Seq[(Long, Int, Array[Float])])
+      : Map[Int, (Long, Long, Long)] =
+    Drift.embeddingCentroidDrift(
+        rows.toDF("vec_id", "label", "emb"), "label", "emb",
+        inBaseline = col("vec_id") % 2 === 0)
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("embeddingCentroidDrift: hand-computed squared centroid gap " +
+      "in pico units") {
+    // label 0: baseline centroid (1, 0) vs candidate (0, 1) —
+    // ||d||^2 = 2 -> 2e12 pico. label 1: identical sides -> 0.
+    val rows = Seq(
+      (0L, 0, Array(1f, 0f)), (2L, 0, Array(1f, 0f)),
+      (1L, 0, Array(0f, 1f)), (3L, 0, Array(0f, 1f)),
+      (4L, 1, Array(0.5f, 0.5f)), (5L, 1, Array(0.5f, 0.5f)))
+    val m = centroidDrift(rows)
+    assert(m(0) === ((2L, 2L, 2000000000000L)))
+    assert(m(1) === ((1L, 1L, 0L)))
+  }
+
+  test("embeddingCentroidDrift: averaging is exact (half-micro gap), " +
+      "one-sided labels are dropped") {
+    // label 0 baseline: (1, 0) and (0, 0) -> centroid (0.5, 0);
+    // candidate (0.5, 0) exactly -> drift 0 despite no single
+    // baseline vector equalling the centroid
+    val rows = Seq(
+      (0L, 0, Array(1f, 0f)), (2L, 0, Array(0f, 0f)),
+      (1L, 0, Array(0.5f, 0f)),
+      (6L, 9, Array(1f, 1f))) // label 9: baseline only -> dropped
+    val m = centroidDrift(rows)
+    assert(m(0) === ((2L, 1L, 0L)))
+    assert(!m.contains(9))
+  }
 }
