@@ -234,6 +234,65 @@ object Dedup {
       .drop("_g")
   }
 
+  /** Exact-substring dedup SCRUB — [[crossDocDupSpansOwned]]'s
+    * detection turned into the removal pass (Lee et al. 2022's
+    * dedup step itself, keep-FIRST semantics): every maximal
+    * duplicated span whose doc is NOT the span's first occurrence
+    * (`m_first`, the lowest doc id sharing any of its windows) is
+    * excised; the first occurrence keeps its text, so exactly one
+    * copy of every duplicated passage survives the corpus.
+    *
+    * Relational shape: tokens explode once (map-side, 0-based
+    * positions), removable spans join back per doc (doc equi-key +
+    * a range predicate over the handful of spans a doc owns —
+    * left_anti, so covered tokens drop), and the survivor tokens
+    * re-aggregate in position order into the cleaned text. One
+    * window-hash exchange (inherited), one doc exchange reused by
+    * the islands window and the rebuild.
+    *
+    * @return one row per doc that LOST text: (doc_id, n_before,
+    *         n_after, n_spans_removed, cleaned_md5) — cleaned_md5
+    *         is md5 of the space-joined survivor tokens (the
+    *         rebuilt text itself at 100 TB; hashed here so the
+    *         gate pins content, not just counts) */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spans = crossDocDupSpansOwned(docs, idCol, textCol, n)
+      .filter(col("doc") =!= col("m_first"))
+      .select(col("doc"), col("m_start"), col("m_end"))
+      .localCheckpoint(true)
+    val toks = docs
+      .select(col(idCol).as("doc"),
+        posexplode(TextOps.tokens(col(textCol))))
+      .toDF("doc", "i", "tok")
+    val kept = toks.as("t")
+      .join(spans.as("r"),
+        col("t.doc") === col("r.doc") &&
+          col("t.i") >= col("r.m_start") &&
+          col("t.i") < col("r.m_end"),
+        "left_anti")
+    val cleaned = kept.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_after"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("i"), col("tok")))),
+            x => x.getField("tok")))).as("cleaned_md5"))
+    val removed = spans.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans_removed"))
+    val before = docs.select(col(idCol).as("doc"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_before"))
+    removed
+      .join(before, Seq("doc"))
+      .join(cleaned, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        col("n_spans_removed"),
+        // a fully-covered doc keeps zero tokens: md5 of the empty
+        // string, matching the rebuild-of-nothing both engines agree on
+        coalesce(col("cleaned_md5"),
+          lit("d41d8cd98f00b204e9800998ecf8427e")).as("cleaned_md5"))
+  }
+
   /** Prefix-filtered EXACT set-similarity self-join (the PPJoin/
     * AllPairs family, Xiao et al. 2008 / Bayardo et al. 2007 — the
     * prefix-filter core, without the positional refinement): all doc

@@ -1374,8 +1374,87 @@ object CorpusQ {
                ORDER BY doc_id)) AS ids_md5
       FROM kept GROUP BY source ORDER BY source"""))
 
+  /** q231 — exact-substring dedup SCRUB ([[graft.operators.Dedup
+    * .scrubDupSpans]]): q152's detected spans actually REMOVED, with
+    * Lee-et-al keep-first semantics — each duplicated passage
+    * survives only in its lowest-id document (base docs keep their
+    * text; the mashups lose their borrowed slices, and the shared
+    * boilerplate survives only in the lowest mashup). The gate
+    * hashes the md5 of every cleaned doc's rebuilt token stream, so
+    * one token kept or cut wrongly anywhere breaks it; the oracle
+    * replays windows → islands → ownership → excision → rebuild. */
+  val q231 = Qry(
+    "q231_dedup_scrub",
+    (s: SparkSession, d: String) =>
+      graft.operators.Dedup.scrubDupSpans(
+          spanCorpus(s, d), "doc_id", "text", n = 10)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $SpanCorpusSql,
+      dup AS (
+        SELECT doc_id, pos AS s0, pos + 10 AS e0, dmin AS gmin
+        FROM (
+          SELECT doc_id, pos,
+                 MIN(doc_id) OVER (PARTITION BY h) AS dmin,
+                 MAX(doc_id) OVER (PARTITION BY h) AS dmax
+          FROM w)
+        WHERE dmin <> dmax),
+      flagged AS (
+        SELECT doc_id, s0, e0, gmin,
+               CASE WHEN MAX(e0) OVER (
+                      PARTITION BY doc_id ORDER BY s0
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                 OR s0 > MAX(e0) OVER (
+                      PARTITION BY doc_id ORDER BY s0
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_grp
+        FROM dup),
+      grp AS (
+        SELECT doc_id, s0, e0, gmin,
+               SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s0
+                 ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged),
+      spans AS (
+        SELECT doc_id, g, MIN(s0) AS m_start, MAX(e0) AS m_end,
+               MIN(gmin) AS m_first
+        FROM grp GROUP BY doc_id, g),
+      rem AS (
+        SELECT doc_id, m_start, m_end FROM spans
+        WHERE doc_id <> m_first),
+      tok AS (
+        SELECT doc_id,
+               unnest(range(0, len(toks))) AS i,
+               unnest(toks) AS tk
+        FROM t),
+      kept AS (
+        SELECT tok.doc_id, tok.i, tok.tk
+        FROM tok
+        WHERE NOT EXISTS (
+          SELECT 1 FROM rem r
+          WHERE r.doc_id = tok.doc_id
+            AND tok.i >= r.m_start AND tok.i < r.m_end)),
+      cleaned AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+               md5(string_agg(tk, ' ' ORDER BY i)) AS cleaned_md5
+        FROM kept GROUP BY doc_id),
+      removedagg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_removed
+        FROM rem GROUP BY doc_id),
+      lens AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before FROM t)
+      SELECT r.doc_id, l.n_before,
+             COALESCE(c.n_after, 0) AS n_after,
+             r.n_spans_removed,
+             COALESCE(c.cleaned_md5,
+               'd41d8cd98f00b204e9800998ecf8427e') AS cleaned_md5
+      FROM removedagg r
+      JOIN lens l ON l.doc_id = r.doc_id
+      LEFT JOIN cleaned c ON c.doc_id = r.doc_id
+      ORDER BY r.doc_id"""))
+
   val all: Seq[Qry] =
     Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104,
       q120, q123, q152, q153, q154, q155, q156, q158, q159, q226,
-      q227)
+      q227, q231)
 }

@@ -264,4 +264,25 @@ class CorpusSpec extends SparkSpec {
     // intersection {beta gamma} = 2; jaccard 2/5, containment 2/3
     assert(inter == 2L)
   }
+
+  test("scrubDupSpans: keep-first removal — first occurrence intact, " +
+      "borrowers cut, full coverage empties the doc") {
+    def words(r: Range) = r.map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(0 to 11)),            // owner: 12 tokens
+      (2L, words(0 to 9) + " x y"),    // borrows tokens 0-9, own tail
+      (3L, words(0 to 9)))             // fully borrowed
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubDupSpans(docs, "doc_id", "text", n = 10)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toList
+    def md5Of(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // doc 1 (lowest id sharing the windows) keeps everything and is
+    // absent; doc 2 keeps only its own tail; doc 3 empties
+    assert(out === List(
+      (2L, 12L, 2L, 1L, md5Of("x y")),
+      (3L, 10L, 0L, 1L, md5Of(""))))
+  }
 }
