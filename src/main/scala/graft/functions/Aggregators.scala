@@ -144,4 +144,40 @@ object Aggregators {
         .setScale(9, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()
   }
+
+  /** Element-wise micro-int vector sum: each float component snaps
+    * to floor(x·1e6 + 0.5) — the EXACT same chain [[graft.operators
+    * .Drift.embeddingCentroidDrift]]'s column expression runs, so a
+    * streamed centroid sum is bit-equal to the batch one — and sums
+    * in overflow-CHECKED longs (`Math.addExact` raises rather than
+    * wraps; headroom ~9.2e12 unit-scale rows per group). Buffer is
+    * one dim-length long array per group per task: the partial-
+    * aggregable form of a per-dimension explode + sum, without the
+    * dim× row blow-up in the state store. */
+  final class VecMicroSum(dim: Int)
+      extends Aggregator[Seq[Float], Array[Long], Seq[Long]] {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    def zero: Array[Long] = new Array[Long](dim)
+    def reduce(b: Array[Long], e: Seq[Float]): Array[Long] = {
+      if (e != null && e.length == dim) {
+        var j = 0
+        while (j < dim) {
+          b(j) = Math.addExact(b(j),
+            math.floor(e(j).toDouble * 1e6 + 0.5).toLong)
+          j += 1
+        }
+      }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < x.length) { x(j) = Math.addExact(x(j), y(j)); j += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
 }

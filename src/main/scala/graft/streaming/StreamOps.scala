@@ -1374,6 +1374,64 @@ object StreamOps {
           .as("d_ppb"))
   }
 
+  /** Streaming embedding-centroid drift — [[graft.operators.Drift
+    * .embeddingCentroidDrift]] (q230) per event-time window: each
+    * closed window's per-label centroid compared against a STATIC
+    * baseline snapshot, completing the drift trio's streaming side
+    * (histogram [[driftStream]], KS [[ksDriftStream]], and now
+    * embedding space — "the new crawl embeds somewhere else", live).
+    *
+    * Exactness: components snap to micro-ints inside the
+    * [[graft.functions.Aggregators.VecMicroSum]] Aggregator — the
+    * IDENTICAL floor(x·1e6 + 0.5) chain the batch operator's column
+    * expression runs — so a closed window's drift equals the batch
+    * operator on the same vectors bit-for-bit (spec'd). The
+    * comparison is the same cross-multiplied integral form: numerator
+    * in DECIMAL(38,0), one div, pico units.
+    *
+    * Scale shape: ONE watermarked windowed aggregation whose state
+    * is a dim-length long array + count per (window, label) — the
+    * partial-aggregable form of the batch per-dimension explode,
+    * without dim× rows in the state store. The baseline aggregates
+    * once (batch side) and broadcasts into a stream-static join
+    * AFTER the aggregation, so it re-reads on dimension refresh like
+    * [[enrichWithStatic]].
+    *
+    * @param baseline static (labelCol, embCol) snapshot frame
+    * @return per closed (window, label): window_start, label,
+    *         c_base, c_cand, drift_pico */
+  def embeddingDriftStream(vectors: DataFrame, tsCol: String,
+      labelCol: String, embCol: String, dim: Int,
+      windowLen: String, watermark: String,
+      baseline: DataFrame): DataFrame = {
+    val vecSum =
+      udaf(new graft.functions.Aggregators.VecMicroSum(dim))
+    val base = baseline
+      .groupBy(col(labelCol).as("label"))
+      .agg(vecSum(col(embCol)).as("sB"),
+        count(lit(1)).as("c_base"))
+    // μ_cand − μ_base cross-multiplied: each side's SUM rides the
+    // OTHER side's count (sA/c_cand − sB/c_base ∝ sA·c_base − sB·c_cand)
+    val driftExpr = expr("""
+      aggregate(
+        zip_with(sA, sB, (a, b) ->
+          CAST(a AS DECIMAL(38,0)) * c_base -
+          CAST(b AS DECIMAL(38,0)) * c_cand),
+        CAST(0 AS DECIMAL(38,0)),
+        (acc, t) -> CAST(acc + t * t AS DECIMAL(38,0)))
+      div ((CAST(c_base AS DECIMAL(38,0)) * c_cand) *
+           (CAST(c_base AS DECIMAL(38,0)) * c_cand))""")
+    vectors
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen),
+        col(labelCol).as("label"))
+      .agg(vecSum(col(embCol)).as("sA"),
+        count(lit(1)).as("c_cand"))
+      .join(broadcast(base), Seq("label"))
+      .select(col("window.start").as("window_start"), col("label"),
+        col("c_base"), col("c_cand"), driftExpr.as("drift_pico"))
+  }
+
   /** Streaming per-window percentile monitor — the q202 mergeable
     * quantile sketch ([[graft.operators.QuantileSketch]]) as a
     * watermarked windowed aggregation: each closed event-time window

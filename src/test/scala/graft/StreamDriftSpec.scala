@@ -121,4 +121,62 @@ class StreamDriftSpec extends SparkSpec {
       .map(t => (t._2, t._3, t._4, t._5, t._6, t._7)) ===
       batchKs(Seq(2.0, 100.0)))
   }
+
+  test("embedding twin: closed windows equal the batch centroid " +
+      "drift against the same baseline, across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Seq(
+      (0, Array(1f, 0f)), (0, Array(0f, 0f)),  // label 0: μ=(.5, 0)
+      (1, Array(0.25f, 0.25f)))                // label 1
+      .toDF("label", "emb")
+    val in = MemoryStream[(Timestamp, Int, Array[Float])]
+    val q = StreamOps.embeddingDriftStream(
+        in.toDF().toDF("ts", "label", "emb"),
+        "ts", "label", "emb", dim = 2,
+        windowLen = "10 minutes", watermark = "5 minutes",
+        baseline = baseline)
+      .writeStream.format("memory").queryName("edrift")
+      .outputMode("append").start()
+    // window [0,10): label 0 arrives split across two micro-batches
+    in.addData((ts(1), 0, Array(0.5f, 1f)))
+    q.processAllAvailable()
+    in.addData((ts(4), 0, Array(0.5f, 0f)),
+      (ts(3), 1, Array(0.25f, 0.75f)),
+      // second window, closes the first via the watermark
+      (ts(12), 0, Array(9f, 9f)))
+    q.processAllAvailable()
+    in.addData((ts(30), 0, Array(0f, 0f)), (ts(45), 0, Array(0f, 0f)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("edrift")
+      .select($"window_start", $"label", $"c_base", $"c_cand",
+        $"drift_pico")
+      .as[(Timestamp, Int, Long, Long, Long)].collect().toSet
+    // batch replay: same baseline + the window's vectors
+    def batch(label: Int, win: Seq[Array[Float]]): (Long, Long, Long) = {
+      val baseRows = Seq(
+        (0L, 0, Array(1f, 0f)), (2L, 0, Array(0f, 0f)),
+        (4L, 1, Array(0.25f, 0.25f)))
+      val candRows = win.zipWithIndex.map { case (v, i) =>
+        ((i * 2 + 1).toLong, label, v) }
+      val r = Drift.embeddingCentroidDrift(
+          (baseRows ++ candRows).toDF("vec_id", "label", "emb"),
+          "label", "emb", inBaseline = col("vec_id") % 2 === 0)
+        .filter(col("label") === label)
+        .as[(Int, Long, Long, Long)].collect().head
+      (r._2, r._3, r._4)
+    }
+    val w0l0 = batch(0, Seq(Array(0.5f, 1f), Array(0.5f, 0f)))
+    val w0l1 = batch(1, Seq(Array(0.25f, 0.75f)))
+    val w1l0 = batch(0, Seq(Array(9f, 9f)))
+    assert(got.contains((ts(0), 0, w0l0._1, w0l0._2, w0l0._3)),
+      s"window0/label0: $got")
+    assert(got.contains((ts(0), 1, w0l1._1, w0l1._2, w0l1._3)),
+      s"window0/label1: $got")
+    assert(got.contains((ts(10), 0, w1l0._1, w1l0._2, w1l0._3)),
+      s"window1/label0: $got")
+    // hand check: window0/label0 centroid (0.5, 0.5) vs baseline
+    // (0.5, 0) -> ||d||^2 = 0.25 -> 2.5e11 pico
+    assert(w0l0 === ((2L, 2L, 250000000000L)))
+  }
 }
