@@ -46,6 +46,16 @@ object CorpusScale {
         merged.agg(sum(col("m_end") - col("m_start")))
           .head().getLong(0))
     }
+    def scrub(): (Long, Long) = {
+      // detection -> removal (q231): same window hashes, plus the
+      // ownership islands, token anti-join and rebuild — the probe
+      // prices the full Lee-et-al dedup pass, not just detection
+      val out = Dedup.scrubDupSpans(docs, "doc_id", "text", 10)
+        .localCheckpoint(true)
+      (out.count(),
+        out.agg(sum(col("n_before") - col("n_after")))
+          .head().getLong(0))
+    }
     def pack(): Long =
       Corpus.packSequences(docs,
           Splits.hashBucket(col("doc_id")) % 32,
@@ -77,14 +87,18 @@ object CorpusScale {
       val t2 = System.nanoTime()
       val nPairs = vocab()
       val t3 = System.nanoTime()
-      val (ds, dp, dv) =
-        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      val (nScrubbed, toksCut) = scrub()
+      val t4 = System.nanoTime()
+      val (ds, dp, dv, dc) =
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9,
+          (t4 - t3) / 1e9)
       println(f"""{"metric":"corpus_scale","rep":$r,"label":"$label",""" +
         f""""docs":$nDocs,"spans":$nSpans,"dup_tokens":$dupToks,""" +
         f""""seqs":$nSeqs,"vocab_pairs":$nPairs,""" +
+        f""""scrubbed_docs":$nScrubbed,"tokens_cut":$toksCut,""" +
         f""""spans_sec":$ds%.4f,"pack_sec":$dp%.4f,""" +
-        f""""vocab_sec":$dv%.4f,"unit":"sec"}""")
-      ds + dp + dv
+        f""""vocab_sec":$dv%.4f,"scrub_sec":$dc%.4f,"unit":"sec"}""")
+      ds + dp + dv + dc
     }
     println(f"""{"metric":"corpus_scale_min","label":"$label",""" +
       f""""docs":$nDocs,"value":${times.min}%.4f,"unit":"sec"}""")
