@@ -308,6 +308,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.analyzed
       }))
     ext.injectTableFunction((
+      new FunctionIdentifier("temperature_quotas"),
+      new ExpressionInfo("graft.operators.Splits",
+        "temperature_quotas"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "temperature_quotas expects (counts_view, key_col, " +
+            s"cnt_col, n, alpha), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = {
+          val e = children(3)
+          require(e.foldable,
+            s"temperature_quotas: n must be a literal, got ${e.sql}")
+          e.eval() match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case v => throw new IllegalArgumentException(
+              s"temperature_quotas: n must be integral, got $v")
+          }
+        }
+        val alpha = {
+          val e = children(4)
+          require(e.foldable,
+            s"temperature_quotas: alpha must be a literal, got ${e.sql}")
+          e.eval() match {
+            case d: Double => d
+            case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+            case i: Int => i.toDouble
+            case l: Long => l.toDouble
+            case v => throw new IllegalArgumentException(
+              s"temperature_quotas: alpha must be numeric, got $v")
+          }
+        }
+        graft.operators.Splits.temperatureQuotas(
+            spark.table(strConst(children(0),
+              "temperature_quotas: counts_view")),
+            strConst(children(1), "temperature_quotas: key_col"),
+            strConst(children(2), "temperature_quotas: cnt_col"),
+            n, alpha)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
       new FunctionIdentifier("personalized_pagerank"),
       new ExpressionInfo("graft.operators.PageRank",
         "personalized_pagerank"),

@@ -682,6 +682,84 @@ object Stats {
       $matvecs"""
   }
 
+  /** q232 — robust location stats: 10%-trimmed mean and winsorized
+    * sum of extended price (exact cents) per return flag — the
+    * outlier-resistant aggregates a metrics pipeline wants when the
+    * tail is dirty. Entirely integer: rows rank inside the group,
+    * k = n div 10 cut from each side; the trim boundary values
+    * (lo = value at rank k+1, hi = at rank n−k) come from
+    * conditional min/max over the SAME ranked pass, and the
+    * winsorized sum is the closed form trimmed_sum + k·lo + k·hi —
+    * no second clamping pass over the data. Rank ties on equal
+    * cents are value-interchangeable, so every emitted number is a
+    * multiset invariant (tie order can't move the hash).
+    *
+    * Scale shape: ONE group-key exchange serves the rank window,
+    * the count window, and the final aggregate (same partitioning);
+    * nothing global, no re-scan for the winsorized leg. */
+  val q232 = Qry(
+    "q232_trimmed_stats",
+    (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+      val rn = row_number().over(w.orderBy(col("cents"),
+        col("l_orderkey"), col("l_linenumber")))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+        .withColumn("rn", rn.cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("k", expr("n div 10"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(col("n")).as("n"), max(col("k")).as("k"),
+          min(when(col("rn") > col("k"), col("cents"))).as("lo_cents"),
+          max(when(col("rn") <= col("n") - col("k"), col("cents")))
+            .as("hi_cents"),
+          sum(when(col("rn") > col("k") &&
+            col("rn") <= col("n") - col("k"), col("cents")))
+            .as("trimmed_sum"))
+        .select(col("l_returnflag"), col("n"), col("k"),
+          col("lo_cents"), col("hi_cents"),
+          expr("trimmed_sum div (n - 2 * k)")
+            .as("trimmed_mean_cents"),
+          (col("trimmed_sum") + col("k") * col("lo_cents") +
+            col("k") * col("hi_cents")).as("winsorized_sum_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+      ranked AS (
+        SELECT l_returnflag, cents,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM c),
+      g AS (
+        SELECT l_returnflag,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(n) // 10 AS BIGINT) AS k,
+               MIN(CASE WHEN rn > n // 10 THEN cents END) AS lo_cents,
+               MAX(CASE WHEN rn <= n - n // 10 THEN cents END)
+                 AS hi_cents,
+               CAST(SUM(CASE WHEN rn > n // 10
+                 AND rn <= n - n // 10 THEN cents END) AS BIGINT)
+                 AS trimmed_sum
+        FROM ranked GROUP BY l_returnflag)
+      SELECT l_returnflag, n, k, lo_cents, hi_cents,
+             CAST(trimmed_sum // (n - 2 * k) AS BIGINT)
+               AS trimmed_mean_cents,
+             CAST(trimmed_sum + k * lo_cents + k * hi_cents
+               AS BIGINT) AS winsorized_sum_cents
+      FROM g ORDER BY l_returnflag"""))
+
   val all: Seq[Qry] =
-    Seq(q88, q89, q90, q92, q93, q101, q170, q174, q176, q187)
+    Seq(q88, q89, q90, q92, q93, q101, q170, q174, q176, q187, q232)
 }

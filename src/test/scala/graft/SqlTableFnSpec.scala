@@ -355,4 +355,20 @@ class SqlTableFnSpec extends SparkSpec {
       .as[(Long, Long, Long, String, Long)].collect().toList ===
       List((1L, 0L, 1L, "view>click>click>purchase", 4L)))
   }
+
+  test("temperature_quotas from SQL plans identically to the API " +
+      "form and quotas sum to n") {
+    Seq(("a", 100L), ("b", 10000L)).toDF("src", "c")
+      .createOrReplaceTempView("tq_counts_sql")
+    val viaSql = spark.sql(
+      "SELECT * FROM temperature_quotas('tq_counts_sql', 'src', " +
+        "'c', 110, 0.5)")
+    val viaApi = graft.operators.Splits.temperatureQuotas(
+      spark.table("tq_counts_sql"), "src", "c", 110L, 0.5)
+    assert(viaSql.queryExecution.optimizedPlan.canonicalized ===
+      viaApi.queryExecution.optimizedPlan.canonicalized)
+    val got = viaSql.select($"key", $"quota")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 10L, "b" -> 100L))
+  }
 }
