@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Qry, Tables}
+import graft.operators.{Evals, Splits}
+
+/** Model-evaluation / preference-analytics surface ([[Evals]]):
+  * Bradley-Terry strengths over a synthetic pairwise preference log
+  * (q233), exact ROC-AUC (q234), calibration bins + ECE (q235), and
+  * Cohen's kappa annotator agreement (q236). The preference /
+  * prediction / annotation columns are all md5-derived from
+  * event_id — deterministic on any regeneration of the tables — and
+  * every hashed value is an exact integer (micro/ppm units), so the
+  * DuckDB oracles replay each chain bit-for-bit in HUGEINT.
+  */
+object EvalQ {
+
+  /** q233 — Bradley-Terry model ranking from pairwise preferences
+    * ([[Evals.bradleyTerry]], 3 MM rounds): the RLHF reward-data
+    * computation — a preference log (two model ids + which won) in,
+    * per-model strengths out. Each event synthesizes one comparison:
+    * models a = id mod 8, b = (id div 8) mod 8 (a ≠ b), and the md5
+    * percent-bucket decides the winner with probability
+    * (a+1)/(a+b+2) — true Bradley-Terry odds with strengths 1..8, so
+    * the recovered strengths must come back monotone in model id.
+    * The oracle unrolls all three MM rounds (per-pair integral
+    * terms, per-item denominators, the Σ=|I|·1e6 renormalization) in
+    * HUGEINT. Scale shape: one shuffle aggregates the raw log to
+    * pair counts; the fixpoint never touches log-sized data. */
+  val q233 = Qry(
+    "q233_bradley_terry",
+    (s: SparkSession, d: String) => {
+      val cmp = Tables.events(s, d)
+        .select(expr("event_id % 8").as("a"),
+          expr("(event_id div 8) % 8").as("b"),
+          Splits.hashBucket(col("event_id")).cast("long").as("bucket"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          (col("bucket") * (col("a") + col("b") + lit(2L)) <
+            lit(100L) * (col("a") + lit(1L))).as("wa"))
+      Evals.bradleyTerry(
+          Evals.orientedPairs(cmp, "a", "b", "wa"), iters = 3)
+        .orderBy(col("item"))
+    },
+    Some(s"""
+      WITH raw AS (
+        SELECT CAST(event_id % 8 AS BIGINT) AS a,
+               CAST((event_id // 8) % 8 AS BIGINT) AS b,
+               CAST(${Q.bucketSql("event_id")} AS BIGINT) AS bucket
+        FROM events),
+      cmp AS (
+        SELECT a, b, (bucket * (a + b + 2) < 100 * (a + 1)) AS wa
+        FROM raw WHERE a <> b),
+      p AS (
+        SELECT a, b, COUNT(*) AS n,
+               SUM(CASE WHEN wa THEN 1 ELSE 0 END) AS w
+        FROM cmp GROUP BY 1, 2),
+      o AS (
+        SELECT item, opp, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(w) AS BIGINT) AS w
+        FROM (SELECT a AS item, b AS opp, n, w FROM p
+              UNION ALL
+              SELECT b AS item, a AS opp, n, n - w FROM p)
+        GROUP BY 1, 2),
+      wins AS (
+        SELECT item, CAST(SUM(w) AS BIGINT) AS wins,
+               CAST(SUM(n) AS BIGINT) AS n_cmp
+        FROM o GROUP BY 1),
+      s0 AS (SELECT DISTINCT item, CAST(1000000 AS HUGEINT) AS v
+             FROM o),
+      d1 AS (
+        SELECT o.item,
+               SUM((CAST(o.n AS HUGEINT) * 1000000000000000)
+                 // (si.v + sj.v)) AS denom
+        FROM o JOIN s0 si ON si.item = o.item
+               JOIN s0 sj ON sj.item = o.opp GROUP BY 1),
+      r1 AS (
+        SELECT w.item,
+               (CAST(w.wins AS HUGEINT) * 1000000000000000)
+                 // d.denom AS raw
+        FROM wins w JOIN d1 d ON d.item = w.item),
+      s1 AS (
+        SELECT item,
+               (raw * (SELECT COUNT(*) FROM s0) * 1000000)
+                 // (SELECT SUM(raw) FROM r1) AS v
+        FROM r1),
+      d2 AS (
+        SELECT o.item,
+               SUM((CAST(o.n AS HUGEINT) * 1000000000000000)
+                 // (si.v + sj.v)) AS denom
+        FROM o JOIN s1 si ON si.item = o.item
+               JOIN s1 sj ON sj.item = o.opp GROUP BY 1),
+      r2 AS (
+        SELECT w.item,
+               (CAST(w.wins AS HUGEINT) * 1000000000000000)
+                 // d.denom AS raw
+        FROM wins w JOIN d2 d ON d.item = w.item),
+      s2 AS (
+        SELECT item,
+               (raw * (SELECT COUNT(*) FROM s0) * 1000000)
+                 // (SELECT SUM(raw) FROM r2) AS v
+        FROM r2),
+      d3 AS (
+        SELECT o.item,
+               SUM((CAST(o.n AS HUGEINT) * 1000000000000000)
+                 // (si.v + sj.v)) AS denom
+        FROM o JOIN s2 si ON si.item = o.item
+               JOIN s2 sj ON sj.item = o.opp GROUP BY 1),
+      r3 AS (
+        SELECT w.item,
+               (CAST(w.wins AS HUGEINT) * 1000000000000000)
+                 // d.denom AS raw
+        FROM wins w JOIN d3 d ON d.item = w.item),
+      s3 AS (
+        SELECT item,
+               (raw * (SELECT COUNT(*) FROM s0) * 1000000)
+                 // (SELECT SUM(raw) FROM r3) AS v
+        FROM r3)
+      SELECT s3.item, wins.n_cmp, wins.wins,
+             CAST(s3.v AS BIGINT) AS strength_micro
+      FROM s3 JOIN wins ON wins.item = s3.item
+      ORDER BY s3.item"""))
+
+  /** q234 — exact ROC-AUC ([[Evals.exactAuc]]) for purchase-vs-view
+    * classification: the rank-sum identity over the score histogram
+    * with exact tie credit — the eval-harness metric computed
+    * without a single float. The score is a 16-bit md5 draw shifted
+    * up a quarter range for positives (the fixture's event values
+    * are type-independent, so a planted separation keeps the metric
+    * non-trivial on ANY regeneration): analytic AUC = 1/2 + 1/4 −
+    * 1/32 = 0.71875, so auc_ppm must land near 718750 with only
+    * binomial noise. One histogram shuffle; the cumulative window
+    * runs over the bounded 0..81919 score domain, never over rows. */
+  val q234 = Qry(
+    "q234_exact_auc",
+    (s: SparkSession, d: String) => {
+      val h1 = conv(substring(md5(col("event_id").cast("string")),
+        1, 4), 16, 10).cast("long")
+      val pos = col("event_type") === "purchase"
+      Evals.exactAuc(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "view")),
+        h1 + when(pos, 16384L).otherwise(0L), pos)
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT CAST(${Q.md5Hex16Sql("event_id", 1)}
+                 + CASE WHEN event_type = 'purchase'
+                   THEN 16384 ELSE 0 END AS BIGINT) AS c,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                 AS y
+        FROM events WHERE event_type IN ('purchase', 'view')),
+      h AS (
+        SELECT c, CAST(SUM(y) AS BIGINT) AS p,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS q
+        FROM t GROUP BY 1),
+      w AS (
+        SELECT p, q,
+               COALESCE(SUM(q) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS q_below
+        FROM h),
+      tot AS (
+        SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(q) AS BIGINT) AS n_neg,
+               SUM(CAST(p AS HUGEINT) * (2 * q_below + q)) AS two_u
+        FROM w)
+      SELECT n_pos, n_neg, CAST(two_u AS BIGINT) AS two_u,
+             CAST((two_u * 500000)
+               // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+               AS auc_ppm
+      FROM tot"""))
+
+  /** q235 — reliability diagram + expected calibration error
+    * ([[Evals.calibrationBins]], 10 bins): predicted confidence =
+    * md5 nibbles 1-4 of the event id rescaled to ppm, outcome = a
+    * second independent md5 draw under the confidence — perfectly
+    * calibrated in expectation, so the per-bin gaps are pure
+    * binomial noise and ECE is small but nonzero. Every gap is an
+    * exact |Σconf − pos·1e6| integer; the oracle replays bins, gaps,
+    * and the ECE division. */
+  val q235 = Qry(
+    "q235_calibration_ece",
+    (s: SparkSession, d: String) => {
+      val h1 = conv(substring(md5(col("event_id").cast("string")),
+        1, 4), 16, 10).cast("long")
+      val h2 = conv(substring(md5(col("event_id").cast("string")),
+        5, 4), 16, 10).cast("long")
+      Evals.calibrationBins(
+          Tables.events(s, d)
+            .select(h1.as("h1"), h2.as("h2"))
+            .select(expr("(h1 * 1000000) div 65536").as("conf_ppm"),
+              (col("h2") < col("h1")).as("hit")),
+          col("conf_ppm"), col("hit"), bins = 10)
+        .orderBy(col("bin"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT (CAST(${Q.md5Hex16Sql("event_id", 1)} AS BIGINT)
+                 * 1000000) // 65536 AS conf_ppm,
+               CASE WHEN ${Q.md5Hex16Sql("event_id", 5)}
+                 < ${Q.md5Hex16Sql("event_id", 1)}
+                 THEN 1 ELSE 0 END AS y
+        FROM events),
+      b AS (
+        SELECT (conf_ppm * 10) // 1000000 AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf_ppm,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM t GROUP BY 1),
+      g AS (
+        SELECT bin, n, sum_conf_ppm, pos,
+               abs(sum_conf_ppm - pos * 1000000) AS gap
+        FROM b),
+      tot AS (
+        SELECT SUM(CAST(gap AS HUGEINT)) AS gap_tot,
+               CAST(SUM(n) AS BIGINT) AS n_tot
+        FROM g)
+      SELECT bin, n, sum_conf_ppm, pos, CAST(gap AS BIGINT) AS gap,
+             CAST(gap_tot // n_tot AS BIGINT) AS ece_ppm
+      FROM g, tot ORDER BY bin"""))
+
+  /** q236 — Cohen's kappa inter-annotator agreement
+    * ([[Evals.cohenKappa]]): annotator 1 labels each event with its
+    * type; annotator 2 agrees except on a fixed 20% md5 bucket,
+    * where the label shifts one step along a fixed type cycle —
+    * chance-corrected agreement lands near 0.75 rather than the raw
+    * 0.80, and the per-class margins localize WHERE annotators
+    * diverge. Exact ppm with the sign decided before the integral
+    * divide. The label-quality audit every human-preference
+    * collection runs before training on the labels. */
+  val q236 = Qry(
+    "q236_cohen_kappa",
+    (s: SparkSession, d: String) => {
+      val cyc = expr("""case event_type
+          when 'view' then 'click' when 'click' then 'purchase'
+          when 'purchase' then 'signup' when 'signup' then 'error'
+          else 'view' end""")
+      Evals.cohenKappa(
+          Tables.events(s, d)
+            .select(col("event_type").as("a1"),
+              when(Splits.hashBucket(col("event_id")) < 20, cyc)
+                .otherwise(col("event_type")).as("a2")),
+          col("a1"), col("a2"))
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT event_type AS a1,
+               CASE WHEN ${Q.bucketSql("event_id")} < 20 THEN
+                 CASE event_type
+                   WHEN 'view' THEN 'click'
+                   WHEN 'click' THEN 'purchase'
+                   WHEN 'purchase' THEN 'signup'
+                   WHEN 'signup' THEN 'error'
+                   ELSE 'view' END
+               ELSE event_type END AS a2
+        FROM events),
+      cont AS (SELECT a1, a2, COUNT(*) AS k FROM t GROUP BY 1, 2),
+      rmarg AS (SELECT a1 AS label, CAST(SUM(k) AS BIGINT) AS row_n
+                FROM cont GROUP BY 1),
+      cmarg AS (SELECT a2 AS label, CAST(SUM(k) AS BIGINT) AS col_n
+                FROM cont GROUP BY 1),
+      diag AS (SELECT a1 AS label, CAST(k AS BIGINT) AS diag_n
+               FROM cont WHERE a1 = a2),
+      m AS (
+        SELECT COALESCE(r.label, c.label) AS label,
+               COALESCE(row_n, 0) AS row_n,
+               COALESCE(col_n, 0) AS col_n
+        FROM rmarg r FULL OUTER JOIN cmarg c ON r.label = c.label),
+      m2 AS (
+        SELECT m.label, row_n, col_n,
+               COALESCE(diag_n, 0) AS diag_n
+        FROM m LEFT JOIN diag ON diag.label = m.label),
+      tot AS (
+        SELECT CAST(SUM(row_n) AS HUGEINT) AS n,
+               CAST(SUM(diag_n) AS HUGEINT) AS agree,
+               SUM(CAST(row_n AS HUGEINT) * col_n) AS rc
+        FROM m2)
+      SELECT label, row_n, col_n, diag_n,
+             CAST(CASE WHEN agree * n - rc < 0
+               THEN -(((rc - agree * n) * 1000000) // (n * n - rc))
+               ELSE ((agree * n - rc) * 1000000) // (n * n - rc)
+               END AS BIGINT) AS kappa_ppm
+      FROM m2, tot ORDER BY label"""))
+
+  val all: Seq[Qry] = Seq(q233, q234, q235, q236)
+}

@@ -182,5 +182,61 @@ object SqlSurface {
       FROM lineitem WHERE l_returnflag <> 'N'
       GROUP BY 1 ORDER BY l_returnflag"""))
 
-  val all: Seq[Qry] = Seq(q45, q46, q73, q110, q207)
+  /** q237 — recursive CTE (`WITH RECURSIVE`, Spark 4's UnionLoop):
+    * min-hop BFS over the co-purchase part graph from a sparse seed
+    * set, 3 hops, written as the declarative iteration a SQL user
+    * types. Spark's recursive CTE supports UNION ALL only, so the
+    * level algebra is made explicit: each iteration joins ONLY the
+    * previous level (UnionLoopRef semantics), `SELECT DISTINCT`
+    * bounds every level to at most |V| rows (never path-explosion),
+    * and the final MIN(hop) GROUP BY collapses re-discoveries —
+    * exactly the frontier-BFS recurrence, which DuckDB replays with
+    * the identical UNION ALL form. Total loop output is bounded by
+    * levels·|V| (≪ the 100-level / row-limit guards). The edge
+    * frame is materialized ONCE (localCheckpoint behind a view) —
+    * UnionLoop re-executes its body every iteration, and without
+    * the checkpoint each level would rebuild the distinct
+    * self-join. The at-scale form of this computation is
+    * [[graft.operators.Graph.bfsHops]] (checkpointed frontier
+    * kernel, q117) — the CTE is the SQL front-end over the same
+    * semantics, new surface Spark gained in 4.x. */
+  val q237 = Qry(
+    "q237_recursive_cte",
+    (s: SparkSession, d: String) => {
+      Model.registerViews(s, d)
+      s.sql("""
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey""")
+        .localCheckpoint(true)
+        .createOrReplaceTempView("q237_edges")
+      s.sql(s"""
+        WITH RECURSIVE reach(id, hop) AS (
+          SELECT p_partkey AS id, 0 AS hop
+          FROM part WHERE p_partkey % 199 = 3
+          UNION ALL
+          SELECT DISTINCT e.dst AS id, r.hop + 1 AS hop
+          FROM reach r JOIN q237_edges e ON e.src = r.id
+          WHERE r.hop < 3)
+        SELECT id, MIN(hop) AS hop
+        FROM reach GROUP BY id ORDER BY id""")
+    },
+    Some("""
+      WITH RECURSIVE edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey <> b.l_partkey),
+      reach(id, hop) AS (
+        SELECT p_partkey AS id, 0 AS hop
+        FROM part WHERE p_partkey % 199 = 3
+        UNION ALL
+        SELECT DISTINCT e.dst AS id, r.hop + 1 AS hop
+        FROM reach r JOIN edges e ON e.src = r.id
+        WHERE r.hop < 3)
+      SELECT id, MIN(hop) AS hop
+      FROM reach GROUP BY id ORDER BY id"""))
+
+  val all: Seq[Qry] = Seq(q45, q46, q73, q110, q207, q237)
 }

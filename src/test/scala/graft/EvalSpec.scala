@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Evals
+
+/** Unit semantics for [[Evals]]: Bradley-Terry MM rounds against an
+  * independent plain-Scala replay of the integer chain, exact AUC
+  * against brute-force all-pairs counting (tie credit included),
+  * calibration bins/ECE hand-computed, and Cohen's kappa closed-form
+  * cases (perfect, worse-than-chance sign handling, margins).
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- BT
+
+  /** Plain-Scala replay of the [[Evals.bradleyTerry]] integer chain:
+    * same micro units, same 1e15 scaling, same truncating integral
+    * divides, same Σ=|I|·1e6 renormalization. */
+  private def btReference(
+      oriented: Seq[(Long, Long, Long, Long)], // (item, opp, n, w)
+      iters: Int): Map[Long, Long] = {
+    val items = oriented.map(_._1).distinct.sorted
+    val wins = oriented.groupBy(_._1).view
+      .mapValues(_.map(_._4).sum).toMap
+    var s: Map[Long, BigInt] =
+      items.map(_ -> BigInt(1000000)).toMap
+    for (_ <- 1 to iters) {
+      val denom = oriented.groupBy(_._1).view.mapValues { rows =>
+        rows.map { case (i, j, n, _) =>
+          (BigInt(n) * BigInt("1000000000000000")) / (s(i) + s(j))
+        }.sum
+      }.toMap
+      val raw = items.map { i =>
+        i -> (BigInt(wins(i)) * BigInt("1000000000000000")) / denom(i)
+      }.toMap
+      val tot = raw.values.sum
+      s = items.map { i =>
+        i -> raw(i) * items.size * 1000000 / tot
+      }.toMap
+    }
+    s.map { case (k, v) => k -> v.toLong }
+  }
+
+  private def bt(oriented: Seq[(Long, Long, Long, Long)], iters: Int) =
+    Evals.bradleyTerry(
+        oriented.toDF("item", "opp", "n", "w"), iters)
+      .select("item", "strength_micro").as[(Long, Long)]
+      .collect().toMap
+
+  /** Symmetric-orientation helper: one undirected (i, j, n, wi) pair
+    * expands to both oriented rows. */
+  private def pairs(p: (Long, Long, Long, Long)*) =
+    p.flatMap { case (i, j, n, wi) =>
+      Seq((i, j, n, wi), (j, i, n, n - wi)) }
+
+  test("bradleyTerry matches the plain-Scala integer replay on a " +
+      "3-item cycle, every round count") {
+    // non-transitive-ish cycle with unequal counts
+    val o = pairs((0L, 1L, 10L, 7L), (1L, 2L, 8L, 5L),
+      (0L, 2L, 12L, 4L))
+    for (iters <- 1 to 4)
+      assert(bt(o, iters) === btReference(o, iters),
+        s"diverged at iters=$iters")
+  }
+
+  test("bradleyTerry recovers the planted order and renormalizes " +
+      "to ~|I|*1e6") {
+    // 9/10 wins for the stronger item in every pairing of 1 < 2 < 3
+    val o = pairs((1L, 2L, 10L, 1L), (2L, 3L, 10L, 1L),
+      (1L, 3L, 10L, 0L))
+    val s = bt(o, iters = 3)
+    assert(s(1L) < s(2L) && s(2L) < s(3L))
+    val total = s.values.sum
+    // truncating divides only ever lose micros
+    assert(total <= 3000000L && total > 3000000L - 10L)
+  }
+
+  test("bradleyTerry: a zero-win item converges to strength 0") {
+    val o = pairs((0L, 1L, 5L, 0L), (0L, 2L, 5L, 0L),
+      (1L, 2L, 6L, 3L))
+    val s = bt(o, iters = 3)
+    assert(s(0L) === 0L)
+    assert(s(1L) > 0L && s(2L) > 0L)
+  }
+
+  test("bradleyTerry rejects a single-item domain") {
+    intercept[IllegalArgumentException] {
+      bt(Seq((0L, 0L, 1L, 1L)), iters = 1)
+    }
+  }
+
+  test("orientedPairs merges both raw orientations of a pair") {
+    val cmp = Seq((1L, 2L, true), (1L, 2L, false), (2L, 1L, true),
+        (2L, 1L, true), (2L, 1L, false))
+      .toDF("a", "b", "wa")
+    val o = Evals.orientedPairs(cmp, "a", "b", "wa")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // item 1: wins = 1 (as a) + 1 (as loser-side of b wins... ) —
+    // raw: (1,2,T) 1 win; (1,2,F) 0; (2,1,T)x2 two wins for 2;
+    // (2,1,F) one win for 1  → item1: n=5 w=2; item2: n=5 w=3
+    assert(o === Set((1L, 2L, 5L, 2L), (2L, 1L, 5L, 3L)))
+  }
+
+  // --------------------------------------------------------- AUC
+
+  private def aucRow(scored: Seq[(Long, Boolean)])
+      : (Long, Long, Long, Long) =
+    Evals.exactAuc(scored.toDF("c", "y"), col("c"), col("y"))
+      .as[(Long, Long, Long, Long)].collect().head
+
+  /** Brute-force 2U = 2·#(pos>neg) + #(pos==neg). */
+  private def bruteTwoU(scored: Seq[(Long, Boolean)]): Long = {
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    pos.map(p => 2L * neg.count(p > _) + neg.count(p == _)).sum
+  }
+
+  test("exactAuc matches brute-force all-pairs counting with ties") {
+    val scored = Seq(3L -> true, 1L -> false, 3L -> false,
+      2L -> true, 2L -> false, 5L -> true, 1L -> true, 1L -> false,
+      4L -> false, 5L -> true)
+    val (p, q, twoU, ppm) = aucRow(scored)
+    assert((p, q) === (5L, 5L))
+    assert(twoU === bruteTwoU(scored))
+    assert(ppm === twoU * 500000L / (p * q))
+  }
+
+  test("exactAuc endpoints: separation=1e6, reversal=0, ties=5e5") {
+    assert(aucRow(Seq(2L -> true, 3L -> true, 1L -> false))._4
+      === 1000000L)
+    assert(aucRow(Seq(1L -> true, 2L -> false, 3L -> false))._4
+      === 0L)
+    assert(aucRow(Seq(7L -> true, 7L -> false))._4 === 500000L)
+  }
+
+  // ------------------------------------------------- calibration
+
+  test("calibrationBins: hand-computed bins, gaps, and ECE") {
+    // bin 1: conf 100000, miss → gap |100000 − 0| = 100000
+    // bin 3: conf 300000, hit  → gap |300000 − 1e6| = 700000
+    // bin 9: conf 900000+950000, 2 hits → gap |1850000−2e6| = 150000
+    // ece = (100000 + 700000 + 150000) div 4 = 237500
+    val preds = Seq((100000L, false), (300000L, true),
+      (900000L, true), (950000L, true)).toDF("conf", "y")
+    val r = Evals.calibrationBins(preds, col("conf"), col("y"), 10)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(r === List(
+      (1L, 1L, 100000L, 0L, 100000L, 237500L),
+      (3L, 1L, 300000L, 1L, 700000L, 237500L),
+      (9L, 2L, 1850000L, 2L, 150000L, 237500L)))
+  }
+
+  test("calibrationBins: boundary confidences land in end bins") {
+    val preds = Seq((0L, false), (999999L, true)).toDF("conf", "y")
+    val bins = Evals.calibrationBins(preds, col("conf"), col("y"), 10)
+      .select("bin").as[Long].collect().toSet
+    assert(bins === Set(0L, 9L))
+  }
+
+  // ------------------------------------------------------- kappa
+
+  private def kappaOf(rows: Seq[(String, String)]): Long =
+    Evals.cohenKappa(rows.toDF("a1", "a2"), col("a1"), col("a2"))
+      .select("kappa_ppm").as[Long].collect().head
+
+  test("cohenKappa: perfect agreement on >=2 classes is exactly 1e6") {
+    assert(kappaOf(Seq("x" -> "x", "y" -> "y", "x" -> "x"))
+      === 1000000L)
+  }
+
+  test("cohenKappa: systematic disagreement goes negative with " +
+      "explicit sign handling") {
+    // always-opposite labels: po=0, pe=1/2 → kappa = -1
+    val k = kappaOf(Seq("x" -> "y", "y" -> "x", "x" -> "y",
+      "y" -> "x"))
+    assert(k === -1000000L)
+  }
+
+  test("cohenKappa: hand-computed mixed case with margins") {
+    // N=4, agree=3; margins a1: x=3,y=1; a2: x=2,y=2 → rc=3·2+1·2=8
+    // kappa = (3·4−8)/(16−8) = 1/2
+    val rows = Seq("x" -> "x", "x" -> "x", "x" -> "y", "y" -> "y")
+    val df = Evals.cohenKappa(rows.toDF("a1", "a2"), col("a1"),
+        col("a2")).orderBy("label")
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(df === List(("x", 3L, 2L, 2L, 500000L),
+      ("y", 1L, 2L, 1L, 500000L)))
+  }
+
+  test("cohenKappa: a class seen by only one annotator keeps full " +
+      "margins via the outer join") {
+    // a2 never says "z"; a1 never says "w"
+    val rows = Seq("z" -> "x", "x" -> "w", "x" -> "x")
+    val m = Evals.cohenKappa(rows.toDF("a1", "a2"), col("a1"),
+        col("a2")).orderBy("label")
+      .select("label", "row_n", "col_n", "diag_n")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(m === List(("w", 0L, 1L, 0L), ("x", 2L, 2L, 1L),
+      ("z", 1L, 0L, 0L)))
+  }
+}
