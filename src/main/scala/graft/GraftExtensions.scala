@@ -20,10 +20,13 @@ import graft.functions.{Hilbert2D, HilbertN, PqAssign, ShingleNGrams,
   * `shortest_paths`, `k_core`, `label_propagation`, `item_cooccur`,
   * `hist_drift`, `chunk_tokens`, `personalized_pagerank`, the
   * r10 graph completions `random_walks`, `modularity`,
-  * `core_numbers`, `closeness`, and the r11 row-pattern matcher
+  * `core_numbers`, `closeness`, the r11 row-pattern matcher
   * `match_recognize` ([[graft.operators.Journeys.matchRecognize]] —
   * the SQL:2016 MATCH_RECOGNIZE shape: contiguous pattern +
-  * quantifiers + gap policy, skip past last row)
+  * quantifiers + gap policy, skip past last row), and the r11
+  * preference ranker `bradley_terry`
+  * ([[graft.operators.Evals.bradleyTerry]] over
+  * [[graft.operators.Evals.orientedPairs]])
   * ([[graft.operators.Graph.randomWalks]],
   * [[graft.operators.Graph.modularity]],
   * [[graft.operators.Graph.coreNumbers]],
@@ -346,6 +349,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strConst(children(1), "temperature_quotas: key_col"),
             strConst(children(2), "temperature_quotas: cnt_col"),
             n, alpha)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("bradley_terry"),
+      new ExpressionInfo("graft.operators.Evals", "bradley_terry"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "bradley_terry expects (cmp_view, a_col, b_col, " +
+            s"win_a_col, iters), got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val iters = intConstArg(children(4), "bradley_terry: iters")
+        graft.operators.Evals.bradleyTerry(
+            graft.operators.Evals.orientedPairs(
+              spark.table(strConst(children(0),
+                "bradley_terry: cmp_view")),
+              strConst(children(1), "bradley_terry: a_col"),
+              strConst(children(2), "bradley_terry: b_col"),
+              strConst(children(3), "bradley_terry: win_a_col")),
+            iters)
           .queryExecution.analyzed
       }))
     ext.injectTableFunction((

@@ -158,6 +158,37 @@ object Evals {
         " div (cast(n_pos as decimal(38,0)) * n_neg)").as("auc_ppm"))
   }
 
+  /** Per-slice exact ROC-AUC ([[exactAuc]] partitioned by a group
+    * column): the slice-based eval — does the model rank worse on
+    * some segment? Identical rank-sum algebra per group; the
+    * cumulative window partitions by the slice, so state per
+    * partition is that slice's score histogram (bounded by the score
+    * domain), and slices parallelize instead of serializing through
+    * one global sort. Returns one row per slice. */
+  def exactAucBy(scored: DataFrame, sliceCol: Column,
+      scoreCol: Column, posCol: Column): DataFrame = {
+    val h = scored
+      .select(sliceCol.as("slice"), scoreCol.as("c"),
+        when(posCol, 1L).otherwise(0L).as("y"))
+      .groupBy(col("slice"), col("c"))
+      .agg(sum(col("y")).as("p"),
+        (count(lit(1)) - sum(col("y"))).as("q"))
+    val w = Window.partitionBy(col("slice")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("q_below", coalesce(sum(col("q")).over(w), lit(0L)))
+      .select(col("slice"), col("p"), col("q"),
+        (wide(col("p")) * (lit(2L) * col("q_below") + col("q")))
+          .as("u2"))
+      .groupBy(col("slice"))
+      .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        sum(col("u2")).as("two_u"))
+      .select(col("slice"), col("n_pos"), col("n_neg"),
+        col("two_u").cast("long").as("two_u"),
+        expr("(two_u * 500000)" +
+          " div (cast(n_pos as decimal(38,0)) * n_neg)")
+          .as("auc_ppm"))
+  }
+
   /** Reliability diagram + expected calibration error in exact ppm:
     * predictions bucketed into `bins` equal-width confidence bins;
     * per bin the row count, confidence mass, positive count, and
@@ -186,6 +217,64 @@ object Evals {
         sum(col("n")).as("n_tot"))))
       .select(col("bin"), col("n"), col("sum_conf_ppm"), col("pos"),
         col("gap"), expr("gap_tot div n_tot").as("ece_ppm"))
+  }
+
+  /** Isotonic regression (PAVA) over an ordered bin histogram — the
+    * recalibration step that FIXES what [[calibrationBins]] measures:
+    * the least-squares monotone fit of per-bin hit rate as a
+    * function of predicted confidence, computed by pool-adjacent-
+    * violators in exact rational block algebra.
+    *
+    * Each pass pools every maximal descending run into one block
+    * (the PAVA lemma: adjacent violators share a block in the
+    * optimal fit, and run-pooling is just repeated adjacent pooling,
+    * so iterated passes converge to THE unique L2 isotonic
+    * solution). A pass with any violation reduces the block count,
+    * so `bins` passes always suffice — the loop is unrolled at plan
+    * time. Block values are never materialized as quotients until
+    * the end: violation tests cross-multiply (pos_prev·n > pos·n_prev
+    * in DECIMAL(38,0)), so every comparison is exact and the DuckDB
+    * oracle replays the identical pass chain.
+    *
+    * Scale shape: the input is a BIN frame (bounded by the bin
+    * count, a plan constant — the calibration-bins contract), so the
+    * per-pass unpartitioned windows run over ≤bins rows; the
+    * full-data work happened in the upstream aggregation.
+    *
+    * @param bins  frame with (bin, n, pos), n > 0, one row per
+    *              populated bin
+    * @return blocks (lo_bin, hi_bin, n, pos, fitted_ppm) ordered by
+    *         lo_bin, fitted_ppm = pos·1e6 div n non-decreasing
+    */
+  def isotonicFit(bins: DataFrame, passes: Int): DataFrame = {
+    require(passes >= 1, s"passes must be >= 1, got $passes")
+    val ord = Window.orderBy(col("lo"))
+    val run = Window.orderBy(col("lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var blocks = bins
+      .select(col("bin").as("lo"), col("bin").as("hi"), col("n"),
+        col("pos"))
+      .localCheckpoint(true)
+    for (_ <- 1 to passes) {
+      blocks = blocks
+        .withColumn("prev_pos", lag(col("pos"), 1).over(ord))
+        .withColumn("prev_n", lag(col("n"), 1).over(ord))
+        .withColumn("grp", sum(when(col("prev_pos").isNull ||
+            !(wide(col("prev_pos")) * col("n") >
+              wide(col("pos")) * col("prev_n")), 1L)
+          .otherwise(0L)).over(run))
+        .groupBy(col("grp"))
+        .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
+          sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+        .select(col("lo"), col("hi"), col("n"), col("pos"))
+        .localCheckpoint(true)
+    }
+    blocks
+      .select(col("lo").as("lo_bin"), col("hi").as("hi_bin"),
+        col("n"), col("pos"),
+        expr("(cast(pos as decimal(38,0)) * 1000000) div n")
+          .as("fitted_ppm"))
+      .orderBy(col("lo_bin"))
   }
 
   /** Cohen's kappa inter-annotator agreement in exact ppm, plus the

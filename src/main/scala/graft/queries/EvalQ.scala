@@ -286,5 +286,135 @@ object EvalQ {
                END AS BIGINT) AS kappa_ppm
       FROM m2, tot ORDER BY label"""))
 
-  val all: Seq[Qry] = Seq(q233, q234, q235, q236)
+  /** q238 — per-slice exact AUC ([[Evals.exactAucBy]]): q234's
+    * metric partitioned by user cohort (user_id mod 4) — the
+    * slice-based eval that catches a model ranking worse on one
+    * segment. Same planted ¼-range separation, so every slice must
+    * land near the analytic 718750 ppm independently; the cumulative
+    * window partitions by slice (per-slice histogram state, slices
+    * parallelize). */
+  val q238 = Qry(
+    "q238_auc_by_slice",
+    (s: SparkSession, d: String) => {
+      val h1 = conv(substring(md5(col("event_id").cast("string")),
+        1, 4), 16, 10).cast("long")
+      val pos = col("event_type") === "purchase"
+      Evals.exactAucBy(
+          Tables.events(s, d)
+            .filter(col("event_type").isin("purchase", "view")),
+          pmod(col("user_id"), lit(4L)), h1 +
+            when(pos, 16384L).otherwise(0L), pos)
+        .orderBy(col("slice"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT user_id % 4 AS slice,
+               CAST(${Q.md5Hex16Sql("event_id", 1)}
+                 + CASE WHEN event_type = 'purchase'
+                   THEN 16384 ELSE 0 END AS BIGINT) AS c,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                 AS y
+        FROM events WHERE event_type IN ('purchase', 'view')),
+      h AS (
+        SELECT slice, c, CAST(SUM(y) AS BIGINT) AS p,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS q
+        FROM t GROUP BY 1, 2),
+      w AS (
+        SELECT slice, p, q,
+               COALESCE(SUM(q) OVER (PARTITION BY slice ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS q_below
+        FROM h),
+      tot AS (
+        SELECT slice, CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(q) AS BIGINT) AS n_neg,
+               SUM(CAST(p AS HUGEINT) * (2 * q_below + q)) AS two_u
+        FROM w GROUP BY slice)
+      SELECT slice, n_pos, n_neg, CAST(two_u AS BIGINT) AS two_u,
+             CAST((two_u * 500000)
+               // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+               AS auc_ppm
+      FROM tot ORDER BY slice"""))
+
+  private val IsoBins = 8
+
+  /** One PAVA pass in DuckDB: lag the block stats, start a new group
+    * wherever the previous block does NOT violate (cross-multiplied
+    * in HUGEINT), pool groups. */
+  private def isoPassSql(prev: String, out: String) = s"""
+      $out AS (
+        SELECT MIN(lo) AS lo, MAX(hi) AS hi,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS pos
+        FROM (
+          SELECT lo, hi, n, pos,
+                 SUM(CASE WHEN prev_pos IS NULL OR NOT
+                   (CAST(prev_pos AS HUGEINT) * n >
+                    CAST(pos AS HUGEINT) * prev_n)
+                   THEN 1 ELSE 0 END)
+                   OVER (ORDER BY lo
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grp
+          FROM (
+            SELECT lo, hi, n, pos,
+                   LAG(pos) OVER (ORDER BY lo) AS prev_pos,
+                   LAG(n) OVER (ORDER BY lo) AS prev_n
+            FROM $prev))
+        GROUP BY grp)"""
+
+  /** q239 — isotonic recalibration ([[Evals.isotonicFit]], PAVA):
+    * the monotone least-squares fit of hit rate vs predicted
+    * confidence — the step that FIXES the miscalibration q235
+    * measures. The fixture's true hit rate is a TRIANGLE in the
+    * confidence (rises to the midpoint, then falls — md5-derived, so
+    * the shape survives any regeneration): the falling half
+    * guarantees adjacent violators at every scale, so the fit must
+    * pool blocks, and the emitted block structure + exact rational
+    * block values pin the whole PAVA trajectory. The oracle replays
+    * all [[IsoBins]] unrolled passes (idempotent once monotone) with
+    * identical HUGEINT cross-multiplied comparisons. */
+  val q239 = Qry(
+    "q239_isotonic_calibration",
+    (s: SparkSession, d: String) => {
+      val h1 = conv(substring(md5(col("event_id").cast("string")),
+        1, 4), 16, 10).cast("long")
+      val h2 = conv(substring(md5(col("event_id").cast("string")),
+        5, 4), 16, 10).cast("long")
+      val bins = Tables.events(s, d)
+        .select(h1.as("h1"), h2.as("h2"))
+        .select(expr(s"(h1 * $IsoBins) div 65536").as("bin"),
+          when(col("h2") < when(col("h1") < 32768L, col("h1"))
+            .otherwise(lit(65536L) - col("h1")), 1L)
+            .otherwise(0L).as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      Evals.isotonicFit(bins, passes = IsoBins)
+    },
+    Some {
+      val passes = (1 to IsoBins)
+        .map(i => isoPassSql(s"pass${i - 1}", s"pass$i"))
+        .mkString(",")
+      s"""
+      WITH t AS (
+        SELECT (${Q.md5Hex16Sql("event_id", 1)} * $IsoBins) // 65536
+                 AS bin,
+               CASE WHEN ${Q.md5Hex16Sql("event_id", 5)} <
+                 (CASE WHEN ${Q.md5Hex16Sql("event_id", 1)} < 32768
+                  THEN ${Q.md5Hex16Sql("event_id", 1)}
+                  ELSE 65536 - ${Q.md5Hex16Sql("event_id", 1)} END)
+                 THEN 1 ELSE 0 END AS y
+        FROM events),
+      pass0 AS (
+        SELECT CAST(bin AS BIGINT) AS lo, CAST(bin AS BIGINT) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM t GROUP BY bin),
+      $passes
+      SELECT lo AS lo_bin, hi AS hi_bin, n, pos,
+             CAST((CAST(pos AS HUGEINT) * 1000000) // n AS BIGINT)
+               AS fitted_ppm
+      FROM pass$IsoBins ORDER BY lo_bin"""
+    })
+
+  val all: Seq[Qry] = Seq(q233, q234, q235, q236, q238, q239)
 }

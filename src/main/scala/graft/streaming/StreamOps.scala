@@ -1432,6 +1432,67 @@ object StreamOps {
         col("c_base"), col("c_cand"), driftExpr.as("drift_pico"))
   }
 
+  /** Streaming calibration monitor — the q235 reliability diagram
+    * ([[graft.operators.Evals.calibrationBins]]) per closed
+    * event-time window: a deployed model's predicted confidences and
+    * realized outcomes stream in; each closed window emits its
+    * per-bin confidence mass, hit count, |Σconf − pos·1e6| gap, and
+    * the window's ECE — calibration regression caught live, per
+    * window, in the same exact integer-ppm algebra as the batch
+    * operator.
+    *
+    * Equivalence contract (spec'd): per closed window, rows ==
+    * `Evals.calibrationBins(windowEvents)` with `window_start`
+    * prepended — empty bins are dropped post-projection to match the
+    * batch groupBy, and the ECE is computed from the SAME row's
+    * counters (all bins live in one pre-explode row), so no second
+    * aggregation is needed.
+    *
+    * Scale shape: ONE watermarked windowed aggregation with 3·bins
+    * conditional counters of state per window (never per-event
+    * rows); the per-bin fan-out is a stateless post-agg projection —
+    * the [[driftStream]] state contract. Append mode: each window
+    * emits exactly once when the watermark passes its end.
+    */
+  def calibrationStream(preds: DataFrame, tsCol: String,
+      confPpmCol: String, posCol: String, windowLen: String,
+      watermark: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val binned = preds
+      .withWatermark(tsCol, watermark)
+      .withColumn("__bin",
+        expr(s"(`$confPpmCol` * $bins) div 1000000"))
+      .withColumn("__y",
+        when(col(posCol), 1L).otherwise(0L))
+    val counters = (0 until bins).flatMap(b => Seq(
+      sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"n$b"),
+      sum(when(col("__bin") === b, col(confPpmCol)).otherwise(0L))
+        .as(s"s$b"),
+      sum(when(col("__bin") === b, col("__y")).otherwise(0L))
+        .as(s"p$b")))
+    val agged = binned
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(counters.head, counters.tail: _*)
+    val gapOf = (b: Int) => abs(col(s"s$b") - col(s"p$b") * lit(1000000L))
+    val rows = array((0 until bins).map { b =>
+      struct(lit(b.toLong).as("bin"), col(s"n$b").as("n"),
+        col(s"s$b").as("sum_conf_ppm"), col(s"p$b").as("pos"),
+        gapOf(b).as("gap"))
+    }: _*)
+    agged
+      .select(col("window.start").as("window_start"),
+        expr(s"(${(0 until bins).map(b =>
+            s"abs(s$b - p$b * 1000000)").mkString(" + ")}) div (${
+            (0 until bins).map(b => s"n$b").mkString(" + ")})")
+          .as("ece_ppm"),
+        explode(rows).as("r"))
+      .filter(col("r.n") > 0L)
+      .select(col("window_start"), col("r.bin").as("bin"),
+        col("r.n").as("n"), col("r.sum_conf_ppm").as("sum_conf_ppm"),
+        col("r.pos").as("pos"), col("r.gap").as("gap"),
+        col("ece_ppm"))
+  }
+
   /** Streaming per-window percentile monitor — the q202 mergeable
     * quantile sketch ([[graft.operators.QuantileSketch]]) as a
     * watermarked windowed aggregation: each closed event-time window

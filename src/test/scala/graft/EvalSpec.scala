@@ -135,6 +135,84 @@ class EvalSpec extends SparkSpec {
     assert(aucRow(Seq(7L -> true, 7L -> false))._4 === 500000L)
   }
 
+  test("exactAucBy computes each slice independently") {
+    val scored = Seq(
+      ("a", 2L, true), ("a", 3L, true), ("a", 1L, false), // perfect
+      ("b", 1L, true), ("b", 2L, false), ("b", 3L, false), // reversed
+      ("c", 7L, true), ("c", 7L, false)) // all ties
+      .toDF("slice", "c", "y")
+    val r = Evals.exactAucBy(scored, col("slice"), col("c"),
+        col("y"))
+      .select("slice", "auc_ppm").as[(String, Long)]
+      .collect().toMap
+    assert(r === Map("a" -> 1000000L, "b" -> 0L, "c" -> 500000L))
+  }
+
+  // ---------------------------------------------------- isotonic
+
+  /** Plain-Scala sequential PAVA (textbook stack form) in the same
+    * exact rational algebra — an INDEPENDENT implementation shape
+    * (stack merges, not run-pooling passes). */
+  private def pavaReference(bins: Seq[(Long, Long, Long)])
+      : List[(Long, Long, Long, Long, Long)] = {
+    case class B(lo: Long, hi: Long, n: BigInt, pos: BigInt)
+    val stack = scala.collection.mutable.Stack[B]()
+    for ((b, n, p) <- bins.sortBy(_._1)) {
+      var cur = B(b, b, n, p)
+      while (stack.nonEmpty &&
+          stack.top.pos * cur.n > cur.pos * stack.top.n) {
+        val t = stack.pop()
+        cur = B(t.lo, cur.hi, t.n + cur.n, t.pos + cur.pos)
+      }
+      stack.push(cur)
+    }
+    stack.toList.reverse.map(b => (b.lo, b.hi, b.n.toLong,
+      b.pos.toLong, (b.pos * 1000000 / b.n).toLong))
+  }
+
+  private def iso(bins: Seq[(Long, Long, Long)]) =
+    Evals.isotonicFit(bins.toDF("bin", "n", "pos"),
+        passes = bins.size)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+
+  test("isotonicFit matches the sequential stack PAVA on a " +
+      "violating sequence (cascade pooling included)") {
+    // rates 0.9, 0.1, 0.5: pooling (0.9,0.1) -> 0.5 then the new
+    // block ties 0.5 — cross-mult equality must NOT pool (strict >)
+    val a = Seq((0L, 10L, 9L), (1L, 10L, 1L), (2L, 10L, 5L))
+    assert(iso(a) === pavaReference(a))
+    // cascade: 0.8, 0.6, 0.1 all pool into one block
+    val b = Seq((0L, 10L, 8L), (1L, 10L, 6L), (2L, 10L, 1L))
+    assert(iso(b) === pavaReference(b))
+    assert(iso(b).size === 1)
+    // triangle: rise then fall — the falling half pools
+    val c = Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 9L),
+      (3L, 10L, 6L), (4L, 10L, 2L))
+    assert(iso(c) === pavaReference(c))
+  }
+
+  test("isotonicFit: already-monotone input is untouched and " +
+      "weighted pooling uses exact rational means") {
+    val mono = Seq((0L, 5L, 1L), (1L, 7L, 3L), (2L, 2L, 2L))
+    assert(iso(mono) === pavaReference(mono))
+    assert(iso(mono).size === 3)
+    // unequal weights: (n=1, 1.0) then (n=9, 0.0) pools to 1/10
+    val w = Seq((0L, 1L, 1L), (1L, 9L, 0L))
+    assert(iso(w) === List((0L, 1L, 10L, 1L, 100000L)))
+  }
+
+  test("isotonicFit output is always non-decreasing (md5-derived " +
+      "ragged input)") {
+    val ragged = (0L until 12L).map { b =>
+      val h = math.abs((b * 2654435761L) % 97)
+      (b, h % 7 + 1, h % (h % 7 + 2))
+    }
+    val r = iso(ragged)
+    assert(r === pavaReference(ragged))
+    val rates = r.map(x => BigDecimal(x._4) / BigDecimal(x._3))
+    assert(rates === rates.sorted)
+  }
+
   // ------------------------------------------------- calibration
 
   test("calibrationBins: hand-computed bins, gaps, and ECE") {

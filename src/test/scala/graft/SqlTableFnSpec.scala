@@ -371,4 +371,21 @@ class SqlTableFnSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got === Map("a" -> 10L, "b" -> 100L))
   }
+
+  test("bradley_terry from SQL returns the API result (iterative " +
+      "fn: result equality, like the graph loops)") {
+    Seq((1L, 2L, true), (1L, 2L, true), (1L, 2L, false),
+        (2L, 3L, true), (2L, 3L, true), (1L, 3L, true),
+        (3L, 1L, false), (2L, 1L, false))
+      .toDF("a", "b", "wa").createOrReplaceTempView("bt_cmp_sql")
+    val viaSql = spark.sql(
+        "SELECT * FROM bradley_terry('bt_cmp_sql', 'a', 'b', 'wa', 2)")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaApi = graft.operators.Evals.bradleyTerry(
+        graft.operators.Evals.orientedPairs(
+          spark.table("bt_cmp_sql"), "a", "b", "wa"), 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaSql === viaApi)
+    assert(viaSql.size === 3)
+  }
 }

@@ -179,4 +179,44 @@ class StreamDriftSpec extends SparkSpec {
     // (0.5, 0) -> ||d||^2 = 0.25 -> 2.5e11 pico
     assert(w0l0 === ((2L, 2L, 250000000000L)))
   }
+
+  test("calibration twin: closed windows equal the batch " +
+      "reliability bins, across splits and out-of-order") {
+    import graft.operators.Evals
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Boolean)]
+    val q = StreamOps.calibrationStream(
+        in.toDF().toDF("ts", "conf", "hit"),
+        "ts", "conf", "hit", windowLen = "10 minutes",
+        watermark = "5 minutes", bins = 10)
+      .writeStream.format("memory").queryName("calib")
+      .outputMode("append").start()
+    // window [0,10): bins 1, 3, 9 populated; split across batches,
+    // out-of-order inside each
+    in.addData((ts(4), 950000L, true), (ts(1), 100000L, false))
+    q.processAllAvailable()
+    // a late-but-allowed event for window 0 plus window 1 rows
+    in.addData((ts(7), 300000L, true), (ts(12), 500000L, false),
+      (ts(15), 900000L, true))
+    q.processAllAvailable()
+    in.addData((ts(45), 0L, false)) // close both windows
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("calib")
+      .select($"window_start", $"bin", $"n", $"sum_conf_ppm",
+        $"pos", $"gap", $"ece_ppm")
+      .as[(Timestamp, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    def batch(rows: Seq[(Long, Boolean)], w: Timestamp) =
+      Evals.calibrationBins(rows.toDF("conf", "hit"), col("conf"),
+          col("hit"), 10)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map { case (b, n, s, p, g, e) => (w, b, n, s, p, g, e) }
+        .toSet
+    val want =
+      batch(Seq((950000L, true), (100000L, false), (300000L, true)),
+        ts(0)) ++
+      batch(Seq((500000L, false), (900000L, true)), ts(10))
+    assert(got.filterNot(_._1 == ts(40)) === want)
+  }
 }
