@@ -37,6 +37,38 @@ object Corpus {
     call_function("shingles", TextOps.tokens(text), lit(n), lit(false))
 
 
+  /** Vocabulary-coverage estimation over the corpus n-gram multiset
+    * — "how much of the population vocabulary has this crawl
+    * actually seen?": the Good-Turing unseen-probability mass
+    * (f1/N — the chance the NEXT gram drawn is novel) and the
+    * bias-corrected Chao1 richness estimate
+    * (D + f1·(f1−1)/(2·(f2+1)), defined even when no doubletons
+    * exist), both exact integers from the frequency-of-frequencies
+    * histogram. The coverage dial a corpus-growth decision reads:
+    * high unseen mass ⇒ keep crawling, Chao1 ≈ D ⇒ saturated.
+    *
+    * Scale shape: one explode + partial-aggregated groupBy on the
+    * gram (the corpus-sized shuffle every vocabulary pass pays);
+    * everything after is a scalar aggregate of that frequency
+    * relation. Returns one row. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      n: Int): DataFrame =
+    graft.Tables.fanOut(docs)
+      .select(explode(shingleList(col(textCol), n)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("d_distinct"),
+        sum(col("c")).as("n_grams"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_grams"), col("d_distinct"), col("f1"),
+        col("f2"),
+        expr("(cast(f1 as decimal(38,0)) * 1000000) div n_grams")
+          .as("gt_unseen_ppm"),
+        expr("(cast(f1 as decimal(38,0)) * (f1 - 1))" +
+          " div (2 * (f2 + 1))").as("chao1_extra"))
+      .withColumn("chao1_total",
+        col("d_distinct") + col("chao1_extra"))
+
   /** (doc_id, g) rows: each document's DISTINCT n-gram shingles,
     * exploded. The building block for document-frequency passes. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String,

@@ -219,6 +219,47 @@ object Evals {
         col("gap"), expr("gap_tot div n_tot").as("ece_ppm"))
   }
 
+  /** Spearman rank correlation with exact tie handling (mid-ranks):
+    * do two scorers RANK documents the same way, robust to monotone
+    * rescaling? Ranks are derived from each score's HISTOGRAM
+    * (doubled mid-rank 2r(v) = 2·cum_below + cnt + 1 keeps every
+    * rank an integer), joined back to rows, and the five raw moments
+    * of (2r_x, 2r_y) accumulate exactly in DECIMAL(38,0) — then ρ is
+    * ONE identical IEEE double expression on both engines (the q88
+    * exact-moments contract: exact in, deterministic out).
+    *
+    * Scale shape: two bounded-histogram windows (score domains, not
+    * rows), two hash joins mapping rows to ranks, one
+    * partial-aggregated moment pass. Returns one row
+    * (n, rho — r6-rounded double). */
+  def spearman(scored: DataFrame, xCol: Column,
+      yCol: Column): DataFrame = {
+    val t = scored.select(xCol.as("x"), yCol.as("y"))
+    def rankMap(c: String) = {
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .select(col(c),
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+            .as(s"r2$c"))
+    }
+    val j = t.join(rankMap("x"), Seq("x")).join(rankMap("y"), Seq("y"))
+    val m = j.agg(count(lit(1)).as("n"),
+      sum(wide(col("r2x"))).as("sx"), sum(wide(col("r2y"))).as("sy"),
+      sum(wide(col("r2x")) * col("r2x")).as("sxx"),
+      sum(wide(col("r2y")) * col("r2y")).as("syy"),
+      sum(wide(col("r2x")) * col("r2y")).as("sxy"))
+    val nn = col("n").cast("double")
+    val (dsx, dsy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val cov = nn * col("sxy").cast("double") - dsx * dsy
+    val vx = nn * col("sxx").cast("double") - dsx * dsx
+    val vy = nn * col("syy").cast("double") - dsy * dsy
+    m.select(col("n"),
+      (floor(cov / sqrt(vx * vy) * lit(1e6) + lit(0.5)) / 1e6)
+        .as("rho"))
+  }
+
   /** Isotonic regression (PAVA) over an ordered bin histogram — the
     * recalibration step that FIXES what [[calibrationBins]] measures:
     * the least-squares monotone fit of per-bin hit rate as a
@@ -275,6 +316,144 @@ object Evals {
         expr("(cast(pos as decimal(38,0)) * 1000000) div n")
           .as("fitted_ppm"))
       .orderBy(col("lo_bin"))
+  }
+
+  /** Fleiss' kappa for k raters per item, exact ppm: the
+    * multi-rater generalization of [[cohenKappa]] (label-quality
+    * audit when every item gets k independent annotations).
+    *
+    * The per-item agreement Σ_c n_ic² collapses MAP-SIDE: with the k
+    * labels in one row, Σ_c n_ic² = k + 2·(#equal pairs among the
+    * labels), so P̄'s numerator A = Σ_i (Σ_c n_ic² − k) = 2·Σ equal
+    * pairs — one conditional-sum aggregate, no per-item shuffle.
+    * Only the category marginals C_c (for chance agreement
+    * Pe = Σ (C_c/(nk))²) need a shuffle: one explode + groupBy over
+    * the category domain. κ = (P̄−Pe)/(1−Pe) cleared of denominators:
+    * num = A·(nk)² − B·nk(k−1), den = nk(k−1)·((nk)² − B) with
+    * B = Σ C_c² — sign split before the integral divide, all
+    * DECIMAL(38,0).
+    *
+    * @param labelCols the k per-rater label columns (k ≥ 2)
+    * @return per-category marginals (category, c_total) plus the
+    *         shared kappa_ppm, ordered by category */
+  def fleissKappa(items: DataFrame, labelCols: Seq[Column])
+      : DataFrame = {
+    val k = labelCols.size
+    require(k >= 2, s"need >= 2 raters, got $k")
+    val named = items.select(
+      labelCols.zipWithIndex.map { case (c, i) => c.as(s"l$i") }: _*)
+      .localCheckpoint(true)
+    val eqPairs = (0 until k).combinations(2).map { case Seq(i, j) =>
+      when(col(s"l$i") === col(s"l$j"), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    val tot = named.agg(count(lit(1)).as("n"),
+      sum(wide(eqPairs)).as("e"))
+    val marg = named
+      .select(explode(array((0 until k).map(i => col(s"l$i")): _*))
+        .as("category"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("c_total"))
+    val b = marg.agg(sum(wide(col("c_total")) * col("c_total"))
+      .as("bb"))
+    marg.crossJoin(broadcast(tot)).crossJoin(broadcast(b))
+      .withColumn("nk", expr(s"cast(n as decimal(38,0)) * $k"))
+      .withColumn("num",
+        expr(s"2 * e * nk * nk - bb * nk * ${k - 1}"))
+      .withColumn("den", expr(s"nk * ${k - 1} * (nk * nk - bb)"))
+      .select(col("category"), col("c_total"),
+        expr("""cast(case when num < 0
+            then -(((-num) * 1000000) div den)
+            else (num * 1000000) div den
+          end as bigint)""").as("kappa_ppm"))
+      .orderBy(col("category"))
+  }
+
+  /** Classifier operating points at fixed thresholds, exact ppm —
+    * the confusion-matrix sweep behind a precision/recall curve:
+    * per threshold t, tp/fp/fn/tn of "predict positive iff score ≥
+    * t", precision, recall, and F1 = 2tp/(2tp+fp+fn) (an exact
+    * rational — no harmonic-mean floats). Built from the score
+    * HISTOGRAM cross-joined with the plan-constant threshold list,
+    * so the sweep costs one partial-aggregated groupBy over rows
+    * plus a (histogram × thresholds)-sized rollup. */
+  def operatingPoints(scored: DataFrame, scoreCol: Column,
+      posCol: Column, thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val h = scored
+      .select(scoreCol.as("c"),
+        when(posCol, 1L).otherwise(0L).as("y"))
+      .groupBy(col("c"))
+      .agg(sum(col("y")).as("p"),
+        (count(lit(1)) - sum(col("y"))).as("q"))
+    val ss = scored.sparkSession
+    import ss.implicits._
+    h.crossJoin(broadcast(thresholds.toDF("t")))
+      .groupBy(col("t"))
+      .agg(sum(when(col("c") >= col("t"), col("p")).otherwise(0L))
+          .as("tp"),
+        sum(when(col("c") >= col("t"), col("q")).otherwise(0L))
+          .as("fp"),
+        sum(when(col("c") < col("t"), col("p")).otherwise(0L))
+          .as("fn"),
+        sum(when(col("c") < col("t"), col("q")).otherwise(0L))
+          .as("tn"))
+      .select(col("t"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(cast(tp as decimal(38,0)) * 1000000) div (tp + fp)")
+          .as("precision_ppm"),
+        expr("(cast(tp as decimal(38,0)) * 1000000) div (tp + fn)")
+          .as("recall_ppm"),
+        expr("(cast(tp as decimal(38,0)) * 2000000)" +
+          " div (2 * tp + fp + fn)").as("f1_ppm"))
+      .orderBy(col("t"))
+  }
+
+  /** Leakage-safe (leave-one-out) target encoding with additive
+    * smoothing — the feature-engineering step that replaces a
+    * categorical column with the target mean of its category WITHOUT
+    * letting a row see its own label:
+    *
+    *   loo(i)      = (Σ_cat y − y_i) / (n_cat − 1)
+    *   smoothed(i) = (Σ_cat y − y_i + m·μ) / (n_cat − 1 + m),
+    *
+    * μ the global target mean. Both exact integer micro-units: the
+    * smoothed form clears μ = total/N into
+    * ((Σ_cat − y_i)·N + m·total)·1e6 div ((n_cat−1+m)·N), all
+    * DECIMAL(38,0) — so the encoding is reproducible bit-for-bit
+    * across engines and training runs.
+    *
+    * Scale shape: one partial-aggregated groupBy builds the
+    * category sums (category-domain-sized), broadcast back onto
+    * rows with a 1-row global total — the encode itself is
+    * map-side. Categories with a single row have no LOO mean;
+    * their loo_micro is NULL (smoothed stays defined).
+    *
+    * @param target integral NON-NEGATIVE target (snap money to
+    *               cents first) — keeps every dividend positive, so
+    *               integral-divide truncation can't diverge engines
+    * @param m      smoothing pseudo-count (≥ 0; with m = 0 a
+    *               single-row category has no defined smoothed
+    *               value either — use m ≥ 1 when singletons are
+    *               possible)
+    */
+  def targetEncodeLoo(rows: DataFrame, idCol: Column,
+      catCol: Column, target: Column, m: Int): DataFrame = {
+    require(m >= 0, s"smoothing m must be >= 0, got $m")
+    val t = rows.select(idCol.as("id"), catCol.as("cat"),
+      target.as("y"))
+    val cats = t.groupBy(col("cat"))
+      .agg(sum(col("y")).as("sum_y"), count(lit(1)).as("n_cat"))
+    val tot = cats.agg(sum(col("sum_y")).as("total"),
+      sum(col("n_cat")).as("n_all"))
+    t.join(broadcast(cats), Seq("cat"))
+      .crossJoin(broadcast(tot))
+      .select(col("id"), col("cat"), col("y"), col("n_cat"),
+        when(col("n_cat") > 1L,
+          expr("((cast(sum_y as decimal(38,0)) - y) * 1000000)" +
+            " div (n_cat - 1)")).as("loo_micro"),
+        expr(s"(((cast(sum_y as decimal(38,0)) - y) * n_all" +
+          s" + $m * cast(total as decimal(38,0))) * 1000000)" +
+          s" div ((n_cat - 1 + $m) * cast(n_all as decimal(38,0)))")
+          .as("smoothed_micro"))
   }
 
   /** Cohen's kappa inter-annotator agreement in exact ppm, plus the

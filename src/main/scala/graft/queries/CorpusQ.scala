@@ -1453,8 +1453,42 @@ object CorpusQ {
       LEFT JOIN cleaned c ON c.doc_id = r.doc_id
       ORDER BY r.doc_id"""))
 
+  /** q243 — vocabulary-coverage estimation
+    * ([[Corpus.vocabCoverage]], 3-grams): the Good-Turing unseen
+    * mass (f1/N — probability the next gram drawn is novel) and the
+    * bias-corrected Chao1 richness estimate
+    * (D + f1·(f1−1)/(2·(f2+1))) over the corpus 3-gram multiset —
+    * the "keep crawling or saturated?" dial, exact integers from
+    * the frequency-of-frequencies histogram. One corpus-sized
+    * explode+groupBy; everything after is a scalar aggregate of the
+    * frequency relation. */
+  val q243 = Qry(
+    "q243_vocab_coverage",
+    (s: SparkSession, d: String) =>
+      Corpus.vocabCoverage(Tables.documents(s, d), "text", n = 3),
+    Some(s"""
+      WITH toks AS (SELECT $Toks AS t FROM documents),
+      g AS (SELECT unnest($Sh3) AS g FROM toks),
+      cnt AS (SELECT g.g, COUNT(*) AS c FROM g GROUP BY 1),
+      a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS d_distinct,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS f1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS f2
+        FROM cnt)
+      SELECT n_grams, d_distinct, f1, f2,
+             CAST((CAST(f1 AS HUGEINT) * 1000000) // n_grams
+               AS BIGINT) AS gt_unseen_ppm,
+             CAST((CAST(f1 AS HUGEINT) * (f1 - 1)) // (2 * (f2 + 1))
+               AS BIGINT) AS chao1_extra,
+             d_distinct + CAST((CAST(f1 AS HUGEINT) * (f1 - 1))
+               // (2 * (f2 + 1)) AS BIGINT) AS chao1_total
+      FROM a"""))
+
   val all: Seq[Qry] =
     Seq(q81, q82, q83, q84, q85, q86, q87, q91, q98, q99, q104,
       q120, q123, q152, q153, q154, q155, q156, q158, q159, q226,
-      q227, q231)
+      q227, q231, q243)
 }

@@ -416,5 +416,218 @@ object EvalQ {
       FROM pass$IsoBins ORDER BY lo_bin"""
     })
 
-  val all: Seq[Qry] = Seq(q233, q234, q235, q236, q238, q239)
+  /** q240 — Spearman rank correlation with exact tie handling
+    * ([[Evals.spearman]]): do two scorers rank the corpus the same
+    * way? Scorer 1 = event value in cents; scorer 2 = the same
+    * signal plus a ±32768 md5 noise term (two imperfectly-agreeing
+    * quality models). Doubled mid-ranks keep every rank an integer,
+    * the five moments accumulate in DECIMAL(38,0)/HUGEINT, and ρ is
+    * one identical IEEE double expression both engines evaluate on
+    * identical integers (the q88 contract). */
+  val q240 = Qry(
+    "q240_spearman",
+    (s: SparkSession, d: String) => {
+      val h1 = conv(substring(md5(col("event_id").cast("string")),
+        1, 4), 16, 10).cast("long")
+      val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+      Evals.spearman(
+        Tables.events(s, d)
+          .select(cents.as("x"), (cents + h1 - lit(32768L)).as("y")),
+        col("x"), col("y"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+               CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 + ${Q.md5Hex16Sql("event_id", 1)} - 32768 AS y
+        FROM events),
+      rx AS (
+        SELECT x,
+               2 * (SUM(COUNT(*)) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - COUNT(*)) + COUNT(*) + 1 AS r2x
+        FROM t GROUP BY x),
+      ry AS (
+        SELECT y,
+               2 * (SUM(COUNT(*)) OVER (ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - COUNT(*)) + COUNT(*) + 1 AS r2y
+        FROM t GROUP BY y),
+      j AS (
+        SELECT r2x, r2y FROM t
+        JOIN rx ON rx.x = t.x JOIN ry ON ry.y = t.y),
+      m AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(r2x AS HUGEINT)) AS sx,
+               SUM(CAST(r2y AS HUGEINT)) AS sy,
+               SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+               SUM(CAST(r2y AS HUGEINT) * r2y) AS syy,
+               SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy
+        FROM j)
+      SELECT n,
+             FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6 AS rho
+      FROM m"""))
+
+  /** q241 — Fleiss' kappa for 3 raters ([[Evals.fleissKappa]]):
+    * rater 0 labels each event with its type; raters 1 and 2 flip to
+    * the next type on independent 20% md5 buckets. The per-item
+    * agreement collapses map-side (Σ n_ic² = k + 2·equal-pairs);
+    * only the category marginals shuffle. Chance-corrected
+    * multi-rater agreement in exact ppm with sign-split division. */
+  val q241 = Qry(
+    "q241_fleiss_kappa",
+    (s: SparkSession, d: String) => {
+      val cyc = expr("""case event_type
+          when 'view' then 'click' when 'click' then 'purchase'
+          when 'purchase' then 'signup' when 'signup' then 'error'
+          else 'view' end""")
+      def h16(off: Int) = conv(substring(
+        md5(col("event_id").cast("string")), off, 4), 16, 10)
+        .cast("long")
+      Evals.fleissKappa(
+        Tables.events(s, d).select(col("event_type").as("l0"),
+          when(h16(5) < 13107L, cyc).otherwise(col("event_type"))
+            .as("l1"),
+          when(h16(9) < 13107L, cyc).otherwise(col("event_type"))
+            .as("l2")),
+        Seq(col("l0"), col("l1"), col("l2")))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT event_type AS l0,
+               CASE WHEN ${Q.md5Hex16Sql("event_id", 5)} < 13107
+                 THEN ${fleissCycSql} ELSE event_type END AS l1,
+               CASE WHEN ${Q.md5Hex16Sql("event_id", 9)} < 13107
+                 THEN ${fleissCycSql} ELSE event_type END AS l2
+        FROM events),
+      tot AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(CASE WHEN l0 = l1 THEN 1 ELSE 0 END
+                 + CASE WHEN l0 = l2 THEN 1 ELSE 0 END
+                 + CASE WHEN l1 = l2 THEN 1 ELSE 0 END AS HUGEINT))
+                 AS e
+        FROM t),
+      marg AS (
+        SELECT category, CAST(COUNT(*) AS BIGINT) AS c_total
+        FROM (SELECT unnest([l0, l1, l2]) AS category FROM t)
+        GROUP BY 1),
+      b AS (SELECT SUM(CAST(c_total AS HUGEINT) * c_total) AS bb
+            FROM marg),
+      kv AS (
+        SELECT CAST(n AS HUGEINT) * 3 AS nk, e, bb, n
+        FROM tot, b),
+      kp AS (
+        SELECT 2 * e * nk * nk - bb * nk * 2 AS num,
+               nk * 2 * (nk * nk - bb) AS den
+        FROM kv)
+      SELECT category, c_total,
+             CAST(CASE WHEN num < 0
+               THEN -(((-num) * 1000000) // den)
+               ELSE (num * 1000000) // den END AS BIGINT)
+               AS kappa_ppm
+      FROM marg, kp ORDER BY category"""))
+
+  private val OpThresholds = (1 to 8).map(_ * 8192L)
+
+  /** q242 — classifier operating points ([[Evals.operatingPoints]]):
+    * the full confusion matrix + precision/recall/F1 (all exact ppm,
+    * F1 as the rational 2tp/(2tp+fp+fn)) at 8 fixed thresholds over
+    * q234's planted-separation score — the PR-curve table an eval
+    * harness prints. Histogram × plan-constant thresholds, one
+    * partial-agg pass over rows. */
+  val q242 = Qry(
+    "q242_operating_points",
+    (s: SparkSession, d: String) => {
+      val h1 = conv(substring(md5(col("event_id").cast("string")),
+        1, 4), 16, 10).cast("long")
+      val pos = col("event_type") === "purchase"
+      Evals.operatingPoints(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "view")),
+        h1 + when(pos, 16384L).otherwise(0L), pos, OpThresholds)
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT CAST(${Q.md5Hex16Sql("event_id", 1)}
+                 + CASE WHEN event_type = 'purchase'
+                   THEN 16384 ELSE 0 END AS BIGINT) AS c,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                 AS y
+        FROM events WHERE event_type IN ('purchase', 'view')),
+      th AS (SELECT CAST(unnest([${OpThresholds.mkString(", ")}])
+               AS BIGINT) AS t),
+      g AS (
+        SELECT th.t,
+               CAST(SUM(CASE WHEN c >= th.t THEN y ELSE 0 END)
+                 AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN c >= th.t THEN 1 - y ELSE 0 END)
+                 AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN c < th.t THEN y ELSE 0 END)
+                 AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN c < th.t THEN 1 - y ELSE 0 END)
+                 AS BIGINT) AS tn
+        FROM t, th GROUP BY th.t)
+      SELECT t, tp, fp, fn, tn,
+             CAST((CAST(tp AS HUGEINT) * 1000000) // (tp + fp)
+               AS BIGINT) AS precision_ppm,
+             CAST((CAST(tp AS HUGEINT) * 1000000) // (tp + fn)
+               AS BIGINT) AS recall_ppm,
+             CAST((CAST(tp AS HUGEINT) * 2000000)
+               // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm
+      FROM g ORDER BY t"""))
+
+  private def fleissCycSql = """CASE event_type
+      WHEN 'view' THEN 'click' WHEN 'click' THEN 'purchase'
+      WHEN 'purchase' THEN 'signup' WHEN 'signup' THEN 'error'
+      ELSE 'view' END"""
+
+  /** q244 — leakage-safe target encoding
+    * ([[Evals.targetEncodeLoo]], m = 20): each event's type replaced
+    * by the leave-one-out and smoothed mean of the value target over
+    * its category — computed over the FULL stream, reported for a
+    * bounded id slice (the q81 contract). Exact micro-units with μ
+    * cleared of its denominator, so the feature a training run reads
+    * is bit-reproducible. Category sums broadcast; the encode is
+    * map-side. */
+  val q244 = Qry(
+    "q244_target_encoding",
+    (s: SparkSession, d: String) =>
+      Evals.targetEncodeLoo(
+          Tables.events(s, d),
+          col("event_id"), col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long"), m = 20)
+        .filter(col("id") < 300)
+        .orderBy(col("id")),
+    Some("""
+      WITH t AS (
+        SELECT event_id AS id, event_type AS cat,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events),
+      cats AS (
+        SELECT cat, CAST(SUM(y) AS BIGINT) AS sum_y,
+               CAST(COUNT(*) AS BIGINT) AS n_cat
+        FROM t GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(sum_y) AS BIGINT) AS total,
+               CAST(SUM(n_cat) AS BIGINT) AS n_all
+        FROM cats)
+      SELECT id, cat, y, n_cat,
+             CASE WHEN n_cat > 1 THEN
+               CAST(((CAST(sum_y AS HUGEINT) - y) * 1000000)
+                 // (n_cat - 1) AS BIGINT) END AS loo_micro,
+             CAST((((CAST(sum_y AS HUGEINT) - y) * n_all
+                 + 20 * CAST(total AS HUGEINT)) * 1000000)
+               // ((n_cat - 1 + 20) * CAST(n_all AS HUGEINT))
+               AS BIGINT) AS smoothed_micro
+      FROM t JOIN cats USING (cat), tot
+      WHERE id < 300 ORDER BY id"""))
+
+  val all: Seq[Qry] =
+    Seq(q233, q234, q235, q236, q238, q239, q240, q241, q242, q244)
 }

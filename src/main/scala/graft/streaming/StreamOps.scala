@@ -1493,6 +1493,62 @@ object StreamOps {
         col("ece_ppm"))
   }
 
+  /** Streaming ranking-quality monitor — exact AUC of BINNED scores
+    * per closed event-time window ([[graft.operators.Evals.exactAuc]]
+    * over a bounded bin domain, live): label-score pairs stream in;
+    * each closed window emits its positive/negative counts, the
+    * exact rank-sum 2U over the bins, and auc_ppm — "did the model's
+    * ranking power degrade this window?".
+    *
+    * Binning is the state bound: 2·bins conditional counters per
+    * window (the [[driftStream]] contract), and the cumulative
+    * negatives-below terms are constant-folded prefix sums over the
+    * counters (bins is a plan-time constant) — a stateless post-agg
+    * projection, no second aggregation. The emitted value is
+    * EXACTLY `Evals.exactAuc` of the binned scores (spec-pinned per
+    * window); binning coarsens ties like any histogram AUC.
+    * Windows containing only one class have no defined AUC and are
+    * dropped. Append mode: one row per window, at watermark close.
+    *
+    * @param binCol integral score bin in [0, bins)
+    */
+  def aucStream(scored: DataFrame, tsCol: String, binCol: String,
+      posCol: String, windowLen: String, watermark: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"need >= 2 score bins, got $bins")
+    val tagged = scored
+      .withWatermark(tsCol, watermark)
+      .withColumn("__y", when(col(posCol), 1L).otherwise(0L))
+    val counters = (0 until bins).flatMap(b => Seq(
+      sum(when(col(binCol) === b, col("__y")).otherwise(0L))
+        .as(s"p$b"),
+      sum(when(col(binCol) === b, lit(1L) - col("__y")).otherwise(0L))
+        .as(s"q$b")))
+    val agged = tagged
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(counters.head, counters.tail: _*)
+    val nPos = (0 until bins).map(b => col(s"p$b")).reduce(_ + _)
+    val nNeg = (0 until bins).map(b => col(s"q$b")).reduce(_ + _)
+    // 2U = Σ_b p_b·(2·q_below + q_b), q_below a folded prefix sum
+    val twoU = (0 until bins).map { b =>
+      val qBelow =
+        if (b == 0) lit(0L)
+        else (0 until b).map(j => col(s"q$j")).reduce(_ + _)
+      col(s"p$b").cast("decimal(38,0)") *
+        (lit(2L) * qBelow + col(s"q$b"))
+    }.reduce(_ + _)
+    agged
+      .select(col("window.start").as("window_start"),
+        nPos.as("n_pos"), nNeg.as("n_neg"),
+        twoU.cast("decimal(38,0)").as("two_u_d"))
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L)
+      .select(col("window_start"), col("n_pos"), col("n_neg"),
+        col("two_u_d").cast("long").as("two_u"),
+        expr("(two_u_d * 500000)" +
+          " div (cast(n_pos as decimal(38,0)) * n_neg)")
+          .as("auc_ppm"))
+  }
+
   /** Streaming per-window percentile monitor — the q202 mergeable
     * quantile sketch ([[graft.operators.QuantileSketch]]) as a
     * watermarked windowed aggregation: each closed event-time window

@@ -213,6 +213,110 @@ class EvalSpec extends SparkSpec {
     assert(rates === rates.sorted)
   }
 
+  // ---------------------------------------------------- spearman
+
+  /** Plain-Scala Spearman with mid-ranks (independent shape:
+    * per-value mid-ranks from sorted groups, double moments). */
+  private def spearmanReference(xs: Seq[Long], ys: Seq[Long])
+      : Double = {
+    def midRank2(v: Seq[Long]): Map[Long, Long] = {
+      val grouped = v.groupBy(identity).toSeq.sortBy(_._1)
+      var below = 0L
+      grouped.map { case (k, g) =>
+        val r = 2 * below + g.size + 1L
+        below += g.size
+        k -> r
+      }.toMap
+    }
+    val (rx, ry) = (midRank2(xs), midRank2(ys))
+    val pts = xs.zip(ys).map { case (x, y) =>
+      (rx(x).toDouble, ry(y).toDouble) }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val rho = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    math.floor(rho * 1e6 + 0.5) / 1e6
+  }
+
+  private def rhoOf(pts: Seq[(Long, Long)]): Double =
+    Evals.spearman(pts.toDF("x", "y"), col("x"), col("y"))
+      .select("rho").as[Double].collect().head
+
+  test("spearman: monotone=1, reversed=-1, tied data matches the " +
+      "mid-rank reference") {
+    assert(rhoOf(Seq((1L, 10L), (2L, 20L), (3L, 900L))) === 1.0)
+    assert(rhoOf(Seq((1L, 30L), (2L, 20L), (3L, 10L))) === -1.0)
+    val tied = Seq((1L, 5L), (1L, 7L), (2L, 5L), (3L, 9L), (3L, 2L),
+      (4L, 9L), (5L, 1L))
+    assert(rhoOf(tied) ===
+      spearmanReference(tied.map(_._1), tied.map(_._2)))
+  }
+
+  test("spearman is invariant under monotone rescaling of either " +
+      "score") {
+    val pts = Seq((3L, 9L), (1L, 2L), (4L, 11L), (1L, 5L), (5L, 3L),
+      (9L, 40L), (2L, 6L))
+    val squished = pts.map { case (x, y) => (x * x, y / 2) }
+    // x -> x^2 monotone on non-negatives; y -> y/2 keeps order
+    // except merging 2,3 -> 1: recompute reference instead
+    assert(rhoOf(squished) ===
+      spearmanReference(squished.map(_._1), squished.map(_._2)))
+    assert(rhoOf(pts.map { case (x, y) => (x * x, y * 10) }) ===
+      rhoOf(pts))
+  }
+
+  // ------------------------------------------------------ fleiss
+
+  test("fleissKappa: unanimity is 1e6; hand-computed mixed case") {
+    val unanimous = Seq(("a", "a", "a"), ("b", "b", "b"))
+      .toDF("l0", "l1", "l2")
+    val k1 = Evals.fleissKappa(unanimous,
+        Seq(col("l0"), col("l1"), col("l2")))
+      .select("kappa_ppm").as[Long].collect().head
+    assert(k1 === 1000000L)
+    // n=2, k=3: item1 (a,a,b) e=1, item2 (b,b,b) e=3 -> E=4
+    // marginals a=2, b=4 -> B=4+16=20, nk=6
+    // num = 2*4*36 - 20*6*2 = 288-240 = 48
+    // den = 6*2*(36-20) = 192 -> kappa = 0.25
+    val mixed = Seq(("a", "a", "b"), ("b", "b", "b"))
+      .toDF("l0", "l1", "l2")
+    val r = Evals.fleissKappa(mixed,
+        Seq(col("l0"), col("l1"), col("l2")))
+      .as[(String, Long, Long)].collect().toList
+    assert(r === List(("a", 2L, 250000L), ("b", 4L, 250000L)))
+  }
+
+  test("fleissKappa goes negative on systematic disagreement and " +
+      "accepts k=2 (Cohen-comparable)") {
+    // k=2, always disagree, balanced marginals: kappa = -1
+    val opp = Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x"))
+      .toDF("l0", "l1")
+    val k = Evals.fleissKappa(opp, Seq(col("l0"), col("l1")))
+      .select("kappa_ppm").as[Long].collect().head
+    assert(k === -1000000L)
+  }
+
+  // --------------------------------------------- operating points
+
+  test("operatingPoints: hand-computed confusion sweep with exact " +
+      "rational F1") {
+    // pos scores: 5, 9; neg scores: 1, 5
+    val scored = Seq((5L, true), (9L, true), (1L, false), (5L, false))
+      .toDF("c", "y")
+    val r = Evals.operatingPoints(scored, col("c"), col("y"),
+        Seq(2L, 6L))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    // t=2: tp=2 fp=1 fn=0 tn=1 -> P=2/3, R=1, F1=4/5
+    // t=6: tp=1 fp=0 fn=1 tn=2 -> P=1, R=1/2, F1=2/3
+    assert(r === List(
+      (2L, 2L, 1L, 0L, 1L, 666666L, 1000000L, 800000L),
+      (6L, 1L, 0L, 1L, 2L, 1000000L, 500000L, 666666L)))
+  }
+
   // ------------------------------------------------- calibration
 
   test("calibrationBins: hand-computed bins, gaps, and ECE") {
@@ -236,6 +340,59 @@ class EvalSpec extends SparkSpec {
     val bins = Evals.calibrationBins(preds, col("conf"), col("y"), 10)
       .select("bin").as[Long].collect().toSet
     assert(bins === Set(0L, 9L))
+  }
+
+  // --------------------------------------------- target encoding
+
+  test("targetEncodeLoo: hand-computed LOO and smoothed encodings, " +
+      "single-row category yields null LOO") {
+    // cat a: ys 10, 20 (sum 30); cat b: y 40. total 70, N 3, m 2
+    // global mean = 70/3
+    val rows = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 40L))
+      .toDF("id", "cat", "y")
+    val r = Evals.targetEncodeLoo(rows, col("id"), col("cat"),
+        col("y"), m = 2)
+      .orderBy("id")
+      .select("id", "loo_micro", "smoothed_micro")
+      .as[(Long, Option[Long], Long)].collect().toList
+    // id1: loo = 20/1; smoothed = (20*3 + 2*70)/(1+2)/3 = 200/9
+    // id2: loo = 10;    smoothed = (10*3 + 140)/9 = 170/9
+    // id3: loo null;    smoothed = (0*3 + 140)/(0+2)/3 = 140/6
+    assert(r === List(
+      (1L, Some(20000000L), 200000000L / 9L),
+      (2L, Some(10000000L), 170000000L / 9L),
+      (3L, None, 140000000L / 6L)))
+  }
+
+  test("targetEncodeLoo: encoding never leaks the row's own label " +
+      "(constant-target category is flat regardless of own y)") {
+    val rows = Seq((1L, "a", 7L), (2L, "a", 7L), (3L, "a", 7L))
+      .toDF("id", "cat", "y")
+    val loo = Evals.targetEncodeLoo(rows, col("id"), col("cat"),
+        col("y"), m = 0)
+      .select("loo_micro").as[Long].collect().toSet
+    assert(loo === Set(7000000L))
+  }
+
+  // ----------------------------------------------- vocab coverage
+
+  test("vocabCoverage: hand-computed f1/f2, Good-Turing mass and " +
+      "bias-corrected Chao1") {
+    import graft.operators.Corpus
+    // unigrams: a x3, b x2, c x1, d x1 -> N=7 D=4 f1=2 f2=1
+    val docs = Seq("a a b", "a b c d").toDF("text")
+    val r = Corpus.vocabCoverage(docs, "text", n = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    // gt = 2e6 div 7 = 285714; chao1_extra = 2*1 div (2*2) = 0
+    assert(r === ((7L, 4L, 2L, 1L, 285714L, 0L, 4L)))
+    // all singletons, f2=0: corrected Chao1 stays defined
+    val s = Seq("x y z").toDF("text")
+    val r2 = Corpus.vocabCoverage(s, "text", n = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    // f1=3, f2=0: extra = 3*2 div 2 = 3, chao1 = 6, gt = 1e6
+    assert(r2 === ((3L, 3L, 3L, 0L, 1000000L, 3L, 6L)))
   }
 
   // ------------------------------------------------------- kappa

@@ -219,4 +219,37 @@ class StreamDriftSpec extends SparkSpec {
       batch(Seq((500000L, false), (900000L, true)), ts(10))
     assert(got.filterNot(_._1 == ts(40)) === want)
   }
+
+  test("AUC twin: closed windows equal batch exactAuc on the binned " +
+      "scores; one-class windows dropped") {
+    import graft.operators.Evals
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Boolean)]
+    val q = StreamOps.aucStream(in.toDF().toDF("ts", "bin", "hit"),
+        "ts", "bin", "hit", windowLen = "10 minutes",
+        watermark = "5 minutes", bins = 4)
+      .writeStream.format("memory").queryName("aucmon")
+      .outputMode("append").start()
+    // window 0: mixed classes with a tie bin, split across batches
+    in.addData((ts(1), 3L, true), (ts(4), 1L, false))
+    q.processAllAvailable()
+    // window 0 late-allowed tie row; window 1 all-positive (dropped)
+    in.addData((ts(7), 1L, true), (ts(12), 2L, true),
+      (ts(15), 3L, true))
+    q.processAllAvailable()
+    in.addData((ts(45), 0L, false))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("aucmon")
+      .select($"window_start", $"n_pos", $"n_neg", $"two_u",
+        $"auc_ppm")
+      .as[(Timestamp, Long, Long, Long, Long)].collect()
+      .filterNot(_._1 == ts(40)).toList
+    val b = Evals.exactAuc(
+        Seq((3L, true), (1L, false), (1L, true)).toDF("c", "y"),
+        col("c"), col("y"))
+      .as[(Long, Long, Long, Long)].collect().head
+    // window 1 (all positives) must not emit at all
+    assert(got === List((ts(0), b._1, b._2, b._3, b._4)))
+  }
 }
