@@ -407,6 +407,85 @@ object Evals {
       .orderBy(col("t"))
   }
 
+  /** Kendall rank correlation over QUANTIZED scores — concordant /
+    * discordant / tied pair counts as exact integers, τ-a in exact
+    * ppm, τ-b (tie-corrected) as one shared IEEE double from those
+    * integers (sqrt is correctly rounded — the q226 contract).
+    *
+    * Pairs are never enumerated: the joint (x, y) grid aggregates
+    * once, densifies to the (distinct-x × distinct-y) lattice
+    * (bounded — quantized scores are the contract, like the binned
+    * AUC), and concordance is 2-D dominance counting by prefix
+    * sums: A(x,y) = Σ_{x'<x} n(x',y) (one window per y), then
+    * C_ll(x,y) = Σ_{y'<y} A(x,y') (one window per x);
+    * C = Σ n·C_ll. Discordance reuses the same sums:
+    * C_lu = T_below(x) − C_ll − A with T_below the 1-D column-total
+    * prefix. Ties come off the marginals. Identity
+    * C + D + ties = n(n−1)/2 is checked by construction in the
+    * spec.
+    *
+    * @return one row: n, c, d, tied_x, tied_y, tied_xy, tau_a_ppm,
+    *         tau_b (r6 double) */
+  def kendallGrid(scored: DataFrame, xCol: Column,
+      yCol: Column): DataFrame = {
+    val g = scored.select(xCol.as("x"), yCol.as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val dense = g.select(col("x")).distinct()
+      .crossJoin(g.select(col("y")).distinct())
+      .join(g, Seq("x", "y"), "left_outer")
+      .select(col("x"), col("y"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val wA = Window.partitionBy(col("y")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wC = Window.partitionBy(col("x")).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val colTot = g.groupBy(col("x")).agg(sum(col("n")).as("tx"))
+    val wT = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tBelow = colTot
+      .withColumn("t_below", coalesce(sum(col("tx")).over(wT),
+        lit(0L)))
+      .select(col("x"), col("t_below"))
+    val cells = dense
+      .withColumn("a", coalesce(sum(col("n")).over(wA), lit(0L)))
+      .withColumn("c_ll", coalesce(sum(col("a")).over(wC), lit(0L)))
+      .join(tBelow, Seq("x"))
+      .select(col("x"), col("y"), col("n"), col("c_ll"),
+        (col("t_below") - col("c_ll") - col("a")).as("c_lu"))
+    val marg = (df: DataFrame, k: String, out: String) =>
+      df.groupBy(col(k)).agg(sum(col("n")).as("t"))
+        .agg(sum(wide(col("t")) * (col("t") - 1L)).as(out))
+    // each concordant pair is counted ONCE (at its upper-right
+    // cell), each discordant pair once (at its lower-right cell);
+    // the tie sums Σ t(t−1) are doubled pair counts, halved below
+    val tots = cells.agg(sum(col("n")).as("n"),
+        sum(wide(col("n")) * col("c_ll")).as("c"),
+        sum(wide(col("n")) * col("c_lu")).as("d"),
+        sum(wide(col("n")) * (col("n") - 1L)).as("txy2"))
+      .crossJoin(broadcast(marg(g, "x", "tx2")))
+      .crossJoin(broadcast(marg(g, "y", "ty2")))
+    tots.select(col("n"),
+      col("c").cast("long").as("c"),
+      col("d").cast("long").as("d"),
+      expr("((tx2 - txy2) div 2)").as("tied_x"),
+      expr("((ty2 - txy2) div 2)").as("tied_y"),
+      expr("(txy2 div 2)").as("tied_xy"),
+      expr("""cast(case when c - d < 0
+          then -(((d - c) * 2000000)
+            div (cast(n as decimal(38,0)) * (n - 1)))
+          else ((c - d) * 2000000)
+            div (cast(n as decimal(38,0)) * (n - 1))
+        end as bigint)""").as("tau_a_ppm"),
+      (floor(
+        (col("c").cast("double") - col("d").cast("double")) /
+          sqrt((col("n").cast("double") * (col("n").cast("double") - 1)
+              / 2d - (col("tx2").cast("double") / 2d)) *
+            (col("n").cast("double") * (col("n").cast("double") - 1)
+              / 2d - (col("ty2").cast("double") / 2d)))
+          * lit(1e6) + lit(0.5)) / 1e6).as("tau_b"))
+  }
+
   /** Leakage-safe (leave-one-out) target encoding with additive
     * smoothing — the feature-engineering step that replaces a
     * categorical column with the target mean of its category WITHOUT

@@ -628,6 +628,104 @@ object EvalQ {
       FROM t JOIN cats USING (cat), tot
       WHERE id < 300 ORDER BY id"""))
 
+  /** q247 — Kendall rank correlation over quantized scores
+    * ([[Evals.kendallGrid]]): concordant/discordant/tied pair
+    * counts WITHOUT enumerating pairs — 2-D dominance prefix sums
+    * over the densified 64×64 score lattice (bounded, the binned-
+    * AUC contract); τ-a exact ppm with sign-split division, τ-b
+    * from the same integers through one shared IEEE sqrt. The two
+    * scores share an md5 signal (y = x + noise, clamped), so τ is
+    * materially positive; truncation-direction parity on the
+    * clamped negative dividends is argued in the scaladoc (both
+    * engines clamp to 0 before anything diverges). */
+  val q247 = Qry(
+    "q247_kendall_tau",
+    (s: SparkSession, d: String) => {
+      val h1 = conv(substring(md5(col("event_id").cast("string")),
+        1, 4), 16, 10).cast("long")
+      val h2 = conv(substring(md5(col("event_id").cast("string")),
+        5, 4), 16, 10).cast("long")
+      Evals.kendallGrid(
+        Tables.events(s, d)
+          .select(h1.as("h1"), h2.as("h2"))
+          .select(expr("h1 div 1024").as("x"),
+            greatest(least(
+              expr("(h1 + 2 * (h2 - 32768)) div 1024"), lit(63L)),
+              lit(0L)).as("y")),
+        col("x"), col("y"))
+    },
+    Some(s"""
+      WITH raw AS (
+        SELECT CAST(${Q.md5Hex16Sql("event_id", 1)} AS BIGINT) AS h1,
+               CAST(${Q.md5Hex16Sql("event_id", 5)} AS BIGINT) AS h2
+        FROM events),
+      t AS (
+        SELECT h1 // 1024 AS x,
+               GREATEST(LEAST((h1 + 2 * (h2 - 32768)) // 1024, 63),
+                 0) AS y
+        FROM raw),
+      g AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t GROUP BY 1, 2),
+      dense AS (
+        SELECT xs.x, ys.y, COALESCE(g.n, 0) AS n
+        FROM (SELECT DISTINCT x FROM g) xs
+        CROSS JOIN (SELECT DISTINCT y FROM g) ys
+        LEFT JOIN g ON g.x = xs.x AND g.y = ys.y),
+      aa AS (
+        SELECT x, y, n,
+               COALESCE(SUM(n) OVER (PARTITION BY y ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS a
+        FROM dense),
+      cll AS (
+        SELECT x, y, n, a,
+               COALESCE(SUM(a) OVER (PARTITION BY x ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS c_ll
+        FROM aa),
+      ct AS (SELECT x, CAST(SUM(n) AS BIGINT) AS tx
+             FROM g GROUP BY x),
+      tb AS (
+        SELECT x,
+               COALESCE(SUM(tx) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS t_below
+        FROM ct),
+      cells AS (
+        SELECT cll.x, cll.y, n, c_ll,
+               t_below - c_ll - a AS c_lu
+        FROM cll JOIN tb ON tb.x = cll.x),
+      tots AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               SUM(CAST(n AS HUGEINT) * c_ll) AS c,
+               SUM(CAST(n AS HUGEINT) * c_lu) AS d,
+               SUM(CAST(n AS HUGEINT) * (n - 1)) AS txy2
+        FROM cells),
+      mx AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS tx2
+             FROM (SELECT CAST(SUM(n) AS BIGINT) AS t
+                   FROM g GROUP BY x)),
+      my AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS ty2
+             FROM (SELECT CAST(SUM(n) AS BIGINT) AS t
+                   FROM g GROUP BY y))
+      SELECT n, CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+             CAST((tx2 - txy2) // 2 AS BIGINT) AS tied_x,
+             CAST((ty2 - txy2) // 2 AS BIGINT) AS tied_y,
+             CAST(txy2 // 2 AS BIGINT) AS tied_xy,
+             CAST(CASE WHEN c - d < 0
+               THEN -(((d - c) * 2000000)
+                 // (CAST(n AS HUGEINT) * (n - 1)))
+               ELSE ((c - d) * 2000000)
+                 // (CAST(n AS HUGEINT) * (n - 1)) END AS BIGINT)
+               AS tau_a_ppm,
+             FLOOR((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                   / 2 - CAST(tx2 AS DOUBLE) / 2)
+                 * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                   / 2 - CAST(ty2 AS DOUBLE) / 2))
+               * 1e6 + 0.5) / 1e6 AS tau_b
+      FROM tots, mx, my"""))
+
   val all: Seq[Qry] =
-    Seq(q233, q234, q235, q236, q238, q239, q240, q241, q242, q244)
+    Seq(q233, q234, q235, q236, q238, q239, q240, q241, q242, q244,
+      q247)
 }

@@ -760,6 +760,106 @@ object Stats {
                AS BIGINT) AS winsorized_sum_cents
       FROM g ORDER BY l_returnflag"""))
 
+  /** q245 — Gini concentration of event value per type, exact ppm:
+    * how unequally is the metric distributed? From the cents
+    * HISTOGRAM (bounded by the value domain, the q234 window
+    * contract — never a row-sized sort): with per-value counts and
+    * the running count below, the rank-sum B = Σ_v v·(cum_below·cnt
+    * + cnt(cnt+1)/2) is an exact integer, and
+    * G_ppm = (2B − (n+1)·S)·1e6 div (n·S) (S the value total) — the
+    * grouped-data Gini with ties handled exactly. Partitioned
+    * windows per type; one histogram shuffle. */
+  val q245 = Qry(
+    "q245_gini_concentration",
+    (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.events(s, d)
+        .select(col("event_type").as("seg"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+        .groupBy(col("seg"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("seg")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col("seg"), col("cnt"), col("v"),
+          (col("v").cast("decimal(38,0)") *
+            (col("below") * col("cnt") * 2L +
+              col("cnt") * (col("cnt") + 1L))).as("b2"),
+          (col("v").cast("decimal(38,0)") * col("cnt")).as("sv"))
+        .groupBy(col("seg"))
+        .agg(sum(col("cnt")).as("n"), sum(col("sv")).as("s"),
+          sum(col("b2")).as("b2"))
+        .select(col("seg"), col("n"), col("s").cast("long").as("s"),
+          expr("((b2 - (n + 1) * s) * 1000000)" +
+            " div (cast(n as decimal(38,0)) * s)").as("gini_ppm"))
+        .orderBy(col("seg"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT event_type AS seg,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT seg, v, cnt,
+               COALESCE(SUM(cnt) OVER (PARTITION BY seg ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS below
+        FROM h),
+      a AS (
+        SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(CAST(v AS HUGEINT) * cnt) AS HUGEINT) AS s,
+               SUM(CAST(v AS HUGEINT) *
+                 (below * cnt * 2 + cnt * (cnt + 1))) AS b2
+        FROM r GROUP BY seg)
+      SELECT seg, n, CAST(s AS BIGINT) AS s,
+             CAST(((b2 - (n + 1) * s) * 1000000)
+               // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm
+      FROM a ORDER BY seg"""))
+
+  /** q246 — source-concentration audit of the corpus mix, exact
+    * ppm: per language, the Herfindahl-Hirschman index of document
+    * sources (Σ share² — is one crawl source dominating the
+    * training mix?) and the effective source count 1/HHI as exact
+    * integer micro-units. One (lang, source) aggregation; the
+    * language rollup is domain-sized. The source-diversity dial a
+    * data-mixing decision reads next to q226's temperature quotas. */
+  val q246 = Qry(
+    "q246_source_concentration",
+    (s: SparkSession, d: String) => {
+      val c = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("k"))
+      c.groupBy(col("lang"))
+        .agg(sum(col("k")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          sum(col("k").cast("decimal(38,0)") * col("k")).as("k2"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          expr("(k2 * 1000000)" +
+            " div (cast(n_docs as decimal(38,0)) * n_docs)")
+            .as("hhi_ppm"),
+          expr("(cast(n_docs as decimal(38,0)) * n_docs * 1000000)" +
+            " div k2").as("effective_sources_micro"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS k
+        FROM documents GROUP BY 1, 2),
+      a AS (
+        SELECT lang, CAST(SUM(k) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_sources,
+               SUM(CAST(k AS HUGEINT) * k) AS k2
+        FROM c GROUP BY lang)
+      SELECT lang, n_docs, n_sources,
+             CAST((k2 * 1000000)
+               // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+               AS hhi_ppm,
+             CAST((CAST(n_docs AS HUGEINT) * n_docs * 1000000) // k2
+               AS BIGINT) AS effective_sources_micro
+      FROM a ORDER BY lang"""))
+
   val all: Seq[Qry] =
-    Seq(q88, q89, q90, q92, q93, q101, q170, q174, q176, q187, q232)
+    Seq(q88, q89, q90, q92, q93, q101, q170, q174, q176, q187, q232,
+      q245, q246)
 }

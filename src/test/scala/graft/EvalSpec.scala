@@ -342,6 +342,56 @@ class EvalSpec extends SparkSpec {
     assert(bins === Set(0L, 9L))
   }
 
+  // ----------------------------------------------------- kendall
+
+  /** Brute-force all-pairs Kendall counts. */
+  private def kendallBrute(pts: Seq[(Long, Long)])
+      : (Long, Long, Long, Long, Long) = {
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L; var txy = 0L
+    for (i <- pts.indices; j <- pts.indices if i < j) {
+      val ((x1, y1), (x2, y2)) = (pts(i), pts(j))
+      if (x1 == x2 && y1 == y2) txy += 1
+      else if (x1 == x2) tx += 1
+      else if (y1 == y2) ty += 1
+      else if ((x1 < x2) == (y1 < y2)) c += 1
+      else d += 1
+    }
+    (c, d, tx, ty, txy)
+  }
+
+  test("kendallGrid matches brute-force pair counting and the " +
+      "C+D+ties identity, ties in every position") {
+    val pts = Seq((1L, 1L), (1L, 1L), (1L, 3L), (2L, 2L), (2L, 5L),
+      (3L, 2L), (3L, 9L), (4L, 9L), (5L, 4L), (5L, 4L), (6L, 0L))
+    val (c, d, tx, ty, txy) = kendallBrute(pts)
+    val r = Evals.kendallGrid(pts.toDF("x", "y"), col("x"),
+        col("y"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().head
+    assert((r._2, r._3, r._4, r._5, r._6) === ((c, d, tx, ty, txy)))
+    val n = pts.size.toLong
+    assert(c + d + tx + ty + txy === n * (n - 1) / 2)
+    assert(r._7 === (c - d) * 2000000L / (n * (n - 1)))
+    val n0 = n * (n - 1) / 2d
+    val tauB = (c - d) / math.sqrt(
+      (n0 - (tx + txy)) * (n0 - (ty + txy)))
+    assert(r._8 === math.floor(tauB * 1e6 + 0.5) / 1e6)
+  }
+
+  test("kendallGrid endpoints: perfect agreement 1e6, perfect " +
+      "reversal -1e6 on distinct scores") {
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+    val r1 = Evals.kendallGrid(up.toDF("x", "y"), col("x"),
+        col("y")).select("tau_a_ppm", "tau_b")
+      .as[(Long, Double)].collect().head
+    assert(r1 === ((1000000L, 1.0)))
+    val down = up.map { case (x, y) => (x, -y) }
+    val r2 = Evals.kendallGrid(down.toDF("x", "y"), col("x"),
+        col("y")).select("tau_a_ppm", "tau_b")
+      .as[(Long, Double)].collect().head
+    assert(r2 === ((-1000000L, -1.0)))
+  }
+
   // --------------------------------------------- target encoding
 
   test("targetEncodeLoo: hand-computed LOO and smoothed encodings, " +
