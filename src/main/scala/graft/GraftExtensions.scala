@@ -498,6 +498,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"vec_dot expects 2 arguments, got ${children.size}")
         VecDot(children.head, children(1))
       }))
+    // Spark's own runtime-filter bloom kernels, exposed to the SQL
+    // surface (they back InjectRuntimeFilter but are not registered
+    // as SQL functions): bloom_agg(xxhash64(k)[, est_items]) builds
+    // the filter as a binary aggregate, bloom_might_contain(b, h)
+    // probes it — the explicit pre-shuffle semi-join pruning a user
+    // composes when the optimizer's automatic injection can't see
+    // the join (see operators.BloomJoin).
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate" +
+          ".BloomFilterAggregate", "bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          s"bloom_agg expects (hash[, est_items]), got ${children.size}")
+        import org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate
+        if (children.size == 1) new BloomFilterAggregate(children.head)
+        else {
+          val e = children(1)
+          require(e.foldable,
+            s"bloom_agg: est_items must be a literal, got ${e.sql}")
+          val est = e.eval() match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case v => throw new IllegalArgumentException(
+              s"bloom_agg: est_items must be integral, got $v")
+          }
+          new BloomFilterAggregate(children.head, est)
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions" +
+          ".BloomFilterMightContain", "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "bloom_might_contain expects (bloom, hash), " +
+            s"got ${children.size}")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShingleNGrams].getName, "shingles"),

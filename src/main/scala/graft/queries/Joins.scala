@@ -275,5 +275,43 @@ object Joins {
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  val all: Seq[Qry] = Seq(q12, q13, q14, q15, q16, q17, q126)
+  /** q249 — explicit Bloom-pruned fact⋈dim join
+    * ([[graft.operators.BloomJoin.bloomPrunedEquiJoin]]): lineitem
+    * joined to a SELECTIVE supplier subset (top acctbal band) with
+    * the fact side pruned by a broadcast `bloom_agg` filter BEFORE
+    * the join shuffle — Spark's own runtime-filter kernel composed
+    * explicitly where `InjectRuntimeFilter`'s heuristics can't see
+    * the join. False positives only ever reach the exact join, so
+    * the oracle is the PLAIN join — result equality IS the
+    * correctness proof of the pruning. */
+  val q249 = Qry(
+    "q249_bloom_pruned_join",
+    (s: SparkSession, d: String) => {
+      val dim = Tables.supplier(s, d)
+        .filter(col("s_acctbal") > 5000.0)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      graft.operators.BloomJoin.bloomPrunedEquiJoin(
+          Tables.lineitem(s, d)
+            .select(col("l_suppkey"), col("l_extendedprice"),
+              col("l_discount")),
+          "l_suppkey", dim, "s_suppkey", expectedItems = 100000L)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          Q.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+            4).as("revenue"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""
+      SELECT s_nationkey,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount),
+               4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN (SELECT s_suppkey, s_nationkey FROM supplier
+            WHERE s_acctbal > 5000.0) s
+        ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey"""))
+
+  val all: Seq[Qry] = Seq(q12, q13, q14, q15, q16, q17, q126, q249)
 }

@@ -238,5 +238,48 @@ object SqlSurface {
       SELECT id, MIN(hop) AS hop
       FROM reach GROUP BY id ORDER BY id"""))
 
-  val all: Seq[Qry] = Seq(q45, q46, q73, q110, q207, q237)
+  /** q248 — SQL-defined functions (Spark 4 `CREATE FUNCTION ...
+    * RETURN`): a scalar SQL UDF (account tier) and a TABLE SQL UDF
+    * (parameterized order subset) declared in pure SQL and composed
+    * in one query — the warehouse-user extension path that needs no
+    * JVM code. Both bodies are inlined by the analyzer into the
+    * plan (they stay codegen'd expressions/subqueries, never
+    * black-box UDF calls), so the oracle simply inlines them
+    * textually. */
+  val q248 = Qry(
+    "q248_sql_udfs",
+    (s: SparkSession, d: String) => {
+      Model.registerViews(s, d)
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION acct_tier(b DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN b > 5000.0 THEN 'high'
+                    WHEN b > 0.0 THEN 'mid' ELSE 'low' END""")
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION big_orders(lim DOUBLE)
+        RETURNS TABLE(o_custkey BIGINT, o_totalprice DOUBLE)
+        RETURN SELECT o_custkey, o_totalprice
+               FROM orders WHERE o_totalprice > lim""")
+      s.sql("""
+        SELECT acct_tier(c_acctbal) AS tier,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice, 2)
+                 AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+        FROM big_orders(150000.0) b
+        JOIN customer ON b.o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""
+      SELECT CASE WHEN c_acctbal > 5000.0 THEN 'high'
+                  WHEN c_acctbal > 0.0 THEN 'mid'
+                  ELSE 'low' END AS tier,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice, 2)
+               AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+      FROM (SELECT o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice > 150000.0) b
+      JOIN customer ON b.o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Qry] = Seq(q45, q46, q73, q110, q207, q237, q248)
 }
