@@ -33,7 +33,7 @@ object EvalScale {
     val n = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val ops = args.lift(2).map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("bt", "auc"))
+      .getOrElse(Set("bt", "auc", "kendall"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = Tables.configure(SparkSession.builder()
@@ -98,9 +98,33 @@ object EvalScale {
       r.length.toLong
     }
 
+    def kendallRun(m: Long): Long = {
+      val scored = spark.range(m).selectExpr(
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 4), 16, 10)" +
+          " AS BIGINT) AS h1",
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 5, 4), 16, 10)" +
+          " AS BIGINT) AS h2")
+        .selectExpr("h1 div 1024 AS x",
+          "GREATEST(LEAST((h1 + 2 * (h2 - 32768)) div 1024, 63L)," +
+            " 0L) AS y")
+      val r = Evals.kendallGrid(scored, col("x"), col("y"))
+        .as[(Long, Long, Long, Long, Long, Long, Long, Double)]
+        .collect().head
+      val (nn, c, d, tx, ty, txy) = (r._1, r._2, r._3, r._4, r._5,
+        r._6)
+      // pairs are never enumerated, but they must all be accounted
+      require(c + d + tx + ty + txy == nn * (nn - 1) / 2,
+        s"pair identity broken at n=$m: $r")
+      // the planted y = x + noise correlation is scale-free
+      require(r._8 > 0.20 && r._8 < 0.35,
+        s"tau_b ${r._8} outside the planted band at n=$m")
+      nn
+    }
+
     // warmup at 1/10 size compiles the identical generated code
     if (ops("bt")) btRun(math.max(n / 10L, 100000L))
     if (ops("auc")) aucRun(math.max(n / 10L, 100000L))
+    if (ops("kendall")) kendallRun(math.max(n / 10L, 100000L))
 
     def timed(tag: String, run: () => Long): Double = {
       val times = (1 to reps).map { r =>
@@ -117,8 +141,11 @@ object EvalScale {
       timed("bradley_terry_e2e", () => btRun(n)) else -1d
     val auc = if (ops("auc"))
       timed("sliced_auc_e2e", () => aucRun(n)) else -1d
+    val kt = if (ops("kendall"))
+      timed("kendall_grid_e2e", () => kendallRun(n)) else -1d
     println(f"""{"metric":"eval_scale_min","n":$n,""" +
-      f""""bt_sec":$bt%.4f,"auc_sec":$auc%.4f,"unit":"sec"}""")
+      f""""bt_sec":$bt%.4f,"auc_sec":$auc%.4f,""" +
+      f""""kendall_sec":$kt%.4f,"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -859,7 +859,122 @@ object Stats {
                AS BIGINT) AS effective_sources_micro
       FROM a ORDER BY lang"""))
 
+  /** q250 — regression diagnostics with an INTEGER-EXACT fit: the
+    * per-flag OLS of price-cents on (integer) quantity is snapped to
+    * micro-unit coefficients (slope_micro = cov·1e6 div vx,
+    * intercept from it) so every residual
+    * y·1e6 − intercept − slope·x is an exact integer — MAE is an
+    * integral mean of |residuals|, MSE an exact decimal, and
+    * RMSE/R² derive as one shared IEEE double expression at the very
+    * end (q88's exact-in/deterministic-out contract extended to the
+    * residual pass: no float rounding can enter the hashed columns
+    * on any regeneration). Two passes: one moment aggregation, one
+    * map-side residual aggregation under a broadcast 3-row fit. */
+  val q250 = Qry(
+    "q250_regression_diagnostics",
+    (s: SparkSession, d: String) => {
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+            .as("y"))
+      val m = base.groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      val fit = m.select(col("flag"), col("n"), col("sy"),
+        col("syy"), col("sx"), col("sxy"), col("sxx"),
+        expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)")
+          .as("slope_micro"))
+        .select(col("flag"), col("n"), col("sy"), col("syy"),
+          col("sx"), col("sxy"), col("sxx"), col("slope_micro"),
+          expr("(sy * 1000000 - slope_micro * sx) div n")
+            .as("intercept_micro"))
+      val r = base.join(broadcast(fit), Seq("flag"))
+        .select(col("flag"), col("n"), col("sy"), col("syy"),
+          col("sx"), col("sxy"), col("sxx"), col("slope_micro"),
+          col("intercept_micro"),
+          expr("y * 1000000 - intercept_micro - slope_micro * x")
+            .as("resid"))
+        .groupBy(col("flag"))
+        .agg(max(col("n")).as("n"),
+          max(col("slope_micro")).as("slope_micro"),
+          max(col("intercept_micro")).as("intercept_micro"),
+          sum(abs(col("resid")).cast("decimal(38,0)")).as("sae"),
+          sum(col("resid").cast("decimal(38,0)") * col("resid"))
+            .as("sse"),
+          max(col("sx")).as("sx"), max(col("sy")).as("sy"),
+          max(col("sxy")).as("sxy"), max(col("sxx")).as("sxx"),
+          max(col("syy")).as("syy"))
+      val nn = col("n").cast("double")
+      val cov = nn * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val vx = nn * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val vy = nn * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      r.select(col("flag"), col("n"), col("slope_micro"),
+          col("intercept_micro"),
+          expr("sae div n").as("mae_micro"),
+          (floor(sqrt(col("sse").cast("double") / nn) * lit(1e6)
+            + lit(0.5)) / 1e6).as("rmse_micro"),
+          r6(cov * cov / (vx * vy)).as("r2"))
+        .orderBy(col("flag"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 AS y
+        FROM lineitem),
+      m AS (
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM base GROUP BY flag),
+      fit0 AS (
+        SELECT *, ((n * sxy - sx * sy) * 1000000)
+                 // (n * sxx - sx * sx) AS slope_micro
+        FROM m),
+      fit AS (
+        SELECT *, (sy * 1000000 - slope_micro * sx) // n
+                 AS intercept_micro
+        FROM fit0),
+      r AS (
+        SELECT base.flag,
+               CAST(y AS HUGEINT) * 1000000 - intercept_micro
+                 - slope_micro * x AS resid
+        FROM base JOIN fit ON fit.flag = base.flag),
+      agg AS (
+        SELECT flag, SUM(abs(resid)) AS sae,
+               SUM(resid * resid) AS sse
+        FROM r GROUP BY flag)
+      SELECT fit.flag, n,
+             CAST(slope_micro AS BIGINT) AS slope_micro,
+             CAST(intercept_micro AS BIGINT) AS intercept_micro,
+             CAST(sae // n AS BIGINT) AS mae_micro,
+             FLOOR(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1e6 + 0.5) / 1e6 AS rmse_micro,
+             FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+               / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6 AS r2
+      FROM agg JOIN fit ON fit.flag = agg.flag
+      ORDER BY fit.flag"""))
+
   val all: Seq[Qry] =
     Seq(q88, q89, q90, q92, q93, q101, q170, q174, q176, q187, q232,
-      q245, q246)
+      q245, q246, q250)
 }
