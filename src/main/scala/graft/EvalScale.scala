@@ -25,7 +25,7 @@ import graft.operators.Evals
   *    histogram state, slices in parallel).
   *
   * Usage: runMain graft.EvalScale [n] [reps] [ops-csv]
-  * (ops-csv ⊆ bt,auc; default both)
+  * (ops-csv ⊆ bt,auc,kendall; default all)
   */
 object EvalScale {
 
