@@ -563,6 +563,61 @@ class PlanShapeSpec extends SparkSpec {
       s"q217 lost its map-side combine:\n$p")
   }
 
+  test("q233: the Bradley-Terry fixpoint joins ride broadcasts — " +
+      "the raw log pays partial-agg exchanges, rounds never " +
+      "shuffle log-sized data") {
+    val p = planAtScaleStats("q233_bradley_terry")
+    // strengths/wins frames join the pair frame via explicit
+    // broadcast() hints — none may degrade to SMJ (the fixpoint's
+    // interior is behind localCheckpoints; the final join is the
+    // representative round shape)
+    assert(!p.contains("SortMergeJoin"),
+      s"q233 fixpoint join fell back to SMJ:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q233:\n$p")
+    // the raw-log aggregation (pre-checkpoint) must map-side combine
+    import org.apache.spark.sql.functions._
+    val op = graft.operators.Evals.orientedPairs(
+        Tables.events(spark, sf()).select(
+          expr("event_id % 8").as("a"),
+          expr("(event_id div 8) % 8").as("b"),
+          (col("event_id") % 2 === 0).as("wa"))
+          .filter(col("a") =!= col("b")),
+        "a", "b", "wa")
+      .queryExecution.explainString(FormattedMode)
+    assert("partial_".r.findFirstIn(op).isDefined,
+      s"orientedPairs lost map-side combine on the raw log:\n$op")
+  }
+
+  test("q234/q238: AUC aggregates the score histogram with " +
+      "map-side combine; q238's window is slice-partitioned") {
+    val p = plan("q234_exact_auc")
+    assert("partial_".r.findFirstIn(p).isDefined, s"q234:\n$p")
+    val p2 = plan("q238_auc_by_slice")
+    // a partitioned window sorts within hash partitions of the
+    // slice key — the single-partition Exchange form would carry
+    // SinglePartition in the formatted plan
+    assert(!p2.contains("SinglePartition"),
+      s"q238 window collapsed to a single partition:\n$p2")
+  }
+
+  test("q249: the bloom probe filter sits below the join (fact " +
+      "pruned pre-shuffle), and the join stays an equi-join") {
+    val p = planAtScaleStats("q249_bloom_pruned_join")
+    val probeAt = p.indexOf("might_contain")
+    assert(probeAt >= 0, s"q249 lost the bloom probe:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q249:\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p).isDefined, s"q249 lost its equi-join:\n$p")
+  }
+
+  test("q244: target encoding is one category aggregate + broadcast " +
+      "joins — the encode itself never shuffles rows") {
+    val p = planAtScaleStats("q244_target_encoding")
+    assert(!p.contains("SortMergeJoin"),
+      s"q244 encode join fell back to SMJ:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q244:\n$p")
+  }
+
   private def occurrences(hay: String, needle: String): Int =
     needle.r.findAllIn(hay).size
 }
