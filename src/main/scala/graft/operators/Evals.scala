@@ -189,6 +189,69 @@ object Evals {
           .as("auc_ppm"))
   }
 
+  /** Multiplier-bootstrap AUC replicates — uncertainty for the
+    * ranking metric WITHOUT random number generation: each caller-
+    * supplied integer weight column reweights every row (an md5-
+    * derived binomial(8, 1/8) ≈ Poisson(1) multiplier in q251, so
+    * replicates are deterministic and regeneration-stable), and each
+    * replicate's AUC is the exact rank-sum over the WEIGHTED score
+    * histogram. The spread across replicates is the confidence band
+    * an eval report should carry next to the point estimate.
+    *
+    * Scale shape: ONE partial-aggregated groupBy builds all
+    * replicates' weighted histograms side by side (2·B conditional
+    * sums), one ordered window over the bounded score domain carries
+    * all B running negative counts in the same pass, and the
+    * replicate fan-out is a stateless explode — B never multiplies
+    * the data passes. Replicates where a class weighs out entirely
+    * are dropped (AUC undefined there).
+    *
+    * @return one row per replicate: (replicate, n_pos_w, n_neg_w,
+    *         two_u, auc_ppm), ordered by replicate */
+  def bootstrapAucReplicates(scored: DataFrame, scoreCol: Column,
+      posCol: Column, weightCols: Seq[Column]): DataFrame = {
+    val b = weightCols.size
+    require(b >= 1, "need at least one weight column")
+    val base = scored.select(
+      (scoreCol.as("c") +: when(posCol, 1L).otherwise(0L).as("y") +:
+        weightCols.zipWithIndex.map { case (w, i) => w.as(s"w$i") })
+        : _*)
+    val sums = (0 until b).flatMap(i => Seq(
+      sum(when(col("y") === 1L, col(s"w$i")).otherwise(0L))
+        .as(s"pw$i"),
+      sum(when(col("y") === 0L, col(s"w$i")).otherwise(0L))
+        .as(s"qw$i")))
+    val h = base.groupBy(col("c")).agg(sums.head, sums.tail: _*)
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBelow = (0 until b).foldLeft(h) { (df, i) =>
+      df.withColumn(s"qb$i",
+        coalesce(sum(col(s"qw$i")).over(w), lit(0L)))
+    }
+    val aggCols = (0 until b).flatMap(i => Seq(
+      sum(col(s"pw$i")).as(s"np$i"),
+      sum(col(s"qw$i")).as(s"nq$i"),
+      sum(wide(col(s"pw$i")) *
+        (lit(2L) * col(s"qb$i") + col(s"qw$i"))).as(s"tu$i")))
+    val one = withBelow.agg(aggCols.head, aggCols.tail: _*)
+    val rows = array((0 until b).map { i =>
+      struct(lit(i.toLong).as("replicate"),
+        col(s"np$i").as("n_pos_w"), col(s"nq$i").as("n_neg_w"),
+        col(s"tu$i").cast("long").as("two_u"))
+    }: _*)
+    one.select(explode(rows).as("r"))
+      .select(col("r.replicate").as("replicate"),
+        col("r.n_pos_w").as("n_pos_w"),
+        col("r.n_neg_w").as("n_neg_w"), col("r.two_u").as("two_u"))
+      .filter(col("n_pos_w") > 0L && col("n_neg_w") > 0L)
+      .select(col("replicate"), col("n_pos_w"), col("n_neg_w"),
+        col("two_u"),
+        expr("(cast(two_u as decimal(38,0)) * 500000)" +
+          " div (cast(n_pos_w as decimal(38,0)) * n_neg_w)")
+          .as("auc_ppm"))
+      .orderBy(col("replicate"))
+  }
+
   /** Reliability diagram + expected calibration error in exact ppm:
     * predictions bucketed into `bins` equal-width confidence bins;
     * per bin the row count, confidence mass, positive count, and

@@ -725,7 +725,95 @@ object EvalQ {
                * 1e6 + 0.5) / 1e6 AS tau_b
       FROM tots, mx, my"""))
 
+  private val BootReps = 8
+
+  /** DuckDB binomial(8, 1/8) multiplier weight for replicate `b`:
+    * count of the first 8 md5 nibbles of (event_id, b) that fall in
+    * {0, 1} — mean-1 integer weights, deterministic on any engine
+    * and any regeneration. */
+  private def bootWSql(b: Int): String =
+    (1 to 8).map(i =>
+      s"""(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)
+          || '_$b'), $i, 1) IN ('0', '1') THEN 1 ELSE 0 END)""")
+      .mkString("(", " + ", ")")
+
+  /** q251 — multiplier-bootstrap AUC confidence band
+    * ([[Evals.bootstrapAucReplicates]], 8 replicates): each row's
+    * weight in replicate b is a binomial(8, 1/8) md5 draw (mean 1 —
+    * the Poisson bootstrap's deterministic twin), and each
+    * replicate's AUC is the exact rank-sum over the weighted
+    * histogram — uncertainty for q234's point estimate WITHOUT a
+    * random number generator, so the whole band is
+    * regeneration-stable and oracle-replayable. All 8 replicates
+    * ride ONE histogram aggregation + ONE window pass. */
+  val q251 = Qry(
+    "q251_bootstrap_auc",
+    (s: SparkSession, d: String) => {
+      val h1 = conv(substring(md5(col("event_id").cast("string")),
+        1, 4), 16, 10).cast("long")
+      val pos = col("event_type") === "purchase"
+      def wB(b: Int) = (1 to 8).map(i =>
+        when(substring(md5(concat(col("event_id").cast("string"),
+          lit(s"_$b"))), i, 1).isin("0", "1"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      Evals.bootstrapAucReplicates(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "view")),
+        h1 + when(pos, 16384L).otherwise(0L), pos,
+        (0 until BootReps).map(wB))
+    },
+    Some {
+      val ws = (0 until BootReps)
+        .map(b => s"${bootWSql(b)} AS w$b").mkString(",\n               ")
+      val hs = (0 until BootReps).map(b =>
+        s"""CAST(SUM(CASE WHEN y = 1 THEN w$b ELSE 0 END) AS BIGINT)
+               AS pw$b,
+             CAST(SUM(CASE WHEN y = 0 THEN w$b ELSE 0 END) AS BIGINT)
+               AS qw$b""").mkString(",\n             ")
+      val qbs = (0 until BootReps).map(b =>
+        s"""COALESCE(SUM(qw$b) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS qb$b""").mkString(",\n             ")
+      val tots = (0 until BootReps).map(b =>
+        s"""CAST(SUM(pw$b) AS BIGINT) AS np$b,
+             CAST(SUM(qw$b) AS BIGINT) AS nq$b,
+             SUM(CAST(pw$b AS HUGEINT) * (2 * qb$b + qw$b)) AS tu$b""")
+        .mkString(",\n             ")
+      val reps = (0 until BootReps).map(b =>
+        s"SELECT $b AS replicate, np$b AS n_pos_w, nq$b AS n_neg_w," +
+          s" tu$b AS tu FROM one").mkString("\n        UNION ALL ")
+      s"""
+      WITH t AS (
+        SELECT CAST(${Q.md5Hex16Sql("event_id", 1)}
+                 + CASE WHEN event_type = 'purchase'
+                   THEN 16384 ELSE 0 END AS BIGINT) AS c,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                 AS y,
+               $ws
+        FROM events WHERE event_type IN ('purchase', 'view')),
+      h AS (
+        SELECT c,
+             $hs
+        FROM t GROUP BY c),
+      wnd AS (
+        SELECT *,
+             $qbs
+        FROM h),
+      one AS (
+        SELECT
+             $tots
+        FROM wnd),
+      reps AS (
+        $reps)
+      SELECT replicate, n_pos_w, n_neg_w, CAST(tu AS BIGINT) AS two_u,
+             CAST((tu * 500000)
+               // (CAST(n_pos_w AS HUGEINT) * n_neg_w) AS BIGINT)
+               AS auc_ppm
+      FROM reps WHERE n_pos_w > 0 AND n_neg_w > 0
+      ORDER BY replicate"""
+    })
+
   val all: Seq[Qry] =
     Seq(q233, q234, q235, q236, q238, q239, q240, q241, q242, q244,
-      q247)
+      q247, q251)
 }

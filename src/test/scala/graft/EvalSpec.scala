@@ -317,6 +317,35 @@ class EvalSpec extends SparkSpec {
       (6L, 1L, 0L, 1L, 2L, 1000000L, 500000L, 666666L)))
   }
 
+  // --------------------------------------------------- bootstrap
+
+  test("bootstrapAucReplicates: unit weights reproduce exactAuc " +
+      "exactly; doubling all weights leaves auc_ppm unchanged") {
+    val scored = Seq((3L, true), (1L, false), (3L, false),
+      (2L, true), (5L, true), (1L, true), (4L, false))
+      .toDF("c", "y")
+    val point = Evals.exactAuc(scored, col("c"), col("y"))
+      .select("two_u", "auc_ppm").as[(Long, Long)].collect().head
+    val reps = Evals.bootstrapAucReplicates(scored, col("c"),
+        col("y"), Seq(lit(1L), lit(2L)))
+      .select("replicate", "two_u", "auc_ppm")
+      .as[(Long, Long, Long)].collect().toList
+    assert(reps.head === ((0L, point._1, point._2)))
+    // w=2 scales 2U by 4 and P·Q by 4 — auc identical
+    assert(reps(1)._3 === point._2)
+    assert(reps(1)._2 === 4L * point._1)
+  }
+
+  test("bootstrapAucReplicates: a replicate that weighs out one " +
+      "class entirely is dropped") {
+    val scored = Seq((3L, true), (1L, false)).toDF("c", "y")
+    val reps = Evals.bootstrapAucReplicates(scored, col("c"),
+        col("y"),
+        Seq(lit(1L), when(col("y"), 0L).otherwise(1L)))
+      .select("replicate").as[Long].collect().toList
+    assert(reps === List(0L))
+  }
+
   // ------------------------------------------------- calibration
 
   test("calibrationBins: hand-computed bins, gaps, and ECE") {
