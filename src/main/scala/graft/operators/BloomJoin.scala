@@ -29,32 +29,30 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
-  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
-
   /** Inner equi-join of `fact` to `dim`, Bloom-pruned on the fact
     * side. Output = fact columns then dim columns (join keys kept
     * on both sides, like a plain inner join on an expression).
     *
     * `might_contain` requires its filter input to be a constant or
     * a SCALAR SUBQUERY (the shape Spark's own InjectRuntimeFilter
-    * emits), so the dim-side aggregate is registered behind a temp
-    * view and referenced as `(SELECT bloom FROM v)` — executed once
-    * as a subquery, its one binary row broadcast into the fact
-    * filter. */
+    * emits), so the dim-side aggregate rides `Dataset.scalar()` —
+    * a catalog-free scalar subquery baked into the returned plan:
+    * executed once, its one binary row broadcast into the fact
+    * filter. No temp view is registered, so nothing leaks into the
+    * session catalog and the returned (lazy) DataFrame is
+    * self-contained — it stays executable no matter what the
+    * caller does to the catalog afterwards. */
   def bloomPrunedEquiJoin(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       expectedItems: Long = 1000000L): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be > 0")
-    val view = s"graft_bloom_${viewSeq.incrementAndGet()}_" +
-      java.lang.Long.toHexString(System.identityHashCode(dim).toLong)
-    dim.agg(
+    val bloom = dim.agg(
         expr(s"bloom_agg(xxhash64(`$dimKey`), $expectedItems)")
           .as("__bloom"))
-      .createOrReplaceTempView(view)
+      .scalar()
     fact
-      .filter(expr(
-        s"bloom_might_contain((SELECT __bloom FROM `$view`)," +
-          s" xxhash64(`$factKey`))"))
+      .filter(call_function("bloom_might_contain", bloom,
+        xxhash64(col(factKey))))
       .join(dim, col(factKey) === col(dimKey))
   }
 }

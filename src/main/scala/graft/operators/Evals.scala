@@ -32,12 +32,20 @@ object Evals {
     * first (partial-agg/map-side combine does the heavy lifting),
     * then both orientations of the pair-sized frame union and
     * re-group — at 100 TB the second shuffle moves items² rows, not
-    * log rows. */
+    * log rows.
+    *
+    * Rows whose `winACol` is NULL (winner unrecorded) are EXCLUDED
+    * from both n and w: counting them in n while crediting 0 wins
+    * would treat missing data as a loss for `a` — and, through the
+    * reversed orientation's n−w, as a fabricated WIN for `b`. A
+    * comparison with no recorded winner carries no preference
+    * evidence, so it must not move either strength. */
   def orientedPairs(cmp: DataFrame, aCol: String, bCol: String,
       winACol: String): DataFrame = {
     val p = cmp
       .select(col(aCol).as("a"), col(bCol).as("b"),
         col(winACol).as("wa"))
+      .filter(col("wa").isNotNull)
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("wa"), 1L).otherwise(0L)).as("w"))

@@ -329,22 +329,54 @@ object PageRank {
   def integerHits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, broadcastScores: Option[Boolean] = None)
       : (DataFrame, DataFrame) = {
+    val (h, a, _) =
+      integerHitsTrace(edges, srcCol, dstCol, iters, broadcastScores)
+    (h, a)
+  }
+
+  /** [[integerHits]] plus the full half-round trace: one
+    * `(stage, frame)` per intermediate — raw sums (`a1r`, `h1r`, …,
+    * each (id, v: decimal)) and rescaled scores (`a1`, `h1`, …, each
+    * (id, v: long)), in computation order. The trace frames are
+    * cheap projections of the per-stage localCheckpoints the chain
+    * materializes anyway, so digesting all of them costs one extra
+    * scan each, nothing recomputes.
+    *
+    * Purpose: a caller can union per-stage digest rows (count / Σv /
+    * max / min / Σid) under a hashed result, mirrored in an oracle's
+    * identical CTE chain — so when the two engines EVER disagree,
+    * the digest names the first diverging half-round instead of the
+    * result just reading "hash false" (the q182/q210/q215
+    * loud-sentinel pattern, extended to localization). */
+  def integerHitsTrace(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int,
+      broadcastScores: Option[Boolean] = None)
+      : (DataFrame, DataFrame, Seq[(String, DataFrame)]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // NULL endpoints are not vertices: an edge with a NULL src could
+    // neither send nor receive mass through the equi-joined rounds,
+    // but WOULD count in an oracle CTE that aggregates the raw edge
+    // list — drop them on both sides of the contract instead.
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(true)
     val bc = broadcastScores.getOrElse(
       e.select(col("src")).distinct().count() <= BroadcastVertexCap)
     def bcast(df: DataFrame) = if (bc) broadcast(df) else df
+    val trace = Seq.newBuilder[(String, DataFrame)]
     // (score·1e6) div max — integer max-normalization; the 1-row max
     // is a broadcast cross join, so the rescale is map-side. The
     // multiply runs on the decimal(38,0) sum; div returns long back
     // in [0, 1e6].
-    def rescale(raw: DataFrame): DataFrame = {
+    def rescale(raw: DataFrame, stage: String): DataFrame = {
       val r = raw.localCheckpoint(true)
-      r.crossJoin(broadcast(r.agg(max(col("v")).as("mx"))))
+      trace += (s"${stage}r" -> r)
+      val out = r.crossJoin(broadcast(r.agg(max(col("v")).as("mx"))))
         .select(col("id"), expr("(v * 1000000L) div mx").as("v"))
+      trace += (stage -> out)
+      out
     }
     // Sums widen to decimal(38,0): matches DuckDB's HUGEINT SUM, and
     // overflow degrades to NULL (caught by the witness), never wraps.
@@ -352,19 +384,44 @@ object PageRank {
     var hubs = e.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1000000L).as("v"))
     var auths = hubs.limit(0)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       auths = rescale(
         e.join(bcast(hubs.select(col("id").as("hid"), col("v"))),
             col("src") === col("hid"))
           .groupBy(col("dst")).agg(sum(wide(col("v"))).as("v"))
-          .select(col("dst").as("id"), col("v")))
+          .select(col("dst").as("id"), col("v")), s"a$i")
       hubs = rescale(
         e.join(bcast(auths.select(col("id").as("aid"), col("v"))),
             col("dst") === col("aid"))
           .groupBy(col("src")).agg(sum(wide(col("v"))).as("v"))
-          .select(col("src").as("id"), col("v")))
+          .select(col("src").as("id"), col("v")), s"h$i")
     }
-    (hubs, auths)
+    (hubs, auths, trace.result())
+  }
+
+  /** Five-stat digest of one [[integerHitsTrace]] stage frame,
+    * shaped to union under a (side, id, score) result: side =
+    * `z_<stage>` (sorts after the payload sides), id = the stat
+    * index, score = the stat — 0: row count, 1: Σv, 2: max v,
+    * 3: min v, 4: Σid. Sums run in DECIMAL(38,0) and cast back to
+    * long, so past-int64 values degrade to a loud NULL row, never a
+    * wrapped one. */
+  def hitsStageDigest(stage: String, frame: DataFrame): DataFrame = {
+    def wl(c: Column) = c.cast("decimal(38,0)")
+    frame
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(wl(col("v"))).cast("long").as("sv"),
+        max(col("v")).cast("long").as("mxv"),
+        min(col("v")).cast("long").as("mnv"),
+        sum(wl(col("id"))).cast("long").as("sid"))
+      .select(explode(array(
+        struct(lit(0L).as("id"), col("n").as("score")),
+        struct(lit(1L).as("id"), col("sv").as("score")),
+        struct(lit(2L).as("id"), col("mxv").as("score")),
+        struct(lit(3L).as("id"), col("mnv").as("score")),
+        struct(lit(4L).as("id"), col("sid").as("score")))).as("r"))
+      .select(lit(s"z_$stage").as("side"), col("r.id").as("id"),
+        col("r.score").as("score"))
   }
 
   /** Empty-unless-broken overflow witness for [[integerHits]]: rows

@@ -1020,8 +1020,8 @@ object ComponentsQ {
             .select(col("l_orderkey"), col("l_partkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
-      val (hubs, auths) = PageRank.integerHits(e, "src", "dst",
-        iters = 2)
+      val (hubs, auths, trace) = PageRank.integerHitsTrace(
+        e, "src", "dst", iters = 2)
       def top(df: org.apache.spark.sql.DataFrame, side: String) = df
         .orderBy(col("v").desc, col("id"))
         .limit(15)
@@ -1031,13 +1031,33 @@ object ComponentsQ {
       val witness = PageRank.hitsOverflowWitness(hubs.unionAll(auths))
         .select(lit("OVERFLOW").as("side"), col("id"),
           col("v").as("score"))
+      // Per-half-round digests (count/Σv/max/min/Σid for each of
+      // a1r a1 h1r h1 a2r a2 h2r h2), hashed WITH the result and
+      // mirrored CTE-for-CTE in the oracle: if the engines ever
+      // disagree again, the red row names the first diverging
+      // half-round instead of just "hash false".
+      val digests = trace
+        .map { case (st, f) => PageRank.hitsStageDigest(st, f) }
+        .reduce(_ unionAll _)
       top(auths, "auth").unionAll(top(hubs, "hub")).unionAll(witness)
+        .unionAll(digests)
         .orderBy(col("side"), col("score").desc, col("id"))
     },
-    Some("""
+    Some({
+      def dig(st: String) =
+        s"""SELECT 'z_$st' AS side, CAST(0 AS BIGINT) AS id,
+               CAST(COUNT(*) AS BIGINT) AS score FROM $st
+        UNION ALL SELECT 'z_$st', 1, CAST(SUM(v) AS BIGINT) FROM $st
+        UNION ALL SELECT 'z_$st', 2, CAST(MAX(v) AS BIGINT) FROM $st
+        UNION ALL SELECT 'z_$st', 3, CAST(MIN(v) AS BIGINT) FROM $st
+        UNION ALL SELECT 'z_$st', 4, CAST(SUM(id) AS BIGINT) FROM $st"""
+      val digs = Seq("a1r", "a1", "h1r", "h1", "a2r", "a2", "h2r",
+        "h2").map(dig).mkString("\n      UNION ALL ")
+      s"""
       WITH e AS (
         SELECT DISTINCT o_custkey AS src, l_partkey AS dst
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
       a1r AS (
         SELECT dst AS id, SUM(CAST(1000000 AS BIGINT)) AS v
         FROM e GROUP BY 1),
@@ -1063,13 +1083,15 @@ object ComponentsQ {
         SELECT id, (v * 1000000) // (SELECT MAX(v) FROM h2r) AS v
         FROM h2r),
       ta AS (
-        SELECT 'auth' AS side, id, v AS score FROM a2
-        ORDER BY v DESC, id LIMIT 15),
+        SELECT 'auth' AS side, id, CAST(v AS BIGINT) AS score
+        FROM a2 ORDER BY v DESC, id LIMIT 15),
       th AS (
-        SELECT 'hub' AS side, id, v AS score FROM h2
-        ORDER BY v DESC, id LIMIT 15)
-      SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
-      ORDER BY side, score DESC, id"""))
+        SELECT 'hub' AS side, id, CAST(v AS BIGINT) AS score
+        FROM h2 ORDER BY v DESC, id LIMIT 15)
+      SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th
+      UNION ALL $digs)
+      ORDER BY side, score DESC, id"""
+    }))
 
   /** q208 — sampled bounded-radius betweenness centrality
     * ([[Graph.sampledBetweenness]], 8 pivots, 3 hops): the broker

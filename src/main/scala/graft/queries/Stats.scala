@@ -782,9 +782,14 @@ object Stats {
         .rowsBetween(Window.unboundedPreceding, -1)
       h.withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
         .select(col("seg"), col("cnt"), col("v"),
+          // Rank-sum term widened BEFORE the multiplies: it is
+          // quadratic in tie counts, and DuckDB's window SUM already
+          // runs it in HUGEINT — an int64 inner product would wrap
+          // silently at scale while the oracle stays exact.
           (col("v").cast("decimal(38,0)") *
-            (col("below") * col("cnt") * 2L +
-              col("cnt") * (col("cnt") + 1L))).as("b2"),
+            (col("below").cast("decimal(38,0)") * col("cnt") * 2L +
+              col("cnt").cast("decimal(38,0)") *
+                (col("cnt") + 1L))).as("b2"),
           (col("v").cast("decimal(38,0)") * col("cnt")).as("sv"))
         .groupBy(col("seg"))
         .agg(sum(col("cnt")).as("n"), sum(col("sv")).as("s"),

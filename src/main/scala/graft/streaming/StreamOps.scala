@@ -1464,16 +1464,24 @@ object StreamOps {
         expr(s"(`$confPpmCol` * $bins) div 1000000"))
       .withColumn("__y",
         when(col(posCol), 1L).otherwise(0L))
+    // Conf-mass counters accumulate in DECIMAL(38,0) — the batch
+    // twin's `wide` width — then cast back to long per bin: past
+    // int64 the sum degrades to a loud NULL instead of wrapping
+    // silently (the scaladoc's "same exact integer algebra" claim
+    // only holds if the widths match too).
     val counters = (0 until bins).flatMap(b => Seq(
       sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"n$b"),
-      sum(when(col("__bin") === b, col(confPpmCol)).otherwise(0L))
-        .as(s"s$b"),
+      sum(when(col("__bin") === b,
+          col(confPpmCol).cast("decimal(38,0)"))
+        .otherwise(lit(0L).cast("decimal(38,0)")))
+        .cast("long").as(s"s$b"),
       sum(when(col("__bin") === b, col("__y")).otherwise(0L))
         .as(s"p$b")))
     val agged = binned
       .groupBy(window(col(tsCol), windowLen))
       .agg(counters.head, counters.tail: _*)
-    val gapOf = (b: Int) => abs(col(s"s$b") - col(s"p$b") * lit(1000000L))
+    val gapOf = (b: Int) => abs(col(s"s$b") -
+      col(s"p$b").cast("decimal(38,0)") * lit(1000000L)).cast("long")
     val rows = array((0 until bins).map { b =>
       struct(lit(b.toLong).as("bin"), col(s"n$b").as("n"),
         col(s"s$b").as("sum_conf_ppm"), col(s"p$b").as("pos"),
@@ -1482,7 +1490,9 @@ object StreamOps {
     agged
       .select(col("window.start").as("window_start"),
         expr(s"(${(0 until bins).map(b =>
-            s"abs(s$b - p$b * 1000000)").mkString(" + ")}) div (${
+            s"abs(cast(s$b as decimal(38,0)) - " +
+              s"cast(p$b as decimal(38,0)) * 1000000)")
+            .mkString(" + ")}) div (${
             (0 until bins).map(b => s"n$b").mkString(" + ")})")
           .as("ece_ppm"),
         explode(rows).as("r"))

@@ -49,6 +49,18 @@ class BloomJoinSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("no temp view leaks into the catalog, and the returned " +
+      "frame stays executable regardless of catalog churn") {
+    val before = spark.catalog.listTables().count()
+    val df = BloomJoin.bloomPrunedEquiJoin(fact, "fk", dim, "dk")
+    assert(spark.catalog.listTables().count() === before,
+      "bloomPrunedEquiJoin registered a catalog entry")
+    // A self-contained plan survives a hostile catalog reset.
+    spark.catalog.clearCache()
+    assert(df.count() === 3L)
+    assert(df.count() === 3L) // and re-executes
+  }
+
   test("undersized expectedItems degrades FPP, never correctness") {
     val bigDim = spark.range(500).selectExpr("id * 2 AS dk",
       "CAST(id AS STRING) AS name")

@@ -103,6 +103,19 @@ class EvalSpec extends SparkSpec {
     assert(o === Set((1L, 2L, 5L, 2L), (2L, 1L, 5L, 3L)))
   }
 
+  test("orientedPairs excludes NULL-winner rows from both n and w") {
+    // A NULL winner must carry no evidence: if it counted in n with
+    // w=0, the reversed orientation's n−w would fabricate a WIN for
+    // the b side out of missing data.
+    val cmp = Seq((1L, 2L, Some(true)), (1L, 2L, None),
+        (1L, 2L, None), (2L, 1L, Some(false)))
+      .toDF("a", "b", "wa")
+    val o = Evals.orientedPairs(cmp, "a", "b", "wa")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // Only the two decided rows survive: item1 n=2 w=2, item2 n=2 w=0.
+    assert(o === Set((1L, 2L, 2L, 2L), (2L, 1L, 2L, 0L)))
+  }
+
   // --------------------------------------------------------- AUC
 
   private def aucRow(scored: Seq[(Long, Boolean)])

@@ -40,6 +40,21 @@ def main(sf_dir: str, out_dir: str) -> None:
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1;  continue
+        # Dtype-KIND parity: duckdb's .df() renders HUGEINT (any
+        # un-CAST SUM/`//` chain) as float64 while Spark writes
+        # int64 — numerically equal, so check_dtype=False hides it,
+        # but a repr/dtype-sensitive hash (the driver's) flips red.
+        # q204 was red for two whole rounds on exactly this. Compare
+        # the numpy kind (i/u vs f vs O/b/M) per column and fail
+        # loudly here instead.
+        kinds = [(c, got[c].dtype.kind, want[c].dtype.kind)
+                 for c in got.columns
+                 if got[c].dtype.kind != want[c].dtype.kind
+                 and {got[c].dtype.kind, want[c].dtype.kind} - {"i", "u"}]
+        if kinds:
+            print(f"FAIL {name}: dtype-kind mismatch (spark vs oracle) "
+                  f"{kinds} — CAST the oracle's final columns")
+            n_fail += 1;  continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=True)
