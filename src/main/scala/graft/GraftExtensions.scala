@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression,
   ExpressionInfo}
 
 import graft.functions.{Hilbert2D, HilbertN, PqAssign, ShingleNGrams,
-  VecDot, VectorizeDotProduct}
+  UnicodeNormalize, VecDot, VectorizeDotProduct}
 
 /** Engine extension point (SparkSessionExtensions): registers the
   * native [[graft.functions.VecDot]] kernel as SQL function
@@ -505,6 +505,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // probes it — the explicit pre-shuffle semi-join pruning a user
     // composes when the optimizer's automatic injection can't see
     // the join (see operators.BloomJoin).
+    ext.injectFunction((
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName,
+        "unicode_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "unicode_normalize expects (str, 'NFC'|'NFD'|'NFKC'|" +
+            s"'NFKD'), got ${children.size}")
+        val f = children(1)
+        require(f.foldable,
+          s"unicode_normalize: form must be a literal, got ${f.sql}")
+        UnicodeNormalize(children.head,
+          UnicodeNormalize.formOf(String.valueOf(f.eval())))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(

@@ -18,5 +18,6 @@ object Registry {
       queries.Signals.all ++ queries.Changes.all ++
       queries.Linkage.all ++ queries.Curation2.all ++
       queries.Pii.all ++ queries.WinnowQ.all ++ queries.BpeTrainQ.all ++
-      queries.RagQ.all ++ queries.DriftQ.all ++ queries.EvalQ.all
+      queries.RagQ.all ++ queries.DriftQ.all ++ queries.EvalQ.all ++
+      queries.UnicodeQ.all
 }

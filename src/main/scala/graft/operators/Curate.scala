@@ -41,10 +41,19 @@ object Curate {
     case object TransitiveBestQuality extends NearDupPolicy
   }
 
-  /** Whitespace/digit/case normalization (the q56 cleaning pass). */
+  /** Unicode-form + whitespace/digit/case normalization (the q56
+    * cleaning pass, NFC-first): canonically-equal spellings (é
+    * precomposed vs e + combining acute) must be byte-equal BEFORE
+    * md5/shingle/minhash keys are built, or exact dedup silently
+    * treats them as distinct documents. NFC rides the codegen'd
+    * [[graft.functions.UnicodeNormalize]] kernel (ASCII fast path =
+    * one byte scan, zero allocation), mirrored in oracles by
+    * DuckDB's `nfc_normalize`. */
   def normalize(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[0-9]+", ""), "\\s+", " "))
+      regexp_replace(
+        lower(call_function("unicode_normalize", text, lit("NFC"))),
+        "[0-9]+", ""), "\\s+", " "))
 
   /** @param docs         (idCol, textCol) document table
     * @param stopwords    quality-scoring stop list

@@ -50,7 +50,7 @@ object CurateQ {
         FROM documents WHERE doc_id < 200),
       cleaned0 AS (
         SELECT doc_id AS id, lang,
-               trim(regexp_replace(regexp_replace(lower(text),
+               trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
                  '[0-9]+', '', 'g'), '\\s+', ' ', 'g')) AS clean
         FROM doubled),
       scored AS (
@@ -140,7 +140,7 @@ object CurateQ {
         FROM documents WHERE doc_id < 150),
       cleaned0 AS (
         SELECT doc_id AS id, lang,
-               trim(regexp_replace(regexp_replace(lower(text),
+               trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
                  '[0-9]+', '', 'g'), '\\s+', ' ', 'g')) AS clean
         FROM tripled),
       scored AS (

@@ -150,22 +150,39 @@ def main():
         "props": [json.dumps({"k": int(k)})
                   for k in rng.integers(0, 100, n_ev)]})
     # documents: planted exact dups + shifted near-dups so dedup /
-    # similarity queries have non-trivial matches on every seed
+    # similarity queries have non-trivial matches on every seed.
+    # Each doc's text is salted with its language's function words
+    # (~20% of positions) so language-ID (q253) has REAL per-language
+    # signal on fuzz data instead of one shared vocabulary; dups copy
+    # the source doc's lang so exact-dup texts never contradict it.
+    lang_markers = {"en": ["the", "of", "and"],
+                    "de": ["der", "und", "die"],
+                    "fr": ["le", "la", "et"],
+                    "es": ["el", "los", "y"],
+                    "zh": ["的", "是", "了"]}
+    langs = list(rng.choice(LANGS, n_doc))
     texts = []
     for i in range(n_doc):
         nw = int(rng.integers(10, 90))
         w = list(rng.choice(WORDS, nw))
+        m = lang_markers[langs[i]]
+        for j in range(len(w)):
+            if rng.random() < 0.2:
+                w[j] = m[int(rng.integers(0, len(m)))]
         if i % 7 == 3 and texts:           # exact dup of an earlier doc
-            texts.append(texts[rng.integers(0, len(texts))])
+            k = int(rng.integers(0, len(texts)))
+            texts.append(texts[k]);  langs[i] = langs[k]
         elif i % 11 == 5 and texts:        # shifted near-dup
-            base = texts[rng.integers(0, len(texts))].split()
+            k = int(rng.integers(0, len(texts)))
+            base = texts[k].split()
             texts.append(" ".join([str(rng.choice(WORDS))] + base[:-1]))
+            langs[i] = langs[k]
         else:
             texts.append(" ".join(w))
     write(args.out, "documents", {
         "doc_id": pa.array(range(n_doc), pa.int64()),
         "text": texts,
-        "lang": rng.choice(LANGS, n_doc),
+        "lang": langs,
         "source": [f"src{rng.integers(0, 20)}" for _ in range(n_doc)],
         "n_chars": pa.array([len(t) for t in texts], pa.int64())})
     centers = rng.normal(0, 0.12, (10, 64))
