@@ -18,7 +18,7 @@ import graft.operators.Graph
   * decades and wall growth isolates the ENGINE's scaling.
   *
   * Usage: runMain graft.GraphScale [n] [reps] [ops-csv]
-  * (ops-csv ⊆ kcore,lpa,walks,scc,temporal; default all)
+  * (ops-csv ⊆ kcore,lpa,walks,scc,temporal,linkpred; default all)
   * Prints one JSON line per rep per operator plus summary minima.
   */
 object GraphScale {
@@ -27,7 +27,8 @@ object GraphScale {
     val n = args.lift(0).map(_.toInt).getOrElse(100000)
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val ops = args.lift(2).map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("kcore", "lpa", "walks", "scc", "temporal"))
+      .getOrElse(Set("kcore", "lpa", "walks", "scc", "temporal",
+        "linkpred"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = Tables.configure(SparkSession.builder()
@@ -100,6 +101,22 @@ object GraphScale {
       (tot, moving)
     }
 
+    // link prediction (q220/q223): the capped 2-hop expansion over
+    // the constant-density graph — Σ_w deg(w)² with E[d²] constant
+    // per decade, so wall must grow ~linearly in n. The adaptive
+    // p99-derived cap is what this ladder proves out: the cap is
+    // computed from the decade's own degree histogram, so the
+    // exponent is a property of the PLAN, not of a hand-picked
+    // constant that happens to exceed the fixture's max degree.
+    // out = candidate pairs, extra = Σ ra_ppm (exactness witness).
+    def linkpredRun(m: Long): (Long, Long) = {
+      val r = Graph.commonNeighborCandidatesAdaptive(
+          edges(m), "a", "b")
+        .agg(count(lit(1)).as("c"), sum(col("ra_ppm")).as("s"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
     // scc treats the SAME generated edges as DIRECTED: avg
     // out-degree 3 puts the digraph well past the giant-SCC
     // threshold, so every decade has one large component, a
@@ -119,6 +136,7 @@ object GraphScale {
     if (ops("walks")) walkRun(math.max(n / 10L, 1000L))
     if (ops("scc")) sccRun(math.max(n / 10L, 1000L))
     if (ops("temporal")) temporalRun(math.max(n / 10L, 1000L))
+    if (ops("linkpred")) linkpredRun(math.max(n / 10L, 1000L))
 
     def timed(tag: String, run: () => (Long, Long)): Double = {
       val times = (1 to reps).map { r =>
@@ -142,10 +160,13 @@ object GraphScale {
       () => sccRun(n.toLong)) else -1d
     val tp = if (ops("temporal")) timed("temporal_e2e",
       () => temporalRun(n.toLong)) else -1d
+    val lk = if (ops("linkpred")) timed("linkpred_e2e",
+      () => linkpredRun(n.toLong)) else -1d
     println(f"""{"metric":"graph_scale_min","n":$n,""" +
       f""""kcore_sec":$kc%.4f,"lpa_sec":$lp%.4f,""" +
       f""""walks_sec":$wk%.4f,"scc_sec":$sc%.4f,""" +
-      f""""temporal_sec":$tp%.4f,"unit":"sec"}""")
+      f""""temporal_sec":$tp%.4f,"linkpred_sec":$lk%.4f,""" +
+      f""""unit":"sec"}""")
     spark.stop()
   }
 }

@@ -187,8 +187,10 @@ object Graph {
           .join(dropped.select(col("id").as("dst")), Seq("dst"))
           .groupBy(col("src").as("id"))
           .agg(count(lit(1)).as("dec"))
+        // survivors = deg >= k (same set as anti-joining `dropped`,
+        // one vertex-sized join cheaper per round)
         degs = degs
-          .join(dropped, Seq("id"), "left_anti")
+          .filter(col("deg") >= k)
           .join(dec, Seq("id"), "left")
           .select(col("id"),
             (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
@@ -243,8 +245,10 @@ object Graph {
             .join(dropped.select(col("id").as("dst")), Seq("dst"))
             .groupBy(col("src").as("id"))
             .agg(count(lit(1)).as("dec"))
+          // survivors = deg >= k — the same set an anti-join against
+          // `dropped` selects, minus one vertex-sized join per round
           degs = degs
-            .join(dropped, Seq("id"), "left_anti")
+            .filter(col("deg") >= k)
             .join(dec, Seq("id"), "left")
             .select(col("id"),
               (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
@@ -593,6 +597,53 @@ object Graph {
   def commonNeighborCandidates(edges: DataFrame, aCol: String,
       bCol: String, degCap: Int): DataFrame = {
     require(degCap >= 1, s"degCap must be >= 1: $degCap")
+    commonNeighborImpl(edges, aCol, bCol,
+      deg => deg.filter(col("d") <= degCap))
+  }
+
+  /** [[commonNeighborCandidates]] with the hub cap DERIVED IN-PLAN
+    * from the graph's own degree distribution instead of hand-picked:
+    * cap = max(minCap, p99Mult · p99(deg)), where p99(deg) is the
+    * EXACT 99th-percentile degree (smallest d with ≥ 99% of vertices
+    * at degree ≤ d) computed from the degree histogram — a frame
+    * bounded by the number of DISTINCT degrees, so the one
+    * unpartitioned window is bins-sized (the isotonic-fit contract),
+    * and the cap joins back as a broadcast 1-row frame, never a
+    * driver collect.
+    *
+    * Why p99 and not max: the expansion cost is Σ_{d ≤ cap} c_d·d² —
+    * anchoring the cap to the distribution's bulk keeps that sum
+    * within p99Mult² of the UNCAPPED cost of the non-hub 99%, no
+    * matter how the tail densifies. A fixture that doubles every
+    * vertex's degree doubles the cap with it (wall grows with the
+    * data, never cliffs on a constant); a fixture that only grows
+    * hub degree leaves the cap — and the excluded-hub semantics —
+    * fixed. Exactly integer-replayable in the oracle (histogram,
+    * running sum, one GREATEST). */
+  def commonNeighborCandidatesAdaptive(edges: DataFrame,
+      aCol: String, bCol: String, p99Mult: Int = 4,
+      minCap: Int = 64): DataFrame = {
+    require(p99Mult >= 1 && minCap >= 1,
+      s"p99Mult/minCap must be >= 1: $p99Mult, $minCap")
+    commonNeighborImpl(edges, aCol, bCol, { deg =>
+      import org.apache.spark.sql.expressions.Window
+      val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cap = cum
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n"))))
+        .filter(col("cum") * 100L >= col("n") * 99L)
+        .agg(min(col("d")).as("p99"))
+        .select(greatest(col("p99") * p99Mult,
+          lit(minCap.toLong)).as("cap"))
+      deg.crossJoin(broadcast(cap)).filter(col("d") <= col("cap"))
+        .select(col("x"), col("d"))
+    })
+  }
+
+  private def commonNeighborImpl(edges: DataFrame, aCol: String,
+      bCol: String, lowOf: DataFrame => DataFrame): DataFrame = {
     val und = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b"))
     val e = und.select(col("a"), col("b"))
@@ -600,7 +651,7 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     val deg = e.groupBy(col("a").as("x")).agg(count(lit(1)).as("d"))
-    val low = deg.filter(col("d") <= degCap).localCheckpoint(true)
+    val low = lowOf(deg).localCheckpoint(true)
     val eLow = e
       .join(low.select(col("x").as("a")), Seq("a"), "left_semi")
       .join(low.select(col("x").as("b")), Seq("b"), "left_semi")
@@ -789,24 +840,33 @@ object Graph {
         }
       }
       if (!v.isEmpty) {
-        // 2. COLOR: forward min-label fixpoint
+        // 2. COLOR: forward min-label fixpoint, FRONTIER-RESTRICTED
+        // (the r11 earliestArrival argument, r12'd here): each round
+        // propagates only from vertices whose color IMPROVED last
+        // round — an unchanged vertex's relaxations were all emitted
+        // the round after it last improved, and re-emitting into a
+        // MIN changes nothing — so the edge join rides the shrinking
+        // frontier instead of the whole vertex set, and the improved
+        // frame doubles as the convergence test (no separate
+        // changed-compare join).
         var color = v.select(col("id"), col("id").as("c"))
           .localCheckpoint(true)
-        var changed = true
-        while (changed) {
+        var improved = color
+        while (!improved.isEmpty) {
           spend()
           val prop = e
-            .join(color.select(col("id").as("src"), col("c")),
+            .join(improved.select(col("id").as("src"), col("c")),
               Seq("src"))
             .select(col("dst").as("id"), col("c"))
           val upd = color.unionByName(prop)
             .groupBy(col("id")).agg(min(col("c")).as("c"))
             .localCheckpoint(true)
-          changed = !upd
+          improved = upd
             .join(color.select(col("id"), col("c").as("c0")),
               Seq("id"))
             .filter(col("c") < col("c0"))
-            .isEmpty
+            .select(col("id"), col("c"))
+            .localCheckpoint(true)
           color = upd
         }
         // 3. SWEEP: backward BFS from every root inside its class

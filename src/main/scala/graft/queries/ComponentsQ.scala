@@ -1504,7 +1504,7 @@ object ComponentsQ {
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select(col("src"), col("dst"))
-      Graph.commonNeighborCandidates(und, "src", "dst", degCap = 256)
+      Graph.commonNeighborCandidatesAdaptive(und, "src", "dst")
         .select(col("u"), col("v"), col("cn"), col("pa_u_deg"),
           col("pa_v_deg"))
         .orderBy(col("cn").desc,
@@ -1527,7 +1527,13 @@ object ComponentsQ {
       deg AS (
         SELECT a AS x, CAST(COUNT(*) AS BIGINT) AS d
         FROM e GROUP BY 1),
-      low AS (SELECT x, d FROM deg WHERE d <= 256),
+      hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c
+              FROM deg GROUP BY 1),
+      cum AS (SELECT d, SUM(c) OVER (ORDER BY d) AS cum FROM hist),
+      cap AS (SELECT GREATEST(MIN(d) * 4, 64) AS cap
+              FROM cum, (SELECT COUNT(*) AS n FROM deg) t
+              WHERE cum * 100 >= n * 99),
+      low AS (SELECT x, d FROM deg, cap WHERE d <= cap),
       elow AS (
         SELECT e.a, e.b FROM e
         JOIN low la ON la.x = e.a
@@ -1572,7 +1578,7 @@ object ComponentsQ {
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select(col("src"), col("dst"))
-      Graph.commonNeighborCandidates(und, "src", "dst", degCap = 256)
+      Graph.commonNeighborCandidatesAdaptive(und, "src", "dst")
         .orderBy(col("ra_ppm").desc, col("cn").desc, col("u"),
           col("v"))
         .limit(20)
@@ -1592,7 +1598,13 @@ object ComponentsQ {
       deg AS (
         SELECT a AS x, CAST(COUNT(*) AS BIGINT) AS d
         FROM e GROUP BY 1),
-      low AS (SELECT x, d FROM deg WHERE d <= 256),
+      hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c
+              FROM deg GROUP BY 1),
+      cum AS (SELECT d, SUM(c) OVER (ORDER BY d) AS cum FROM hist),
+      cap AS (SELECT GREATEST(MIN(d) * 4, 64) AS cap
+              FROM cum, (SELECT COUNT(*) AS n FROM deg) t
+              WHERE cum * 100 >= n * 99),
+      low AS (SELECT x, d FROM deg, cap WHERE d <= cap),
       elow AS (
         SELECT e.a, e.b FROM e
         JOIN low la ON la.x = e.a

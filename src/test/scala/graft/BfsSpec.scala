@@ -135,6 +135,31 @@ class BfsSpec extends SparkSpec {
     assert(lp(es, cap = 10).keySet.size === 10 + 1)
   }
 
+  test("adaptive cap: p99-derived bound tracks the bulk and " +
+      "excludes only the out-of-distribution hub") {
+    // 120 deg<=2 chain vertices (the bulk) + one deg-40 hub: exact
+    // p99(deg) = 2, cap = max(2*4, minCap=4) = 8 < 40 -> the hub is
+    // excluded exactly like a hand-picked cap would, but DERIVED.
+    val chain = (0L until 120L).map(i => (1000L + i, 1001L + i))
+    val hub = (1L to 40L).map(i => (9L, 2000L + i))
+    val got = Graph.commonNeighborCandidatesAdaptive(
+        (chain ++ hub).toDF("a", "b"), "a", "b",
+        p99Mult = 4, minCap = 4)
+      .select("u", "v").as[(Long, Long)].collect().toSet
+    // chain contributes (i, i+2) pairs only; zero hub-mediated pairs
+    assert(got === (0L until 119L).map(i =>
+      (1000L + i, 1002L + i)).toSet)
+    // with everything under the derived cap, results == fixed-cap
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val adaptive = Graph.commonNeighborCandidatesAdaptive(
+        es.toDF("a", "b"), "a", "b")
+      .select("u", "v", "cn").as[(Long, Long, Long)].collect().toSet
+    val fixed = Graph.commonNeighborCandidates(
+        es.toDF("a", "b"), "a", "b", 64)
+      .select("u", "v", "cn").as[(Long, Long, Long)].collect().toSet
+    assert(adaptive === fixed)
+  }
+
   test("orientation and duplicate edges do not double-count") {
     val m = lp(Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L)), cap = 5)
     assert(m === Map((1L, 3L) -> ((1L, 1L, 1L))))

@@ -23,3 +23,8 @@ else
   sbt -batch "runMain graft.Verify $DATA $OUT"
 fi
 python3 tools/check.py "$DATA" "$OUT"
+# Plan-drift leg (full runs only): fingerprints are pinned to the
+# committed sf0.001 data, so this runs alongside — NOT against — the
+# fuzz data. See tools/plan_gate.sh; tools/fuzz_grid.sh covers the
+# zipf/hub/value-extreme regimes.
+if [ -z "$SUBSET" ]; then tools/plan_gate.sh; fi

@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Dev-only pre-driver fuzz GRID over the data regimes one seed can't
+# reach: zipf exponent x mega-hub fraction x value-domain scale, run
+# against the width/tie-fragile query family (iterative graph chains,
+# Gini, Bradley-Terry) plus anything passed as $1 (extra CSV names).
+#
+# Usage: tools/fuzz_grid.sh [extra-query-csv]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+QS="q94_pagerank,q118_pagerank_directed,q195_ppr,q204_hits,q208_betweenness,q213_scc_full,q233_bradley_terry,q245_gini_concentration${1:+,$1}"
+fail=0
+for zipf in 1.2 2.2; do
+  for hub in 1 4; do
+    for vs in 1 1000000; do
+      tag="z${zipf}_h${hub}_v${vs}"
+      DATA="/tmp/fuzzgrid_${tag}"
+      OUT="/tmp/fuzzgridv_${tag}"
+      rm -rf "$DATA" "$OUT"
+      python3 tools/regen_testdata.py --seed 61 --sf 0.01 --out "$DATA" \
+        --zipf "$zipf" --hub-mult "$hub" --value-scale "$vs" >/dev/null
+      tools/run_main.sh graft.VerifySome "$DATA" "$OUT" "$QS" \
+        2>/dev/null | grep -E "\[verify\].*failed" || true
+      if python3 tools/check.py "$DATA" "$OUT" | tail -1 \
+          | grep -q " 0 fail"; then
+        echo "GRID $tag: PASS"
+      else
+        echo "GRID $tag: FAIL"; fail=1
+        python3 tools/check.py "$DATA" "$OUT" | grep FAIL || true
+      fi
+    done
+  done
+done
+exit $fail

@@ -44,10 +44,16 @@ WORDS = ("key agg row scan slow fast table value part hash merge batch "
          "plan column codegen push prune").split()
 
 
-def zipf_keys(rng, n, hi, a):
-    """n keys in [0, hi) with a zipf-ish heavy tail, capped to range."""
+def zipf_keys(rng, n, hi, a, hub_mult=1):
+    """n keys in [0, hi) with a zipf-ish heavy tail, capped to range.
+    hub_mult > 1 additionally redirects 1/hub_mult of all draws onto
+    key 0 — a degree regime (one mega-hub owning a constant fraction
+    of ALL edges) no zipf exponent produces."""
     z = rng.zipf(a, size=n)
-    return ((z - 1) % hi).astype(np.int64)
+    keys = ((z - 1) % hi).astype(np.int64)
+    if hub_mult > 1:
+        keys[rng.random(n) < 1.0 / hub_mult] = 0
+    return keys
 
 
 def money(rng, n, lo, hi):
@@ -71,6 +77,14 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--zipf", type=float, default=1.4,
                     help="degree-skew exponent for fk columns")
+    ap.add_argument("--hub-mult", type=int, default=1,
+                    help="redirect this fraction denominator of fk "
+                    "draws onto key 0 (2 = half of all draws hit the "
+                    "hub) — hub-degree extremes past what any zipf "
+                    "exponent reaches")
+    ap.add_argument("--value-scale", type=float, default=1.0,
+                    help="multiply events.value / money domains — "
+                    "drives integer-width chains toward their bounds")
     args = ap.parse_args()
     rng = np.random.default_rng(args.seed)
     sf = args.sf
@@ -116,8 +130,8 @@ def main():
         "o_orderkey": pa.array(range(n_ord), pa.int64()),
         # zipf-skewed custkeys: hub customers get order counts far past
         # uniform — stresses degree-dependent integer chains
-        "o_custkey": pa.array(zipf_keys(rng, n_ord, n_cust, args.zipf),
-                              pa.int64()),
+        "o_custkey": pa.array(zipf_keys(rng, n_ord, n_cust, args.zipf,
+                                        args.hub_mult), pa.int64()),
         "o_orderstatus": rng.choice(["P", "F", "O"], n_ord),
         "o_totalprice": money(rng, n_ord, 1000, 500000),
         "o_orderdate": pa.array(days(rng, n_ord, "1995-01-01", 2400),
@@ -125,8 +139,8 @@ def main():
         "o_orderpriority": rng.choice(PRIORITIES, n_ord)})
     write(args.out, "lineitem", {
         "l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
-        "l_partkey": pa.array(zipf_keys(rng, n_li, n_part, args.zipf),
-                              pa.int64()),
+        "l_partkey": pa.array(zipf_keys(rng, n_li, n_part, args.zipf,
+                                        args.hub_mult), pa.int64()),
         "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
         "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
         "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
@@ -144,9 +158,10 @@ def main():
         "event_id": pa.array(range(n_ev), pa.int64()),
         "ts": pa.array(ev_ts, pa.timestamp("us")),
         "user_id": pa.array(zipf_keys(rng, n_ev, max(int(15000 * sf), 20),
-                                      args.zipf), pa.int64()),
+                                      args.zipf, args.hub_mult),
+                            pa.int64()),
         "event_type": rng.choice(EVENT_TYPES, n_ev),
-        "value": money(rng, n_ev, 0.01, 500),
+        "value": money(rng, n_ev, 0.01, 500 * args.value_scale),
         "props": [json.dumps({"k": int(k)})
                   for k in rng.integers(0, 100, n_ev)]})
     # documents: planted exact dups + shifted near-dups so dedup /
