@@ -18,7 +18,7 @@ import graft.operators.Graph
   * decades and wall growth isolates the ENGINE's scaling.
   *
   * Usage: runMain graft.GraphScale [n] [reps] [ops-csv]
-  * (ops-csv ⊆ kcore,lpa,walks,scc,temporal,linkpred; default all)
+  * (ops-csv ⊆ kcore,lpa,walks,scc,temporal,linkpred,adamic; default all)
   * Prints one JSON line per rep per operator plus summary minima.
   */
 object GraphScale {
@@ -28,7 +28,7 @@ object GraphScale {
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val ops = args.lift(2).map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("kcore", "lpa", "walks", "scc", "temporal",
-        "linkpred"))
+        "linkpred", "adamic"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = Tables.configure(SparkSession.builder()
@@ -117,6 +117,17 @@ object GraphScale {
       (r.getLong(0), r.getLong(1))
     }
 
+    // Adamic-Adar variant of the same ladder: same expansion + one
+    // broadcast join against the 512-row ln mantissa table — wall
+    // within noise of linkpred IS the "zero extra shuffles" claim,
+    // measured. extra = Σ aa_ppm (exactness witness).
+    def adamicRun(m: Long): (Long, Long) = {
+      val r = Graph.adamicAdarCandidates(edges(m), "a", "b")
+        .agg(count(lit(1)).as("c"), sum(col("aa_ppm")).as("s"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
     // scc treats the SAME generated edges as DIRECTED: avg
     // out-degree 3 puts the digraph well past the giant-SCC
     // threshold, so every decade has one large component, a
@@ -137,6 +148,7 @@ object GraphScale {
     if (ops("scc")) sccRun(math.max(n / 10L, 1000L))
     if (ops("temporal")) temporalRun(math.max(n / 10L, 1000L))
     if (ops("linkpred")) linkpredRun(math.max(n / 10L, 1000L))
+    if (ops("adamic")) adamicRun(math.max(n / 10L, 1000L))
 
     def timed(tag: String, run: () => (Long, Long)): Double = {
       val times = (1 to reps).map { r =>
@@ -162,10 +174,13 @@ object GraphScale {
       () => temporalRun(n.toLong)) else -1d
     val lk = if (ops("linkpred")) timed("linkpred_e2e",
       () => linkpredRun(n.toLong)) else -1d
+    val aa = if (ops("adamic")) timed("adamic_e2e",
+      () => adamicRun(n.toLong)) else -1d
     println(f"""{"metric":"graph_scale_min","n":$n,""" +
       f""""kcore_sec":$kc%.4f,"lpa_sec":$lp%.4f,""" +
       f""""walks_sec":$wk%.4f,"scc_sec":$sc%.4f,""" +
       f""""temporal_sec":$tp%.4f,"linkpred_sec":$lk%.4f,""" +
+      f""""adamic_sec":$aa%.4f,""" +
       f""""unit":"sec"}""")
     spark.stop()
   }

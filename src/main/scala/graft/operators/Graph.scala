@@ -622,10 +622,16 @@ object Graph {
     * running sum, one GREATEST). */
   def commonNeighborCandidatesAdaptive(edges: DataFrame,
       aCol: String, bCol: String, p99Mult: Int = 4,
-      minCap: Int = 64): DataFrame = {
+      minCap: Int = 64): DataFrame =
+    commonNeighborImpl(edges, aCol, bCol, adaptiveLow(p99Mult, minCap))
+
+  /** The p99-derived hub cap of [[commonNeighborCandidatesAdaptive]]
+    * as a reusable degree-frame restriction. */
+  private def adaptiveLow(p99Mult: Int, minCap: Int)
+      : DataFrame => DataFrame = {
     require(p99Mult >= 1 && minCap >= 1,
       s"p99Mult/minCap must be >= 1: $p99Mult, $minCap")
-    commonNeighborImpl(edges, aCol, bCol, { deg =>
+    deg => {
       import org.apache.spark.sql.expressions.Window
       val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("c"))
       val cum = hist.withColumn("cum",
@@ -639,11 +645,100 @@ object Graph {
           lit(minCap.toLong)).as("cap"))
       deg.crossJoin(broadcast(cap)).filter(col("d") <= col("cap"))
         .select(col("x"), col("d"))
-    })
+    }
+  }
+
+  /** [[commonNeighborCandidatesAdaptive]] plus the literal
+    * Adamic-Adar index (Adamic & Adar 2003: Σ over shared neighbors
+    * of 1/ln deg(w)) in exact integer arithmetic — the metric q223
+    * deliberately substituted with resource allocation because
+    * 1/ln d would put non-correctly-rounded libm in the cross-engine
+    * hash. Here ln is the ppm-quantized fixed point [[lnPpm]]: a
+    * 512-entry mantissa table generated once from `StrictMath.log`
+    * (fdlibm — bit-reproducible across JVMs) plus pure integer
+    * shift/div/mod algebra, so Spark and the DuckDB oracle (whose
+    * SQL embeds the SAME table values as literals, string-built from
+    * the same array) compute identical BIGINTs by construction. Each
+    * shared neighbor contributes 1e12 div lnPpm(deg(w)) — i.e.
+    * 1e6/ln(deg) at ppm scale, within ~7 ppm of the real-valued
+    * metric for deg ≤ 2^40 (table ±0.5, ln2 rounding 0.19/octave,
+    * series truncation < 1.91, floor 1).
+    *
+    * Output adds `aa_ppm` after `ra_ppm`; midpoints always have
+    * deg ≥ 2 (they touch both u and v), so ln is never 0. */
+  def adamicAdarCandidates(edges: DataFrame, aCol: String,
+      bCol: String, p99Mult: Int = 4, minCap: Int = 64): DataFrame =
+    commonNeighborImpl(edges, aCol, bCol,
+      adaptiveLow(p99Mult, minCap), withAa = true)
+
+  /** ln(m)·1e6 rounded to the nearest integer for m ∈ [512, 1023] —
+    * the mantissa table of the fixed-point ln. `StrictMath.log` is
+    * fdlibm-pinned, so every JVM (builder, driver) generates the
+    * identical table, and the oracle SQL embeds these exact values
+    * as literals via [[lnTabValuesSql]]. */
+  private[graft] val lnMantissaPpm: IndexedSeq[Long] =
+    (512 to 1023).map(m => Math.round(StrictMath.log(m.toDouble) * 1e6))
+
+  /** round(ln(2)·1e6) — the per-octave step of the fixed-point ln. */
+  private[graft] val Ln2Ppm: Long = 693147L
+
+  /** `(512, lnppm), (513, lnppm), …` — the mantissa table as a SQL
+    * VALUES body for the DuckDB oracle. */
+  private[graft] def lnTabValuesSql: String =
+    lnMantissaPpm.zipWithIndex
+      .map { case (v, i) => s"(${i + 512}, $v)" }.mkString(", ")
+
+  /** floor(log2(d)) for a BIGINT column as a branch-only SQL CASE —
+    * valid verbatim in both Spark SQL and DuckDB (no libm, no
+    * engine-specific syntax). */
+  private[graft] def blCaseSql(d: String): String =
+    (62 to 1 by -1)
+      .map(k => s"WHEN $d >= ${1L << k} THEN $k")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** Appends `out` = lnPpm(`dCol`) ≈ round(1e6·ln d) to `df` in pure
+    * integer algebra: decompose d = m·2^sh + r with m ∈ [512, 1024)
+    * (sh = floor(log2 d) − 9; for d < 512 the shift is left and
+    * exact), then
+    * `lnPpm = table(m) + sh·Ln2Ppm + (r·1e6) div (m·2^sh)` — the
+    * last term is the first-order ln(1+x) correction, x < 1/512 so
+    * truncation < 1.91 ppm. The r·1e6 product is widened to
+    * DECIMAL(38,0) before multiplying (loud-NULL house rule), the
+    * mantissa lookup is a broadcast join against the 512-row table.
+    * Requires d ≥ 1; columns `_bl/_sh/_m/_r/_lnm` are consumed. */
+  private[graft] def withLnPpm(df: DataFrame, dCol: String,
+      out: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tab = lnMantissaPpm.zipWithIndex
+      .map { case (v, i) => ((i + 512).toLong, v) }
+      .toDF("_m", "_lnm")
+    df.withColumn("_bl", expr(blCaseSql(dCol)).cast("long"))
+      .withColumn("_sh", col("_bl") - lit(9L))
+      .withColumn("_m",
+        when(col("_sh") >= 0,
+          expr(s"$dCol div shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(_sh AS INT))"))
+          .otherwise(expr(s"shiftleft($dCol, CAST(-_sh AS INT))")))
+      .withColumn("_r",
+        when(col("_sh") > 0,
+          expr(s"$dCol % shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(_sh AS INT))"))
+          .otherwise(lit(0L)))
+      .join(broadcast(tab), Seq("_m"))
+      .withColumn(out,
+        col("_lnm") + col("_sh") * lit(Ln2Ppm) +
+          when(col("_sh") > 0,
+            expr("(CAST(_r AS DECIMAL(38,0)) * 1000000) div " +
+              "(CAST(_m AS DECIMAL(38,0)) * " +
+              "shiftleft(CAST(1 AS BIGINT), CAST(_sh AS INT)))"))
+            .otherwise(lit(0L)))
+      .drop("_bl", "_sh", "_m", "_r", "_lnm")
   }
 
   private def commonNeighborImpl(edges: DataFrame, aCol: String,
-      bCol: String, lowOf: DataFrame => DataFrame): DataFrame = {
+      bCol: String, lowOf: DataFrame => DataFrame,
+      withAa: Boolean = false): DataFrame = {
     val und = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b"))
     val e = und.select(col("a"), col("b"))
@@ -661,21 +756,39 @@ object Graph {
     // (1e6 div deg), the cheap-midpoints-count-more refinement that
     // outranks raw CN empirically, with zero extra shuffles (deg
     // rides the path row)
+    // midpoint frame for the path join: degree always rides the
+    // row; the Adamic-Adar variant additionally carries the
+    // fixed-point ln of that degree (midpoints touch both u and v,
+    // so deg ≥ 2 and ln is never 0 — the filter is part of the
+    // operator contract and mirrored in the oracle)
+    val mid =
+      if (withAa)
+        withLnPpm(low.filter(col("d") >= 2), "d", "lnw")
+          .select(col("x").as("w"), col("d").as("dw"), col("lnw"))
+      else low.select(col("x").as("w"), col("d").as("dw"))
     val paths = eLow.select(col("a").as("u"), col("b").as("w"))
       .join(eLow.select(col("a").as("w"), col("b").as("v")), Seq("w"))
       .filter(col("u") < col("v"))
-      .join(low.select(col("x").as("w"), col("d").as("dw")), Seq("w"))
+      .join(mid, Seq("w"))
+    val aggs =
+      Seq(count(lit(1)).as("cn"),
+        sum(expr("1000000L div dw")).as("ra_ppm")) ++
+      (if (withAa)
+        Seq(sum(expr("1000000000000 div lnw")).as("aa_ppm"))
+      else Nil)
     val cn = paths.groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("cn"),
-        sum(expr("1000000L div dw")).as("ra_ppm"))
+      .agg(aggs.head, aggs.tail: _*)
       .join(e.select(col("a").as("u"), col("b").as("v")),
         Seq("u", "v"), "left_anti")
+    val outCols =
+      Seq(col("u"), col("v"), col("cn"), col("ra_ppm")) ++
+      (if (withAa) Seq(col("aa_ppm")) else Nil) ++
+      Seq(col("pa_u_deg"), col("pa_v_deg"))
     cn.join(low.select(col("x").as("u"), col("d").as("pa_u_deg")),
         Seq("u"))
       .join(low.select(col("x").as("v"), col("d").as("pa_v_deg")),
         Seq("v"))
-      .select(col("u"), col("v"), col("cn"), col("ra_ppm"),
-        col("pa_u_deg"), col("pa_v_deg"))
+      .select(outCols: _*)
   }
 
   /** TEMPORAL earliest-arrival reachability — single-source shortest

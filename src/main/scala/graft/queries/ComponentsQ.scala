@@ -1631,8 +1631,109 @@ object ComponentsQ {
       SELECT u, v, cn, ra_ppm, pa_u_deg, pa_v_deg FROM scored
       ORDER BY ra_ppm DESC, cn DESC, u, v LIMIT 20"""))
 
+  /** q254 — the literal Adamic-Adar index (Adamic & Adar 2003:
+    * Σ_w 1/ln deg(w) over shared neighbors) on the q220 co-purchase
+    * graph, in EXACT integer arithmetic — closing the one metric
+    * q223 substituted (its scaladoc: "Adamic-Adar's 1/log d would
+    * put libm in the hash"). The ln is the ppm-quantized fixed
+    * point [[Graph.withLnPpm]]: d = m·2^sh + r with m ∈ [512,1024),
+    * lnPpm = table(m) + sh·693147 + (r·1e6) div (m·2^sh), where the
+    * 512-entry mantissa table is generated once from StrictMath.log
+    * (fdlibm, bit-reproducible) and EMBEDDED AS LITERALS in this
+    * oracle via [[Graph.lnTabValuesSql]] — both engines therefore
+    * compute identical BIGINTs from identical constants; no libm
+    * runs in either hash. Each shared neighbor w contributes
+    * 1e12 div lnPpm(deg(w)) ≈ 1e6/ln deg at ppm scale (within
+    * ~7 ppm of the real-valued metric). AA sits between CN (all
+    * midpoints equal) and RA (1/d — hub-hostile): the three
+    * rankings genuinely differ on this fixture.
+    *
+    * Scale shape: identical to q223 (the ln adds one broadcast join
+    * against a 512-row table and per-row integer algebra — zero
+    * extra shuffles); the same adaptive p99 hub cap bounds the
+    * expansion. */
+  val q254 = Qry(
+    "q254_adamic_adar",
+    (s: SparkSession, d: String) => {
+      val und = Graph.coOccurrencePairs(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      Graph.adamicAdarCandidates(und, "src", "dst")
+        .orderBy(col("aa_ppm").desc, col("cn").desc, col("u"),
+          col("v"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH pr AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        FROM lineitem),
+      ew AS (
+        SELECT a.i AS u, b.i AS v, COUNT(*) AS w
+        FROM pr a JOIN pr b ON a.g = b.g AND a.i < b.i
+        GROUP BY 1, 2),
+      und AS (SELECT u, v FROM ew WHERE w >= 2),
+      e AS MATERIALIZED (
+        SELECT u AS a, v AS b FROM und
+        UNION SELECT v, u FROM und),
+      deg AS (
+        SELECT a AS x, CAST(COUNT(*) AS BIGINT) AS d
+        FROM e GROUP BY 1),
+      hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c
+              FROM deg GROUP BY 1),
+      cum AS (SELECT d, SUM(c) OVER (ORDER BY d) AS cum FROM hist),
+      cap AS (SELECT GREATEST(MIN(d) * 4, 64) AS cap
+              FROM cum, (SELECT COUNT(*) AS n FROM deg) t
+              WHERE cum * 100 >= n * 99),
+      low AS (SELECT x, d FROM deg, cap WHERE d <= cap),
+      lntab(m, lnm) AS (VALUES ${Graph.lnTabValuesSql}),
+      lnarg AS (
+        SELECT x, d, bl,
+          CASE WHEN bl >= 9 THEN d // (1::BIGINT << CAST(bl - 9 AS INT))
+               ELSE d * (1::BIGINT << CAST(9 - bl AS INT)) END AS m,
+          CASE WHEN bl > 9 THEN d % (1::BIGINT << CAST(bl - 9 AS INT))
+               ELSE 0 END AS r
+        FROM (SELECT x, d, ${Graph.blCaseSql("d")} AS bl
+              FROM low WHERE d >= 2) t),
+      lowln AS (
+        SELECT x, d, CAST(lnm + (bl - 9) * 693147 +
+          CASE WHEN bl > 9 THEN
+            CAST(CAST(r AS HUGEINT) * 1000000 AS HUGEINT)
+              // (CAST(m AS HUGEINT)
+                 * (1::BIGINT << CAST(bl - 9 AS INT)))
+          ELSE 0 END AS BIGINT) AS lnw
+        FROM lnarg JOIN lntab USING (m)),
+      elow AS (
+        SELECT e.a, e.b FROM e
+        JOIN low la ON la.x = e.a
+        JOIN low lb ON lb.x = e.b),
+      paths AS (
+        SELECT p1.a AS u, p2.b AS v, lw.d AS dw, lw.lnw AS lnw
+        FROM elow p1 JOIN elow p2 ON p1.b = p2.a
+        JOIN lowln lw ON lw.x = p1.b
+        WHERE p1.a < p2.b),
+      cn AS (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(SUM(1000000 // dw) AS BIGINT) AS ra_ppm,
+               CAST(SUM(1000000000000 // lnw) AS BIGINT) AS aa_ppm
+        FROM paths GROUP BY 1, 2),
+      cand AS (
+        SELECT * FROM cn
+        WHERE NOT EXISTS (
+          SELECT 1 FROM e WHERE e.a = cn.u AND e.b = cn.v)),
+      scored AS (
+        SELECT cand.u, cand.v, cand.cn, cand.ra_ppm, cand.aa_ppm,
+               lu.d AS pa_u_deg, lv.d AS pa_v_deg
+        FROM cand
+        JOIN low lu ON lu.x = cand.u
+        JOIN low lv ON lv.x = cand.v)
+      SELECT u, v, cn, ra_ppm, aa_ppm, pa_u_deg, pa_v_deg FROM scored
+      ORDER BY aa_ppm DESC, cn DESC, u, v LIMIT 20"""))
+
   val all: Seq[Qry] =
     Seq(q61, q94, q100, q103, q118, q130, q171, q178, q182, q183,
       q191, q194, q195, q196, q198, q199, q204, q208, q210, q213,
-      q215, q216, q220, q223)
+      q215, q216, q220, q223, q254)
 }

@@ -84,4 +84,15 @@ class EndToEndSpec extends SparkSpec {
 
     curated.unpersist(); index.unpersist()
   }
+
+  test("driver flagship entry returns rows (smoke of the contract)") {
+    // the driver smoke-checks rows > 0 on SparkEntry.entry at
+    // sf0.001; keep the same check standing in the suite so a
+    // refactor can't break the one entry point the driver calls
+    // before any oracle runs
+    val out = SparkEntry.entry(spark)
+    assert(out.columns.toSeq ===
+      Seq("r_name", "o_orderpriority", "revenue", "n_items"))
+    assert(out.count() > 0)
+  }
 }

@@ -7,7 +7,7 @@
 # Usage: tools/fuzz_grid.sh [extra-query-csv]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-QS="q94_pagerank,q118_pagerank_directed,q195_ppr,q204_hits,q208_betweenness,q213_scc_full,q233_bradley_terry,q245_gini_concentration${1:+,$1}"
+QS="q94_pagerank,q118_pagerank_directed,q195_ppr,q204_hits,q208_betweenness,q213_scc_full,q233_bradley_terry,q245_gini_concentration,q254_adamic_adar${1:+,$1}"
 fail=0
 for zipf in 1.2 2.2; do
   for hub in 1 4; do
