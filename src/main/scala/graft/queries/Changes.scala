@@ -179,9 +179,11 @@ object Changes {
 
   /** q164 — pooled lag-k serial correlation (k = 1..3): Pearson r
     * over the within-user lag pairs of cent-snapped values, pooled
-    * per event_type. Moments ACCUMULATE in decimal(20,0) (per-row
-    * cent products fit a long, but the sums would wrap a long past
-    * ~8e9 rows/group — the oracle sums in HUGEINT) and widen to
+    * per event_type. Moments ACCUMULATE in decimal(20,0) and the
+    * per-row cent products are formed decimal·long (cents² wraps
+    * int64 once the value domain carries ~1e6 scale, and the sums
+    * would wrap past ~8e9 rows/group — the oracle multiplies and
+    * sums in HUGEINT at the same points) and widen to
     * decimal(38,0) for the closing products; the only float ops are
     * the final casts, two IEEE sqrts (correctly rounded by the
     * standard), and one division — then r6 snapping. Zero-variance
@@ -207,17 +209,23 @@ object Changes {
         .selectExpr("event_type", "v",
           "stack(3, 1, y1, 2, y2, 3, y3) AS (k, y)")
         .filter(col("y").isNotNull)
-      // per-row products can't overflow (cents² ≤ ~1.1e9) but the
-      // SUMS can past ~8e9 rows/group — accumulate in decimal like
-      // the oracle's HUGEINT, not in wrapping longs
+      // the PER-ROW products are quadratic in the value domain too
+      // (cents² wraps int64 once values carry ~1e6 scale), so cast
+      // one operand to decimal BEFORE multiplying — the product and
+      // the sums then accumulate in decimal like the oracle's
+      // HUGEINT, and any true overflow is a loud NULL, never a wrap
+      // (caught by the full-registry hostile-cell fuzz gate)
       def dsum20(c: org.apache.spark.sql.Column) =
         sum(c.cast("decimal(20,0)"))
+      def dprod(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+        sum(a.cast("decimal(20,0)") * b)
       val m = lagged.groupBy(col("event_type"), col("k"))
         .agg(count(lit(1)).as("n"),
           dsum20(col("v")).as("sx"), dsum20(col("y")).as("sy"),
-          dsum20(col("v") * col("y")).as("sxy"),
-          dsum20(col("v") * col("v")).as("sxx"),
-          dsum20(col("y") * col("y")).as("syy"))
+          dprod(col("v"), col("y")).as("sxy"),
+          dprod(col("v"), col("v")).as("sxx"),
+          dprod(col("y"), col("y")).as("syy"))
       val vx = (dec(col("n")) * dec(col("sxx")) -
         dec(col("sx")) * dec(col("sx"))).cast("double")
       val vy = (dec(col("n")) * dec(col("syy")) -
@@ -257,9 +265,9 @@ object Changes {
         SELECT event_type, k, CAST(COUNT(*) AS HUGEINT) AS n,
                CAST(SUM(v) AS HUGEINT) AS sx,
                CAST(SUM(y) AS HUGEINT) AS sy,
-               CAST(SUM(v * y) AS HUGEINT) AS sxy,
-               CAST(SUM(v * v) AS HUGEINT) AS sxx,
-               CAST(SUM(y * y) AS HUGEINT) AS syy
+               CAST(SUM(CAST(v AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
         FROM pairs GROUP BY event_type, k)
       SELECT event_type, k, CAST(n AS BIGINT) AS n_pairs,
              ${r6Sql("""CAST(n * sxy - sx * sy AS DOUBLE) /

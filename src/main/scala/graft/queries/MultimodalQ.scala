@@ -35,7 +35,10 @@ object MultimodalQ {
         .orderBy(col("lang")),
     Some("""
       SELECT lang, COUNT(*) AS n,
-             CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+             -- strlen = BYTES (n_bytes is the UTF-8 payload size);
+             -- length() counts CHARACTERS and diverges on any
+             -- non-ASCII corpus (CJK marker vocab in fuzz data)
+             CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
              MIN(md5(text)) AS min_md5
       FROM documents WHERE doc_id < 300
       GROUP BY lang ORDER BY lang"""))

@@ -169,7 +169,11 @@ object SemiStructured {
 
   /** JSON re-serialization: to_json(struct(...)) round-trip — schema
     * key order makes output deterministic (task.ts:314-320 feature
-    * assembly analogue). */
+    * assembly analogue). The money field rides as INTEGER CENTS
+    * (the q124 rule: integers only → the JSON text is byte-identical
+    * cross-engine; a raw double diverges the moment one engine
+    * switches to scientific notation — large value domains hit this,
+    * caught by the full-registry hostile-cell fuzz gate). */
   val q23 = Qry(
     "q23_to_json",
     (s: SparkSession, d: String) =>
@@ -179,14 +183,16 @@ object SemiStructured {
           to_json(struct(
             col("event_type").as("t"),
             get_json_object(col("props"), "$.k").cast("long").as("k"),
-            round(col("value"), 2).as("v"))).as("payload"))
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+              .as("v_cents"))).as("payload"))
         .orderBy(col("event_id")),
     Some("""
       SELECT event_id,
              to_json(struct_pack(
                t := event_type,
                k := CAST(json_extract(props, '$.k') AS BIGINT),
-               v := ROUND(value, 2))) AS payload
+               v_cents := CAST(floor(value * 100 + 0.5) AS BIGINT)))
+               AS payload
       FROM events WHERE event_id < 100 ORDER BY event_id"""))
 
   /** Spark 4 VARIANT path (the current-generation semi-structured

@@ -179,6 +179,10 @@ object SeriesQ {
     * sum and sum-of-squares — no sqrt, no division, no float, so the
     * flags are bit-identical on any engine and any partitioning.
     * Windows shorter than 10 events are not scored (cold start).
+    * The quadratic algebra runs in DECIMAL(38,0) (oracle: HUGEINT):
+    * v² and the closing products are quadratic in the value domain,
+    * so int64 silently lacks headroom once values scale — decimal
+    * turns overflow into a loud NULL instead (q245 Gini rule).
     *
     * Scale shape: one user-key exchange; the rolling frame is a
     * per-key sorted ROWS window (bounded 20-row state per row); the
@@ -194,17 +198,26 @@ object SeriesQ {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("t"), col("event_id"))
         .rowsBetween(-20, -1)
+      // all quadratic algebra in DECIMAL(38,0): v² per row and the
+      // (v·n−s)² / 9(nq−s²) closing products are quadratic in the
+      // value domain, so a 1e6-scaled domain silently needs ~2×
+      // int64 width — decimal makes overflow a loud NULL and matches
+      // the oracle's HUGEINT (the q245 Gini rule; caught by the
+      // full-registry hostile-cell fuzz gate)
+      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val scored = src
-        .withColumn("n", count(lit(1)).over(w))
-        .withColumn("s", coalesce(sum(col("v")).over(w), lit(0L)))
-        .withColumn("q",
-          coalesce(sum(col("v") * col("v")).over(w), lit(0L)))
+        .select(col("*"),
+          count(lit(1)).over(w).as("n"),
+          coalesce(sum(d38(col("v"))).over(w),
+            lit(0L).cast("decimal(38,0)")).as("s"),
+          coalesce(sum(d38(col("v")) * col("v")).over(w),
+            lit(0L).cast("decimal(38,0)")).as("q"))
         .withColumn("scored", col("n") >= 10)
         .withColumn("anom",
           col("scored") &&
-            (col("v") * col("n") - col("s")) *
-              (col("v") * col("n") - col("s")) >
-            lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+            (d38(col("v")) * col("n") - col("s")) *
+              (d38(col("v")) * col("n") - col("s")) >
+            lit(9L) * (d38(col("n")) * col("q") - col("s") * col("s")))
       scored.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("scored"), 1L).otherwise(0L)).as("n_scored"),
@@ -221,9 +234,11 @@ object SeriesQ {
         FROM events WHERE user_id < 200),
       roll AS (
         SELECT user_id, event_id, v,
-               CAST(COUNT(*) OVER w AS BIGINT) AS n,
-               CAST(COALESCE(SUM(v) OVER w, 0) AS BIGINT) AS s,
-               CAST(COALESCE(SUM(v * v) OVER w, 0) AS BIGINT) AS q
+               CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+               CAST(COALESCE(SUM(CAST(v AS HUGEINT)) OVER w, 0)
+                 AS HUGEINT) AS s,
+               CAST(COALESCE(SUM(CAST(v AS HUGEINT) * v) OVER w, 0)
+                 AS HUGEINT) AS q
         FROM src
         WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),

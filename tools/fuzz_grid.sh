@@ -5,6 +5,10 @@
 # Gini, Bradley-Terry) plus anything passed as $1 (extra CSV names).
 #
 # Usage: tools/fuzz_grid.sh [extra-query-csv]
+#   FULL=1 tools/fuzz_grid.sh   additionally runs the ENTIRE registry
+#   against the harshest cell (zipf 2.2, hub-mult 4, value-scale 1e6)
+#   — the gate that caught the r12 q160/q164/q23/q41 width+format
+#   fragilities the 9-query family missed.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 QS="q94_pagerank,q118_pagerank_directed,q195_ppr,q204_hits,q208_betweenness,q213_scc_full,q233_bradley_terry,q245_gini_concentration,q254_adamic_adar${1:+,$1}"
@@ -30,4 +34,17 @@ for zipf in 1.2 2.2; do
     done
   done
 done
+if [ "${FULL:-0}" = "1" ]; then
+  DATA="/tmp/fuzzgrid_z2.2_h4_v1000000"
+  OUT="/tmp/fuzzgridv_full"
+  rm -rf "$OUT"
+  tools/run_main.sh graft.Verify "$DATA" "$OUT" >/dev/null 2>&1 || true
+  if python3 tools/check.py "$DATA" "$OUT" | tail -1 \
+      | grep -q " 0 fail"; then
+    echo "GRID full-registry harshest cell: PASS"
+  else
+    echo "GRID full-registry harshest cell: FAIL"; fail=1
+    python3 tools/check.py "$DATA" "$OUT" | grep FAIL || true
+  fi
+fi
 exit $fail
