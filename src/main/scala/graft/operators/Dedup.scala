@@ -361,21 +361,50 @@ object Dedup {
         .as("sg"))
       .select(col("id"),
         transform(col("sg"), x => x.getField("g")).as("toks"))
-    // prefix length |x| − ⌈τ·|x|⌉ + 1, all-integer ceil
+    // prefix length |x| − ⌈τ·|x|⌉ + 1, all-integer ceil; pos is the
+    // 0-based rank of the prefix shingle in the FULL df-asc order
+    // (the slice keeps the head, so slice positions ARE full-order
+    // positions) — carried for the positional filter below
     val pref = ordered.select(col("id"),
         size(col("toks")).cast("long").as("n_sh"),
-        explode(slice(col("toks"), lit(1),
+        posexplode(slice(col("toks"), lit(1),
           (size(col("toks")).cast("long") -
             expr(s"(CAST(size(toks) AS BIGINT) * $tauPpm + 999999) " +
-              "div 1000000") + lit(1L)).cast("int"))).as("g"))
+              "div 1000000") + lit(1L)).cast("int")))
+          .as(Seq("pos", "g")))
+    // PPJoin positional filter (Xiao et al. 2008): for a shared
+    // shingle at ranks (pa, pb), every OTHER shared shingle sorts
+    // after it on both sides (the global order is shared), so
+    // inter ≤ 1 + min(|A|−pa−1, |B|−pb−1) — and J ≥ τ needs
+    // inter ≥ α = ⌈τ/(1+τ)·(|A|+|B|)⌉. A pair survives iff SOME
+    // shared prefix shingle admits the bound (max over matches —
+    // exact: the bound holds for every shared shingle, so if none
+    // reaches α the true intersection can't either; no false
+    // negatives). This prunes before the array_intersect verify and
+    // replaces the bare distinct() — same shuffle, one tiny agg —
+    // and is what keeps the candidate frame survivable when corpus
+    // growth saturates the shingle-type space and posting lists
+    // grow with n (the ScaleUp-fixture regime; a real corpus's
+    // open vocabulary keeps rare-prefix df O(1) instead).
     pref.as("l")
       .join(pref.as("r"), col("l.g") === col("r.g") &&
         col("l.id") < col("r.id") &&
         // length filter: τ·|x| ≤ |y| ≤ |x|/τ (x the shorter side)
         col("l.n_sh") * tauPpm <= col("r.n_sh") * 1000000L &&
         col("r.n_sh") * tauPpm <= col("l.n_sh") * 1000000L)
-      .select(col("l.id").as("a"), col("r.id").as("b"))
-      .distinct()
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        (lit(1L) + least(
+          col("l.n_sh") - col("l.pos") - 1L,
+          col("r.n_sh") - col("r.pos") - 1L)).as("ub"),
+        ((col("l.n_sh") + col("r.n_sh")) * tauPpm).as("alpha_num"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("ub")).as("ub_max"),
+        first(col("alpha_num")).as("alpha_num"))
+      // integer form of ub_max ≥ ⌈α_num/(1e6+τppm)⌉: for integer ub,
+      // ub ≥ ⌈N/D⌉ ⇔ ub·D ≥ N — no ceil arithmetic, no off-by-one
+      .filter(col("ub_max") * (lit(1000000L) + tauPpm) >=
+        col("alpha_num"))
+      .select(col("a"), col("b"))
   }
 
   /** 16-bit SimHash over the token multiset: bit b of the hash is set
