@@ -91,13 +91,21 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, load)
       }
+      // Plan fingerprint for THIS tree at THIS sf (planning only —
+      // nothing executes): pooled minima are keyed by it, so a rep
+      // taken before a semantic change can never own a pool minimum
+      // for the changed plan (the "stale pool flattery" failure).
+      val digest = try PlanDigest.md5Of(
+          PlanDigest.shapeOf(
+            fn(spark, sfDir).queryExecution.executedPlan))
+        catch { case e: Throwable => s"ERR:${e.getClass.getSimpleName}" }
       // progress to stderr so long runs are monitorable mid-flight
       System.err.println(
         s"[bench] $name ${timed.map(t => f"${t._1}%.2f").mkString("/")} s" +
           f" (load ${timed.head._2}%.1f)")
-      (name, timed.map(_._1), timed.map(_._2))
+      (name, timed.map(_._1), timed.map(_._2), digest)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r4(v.min) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r4(v.min) }
       .mkString("{", ",", "}")
     val total = r4(results.map(_._2.min).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
@@ -109,10 +117,13 @@ object Bench {
       root.put("metric", "total").put("unit", "sec").put("sf", sfDir)
       root.put("reps", reps).put("value", total)
       val qn = root.putObject("queries")
-      results.foreach { case (k, times, loads) =>
+      results.foreach { case (k, times, loads, digest) =>
         val q = qn.putObject(k)
         val ra = q.putArray("reps");  times.foreach(t => ra.add(r4(t)))
         val la = q.putArray("loads"); loads.foreach(l => la.add(r4(l)))
+        val da = q.putArray("digests")
+        times.foreach(_ => da.add(digest))
+        q.put("digest", digest)
         q.put("min", r4(times.min))
       }
       root
@@ -135,9 +146,18 @@ object Bench {
     * `<outPath minus .json>_<sfName>.json` instead — a bench run must
     * never destroy a pool it isn't comparable with. A corrupt/
     * unreadable pool is set aside as `<outPath>.bak` rather than
-    * merged into. `loads` pools can be shorter than `reps` pools:
-    * loads were introduced later and align with the TAIL of the reps
-    * array (reps and loads are always appended in lockstep).
+    * merged into. `loads`/`digests` pools can be shorter than `reps`
+    * pools: both were introduced later and align with the TAIL of
+    * the reps array (all three are appended in lockstep).
+    *
+    * DIGEST-KEYED MINIMA: each rep is recorded with the plan
+    * fingerprint it executed under, and a query's pooled `min` is
+    * taken ONLY over reps whose digest equals the incoming run's
+    * digest (the current tree's plan). Reps from before a semantic/
+    * plan change stay in the pool for history but can never own the
+    * minimum — a round that widens arithmetic or adds an exchange
+    * pays its real price in the pooled total immediately. Legacy
+    * reps with no recorded digest are treated as non-matching.
     */
   private[graft] def mergeInto(outPath: String, sfDir: String, run: ObjectNode): Unit = {
     val target = Paths.get(outPath)
@@ -172,17 +192,40 @@ object Bench {
           val q = qn.putObject(name)
           val reps = q.putArray("reps")
           val loads = q.putArray("loads")
-          var mn = Double.MaxValue
-          prevQ.map(_.path(name)).filter(_.isObject).foreach { p =>
-            p.path("reps").forEach { t => reps.add(t.asDouble); mn = math.min(mn, t.asDouble) }
-            p.path("loads").forEach(l => loads.add(l.asDouble))
-          }
+          val digests = q.putArray("digests")
           val cur = run.path("queries").path(name)
-          if (cur.isObject) {
-            cur.path("reps").forEach { t => reps.add(t.asDouble); mn = math.min(mn, t.asDouble) }
-            cur.path("loads").forEach(l => loads.add(l.asDouble))
+          // the incoming run's digest is the authoritative plan for
+          // this query; pool-only queries keep their stored digest
+          val curDigest =
+            if (cur.isObject && cur.hasNonNull("digest"))
+              cur.path("digest").asText()
+            else prevQ.map(_.path(name).path("digest").asText(""))
+              .getOrElse("")
+          var mn = Double.MaxValue   // over digest-matching reps only
+          var mnAny = Double.MaxValue // over everything (diagnostic)
+          def fold(node: com.fasterxml.jackson.databind.JsonNode)
+              : Unit = {
+            val ts = new scala.collection.mutable.ArrayBuffer[Double]
+            node.path("reps").forEach(t => ts += t.asDouble)
+            val ds = new scala.collection.mutable.ArrayBuffer[String]
+            node.path("digests").forEach(d => ds += d.asText)
+            // digests align with the TAIL of reps (legacy pools
+            // recorded none) — pad missing head entries as unknown
+            val pad = Seq.fill(math.max(0, ts.size - ds.size))("")
+            val aligned = pad ++ ds
+            ts.zip(aligned).foreach { case (t, d) =>
+              reps.add(t); digests.add(d)
+              mnAny = math.min(mnAny, t)
+              if (d.nonEmpty && d == curDigest) mn = math.min(mn, t)
+            }
+            node.path("loads").forEach(l => loads.add(l.asDouble))
           }
+          prevQ.map(_.path(name)).filter(_.isObject).foreach(fold)
+          if (cur.isObject) fold(cur)
+          if (mn == Double.MaxValue) mn = mnAny // no digested rep yet
+          q.put("digest", curDigest)
           q.put("min", r4(mn))
+          q.put("min_any_plan", r4(mnAny))
           total += mn
         }
         merged.put("value", r4(total))

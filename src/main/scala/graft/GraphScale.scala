@@ -112,7 +112,8 @@ object GraphScale {
     def linkpredRun(m: Long): (Long, Long) = {
       val r = Graph.commonNeighborCandidatesAdaptive(
           edges(m), "a", "b")
-        .agg(count(lit(1)).as("c"), sum(col("ra_ppm")).as("s"))
+        .agg(count(lit(1)).as("c"),
+          coalesce(sum(col("ra_ppm")), lit(0L)).as("s"))
         .head()
       (r.getLong(0), r.getLong(1))
     }
@@ -123,7 +124,8 @@ object GraphScale {
     // measured. extra = Σ aa_ppm (exactness witness).
     def adamicRun(m: Long): (Long, Long) = {
       val r = Graph.adamicAdarCandidates(edges(m), "a", "b")
-        .agg(count(lit(1)).as("c"), sum(col("aa_ppm")).as("s"))
+        .agg(count(lit(1)).as("c"),
+          coalesce(sum(col("aa_ppm")), lit(0L)).as("s"))
         .head()
       (r.getLong(0), r.getLong(1))
     }

@@ -64,10 +64,14 @@ object PlanDigest {
     rec(plan)
   }
 
-  private def md5(s: String): String =
+  /** md5 of a shape string — exposed so Bench can key pooled reps
+    * by the same fingerprint the PLANS artifacts use. */
+  def md5Of(s: String): String =
     MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
+
+  private def md5(s: String): String = md5Of(s)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

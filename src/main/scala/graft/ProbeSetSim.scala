@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dev-only stage dissection for the q203 PPJoin pipeline (not part
+  * of the driver contract): times candidate generation and full
+  * pairs separately and prints candidate/match counts, so prefix
+  * filter changes can be attributed to enumeration vs verification.
+  *
+  * Usage: runMain graft.ProbeSetSim [sfDir] [reps]
+  */
+object ProbeSetSim {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val docs = Tables.documents(spark, sfDir)
+    def time(label: String)(f: => Long): Unit =
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[q203] $label rep $i: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.3f s (rows=$n)")
+      }
+
+    val sh = docs.select(col("doc_id").as("id"),
+        Dedup.shingleSet(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
+    time("candidates")(
+      Dedup.prefixFilterCandidates(sh, 600000L).count())
+    time("full pairs")(
+      Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 600000L)
+        .count())
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      val df = Dedup.prefixFilterPairs(docs, "doc_id", "text", 3,
+        600000L)
+      df.count()
+      // scalastyle:off println
+      println(df.queryExecution.executedPlan.toString)
+      // scalastyle:on println
+    }
+    spark.stop()
+  }
+}

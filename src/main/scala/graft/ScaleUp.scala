@@ -33,13 +33,29 @@ import org.apache.spark.sql.functions._
   *    the whole corpus.
   *
   * Usage: runMain graft.ScaleUp [srcDir] [dstDir] [mult] [tables]
+  *          [mode]
   * `tables` (optional, comma-separated) restricts generation to a
   * subset — e.g. only the facts a targeted scale bench reads — so a
   * 1000× run doesn't pay for tables no measured query touches.
+  *
+  * `mode` (optional):
+  *  - `densify` (default): replica baskets draw from the ORIGINAL
+  *    part catalog — per-part co-purchase degree grows ~mult×, so
+  *    Σdeg² work grows ~mult², a deliberate densification STRESS leg
+  *    for the link-prediction family (q220/q223/q254). Useful, but
+  *    its sf-ladder ratios measure the fixture, not the engine.
+  *  - `constparts`: replica baskets draw from a REPLICA part space
+  *    (l_partkey offset per replica; the part dim replicates with
+  *    matching keys, modeling a catalog that grows with volume).
+  *    Per-part co-purchase degree stays constant, so a mult× run
+  *    must cost ~mult× on a linear engine — the ladder that isolates
+  *    the engine exponent (matching GraphScale's constant-density
+  *    generator, but over the real fixture tables).
   */
 object ScaleUp {
   private val KeyOff = 100000000L // fact-key replica stride
   private val DocOff = 10000000L  // doc/vec replica stride
+  private val PartOff = 10000000L // part-key replica stride (constparts)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -49,6 +65,9 @@ object ScaleUp {
       "orders", "lineitem", "events", "documents", "embeddings",
       "embeddings_planted")
     val onlyTables = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    val mode = args.lift(4).getOrElse("densify")
+    require(mode == "densify" || mode == "constparts",
+      s"ScaleUp: unknown mode '$mode' (densify | constparts)")
     // a typo'd table name silently generating NOTHING would hand a
     // targeted scale bench a stale or absent table — fail at launch
     onlyTables.foreach { ts =>
@@ -82,13 +101,23 @@ object ScaleUp {
         .reduce(_ unionAll _))
     }
 
-    Seq("region", "nation", "customer", "supplier", "part")
+    Seq("region", "nation", "customer", "supplier")
       .filter(want).foreach(t => write(t, raw(t)))
+    if (mode == "constparts")
+      replicate("part", (df, i) =>
+        df.withColumn("p_partkey", col("p_partkey") + lit(i * PartOff)))
+    else if (want("part")) write("part", raw("part"))
 
     replicate("orders", (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOff)))
-    replicate("lineitem", (df, i) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOff)))
+    replicate("lineitem", (df, i) => {
+      val keyed =
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOff))
+      if (mode == "constparts")
+        keyed.withColumn("l_partkey",
+          col("l_partkey") + lit(i * PartOff))
+      else keyed
+    })
     replicate("events", (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * KeyOff)))
 

@@ -53,7 +53,7 @@ object BpeTrain {
       : (Seq[Merge], DataFrame) = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
     var toks = tokens.select(col("doc"), col("pos"), col("tok"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 0
     var exhausted = false
@@ -101,7 +101,7 @@ object BpeTrain {
           .withColumn("pos",
             row_number().over(Window.partitionBy(col("doc"))
               .orderBy(col("pos"))).cast("long"))
-          .localCheckpoint(true)
+          .transform(Ckpt.cut)
       }
     }
     (merges.toSeq, toks)

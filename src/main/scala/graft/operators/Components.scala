@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one round = one shuffle of |nodes| + |edges| rows
   * (groupBy id) — no per-node state on the driver, no adjacency
-  * materialization. Each round's result is eagerly
-  * `localCheckpoint`ed: the loop would otherwise stack lineage into
+  * materialization. Each round's result is eagerly materialized
+  * ([[Ckpt.cut]] — localCheckpoint by default, reliable checkpoint
+  * under `spark.graft.checkpoint.dir` so a 100 TB run survives
+  * executor loss): the loop would otherwise stack lineage into
   * an exponentially re-evaluated plan. The alternating
   * large-star/small-star algorithm (Kiveris et al., "Connected
   * Components in MapReduce and Beyond") converges in O(log²) rounds
@@ -70,10 +72,10 @@ object Components {
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var labels = nodes.select(col(idCol).as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     // Per-node labels only ever DECREASE, so the label sum strictly
     // decreases until fixpoint — an unchanged sum IS convergence.
     // This replaces a join-based changed-row check with one cheap
@@ -93,7 +95,7 @@ object Components {
       val next = labels.unionByName(viaNeighbor)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -192,12 +194,12 @@ object Components {
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var prevSig = sig(cur)
     var it = 0
     var converged = prevSig._1 == 0L // edge-free graph: already done
     while (it < maxIters && !converged) {
-      cur = smallStar(largeStar(cur)).localCheckpoint(true)
+      cur = smallStar(largeStar(cur)).transform(Ckpt.cut)
       val s = sig(cur)
       converged = s == prevSig
       prevSig = s

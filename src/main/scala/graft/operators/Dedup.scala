@@ -313,26 +313,98 @@ object Dedup {
     * of prefixes, so the candidate join is driven by rare shingles
     * with tiny posting lists (the opposite of the LSH band join's
     * content-hash buckets). One df aggregation, one per-doc sort, one
-    * prefix equi-join, one verify join; the length filter
-    * τ·|x| ≤ |y| (a pure candidate-pruning step — implied by the
-    * final Jaccard predicate, so the oracle can skip it) cuts
-    * cross-length pairs before verification. All similarity math is
-    * integer ppm — no float reaches the output.
+    * prefix equi-join (with the length + positional filters inside
+    * its condition — see [[prefixFilterCandidates]]), one verify
+    * join whose condition runs the SUFFIX filter before the exact
+    * intersect (below). All similarity math is integer ppm — no
+    * float reaches the output.
+    *
+    * Suffix filter (the PPJoin+ refinement, Xiao et al. 2008 §4, in
+    * relational single-pass form; OPT-IN via `suffixFilter`): for a
+    * surviving candidate pair with VALUE-sorted shingle arrays A, B,
+    * pick the quartile pivots p1 < p2 < p3 of B (positions ⌊|B|/4⌋,
+    * ⌊|B|/2⌋, ⌊3|B|/4⌋ — their ranks in B are known without
+    * scanning) and count A's elements below each pivot in ONE
+    * aggregate pass. Both arrays are sorted sets, so intersection
+    * cannot cross a value boundary: inter ≤ Σ over the 4 value
+    * ranges of min(|A ∩ range|, |B ∩ range|). If that bound is below
+    * α = ⌈τ/(1+τ)(|A|+|B|)⌉ the pair cannot qualify — dropped BEFORE
+    * the exact array_intersect evaluates (the conjunction inside the
+    * verify join's condition short-circuits: suffix bound first,
+    * exact Jaccard second). Exact — the bound can only overcount —
+    * and spec-pinned equal-output to the unfiltered path.
+    *
+    * DEFAULT OFF, by measurement: the bound is an interpreted
+    * higher-order-function scan of A (~|A| lambda steps/row) —
+    * about the cost of the array_intersect it tries to skip — and
+    * for same-length pairs a 4-range partition rarely discriminates
+    * (range counts concentrate near |B|/4 each, so the bound sits
+    * near min(|A|,|B|) ≥ α). Measured on the saturated-vocab ScaleUp
+    * fixture: sf0.1 verify 1.8 s → 5.7 s, sf1 34.5 s → >240 s. Turn
+    * it on when arrays are long, candidate pass-rate is low, AND
+    * candidate pair sizes are heterogeneous (where the range bound
+    * actually bites).
     *
     * @param tauPpm Jaccard threshold in parts-per-million
+    * @param suffixFilter enable the PPJoin+ suffix-filter pre-gate
+    *                     in the verify join (see above; default off)
     * @return (a, b, inter, uni, jacc_ppm), a < b
     */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, tauPpm: Long): DataFrame = {
+      n: Int, tauPpm: Long, suffixFilter: Boolean = false)
+      : DataFrame = {
     require(tauPpm > 0 && tauPpm <= 1000000L, s"tauPpm: $tauPpm")
     val sh = docs.select(col(idCol).as("id"),
-        shingleSet(col(textCol), n).as("sh"))
+        // value-sorted ONCE per doc, before the candidate fan-out
+        // multiplies each array across its pairs: the suffix filter
+        // needs sorted arrays, and array_intersect is order-blind
+        array_sort(shingleSet(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(true)
     val candidates = prefixFilterCandidates(sh, tauPpm)
-    candidates
+    // 4-range partition bound on the intersection (suffix filter).
+    // Pivots are B\'s quartile VALUES; B-side range sizes are exact
+    // from the quartile positions; A-side counts come from one
+    // aggregate scan (3 comparisons per element, no per-range
+    // slicing). All counts are int — the aggregate state is a
+    // 3-field struct.
+    def sufBound(a: Column, b: Column): Column = {
+      val nb = size(b)
+      val b1 = floor(nb / lit(4)).cast("int")
+      val b2 = floor(nb / lit(2)).cast("int")
+      val b3 = floor(nb * lit(3) / lit(4)).cast("int")
+      val q1 = element_at(b, b1 + lit(1))
+      val q2 = element_at(b, b2 + lit(1))
+      val q3 = element_at(b, b3 + lit(1))
+      // one aggregate expression end to end (counts in the merge
+      // lambda, the bound in the finish lambda) — pulling the struct
+      // fields out with getField would clone the whole aggregate
+      // subtree once per field and the predicate would run it 6x/row
+      aggregate(a,
+        struct(lit(0).as("c1"), lit(0).as("c2"), lit(0).as("c3")),
+        (acc, x) => struct(
+          (acc.getField("c1") + when(x < q1, 1).otherwise(0)).as("c1"),
+          (acc.getField("c2") + when(x < q2, 1).otherwise(0)).as("c2"),
+          (acc.getField("c3") + when(x < q3, 1).otherwise(0)).as("c3")),
+        acc => {
+          val c1 = acc.getField("c1")
+          val c2 = acc.getField("c2")
+          val c3 = acc.getField("c3")
+          (least(c1, b1) + least(c2 - c1, b2 - b1) +
+            least(c3 - c2, b3 - b2) +
+            least(size(a) - c3, nb - b3)).cast("long")
+        })
+    }
+    val joined = candidates
       .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+    val gated = if (!suffixFilter) joined else joined
+      // suffix filter FIRST: the conjunction short-circuits inside
+      // the join condition, so failing pairs never pay the intersect
+      .filter(sufBound(col("sh_a"), col("sh_b")) *
+        (lit(1000000L) + tauPpm) >=
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") * tauPpm)
+    gated
       .select(col("a"), col("b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
           .as("inter"),
@@ -353,7 +425,7 @@ object Dedup {
   def prefixFilterCandidates(sh: DataFrame, tauPpm: Long): DataFrame = {
     val tok = sh.select(col("id"), explode(col("sh")).as("g"))
     val freq = tok.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // per-doc shingle list in global (df asc, shingle asc) order —
+    // per-doc shingle list in global (df asc, shingle asc) order --
     // the struct sort makes the collect_list order irrelevant
     val ordered = tok.join(freq, "g")
       .groupBy(col("id"))
@@ -361,49 +433,88 @@ object Dedup {
         .as("sg"))
       .select(col("id"),
         transform(col("sg"), x => x.getField("g")).as("toks"))
-    // prefix length |x| − ⌈τ·|x|⌉ + 1, all-integer ceil; pos is the
-    // 0-based rank of the prefix shingle in the FULL df-asc order
-    // (the slice keeps the head, so slice positions ARE full-order
-    // positions) — carried for the positional filter below
-    val pref = ordered.select(col("id"),
+    // Asymmetric prefixes (All-Pairs, Bayardo et al. 2007 / PPJoin,
+    // Xiao et al. 2008): orient every pair by (set size, id) -- y the
+    // lexicographically SMALLER side, x the larger -- so each
+    // unordered pair is enumerated exactly once with a fixed
+    // probe/index role. The PROBE side (x, the longer) needs prefix
+    // |x| - ceil(tau*|x|) + 1 (alpha >= ceil(tau*|x|) because
+    // |y| >= tau*|x| under the length filter); the INDEX side (y,
+    // the shorter) needs only |y| - ceil(2tau/(1+tau)*|y|) + 1
+    // (alpha >= ceil(2tau/(1+tau)*|y|) because |x| >= |y|) -- at
+    // tau = 0.6 that is 0.25|y| vs 0.4|y|, so the
+    // saturated-vocabulary regime's posting lists shrink on a whole
+    // side of the join. `pos` is the 0-based rank of the shingle in
+    // the FULL df-asc order (the slice keeps the head, so slice
+    // positions ARE full-order positions) -- the positional
+    // filter's input.
+    // ONE explode at probe length (the longer of the two prefixes),
+    // checkpointed: the index side derives from the same frame by a
+    // pos filter, so the shingle→df→sort pipeline and the explode
+    // run once. Without the materialization the two join inputs are
+    // non-identical subtrees (the filter sits below the exchange)
+    // and Spark recomputes the whole pipeline once per side.
+    val probe = ordered.select(col("id"),
         size(col("toks")).cast("long").as("n_sh"),
         posexplode(slice(col("toks"), lit(1),
           (size(col("toks")).cast("long") -
             expr(s"(CAST(size(toks) AS BIGINT) * $tauPpm + 999999) " +
               "div 1000000") + lit(1L)).cast("int")))
           .as(Seq("pos", "g")))
-    // PPJoin positional filter (Xiao et al. 2008): for a shared
-    // shingle at ranks (pa, pb), every OTHER shared shingle sorts
-    // after it on both sides (the global order is shared), so
-    // inter ≤ 1 + min(|A|−pa−1, |B|−pb−1) — and J ≥ τ needs
-    // inter ≥ α = ⌈τ/(1+τ)·(|A|+|B|)⌉. A pair survives iff SOME
-    // shared prefix shingle admits the bound (max over matches —
-    // exact: the bound holds for every shared shingle, so if none
-    // reaches α the true intersection can't either; no false
-    // negatives). This prunes before the array_intersect verify and
-    // replaces the bare distinct() — same shuffle, one tiny agg —
-    // and is what keeps the candidate frame survivable when corpus
-    // growth saturates the shingle-type space and posting lists
-    // grow with n (the ScaleUp-fixture regime; a real corpus's
-    // open vocabulary keeps rare-prefix df O(1) instead).
-    pref.as("l")
-      .join(pref.as("r"), col("l.g") === col("r.g") &&
-        col("l.id") < col("r.id") &&
-        // length filter: τ·|x| ≤ |y| ≤ |x|/τ (x the shorter side)
-        col("l.n_sh") * tauPpm <= col("r.n_sh") * 1000000L &&
-        col("r.n_sh") * tauPpm <= col("l.n_sh") * 1000000L)
-      .select(col("l.id").as("a"), col("r.id").as("b"),
+      .localCheckpoint(true)
+    // index prefix length |y| - ceil(2tau/(1+tau)*|y|) + 1, from n_sh
+    val index = probe.filter(col("pos") <
+      col("n_sh") -
+        expr(s"(n_sh * ${2 * tauPpm} + ${1000000L + tauPpm - 1}) " +
+          s"div ${1000000L + tauPpm}") + lit(1L))
+    // PPJoin positional filter (Xiao et al. 2008), pushed INTO the
+    // join condition: a match at ranks (px, py) admits
+    // ub = 1 + min(|x|-px-1, |y|-py-1), and J >= tau needs
+    // inter >= alpha = ceil(tau/(1+tau)*(|x|+|y|)). Filtering match
+    // ROWS on ub >= alpha is EXACT -- not because ub bounds inter
+    // for every match (it does not: shared shingles can sort before
+    // a given match), but because a qualifying pair's globally-FIRST
+    // shared shingle (a) is in both asymmetric prefixes by the
+    // prefix principle (any shared-in-both-prefixes shingle admits a
+    // smaller-ranked shared one only inside both heads) and (b) has
+    // no shared shingle before it on either side, so for THAT row
+    // ub >= inter >= alpha and the row survives. Rows dropped here
+    // are from non-qualifying pairs or are redundant co-matches of a
+    // pair whose first-shared row still gets through. Evaluating the
+    // test per row inside the join kills the high-df tail (a common
+    // shingle sits LATE in a df-asc prefix, so its remaining-suffix
+    // bound is small) BEFORE those rows reach the pair shuffle --
+    // this is what keeps the candidate frame survivable when corpus
+    // growth saturates the shingle-type space and posting lists grow
+    // with n (the ScaleUp-fixture regime; a real corpus's open
+    // vocabulary keeps rare-prefix df O(1) instead). NOTE: a
+    // per-pair accumulated-overlap bound (match count + suffix
+    // remainder at the last match) must NOT be layered on top of
+    // this per-row pruning -- it needs ALL match rows to count
+    // shared prefix shingles, and the pruned frame undercounts.
+    // Integer form of ub >= ceil(N/D) with N = (|x|+|y|)*tauPpm,
+    // D = 1e6 + tauPpm: for integer ub, ub >= ceil(N/D) iff
+    // ub*D >= N -- no ceil arithmetic, no off-by-one.
+    index.as("l")
+      .join(probe.as("r"), col("l.g") === col("r.g") &&
+        // (n_sh, id)-lexicographic orientation: l is the index
+        // (smaller) side -- each unordered pair joins exactly once
+        (col("l.n_sh") < col("r.n_sh") ||
+          (col("l.n_sh") === col("r.n_sh") &&
+            col("l.id") < col("r.id"))) &&
+        // length filter: tau*|x| <= |y| (x = probe, the longer side;
+        // the other direction is implied by the orientation)
+        col("r.n_sh") * tauPpm <= col("l.n_sh") * 1000000L &&
+        // positional filter, per match row (exactness argued above)
         (lit(1L) + least(
           col("l.n_sh") - col("l.pos") - 1L,
-          col("r.n_sh") - col("r.pos") - 1L)).as("ub"),
-        ((col("l.n_sh") + col("r.n_sh")) * tauPpm).as("alpha_num"))
+          col("r.n_sh") - col("r.pos") - 1L)) *
+          (lit(1000000L) + tauPpm) >=
+          (col("l.n_sh") + col("r.n_sh")) * tauPpm)
+      .select(least(col("l.id"), col("r.id")).as("a"),
+        greatest(col("l.id"), col("r.id")).as("b"))
       .groupBy(col("a"), col("b"))
-      .agg(max(col("ub")).as("ub_max"),
-        first(col("alpha_num")).as("alpha_num"))
-      // integer form of ub_max ≥ ⌈α_num/(1e6+τppm)⌉: for integer ub,
-      // ub ≥ ⌈N/D⌉ ⇔ ub·D ≥ N — no ceil arithmetic, no off-by-one
-      .filter(col("ub_max") * (lit(1000000L) + tauPpm) >=
-        col("alpha_num"))
+      .agg(count(lit(1)).as("__m"))
       .select(col("a"), col("b"))
   }
 

@@ -108,7 +108,7 @@ object Frontier {
         col("_band") === col("_band_q") && dominated,
         "left_anti")
       .drop("_band")
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     local.join(broadcast(qSide(local)), dominated, "left_anti")
   }
 }

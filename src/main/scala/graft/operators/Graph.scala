@@ -92,10 +92,10 @@ object Graph {
       .unionByName(edges.select(col(bCol).as("src"),
         col(aCol).as("dst"), col(wCol).as("w")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var dist = sources.select(col(srcCol).as("id")).distinct()
       .withColumn("d", lit(0L))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(col("id")), sum(col("d"))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -110,7 +110,7 @@ object Graph {
         .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("id")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
       val next = signature(dist)
       converged = next == sig
       sig = next
@@ -167,17 +167,17 @@ object Graph {
       .unionByName(edges.select(col(bCol).as("src"),
         col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     // symmetric + distinct ⇒ out-degree == undirected degree
     var degs = sym.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
       round += 1
       val dropped = degs.filter(col("deg") < k).select(col("id"))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
       if (dropped.isEmpty) done = true
       else {
         // edges INTO the frontier, counted per surviving source;
@@ -194,7 +194,7 @@ object Graph {
           .join(dec, Seq("id"), "left")
           .select(col("id"),
             (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
-          .localCheckpoint(true)
+          .transform(Ckpt.cut)
       }
     }
     (degs, round)
@@ -224,10 +224,10 @@ object Graph {
       .unionByName(edges.select(col(bCol).as("src"),
         col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var degs = sym.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var assigned: Option[DataFrame] = None
     var k = 2
     while (k <= maxK) {
@@ -236,7 +236,7 @@ object Graph {
       while (round < maxRounds && !done) {
         round += 1
         val dropped = degs.filter(col("deg") < k).select(col("id"))
-          .localCheckpoint(true)
+          .transform(Ckpt.cut)
         if (dropped.isEmpty) done = true
         else {
           val lab = dropped.withColumn("core", lit(k - 1))
@@ -252,7 +252,7 @@ object Graph {
             .join(dec, Seq("id"), "left")
             .select(col("id"),
               (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
-            .localCheckpoint(true)
+            .transform(Ckpt.cut)
         }
       }
       k += 1
@@ -288,10 +288,10 @@ object Graph {
       .unionByName(edges.select(col(bCol).as("src"),
         col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("c").desc, col("label"))
     var r = 0
@@ -308,7 +308,7 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("id"), col("label"))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
     }
     labels
   }
@@ -339,10 +339,10 @@ object Graph {
       .unionByName(edges.select(col(bCol).as("src"),
         col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var frontier = sources.select(col(srcCol).as("id")).distinct()
       .withColumn("hop", lit(0))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var visited = frontier
     var h = 0
     while (h < maxHops && !frontier.isEmpty) {
@@ -352,7 +352,7 @@ object Graph {
         .select(col("dst").as("id")).distinct()
         .join(visited.select(col("id")), Seq("id"), "left_anti")
         .withColumn("hop", lit(h))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
       // visited stays a lazy union of the CHECKPOINTED frontiers —
       // every leg is already materialized, so no recomputation and
       // no extra materialization job per level (lineage depth is
@@ -386,10 +386,10 @@ object Graph {
       .unionByName(edges.select(col(bCol).as("src"),
         col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var frontier = sources.select(col(srcCol).as("root")).distinct()
       .select(col("root"), col("root").as("id"), lit(0).as("hop"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var visited = frontier
     var h = 0
     while (h < maxHops && !frontier.isEmpty) {
@@ -401,7 +401,7 @@ object Graph {
         .join(visited.select(col("root"), col("id")),
           Seq("root", "id"), "left_anti")
         .withColumn("hop", lit(h))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
       visited = visited.unionByName(frontier)
     }
     visited
@@ -452,10 +452,10 @@ object Graph {
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("src")).orderBy(col("dst"))))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     val deg = adj.groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     // vertex-sized: broadcast only under the package-wide cap —
     // an unconditional broadcast here is an OOM at planetary |V|
     val degJ =
@@ -468,7 +468,7 @@ object Graph {
           col("id").as("walk"))))
       .select(col("start"), col("walk"), lit(0).as("step"),
         col("start").as("vertex"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var out = walks
     for (t <- 1 to steps) {
       walks = walks
@@ -482,7 +482,7 @@ object Graph {
           col("rnk")), Seq("vertex", "rnk"))
         .select(col("start"), col("walk"), lit(t).as("step"),
           col("dst").as("vertex"))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
       out = out.unionByName(walks)
     }
     out
@@ -512,10 +512,10 @@ object Graph {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var frontier = e.sparkSession.range(1)
       .select(lit(pivot).as("id"), lit(0).as("hop"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var visited = frontier
     var h = 0
     while (h < maxHops && !frontier.isEmpty) {
@@ -525,7 +525,7 @@ object Graph {
         .select(col("dst").as("id")).distinct()
         .join(visited.select(col("id")), Seq("id"), "left_anti")
         .withColumn("hop", lit(h))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
       visited = visited.unionByName(frontier)
     }
     visited
@@ -560,7 +560,7 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     val fwd = directedHops(e, "src", "dst", pivot, maxHops)
       .select(col("id"), col("hop").as("fwd_hop"))
     val bwd = directedHops(e, "dst", "src", pivot, maxHops)
@@ -744,9 +744,9 @@ object Graph {
     val e = und.select(col("a"), col("b"))
       .unionByName(und.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     val deg = e.groupBy(col("a").as("x")).agg(count(lit(1)).as("d"))
-    val low = lowOf(deg).localCheckpoint(true)
+    val low = lowOf(deg).transform(Ckpt.cut)
     val eLow = e
       .join(low.select(col("x").as("a")), Seq("a"), "left_semi")
       .join(low.select(col("x").as("b")), Seq("b"), "left_semi")
@@ -838,10 +838,10 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(tCol).as("t"))
       .filter(col("src") =!= col("dst"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var arr = e.sparkSession.range(1)
       .select(lit(sourceId).as("id"), lit(0L).as("at"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var delta = arr
     var prev = arr
     var i = 0
@@ -855,13 +855,13 @@ object Graph {
         .select(col("dst").as("id"), col("t").as("at"))
       val merged = arr.unionByName(relaxed)
         .groupBy(col("id")).agg(min(col("at")).as("at"))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
       delta = merged
         .join(arr.select(col("id"), col("at").as("__old")),
           Seq("id"), "left")
         .filter(col("__old").isNull || col("at") < col("__old"))
         .select(col("id"), col("at"))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
       arr = merged
     }
     // converged before the budget: arr is a fixpoint, so the witness
@@ -916,11 +916,11 @@ object Graph {
     var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     var v = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     val settled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var budget = maxRounds
     def spend(): Unit = {
@@ -938,9 +938,9 @@ object Graph {
             "left_semi")
           .join(e.select(col("dst").as("id")).distinct(), Seq("id"),
             "left_semi")
-          .localCheckpoint(true)
+          .transform(Ckpt.cut)
         val drop = v.join(keep, Seq("id"), "left_anti")
-          .localCheckpoint(true)
+          .transform(Ckpt.cut)
         if (drop.isEmpty) trimming = false
         else {
           settled += drop.select(col("id"), col("id").as("scc"))
@@ -949,7 +949,7 @@ object Graph {
               "left_semi")
             .join(v.select(col("id").as("dst")), Seq("dst"),
               "left_semi")
-            .localCheckpoint(true)
+            .transform(Ckpt.cut)
         }
       }
       if (!v.isEmpty) {
@@ -963,7 +963,7 @@ object Graph {
         // frame doubles as the convergence test (no separate
         // changed-compare join).
         var color = v.select(col("id"), col("id").as("c"))
-          .localCheckpoint(true)
+          .transform(Ckpt.cut)
         var improved = color
         while (!improved.isEmpty) {
           spend()
@@ -973,18 +973,18 @@ object Graph {
             .select(col("dst").as("id"), col("c"))
           val upd = color.unionByName(prop)
             .groupBy(col("id")).agg(min(col("c")).as("c"))
-            .localCheckpoint(true)
+            .transform(Ckpt.cut)
           improved = upd
             .join(color.select(col("id"), col("c").as("c0")),
               Seq("id"))
             .filter(col("c") < col("c0"))
             .select(col("id"), col("c"))
-            .localCheckpoint(true)
+            .transform(Ckpt.cut)
           color = upd
         }
         // 3. SWEEP: backward BFS from every root inside its class
         var frontier = color.filter(col("id") === col("c"))
-          .localCheckpoint(true)
+          .transform(Ckpt.cut)
         var reached = frontier
         while (!frontier.isEmpty) {
           spend()
@@ -998,17 +998,17 @@ object Graph {
             .select(col("id"), col("c"))
             .distinct()
             .join(reached.select(col("id")), Seq("id"), "left_anti")
-            .localCheckpoint(true)
+            .transform(Ckpt.cut)
           reached = reached.unionByName(frontier)
         }
         settled += reached.select(col("id"), col("c").as("scc"))
         v = v.join(reached.select(col("id")), Seq("id"), "left_anti")
-          .localCheckpoint(true)
+          .transform(Ckpt.cut)
         e = e.join(v.select(col("id").as("src")), Seq("src"),
             "left_semi")
           .join(v.select(col("id").as("dst")), Seq("dst"),
             "left_semi")
-          .localCheckpoint(true)
+          .transform(Ckpt.cut)
       }
     }
     settled.reduceOption(_ unionByName _)
@@ -1056,13 +1056,13 @@ object Graph {
         col(aCol).as("dst")))
       .distinct()
       .filter(col("src") =!= col("dst"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     val roots = sym.select(col("src").as("id")).distinct()
       .orderBy(col("id")).limit(pivots)
     // forward: lv(h) = (root, id, sigma), exact path counts
     val lv = new Array[DataFrame](maxHops + 1)
     lv(0) = roots.select(col("id").as("root"), col("id"),
-      lit(1L).as("sigma")).localCheckpoint(true)
+      lit(1L).as("sigma")).transform(Ckpt.cut)
     var visited = lv(0).select(col("root"), col("id"))
     for (h <- 1 to maxHops) {
       lv(h) = sym
@@ -1072,10 +1072,10 @@ object Graph {
         .join(visited, Seq("root", "id"), "left_anti")
         .groupBy(col("root"), col("id"))
         .agg(sum(col("sigma")).as("sigma"))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
       visited = visited
         .unionByName(lv(h).select(col("root"), col("id")))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
     }
     // backward: δ at the deepest level is 0; levels maxHops-1 .. 1
     // accumulate successor dependencies
@@ -1098,7 +1098,7 @@ object Graph {
         .groupBy(col("root"), col("u"))
         .agg(sum(col("t")).as("delta"))
         .select(col("root"), col("u").as("id"), col("delta"))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
       acc = if (acc == null) d else acc.unionByName(d)
       deltaNext = d
     }
@@ -1162,7 +1162,7 @@ object Graph {
         Seq("src"))
       .join(lab.select(col("id").as("dst"), col("label").as("ldst")),
         Seq("dst"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     val m2 = el.agg(count(lit(1)).as("m2"))
     val mem = lab.groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"))

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * floor division agree because all ranks are positive).
   *
   * Scale shape: the edge+degree frame is built once and eagerly
-  * localCheckpointed (each round re-reads it — on a cluster this is
+  * materialized via [[Ckpt.cut]] (each round re-reads it — on a
+  * cluster this is
   * the disk-persisted/bucketed edge table); one round = one
   * shuffle-on-src join plus one groupBy(dst) partial-aggregated
   * sum, the standard distributed PageRank step with no driver-side
@@ -114,7 +115,7 @@ object PageRank {
       .agg(collect_set(col("dst")).as("nbrs"))
       .select(col("src"), col("nbrs"),
         size(col("nbrs")).cast("long").as("outdeg"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     // |V| off the checkpointed frame costs a metadata pass, not a
     // graph rebuild
     val bcast = broadcastRanks.getOrElse(adj.count() <= BroadcastVertexCap)
@@ -163,7 +164,7 @@ object PageRank {
       .agg(count(lit(1)).as("outdeg"))
     val ed = e.join(deg, "src")
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     // init off the CHECKPOINTED frame (src-distinct of ed), not off
     // `deg`, whose lineage would re-run the whole graph build once
     var ranks = ed.select(col("src").as("id")).distinct()
@@ -203,8 +204,8 @@ object PageRank {
     * filter + sum riding the same join, no second pass over edges);
     * the re-rank step joins vertex frame ⋈ broadcast contributions
     * ⋈ broadcast dangling scalar, so the only per-round exchange is
-    * the contribution groupBy(dst). Ranks are eagerly
-    * localCheckpointed per round: the rank frame feeds two branches,
+    * the contribution groupBy(dst). Ranks are eagerly materialized
+    * per round ([[Ckpt.cut]]): the rank frame feeds two branches,
     * and unbounded lineage would otherwise double per iteration.
     * With `broadcastRanks=false` (web-scale vertex sets) the rank
     * joins fall back to shuffles that a src-bucketed layout absorbs,
@@ -230,7 +231,7 @@ object PageRank {
       .select(col("id"),
         coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"),
         coalesce(size(col("nbrs")), lit(0)).cast("long").as("outdeg"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     val nV = verts.count()
     // same data-driven broadcast decision as [[integerRanks]] — nV is
     // already on hand from the dangling-share denominator
@@ -257,7 +258,7 @@ object PageRank {
           (lit(150000L) +
             expr(s"(85 * (coalesce(sc, 0L) + dmass div ${nV}L)) div 100"))
             .as("r"))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut)
     }
     ranks
   }
@@ -338,8 +339,8 @@ object PageRank {
     * `(stage, frame)` per intermediate — raw sums (`a1r`, `h1r`, …,
     * each (id, v: decimal)) and rescaled scores (`a1`, `h1`, …, each
     * (id, v: long)), in computation order. The trace frames are
-    * cheap projections of the per-stage localCheckpoints the chain
-    * materializes anyway, so digesting all of them costs one extra
+    * cheap projections of the per-stage [[Ckpt.cut]] frames the
+    * chain materializes anyway, so digesting all of them costs one extra
     * scan each, nothing recomputes.
     *
     * Purpose: a caller can union per-stage digest rows (count / Σv /
@@ -361,7 +362,7 @@ object PageRank {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     val bc = broadcastScores.getOrElse(
       e.select(col("src")).distinct().count() <= BroadcastVertexCap)
     def bcast(df: DataFrame) = if (bc) broadcast(df) else df
@@ -371,7 +372,7 @@ object PageRank {
     // multiply runs on the decimal(38,0) sum; div returns long back
     // in [0, 1e6].
     def rescale(raw: DataFrame, stage: String): DataFrame = {
-      val r = raw.localCheckpoint(true)
+      val r = raw.transform(Ckpt.cut)
       trace += (s"${stage}r" -> r)
       val out = r.crossJoin(broadcast(r.agg(max(col("v")).as("mx"))))
         .select(col("id"), expr("(v * 1000000L) div mx").as("v"))
@@ -449,7 +450,7 @@ object PageRank {
       .join(broadcast(srcIds), col("src") === col("sid"), "left_outer")
       .select(col("src"), col("nbrs"), col("outdeg"),
         col("sid").isNotNull.as("is_src"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut)
     val nV = adj.count()
     val nS = adj.filter(col("is_src")).count()
     require(nS > 0, "no source vertex is present in the graph")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.{Qry, Tables}
-import graft.operators.{Importance, Sq8}
+import graft.operators.{Graph, Importance, Sq8, TextClassifier}
 import Q._
 
 /** Second curation wave: DSIR-style importance weighting for data
@@ -424,5 +424,104 @@ object Curation2 {
              ROUND(cos, 6) AS cos, ROUND(acos, 6) AS acos
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
 
-  val all: Seq[Qry] = Seq(q166, q167, q173, q177, q179)
+  /** Renders the q254 fixed-point-ln chain over a (k, rid, d) input
+    * CTE named `lnin`: CTEs `lntab`, `lnarg`, `lnval(k, rid, ln)`.
+    * ln = lnPpm(d) — identical BIGINTs to [[Graph.withLnPpm]] by
+    * construction (same embedded mantissa table, same integer
+    * algebra). */
+  private def lnChainSql: String = s"""
+      lntab(m, lnm) AS (VALUES ${Graph.lnTabValuesSql}),
+      lnarg AS (
+        SELECT k, rid, d, bl,
+          CASE WHEN bl >= 9 THEN d // (1::BIGINT << CAST(bl - 9 AS INT))
+               ELSE d * (1::BIGINT << CAST(9 - bl AS INT)) END AS m,
+          CASE WHEN bl > 9 THEN d % (1::BIGINT << CAST(bl - 9 AS INT))
+               ELSE 0 END AS r
+        FROM (SELECT k, rid, d, ${Graph.blCaseSql("d")} AS bl
+              FROM lnin) t),
+      lnval AS (
+        SELECT k, rid, CAST(lnm + (bl - 9) * 693147 +
+          CASE WHEN bl > 9 THEN
+            CAST(CAST(r AS HUGEINT) * 1000000 AS HUGEINT)
+              // (CAST(m AS HUGEINT)
+                 * (1::BIGINT << CAST(bl - 9 AS INT)))
+          ELSE 0 END AS BIGINT) AS ln
+        FROM lnarg JOIN lntab USING (m))"""
+
+  /** q255 — model-based quality classification
+    * ([[graft.operators.TextClassifier]]): the CCNet/fastText-style
+    * hashed-bigram LINEAR classifier — the standard model-based gate
+    * between the heuristic quality signals (q135/q136) and curation.
+    * Even doc_ids are the labeled training half (target class =
+    * English); Naive-Bayes log-odds weights over 256 hashed bigram
+    * buckets train in-plan with the q254 fixed-point ln (identical
+    * BIGINTs in both engines — the mantissa table is embedded in
+    * this oracle as literals), then EVERY document scores one
+    * broadcast integer dot against the 256-row weight table:
+    * llr_ppm = Σ c_b·w_ppm(b), keep = llr > 0. The oracle replays
+    * hashing, smoothing, ln, dot and decision end to end. */
+  val q255 = Qry(
+    "q255_quality_classifier",
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val labeled = docs.withColumn("y",
+        when(col("doc_id") % 2 === 0, col("lang") === "en"))
+      val w = TextClassifier.nbLogOddsWeights(labeled, "doc_id",
+        "text", "y", buckets = B)
+      TextClassifier.scoreDocs(docs, "doc_id", "text", w, buckets = B)
+        .orderBy(col("llr_ppm").desc, col("doc_id"))
+        .limit(25)
+        .select(col("doc_id"), col("n_feats"), col("llr_ppm"),
+          col("keep"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, ${Signals.Toks} AS t FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                 list_filter(list_zip(t, t[2:]),
+                   p -> p[2] IS NOT NULL),
+                 p -> p[1] || ' ' || p[2])) AS g
+        FROM toks),
+      docb AS (
+        SELECT doc_id, ${md5ByteSql("g")} AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM g GROUP BY 1, 2),
+      lab AS (
+        SELECT doc_id, lang = 'en' AS y
+        FROM documents WHERE doc_id % 2 = 0),
+      pb AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN y THEN c ELSE 0 END) AS BIGINT)
+                 AS p_b,
+               CAST(SUM(CASE WHEN NOT y THEN c ELSE 0 END) AS BIGINT)
+                 AS n_b
+        FROM docb JOIN lab USING (doc_id) GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(p_b) + $B AS BIGINT) AS pt,
+               CAST(SUM(n_b) + $B AS BIGINT) AS nt
+        FROM pb),
+      lnin AS (
+        SELECT 'p1' AS k, b AS rid, p_b + 1 AS d FROM pb
+        UNION ALL SELECT 'n1', b, n_b + 1 FROM pb
+        UNION ALL SELECT 'pt', -1, pt FROM tot
+        UNION ALL SELECT 'nt', -1, nt FROM tot),
+      $lnChainSql,
+      w AS (
+        SELECT p.rid AS b,
+               p.ln - (SELECT ln FROM lnval WHERE k = 'pt')
+               - n.ln + (SELECT ln FROM lnval WHERE k = 'nt') AS w_ppm
+        FROM (SELECT rid, ln FROM lnval WHERE k = 'p1') p
+        JOIN (SELECT rid, ln FROM lnval WHERE k = 'n1') n
+          USING (rid)),
+      sc AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+               CAST(SUM(CAST(c AS HUGEINT) * COALESCE(w_ppm, 0))
+                 AS BIGINT) AS llr_ppm
+        FROM docb LEFT JOIN w USING (b) GROUP BY 1)
+      SELECT doc_id, n_feats, llr_ppm, llr_ppm > 0 AS keep
+      FROM sc ORDER BY llr_ppm DESC, doc_id LIMIT 25"""))
+
+  val all: Seq[Qry] = Seq(q166, q167, q173, q177, q179, q255)
 }

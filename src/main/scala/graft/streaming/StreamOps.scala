@@ -706,6 +706,23 @@ object StreamOps {
     * projection is a precomputed table). Per-trigger work is
     * O(batch + matching buckets).
     * @return the admitted rows (already appended to `indexDir`) */
+  /** The admission index before the first admitted batch is a
+    * NOT-YET-EXISTING directory. Reading it and catching the
+    * AnalysisException would work, but the failed read still reaches
+    * every QueryExecutionListener (the ExecutionListenerBus logs a
+    * PATH_NOT_FOUND stack trace per first trigger — noise that buries
+    * real failures in test logs). Existence-check through the
+    * directory's own Hadoop filesystem first, so the listener only
+    * ever sees reads that succeed. */
+  private def readIndexOrEmpty(spark: SparkSession, indexDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.schema(schema).parquet(indexDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   def admitNearDupBatch(batch: DataFrame, idCol: String,
       textCol: String, indexDir: String, n: Int, k: Int, bands: Int,
       minJaccard: Double): DataFrame = {
@@ -716,13 +733,7 @@ object StreamOps {
         b, idCol, textCol, n, k, bands, minJaccard)
       .select(col("b").as(idCol)).distinct()
     val survivors = b.join(intraRejects, Seq(idCol), "left_anti")
-    val index =
-      try spark.read.parquet(indexDir)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          b.schema)
-      }
+    val index = readIndexOrEmpty(spark, indexDir, b.schema)
     val indexRejects = Dedup.lshNearDupPairsAcross(
         survivors, index, idCol, textCol, n, k, bands, minJaccard)
       .select(col("a").as(idCol)).distinct()
@@ -792,13 +803,7 @@ object StreamOps {
     }.reduce(_ unionByName _).distinct()
     val survivors = h.join(intraRejects, Seq("media_id"), "left_anti")
       .localCheckpoint(true)
-    val index =
-      try spark.read.parquet(indexDir)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          h.schema)
-      }
+    val index = readIndexOrEmpty(spark, indexDir, h.schema)
     val indexRejects = kinds.map { k =>
       Multimodal.dhashNearDupPairsAcross(
           survivors.filter(col("kind") === k),

@@ -81,6 +81,25 @@ class SetSimHitsSpec extends SparkSpec {
     assert(got == bruteOf(base, 0.6))
   }
 
+  test("opt-in suffix filter is a pure pre-gate: identical output") {
+    // the PPJoin+ suffix filter may only skip work, never change the
+    // result — on the engineered corpus (exact dup, threshold ties,
+    // disjoint docs) and on real documents
+    def both(docs: Seq[(Long, String)], tau: Long) = {
+      def run(sf: Boolean) = Dedup.prefixFilterPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", n = 3,
+          tauPpm = tau, suffixFilter = sf)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(run(true) == run(false), s"tau=$tau")
+    }
+    both(corpus, 600000L)
+    both(corpus, 777777L)
+    val base = Tables.documents(spark, sf()).limit(120)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    both(base, 600000L)
+  }
+
   // ---- integerHits ----
 
   /** Independent reimplementation of the exact integer recurrence. */

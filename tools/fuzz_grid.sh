@@ -13,6 +13,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 QS="q94_pagerank,q118_pagerank_directed,q195_ppr,q204_hits,q208_betweenness,q213_scc_full,q233_bradley_terry,q245_gini_concentration,q254_adamic_adar${1:+,$1}"
 fail=0
+# The FULL=1 block reads the harshest cell's data dir; derive it from
+# the same tag format the grid loop uses (and regenerate explicitly if
+# the loop didn't produce it) instead of hardcoding the path.
+HARSH_ZIPF=2.2; HARSH_HUB=4; HARSH_VS=1000000
+HARSH_TAG="z${HARSH_ZIPF}_h${HARSH_HUB}_v${HARSH_VS}"
 for zipf in 1.2 2.2; do
   for hub in 1 4; do
     for vs in 1 1000000; do
@@ -35,9 +40,14 @@ for zipf in 1.2 2.2; do
   done
 done
 if [ "${FULL:-0}" = "1" ]; then
-  DATA="/tmp/fuzzgrid_z2.2_h4_v1000000"
+  DATA="/tmp/fuzzgrid_${HARSH_TAG}"
   OUT="/tmp/fuzzgridv_full"
   rm -rf "$OUT"
+  if [ ! -d "$DATA" ]; then
+    python3 tools/regen_testdata.py --seed 61 --sf 0.01 --out "$DATA" \
+      --zipf "$HARSH_ZIPF" --hub-mult "$HARSH_HUB" \
+      --value-scale "$HARSH_VS" >/dev/null
+  fi
   tools/run_main.sh graft.Verify "$DATA" "$OUT" >/dev/null 2>&1 || true
   if python3 tools/check.py "$DATA" "$OUT" | tail -1 \
       | grep -q " 0 fail"; then

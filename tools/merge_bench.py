@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Merge per-query minima across bench runs.
+"""Merge per-query minima across bench runs, keyed by plan digest.
 
 Single-run totals on a shared box are not comparable: contention
 spikes of 2-7x move between queries run to run (see BASELINE.md).
@@ -7,10 +7,24 @@ The per-query minimum across >=2 runs is the stable statistic; this
 merges any number of graft.Bench full-artifact JSONs into one
 minima artifact.
 
+Minima are DIGEST-KEYED: each rep carries the plan fingerprint it
+executed under (graft.PlanDigest), and a query's pooled min is taken
+only over reps whose digest matches the LAST input's digest (the
+current tree). Reps recorded before a semantic/plan change stay in
+the pool but cannot own the minimum. Legacy reps without digests are
+treated as non-matching (kept, excluded from minima).
+
 Usage: merge_bench.py RUN1.json RUN2.json [RUN3.json ...] OUT.json
 """
 import json
 import sys
+
+
+def _aligned_digests(q):
+    reps = q.get("reps", [])
+    digs = q.get("digests", [])
+    pad = [""] * max(0, len(reps) - len(digs))
+    return list(zip(reps, pad + digs))
 
 
 def merge(in_paths, out_path):
@@ -25,9 +39,22 @@ def merge(in_paths, out_path):
            "reps_per_run": runs[0].get("reps", 2), "queries": {}}
     total = 0.0
     for q in sorted(names):
-        reps = [t for r in runs for t in r["queries"][q]["reps"]]
-        m = min(reps)
-        out["queries"][q] = {"reps": reps, "min": m}
+        pairs = [td for r in runs for td in _aligned_digests(
+            r["queries"][q])]
+        # the last input's digest is authoritative (current tree)
+        cur = ""
+        for r in reversed(runs):
+            cur = r["queries"][q].get("digest", "")
+            if cur:
+                break
+        matching = [t for t, d in pairs if d and d == cur]
+        m = min(matching) if matching else min(t for t, _ in pairs)
+        out["queries"][q] = {
+            "reps": [t for t, _ in pairs],
+            "digests": [d for _, d in pairs],
+            "digest": cur,
+            "min": m,
+            "min_any_plan": min(t for t, _ in pairs)}
         total += m
     out["value"] = round(total, 4)
     json.dump(out, open(out_path, "w"), indent=1)
