@@ -10,12 +10,18 @@ import graft.operators.Dedup
   * pairs separately and prints candidate/match counts, so prefix
   * filter changes can be attributed to enumeration vs verification.
   *
-  * Usage: runMain graft.ProbeSetSim [sfDir] [reps]
+  * Usage: runMain graft.ProbeSetSim [sfDir] [reps] [maxCandidates]
+  * `maxCandidates` (optional) is an IN-RUN tripwire: the probe
+  * FAILS if the candidate frame exceeds it — wired to the committed
+  * sf1 artifact so a change that silently blows the prefix filter's
+  * candidate bound past the measured regime (26.0M at sf1) breaks
+  * the probe instead of just slowing it.
   */
 object ProbeSetSim {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val maxCandidates = args.lift(2).map(_.toLong)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,8 +44,12 @@ object ProbeSetSim {
         Dedup.shingleSet(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(true)
-    time("candidates")(
-      Dedup.prefixFilterCandidates(sh, 600000L).count())
+    time("candidates") {
+      val cand = Dedup.prefixFilterCandidates(sh, 600000L).count()
+      maxCandidates.foreach(mx => require(cand <= mx,
+        s"candidate blow-up: $cand > bound $mx at $sfDir"))
+      cand
+    }
     time("full pairs")(
       Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 600000L)
         .count())

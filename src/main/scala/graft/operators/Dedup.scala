@@ -404,7 +404,21 @@ object Dedup {
       .filter(sufBound(col("sh_a"), col("sh_b")) *
         (lit(1000000L) + tauPpm) >=
         (size(col("sh_a")) + size(col("sh_b"))).cast("long") * tauPpm)
+    // Jaccard gate in single-intersect form: with uni = szs − inter,
+    // floor(inter·1e6 / uni) ≥ τ  ⟺  inter·1e6 ≥ τ·uni  ⟺
+    // inter·(1e6+τ) ≥ szs·τ (all integers, uni > 0) — so the
+    // predicate that Catalyst pushes into the verify join's
+    // condition evaluates array_intersect ONCE per candidate row
+    // instead of twice (the naive jacc_ppm ≥ τ filter embeds the
+    // intersect in both numerator and denominator after alias
+    // substitution). The output columns recompute the intersect only
+    // for the survivors — a handful of rows against millions of
+    // candidates in the saturated-vocabulary regime.
     gated
+      .filter(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long") *
+          (lit(1000000L) + tauPpm) >=
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long") * tauPpm)
       .select(col("a"), col("b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
           .as("inter"),
@@ -412,7 +426,6 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"),
         (col("szs") - col("inter")).as("uni"))
       .withColumn("jacc_ppm", expr("(inter * 1000000L) div uni"))
-      .filter(col("jacc_ppm") >= tauPpm)
   }
 
   /** Candidate stage of [[prefixFilterPairs]], exposed so scale

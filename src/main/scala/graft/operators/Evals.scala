@@ -214,6 +214,21 @@ object Evals {
     * the data passes. Replicates where a class weighs out entirely
     * are dropped (AUC undefined there).
     *
+    * Replica-count-vs-width tradeoff: state NEVER scales with rows —
+    * the post-aggregate frame is (score domain) × (2·B sums) — but
+    * the map side evaluates B weight expressions per row, so wall
+    * grows ~linearly in B on top of the scan (q251 at sf1: 8
+    * replicates over 6M rows ≈ 6 s, the measured ~B/2-fold of the
+    * unweighted q234 scan). At 100× the right lever is fewer, wider
+    * replicates (B = 8 already gives a usable band; the binomial
+    * weights' variance, not B, sets band quality) or computing the
+    * weights from an already-materialized hash column instead of 8·B
+    * md5 calls per row — the md5s, not the sums, are the map-side
+    * cost. A sampled-replica variant (weights on a row sample)
+    * trades band width for scan cost but breaks the "exact rank-sum
+    * over the full population" contract, so it is deliberately not
+    * the default.
+    *
     * @return one row per replicate: (replicate, n_pos_w, n_neg_w,
     *         two_u, auc_ppm), ordered by replicate */
   def bootstrapAucReplicates(scored: DataFrame, scoreCol: Column,
