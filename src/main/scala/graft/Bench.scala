@@ -203,6 +203,14 @@ object Bench {
               .getOrElse("")
           var mn = Double.MaxValue   // over digest-matching reps only
           var mnAny = Double.MaxValue // over everything (diagnostic)
+          // "ERR:<ExceptionClass>" pseudo-digests (plan fingerprinting
+          // itself failed) are NOT plan identities: two different
+          // broken plans that throw the same exception class would
+          // pool their minima. Treat them exactly like empty/legacy
+          // digests — kept in history, never matching, never owning
+          // the pooled min.
+          def validDigest(d: String): Boolean =
+            d.nonEmpty && !d.startsWith("ERR:")
           def fold(node: com.fasterxml.jackson.databind.JsonNode)
               : Unit = {
             val ts = new scala.collection.mutable.ArrayBuffer[Double]
@@ -216,7 +224,7 @@ object Bench {
             ts.zip(aligned).foreach { case (t, d) =>
               reps.add(t); digests.add(d)
               mnAny = math.min(mnAny, t)
-              if (d.nonEmpty && d == curDigest) mn = math.min(mn, t)
+              if (validDigest(d) && d == curDigest) mn = math.min(mn, t)
             }
             node.path("loads").forEach(l => loads.add(l.asDouble))
           }

@@ -100,6 +100,28 @@ object ScaleUp {
       write(name, (0 until mult).map(i => perReplica(base, i))
         .reduce(_ unionAll _))
     }
+    // Replica key spaces are built by STRIDING the source keys by a
+    // fixed offset per replica. A source fixture whose keys already
+    // reach the stride (e.g. TPC-H part keys hit 10M at sf>=50) would
+    // silently collide replica key spaces — constparts' constant-
+    // degree property would quietly densify instead of failing. Guard
+    // every strided key against its offset before writing anything.
+    def guardStride(name: String, keyCol: String, off: Long): Unit =
+      if (want(name)) {
+        val mx = raw(name).agg(max(col(keyCol).cast("long"))).head.getLong(0)
+        require(mx < off, s"ScaleUp: max($name.$keyCol)=$mx >= replica " +
+          s"stride $off — replica key spaces would collide; raise the " +
+          "stride before replicating this fixture")
+      }
+    guardStride("orders", "o_orderkey", KeyOff)
+    guardStride("lineitem", "l_orderkey", KeyOff)
+    guardStride("events", "event_id", KeyOff)
+    guardStride("documents", "doc_id", DocOff)
+    guardStride("embeddings", "vec_id", DocOff)
+    if (mode == "constparts") {
+      guardStride("part", "p_partkey", PartOff)
+      guardStride("lineitem", "l_partkey", PartOff)
+    }
 
     Seq("region", "nation", "customer", "supplier")
       .filter(want).foreach(t => write(t, raw(t)))

@@ -36,6 +36,20 @@ import org.apache.spark.sql.DataFrame
   * first use; a conf change after the first cut in a session keeps
   * the session's original directory (Spark appends a per-context
   * UUID subdir, so comparing paths is not meaningful).
+  *
+  * STORAGE HYGIENE (reliable mode): Spark never deletes reliable
+  * checkpoint files on its own — each `checkpoint(eager = true)`
+  * leaves its directory behind, so a multi-hour iterative run (the
+  * exact workload this knob exists for) grows the checkpoint
+  * filesystem by one round-frame per cut until it fills. Launch the
+  * application with `spark.cleaner.referenceTracking.cleanCheckpoints
+  * =true` (a SparkConf/START-TIME setting — the ContextCleaner reads
+  * it once at SparkContext construction, so setting it at runtime
+  * here would be a silent no-op): then each checkpointed RDD's files
+  * are garbage-collected as soon as the RDD itself is unreferenced,
+  * which for these kernels is one round later — the checkpoint dir
+  * holds O(1) round frames instead of O(rounds). `ProbeCkptFault`
+  * launches with this conf and asserts the dir does not accumulate.
   */
 object Ckpt {
   /** Runtime conf key: when set, iterative kernels use reliable

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Model-based quality classification — the CCNet/fastText-style
@@ -94,6 +94,62 @@ object TextClassifier {
       (col("ln_p1") - col("ln_pt") - col("ln_n1") + col("ln_nt"))
         .as("w_ppm"))
   }
+
+  /** Collect a trained (b, w_ppm) weight table to a driver map —
+    * the publish step between offline training and the per-row
+    * inference form [[llrExpr]]. Bounded by construction (≤ 256
+    * buckets fit one md5 byte), and guarded anyway so a mistakenly
+    * passed document table can never driver-collect a corpus. */
+  def collectWeights(weights: DataFrame): Map[Int, Long] = {
+    val rows = weights
+      .select(col("b").cast("int"), col("w_ppm").cast("long"))
+      .limit(257).collect()
+    require(rows.length <= 256,
+      "weight table exceeds 256 rows — not a hashed-bigram weight table")
+    rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  /** AGGREGATION-FREE inference — the same log-likelihood ratio as
+    * [[scoreDocs]] computed as one per-row expression:
+    * Σ_b c_b·w(b) over a doc's bucket counts is identically
+    * Σ_g w(bucket(g)) over its bigram OCCURRENCES, so the dot
+    * product folds over the shingle array with a higher-order
+    * `aggregate` and a ≤256-entry map literal — no explode, no
+    * groupBy, no join. That makes it legal where [[scoreDocs]]'s
+    * shuffle shape is not: inside a streaming query that already
+    * carries its own stateful aggregation (Spark allows one), i.e.
+    * the CCNet deployment shape — train offline, gate every
+    * micro-batch at ingest ([[graft.streaming.StreamOps
+    * .corpusIngest]]).
+    *
+    * Exactness: each term is one BIGINT weight; a doc would need
+    * ~3×10^10 bigrams to overflow the long accumulator, which is
+    * three orders of magnitude past any single document, so the
+    * floor/DECIMAL widening [[scoreDocs]] applies to its c·w
+    * products is a no-op here and the two forms are bit-equal
+    * (`TextClassifierSpec` pins it). Docs with < 2 tokens have no
+    * features and fold to 0 — gate on `num_feats >= 1` to mirror
+    * scoreDocs' absence-of-verdict for them. */
+  def llrExpr(text: Column, weightMap: Map[Int, Long],
+      buckets: Int): Column = {
+    require(buckets > 0 && buckets <= 256,
+      "buckets must fit one md5 byte")
+    val grams = call_function("shingles",
+      TextOps.tokens(text), lit(2), lit(false))
+    val wmap = typedLit(weightMap)
+    aggregate(grams, lit(0L), (acc, g) =>
+      acc + coalesce(
+        element_at(wmap,
+          conv(substring(md5(g), 1, 2), 16, 10).cast("int")
+            % buckets),
+        lit(0L)))
+  }
+
+  /** Bigram-occurrence count as a per-row expression — [[llrExpr]]'s
+    * companion for the `n_feats >= 1` has-evidence gate. */
+  def numFeatsExpr(text: Column): Column =
+    size(call_function("shingles",
+      TextOps.tokens(text), lit(2), lit(false))).cast("long")
 
   /** Inference: score every doc against a weight table.
     * @param weights (b, w_ppm) — broadcast (≤ `buckets` rows)

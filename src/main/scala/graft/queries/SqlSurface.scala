@@ -281,5 +281,62 @@ object SqlSurface {
       JOIN customer ON b.o_custkey = c_custkey
       GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[Qry] = Seq(q45, q46, q73, q110, q207, q237, q248)
+  private val ttRun = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** q256 — ANSI time travel over the persisted v2 catalog
+    * ([[graft.sources.GraftCatalog]]): a table is committed twice
+    * (version 0 = parts with p_partkey ≤ 10; version 1 appends
+    * 11..20), then BOTH versions read back via `VERSION AS OF` and
+    * digested per version. The oracle recomputes each version's
+    * expected contents straight from the `part` parquet, so a
+    * retire/swap/pointer bug that loses or duplicates rows in the
+    * retained snapshot chain breaks the hash cross-engine, not just
+    * a spec. Every invocation uses a FRESH catalog name + tmp dir
+    * (session caches catalog instances by name, so a reused name
+    * would pin the first run's path — and the registry contract is
+    * repeatable under bench reps). Driver-bounded by design: the
+    * catalog is the DML planning surface (20 rows here); the
+    * unbounded-scale snapshot/time-travel path stays parquet +
+    * [[graft.operators.Cdc]] (q162/q175). */
+  val q256 = Qry(
+    "q256_time_travel",
+    (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val cat = s"g256c${ttRun.incrementAndGet()}"
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-$cat").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE TABLE $cat.tt (k BIGINT, name STRING)")
+      s.sql(s"INSERT INTO $cat.tt SELECT p_partkey, p_name " +
+        s"FROM parquet.`$d/part.parquet` WHERE p_partkey <= 10")
+      s.sql(s"INSERT INTO $cat.tt SELECT p_partkey, p_name " +
+        s"FROM parquet.`$d/part.parquet` " +
+        s"WHERE p_partkey > 10 AND p_partkey <= 20")
+      val v0 = s.sql(s"SELECT * FROM $cat.tt VERSION AS OF 0")
+        .withColumn("version", lit(0L))
+      val v1 = s.sql(s"SELECT * FROM $cat.tt VERSION AS OF 1")
+        .withColumn("version", lit(1L))
+      v0.unionByName(v1)
+        .groupBy(col("version"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          sum(length(col("name")).cast("long")).as("sum_len"))
+        .orderBy(col("version"))
+    },
+    Some("""
+      SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n,
+             CAST(SUM(p_partkey) AS BIGINT) AS sum_k,
+             CAST(SUM(length(p_name)) AS BIGINT) AS sum_len
+      FROM part WHERE p_partkey <= 10
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), COUNT(*),
+             CAST(SUM(p_partkey) AS BIGINT),
+             CAST(SUM(length(p_name)) AS BIGINT)
+      FROM part WHERE p_partkey <= 20
+      ORDER BY version"""))
+
+  val all: Seq[Qry] =
+    Seq(q45, q46, q73, q110, q207, q237, q248, q256)
 }

@@ -64,12 +64,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName = "graft"
   private var root: Option[String] = None
+  private var retain = 3
   private val tables = new ConcurrentHashMap[Identifier, GraftMemTable]()
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Option(options.get("path")).filter(_.nonEmpty)
+    // how many RETIRED snapshots each table keeps for time travel
+    // (current + retainVersions history); prune happens at commit
+    retain = Option(options.get("retainVersions"))
+      .map(_.toInt).getOrElse(3)
+    require(retain >= 0, "retainVersions must be >= 0")
   }
   override def name(): String = catalogName
 
@@ -91,7 +97,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (t != null && !t.isStaleOnDisk) return t
     // restart / staleness path: reconstruct from the parquet snapshot
     dirFor(ident)
-      .flatMap(GraftMemTable.loadPersisted(ident, _, catalogName))
+      .flatMap(GraftMemTable.loadPersisted(ident, _, catalogName, retain))
       .map { loaded =>
         if (t == null) {
           val prior = tables.putIfAbsent(ident, loaded)
@@ -110,11 +116,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "replacement group)")
     val t = new GraftMemTable(ident.toString, schema,
       persistDir = dirFor(ident),
-      qualifiedName = s"$catalogName.${ident.toString}")
+      qualifiedName = s"$catalogName.${ident.toString}",
+      retainVersions = retain)
     if (tables.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident)
     t.persistSchema()
     t
+  }
+
+  /** `VERSION AS OF <k>` — time-travel read against the retained
+    * snapshot chain a persisted catalog accumulates (every commit
+    * retires the previous `data` dir into `versions/v<k>` and logs
+    * (version, ts) in `commits.json`; see [[GraftMemTable]]). The
+    * returned table is READ-ONLY — a write to a historical version
+    * would fork the single-writer history. Reads go straight to
+    * disk, so they see other-process commits without any staleness
+    * window, and work identically after a session restart (the
+    * lakehouse pin: a training run records `VERSION AS OF 7` and
+    * reproduces its dataset forever — within the retention
+    * horizon). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirFor(ident).getOrElse(throw new
+        UnsupportedOperationException("graft catalog: time travel " +
+          "needs a persisted catalog (set spark.sql.catalog." +
+          s"$catalogName.path) — the in-memory working copy keeps " +
+          "no history"))
+    val v = version.toLongOption.getOrElse(throw new
+        IllegalArgumentException(
+          s"graft catalog: VERSION AS OF expects an integer commit " +
+            s"version, got '$version'"))
+    GraftMemTable.loadVersion(ident, dir, catalogName, v)
+      .getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** `TIMESTAMP AS OF <t>` — resolves to the LAST commit at-or-
+    * before `timestampMicros` (Spark hands micros since epoch) and
+    * delegates to the version read. */
+  override def loadTable(ident: Identifier,
+      timestampMicros: Long): Table = {
+    val dir = dirFor(ident).getOrElse(throw new
+        UnsupportedOperationException("graft catalog: time travel " +
+          "needs a persisted catalog (set spark.sql.catalog." +
+          s"$catalogName.path) — the in-memory working copy keeps " +
+          "no history"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val commits = GraftMemTable.readCommits(fs, dir)
+    val at = commits.filter(_.tsMs * 1000L <= timestampMicros)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"graft catalog: no commit of $ident at or before " +
+          s"timestamp ${timestampMicros}us" +
+          commits.headOption.map(c =>
+            s" (earliest commit: version ${c.version} at " +
+              s"${c.tsMs}ms)").getOrElse(" (no commits)"))
+    GraftMemTable.loadVersion(ident, dir, catalogName,
+        at.last.version)
+      .getOrElse(throw new NoSuchTableException(ident))
   }
 
   override def alterTable(ident: Identifier,
@@ -160,6 +219,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       cascade: Boolean): Boolean = true
 }
 
+object GraftCatalog {
+  /** Commit history of a persisted table — the `DESCRIBE HISTORY`
+    * analogue a reproducible-dataset pin needs before choosing a
+    * `VERSION AS OF`: one row per logged commit with its wall-clock
+    * ms and whether the snapshot is still readable (false once
+    * retention pruned it). `table` is the dotted identifier as
+    * written in SQL (`ns.t` or `t`). */
+  def history(spark: org.apache.spark.sql.SparkSession,
+      catalog: String, table: String): org.apache.spark.sql.DataFrame = {
+    val root = spark.conf.getOption(s"spark.sql.catalog.$catalog.path")
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog $catalog has no path — in-memory catalogs keep " +
+          "no history"))
+    val dir = (root +: table.split('.').toSeq).mkString("/")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val commits = GraftMemTable.readCommits(fs, dir)
+    val cur = commits.lastOption.map(_.version)
+    import spark.implicits._
+    commits.map(c => (c.version, c.tsMs,
+        cur.contains(c.version) ||
+          fs.exists(GraftMemTable.versionPath(dir, c.version)),
+        cur.contains(c.version)))
+      .toDF("version", "ts_ms", "available", "is_current")
+  }
+}
+
 /** In-memory unpartitioned table: BATCH_READ + BATCH_WRITE (+
   * TRUNCATE for INSERT OVERWRITE) + row-level operations with the
   * whole table as the single replacement group. Rows are held as
@@ -177,7 +264,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * never empty. */
 class GraftMemTable(tableName: String, tableSchema: StructType,
     persistDir: Option[String] = None,
-    qualifiedName: String = "") extends Table with SupportsRead
+    qualifiedName: String = "",
+    retainVersions: Int = 3,
+    readOnly: Boolean = false) extends Table with SupportsRead
     with SupportsWrite with SupportsRowLevelOperations
     with SupportsMetadataColumns {
   require(!tableSchema.fieldNames.contains(GraftMemTable.GroupCol),
@@ -226,32 +315,74 @@ class GraftMemTable(tableName: String, tableSchema: StructType,
   }
 
   /** Snapshot the committed rows to `<dir>/data` via the two-rename
-    * swap (write to `data.tmp`, swap in, delete old): readers of the
-    * persisted dir never see a half-written snapshot, and a crash
-    * mid-write leaves the previous snapshot intact. The write is a
-    * distributed job over this table's own scan — the driver
-    * orchestrates, executors serialize. */
+    * swap (write to `data.tmp`, swap in): readers of the persisted
+    * dir never see a half-written snapshot, and a crash mid-write
+    * leaves the previous snapshot intact. The write is a distributed
+    * job over this table's own scan — the driver orchestrates,
+    * executors serialize.
+    *
+    * VERSIONING (time travel): instead of deleting the previous
+    * snapshot, each commit RETIRES it — `data` is renamed to
+    * `versions/v<k-1>` (a rename, no second copy) before the new
+    * snapshot swaps in as version k, and `(k, wall-ms)` is appended
+    * to `commits.json`. `VERSION AS OF k` / `TIMESTAMP AS OF t`
+    * resolve through that log ([[GraftCatalog.loadTable]]). The
+    * last `retainVersions` retired snapshots are kept; older dirs
+    * are pruned at commit time (their log entries remain, so a read
+    * of a pruned version fails loudly with the available range
+    * instead of NoSuchTable). Crash windows: after the retire
+    * rename but before the swap, `data` is briefly absent — readers
+    * fall back to the newest `versions/` dir (a consistent,
+    * one-commit-stale view); after the swap but before the log
+    * append, the log is one entry short and the next commit
+    * re-derives the version counter from the `versions/` listing,
+    * so the chain cannot fork. Single-writer contract as before:
+    * ONE writer per path — concurrent writers would race the
+    * retire/swap renames exactly as they would the data swap. */
   private def persistData(): Unit = persistDir.foreach { dir =>
     val spark = org.apache.spark.sql.SparkSession.active
     import org.apache.hadoop.fs.Path
     val tmp = new Path(dir, "data.tmp")
-    val old = new Path(dir, "data.old")
     val dst = new Path(dir, "data")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmp, true); fs.delete(old, true)
+    fs.delete(tmp, true)
+    fs.delete(new Path(dir, "data.old"), true) // pre-versioning layout
     spark.table(qualifiedName).write
       .mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dst))
-      require(fs.rename(dst, old), s"rename $dst -> $old failed")
+    val commits0 = GraftMemTable.readCommits(fs, dir)
+    // legacy (pre-versioning) layout: a data dir with no log — adopt
+    // it as version 0 (ts = its mtime) so its history starts here
+    val commits =
+      if (commits0.isEmpty && fs.exists(dst) &&
+          GraftMemTable.maxRetired(fs, dir).isEmpty)
+        Seq(GraftMemTable.Commit(0L,
+          fs.getFileStatus(dst).getModificationTime))
+      else commits0
+    val newVer = math.max(
+      commits.lastOption.map(_.version + 1).getOrElse(0L),
+      GraftMemTable.maxRetired(fs, dir).map(_ + 2).getOrElse(0L))
+    if (fs.exists(dst)) {
+      val retired = GraftMemTable.versionPath(dir, newVer - 1)
+      fs.mkdirs(retired.getParent)
+      fs.delete(retired, true) // re-commit after a log-append crash
+      require(fs.rename(dst, retired), s"rename $dst -> $retired failed")
+    }
     require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
-    fs.delete(old, true)
+    val log = (commits.filter(_.version < newVer) :+
+      GraftMemTable.Commit(newVer, System.currentTimeMillis()))
+    GraftMemTable.writeCommits(fs, dir, log)
+    // prune beyond the retention horizon (entries stay in the log)
+    (0L until newVer - retainVersions).foreach { v =>
+      fs.delete(GraftMemTable.versionPath(dir, v), true)
+    }
     diskFp = computeDiskFp()
   }
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+    if (readOnly) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def metadataColumns(): Array[MetadataColumn] =
@@ -266,16 +397,118 @@ class GraftMemTable(tableName: String, tableSchema: StructType,
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftMemScanBuilder(tableSchema, rows)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!readOnly, s"$tableName is a time-travel snapshot — " +
+      "writing to a historical version would fork the single-writer " +
+      "history; write to the current table instead")
     new GraftMemWriteBuilder(this, info.schema(), replace = false)
+  }
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(!readOnly, s"$tableName is a time-travel snapshot — " +
+      "row-level DML against a historical version would fork the " +
+      "single-writer history")
     () => new GraftRowLevelOperation(this, info.command())
+  }
 }
 
 object GraftMemTable {
   val GroupCol = "_group"
+
+  /** One committed snapshot: monotone version + wall-clock ms. */
+  private[sources] final case class Commit(version: Long, tsMs: Long)
+
+  private[sources] def versionPath(dir: String, v: Long)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir, f"versions/v$v%08d")
+
+  /** Largest retired version on disk, from the `versions/` listing —
+    * the log-independent recovery source for the version counter. */
+  private[sources] def maxRetired(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Long] = {
+    val vd = new org.apache.hadoop.fs.Path(dir, "versions")
+    if (!fs.exists(vd)) None
+    else fs.listStatus(vd).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .flatMap(n => n.drop(1).toLongOption)
+      .maxOption
+  }
+
+  /** Read `<dir>/commits.json` (one `{"version":k,"ts_ms":t}` per
+    * line, version-ascending). Missing/corrupt log → empty (the
+    * version counter re-derives from the `versions/` listing). */
+  private[sources] def readCommits(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[Commit] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "commits.json")
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Line = """\{"version":(\d+),"ts_ms":(\d+)\}""".r
+    text.linesIterator.flatMap {
+      case Line(v, t) => Some(Commit(v.toLong, t.toLong))
+      case _ => None
+    }.toSeq.sortBy(_.version)
+  }
+
+  /** Rewrite the commit log via tmp + rename (small file; the crash
+    * window between delete and rename only loses the LOG, which the
+    * next commit rebuilds from the `versions/` listing). */
+  private[sources] def writeCommits(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, commits: Seq[Commit]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "commits.json")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "commits.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(commits.sortBy(_.version)
+      .map(c => s"""{"version":${c.version},"ts_ms":${c.tsMs}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+  }
+
+  /** Load one historical version as a READ-ONLY table. The current
+    * version (log tail) reads `data`; retired versions read their
+    * `versions/v<k>` dir; a pruned or unknown version fails with
+    * the available range. */
+  private[sources] def loadVersion(ident: Identifier, dir: String,
+      catalogName: String, version: Long): Option[GraftMemTable] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val schemaPath = new org.apache.hadoop.fs.Path(dir, "schema.json")
+    if (!fs.exists(schemaPath)) return None
+    val commits = readCommits(fs, dir)
+    val current = commits.lastOption.map(_.version)
+    val readFrom =
+      if (current.contains(version)) new org.apache.hadoop.fs.Path(dir, "data")
+      else versionPath(dir, version)
+    if (!fs.exists(readFrom)) {
+      val have = commits.map(_.version)
+        .filter(v => current.contains(v) ||
+          fs.exists(versionPath(dir, v)))
+      throw new IllegalArgumentException(
+        s"graft catalog: version $version of $ident is not " +
+          s"available (pruned or never committed); available: " +
+          s"${have.mkString(", ")} — raise retainVersions to keep " +
+          "deeper history")
+    }
+    val in = fs.open(schemaPath)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[StructType]
+    val t = new GraftMemTable(s"${ident.toString}@v$version", schema,
+      persistDir = None,
+      qualifiedName = s"$catalogName.${ident.toString}",
+      readOnly = true)
+    t.loadRows(spark.read.schema(schema).parquet(readFrom.toString)
+      .queryExecution.toRdd.map(_.copy()).collect())
+    Some(t)
+  }
 
   /** Reconstruct a persisted table from `<dir>/schema.json` +
     * `<dir>/data` (the restart path). Returns None when no snapshot
@@ -283,7 +516,8 @@ object GraftMemTable {
     * collected to the driver-bounded working copy — same bound as
     * every other write to this catalog. */
   private[sources] def loadPersisted(ident: Identifier, dir: String,
-      catalogName: String): Option[GraftMemTable] = {
+      catalogName: String, retainVersions: Int = 3)
+      : Option[GraftMemTable] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val schemaPath = new org.apache.hadoop.fs.Path(dir, "schema.json")
     val fs = schemaPath.getFileSystem(
@@ -297,17 +531,21 @@ object GraftMemTable {
       .asInstanceOf[StructType]
     val t = new GraftMemTable(ident.toString, schema,
       persistDir = Some(dir),
-      qualifiedName = s"$catalogName.${ident.toString}")
-    // during the writer's two-rename swap the main data dir briefly
-    // doesn't exist; fall back to the pre-swap `.old` snapshot (a
-    // consistent, one-commit-stale view — the cdcSnapshot contract)
-    // instead of silently loading an empty table
+      qualifiedName = s"$catalogName.${ident.toString}",
+      retainVersions = retainVersions)
+    // during the writer's retire/swap renames the main data dir
+    // briefly doesn't exist; fall back to the newest RETIRED
+    // version (a consistent, one-commit-stale view — the
+    // cdcSnapshot contract) instead of silently loading an empty
+    // table. `data.old` is the same fallback for pre-versioning
+    // layouts.
     val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
     val oldDir = new org.apache.hadoop.fs.Path(dir, "data.old")
     val readFrom =
       if (fs.exists(dataDir)) Some(dataDir)
-      else if (fs.exists(oldDir)) Some(oldDir)
-      else None
+      else maxRetired(fs, dir).map(v => versionPath(dir, v))
+        .filter(fs.exists)
+        .orElse(if (fs.exists(oldDir)) Some(oldDir) else None)
     readFrom.foreach(p =>
       t.loadRows(spark.read.schema(schema)
         .parquet(p.toString)

@@ -663,15 +663,40 @@ object StreamOps {
     * the dedup hash, and the stats — so raw identifiers never enter
     * state, the index, or the aggregates, and two documents
     * differing only in their PII (templated mail, form letters)
-    * dedup together. Pure extra projection on the ingest scan. */
+    * dedup together. Pure extra projection on the ingest scan.
+    *
+    * `modelWeights` (optional) composes the q255 model-based
+    * quality classifier into the stream — the CCNet deployment
+    * shape: train offline ([[graft.operators.TextClassifier
+    * .nbLogOddsWeights]]), publish the ≤256-row weight table, gate
+    * every arriving micro-batch BEFORE the heuristic quality gate,
+    * hash-dedup, and stats. The per-doc log-likelihood ratio is the
+    * aggregation-free form [[graft.operators.TextClassifier
+    * .llrExpr]] (a higher-order fold against the weight-map
+    * literal — a streaming query gets only one stateful
+    * aggregation, and this pipeline already spends it on the lang
+    * stats), and the keep rule is exactly scoreDocs': evidence
+    * present (≥ 1 bigram) and llr_ppm > 0. Stream == batch over the
+    * union of micro-batches is pinned by `StreamCorpusSpec`. */
   def corpusIngest(docs: DataFrame, tsCol: String, textCol: String,
       langCol: String, watermark: String, minQuality: Double,
       stopwords: Seq[String] = Seq("the", "a"),
-      scrubPii: Boolean = false): DataFrame = {
-    import graft.operators.TextOps
-    (if (scrubPii)
-       docs.withColumn(textCol, TextOps.maskPii(col(textCol)))
-     else docs)
+      scrubPii: Boolean = false,
+      modelWeights: Option[Map[Int, Long]] = None,
+      modelBuckets: Int = 256): DataFrame = {
+    import graft.operators.{TextClassifier, TextOps}
+    val scrubbed =
+      (if (scrubPii)
+         docs.withColumn(textCol, TextOps.maskPii(col(textCol)))
+       else docs)
+    val modelGated = modelWeights match {
+      case Some(w) =>
+        scrubbed
+          .filter(TextClassifier.numFeatsExpr(col(textCol)) >= 1L &&
+            TextClassifier.llrExpr(col(textCol), w, modelBuckets) > 0L)
+      case None => scrubbed
+    }
+    modelGated
       .withColumn("__q", TextOps.qualityScore(col(textCol), stopwords))
       .filter(col("__q") >= minQuality)
       .withColumn("__h", md5(col(textCol)))
@@ -682,6 +707,23 @@ object StreamOps {
         sum(TextOps.tokenCount(col(textCol)).cast("long"))
           .as("sum_tokens"),
         sum(floor(col("__q") * lit(1e6) + lit(0.5))).as("sum_qm"))
+  }
+
+  /** The admission index before the first admitted batch is a
+    * NOT-YET-EXISTING directory. Reading it and catching the
+    * AnalysisException would work, but the failed read still reaches
+    * every QueryExecutionListener (the ExecutionListenerBus logs a
+    * PATH_NOT_FOUND stack trace per first trigger — noise that buries
+    * real failures in test logs). Existence-check through the
+    * directory's own Hadoop filesystem first, so the listener only
+    * ever sees reads that succeed. */
+  private def readIndexOrEmpty(spark: SparkSession, indexDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.schema(schema).parquet(indexDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** One micro-batch of the NEAR-dup admission gate — the q112
@@ -706,23 +748,6 @@ object StreamOps {
     * projection is a precomputed table). Per-trigger work is
     * O(batch + matching buckets).
     * @return the admitted rows (already appended to `indexDir`) */
-  /** The admission index before the first admitted batch is a
-    * NOT-YET-EXISTING directory. Reading it and catching the
-    * AnalysisException would work, but the failed read still reaches
-    * every QueryExecutionListener (the ExecutionListenerBus logs a
-    * PATH_NOT_FOUND stack trace per first trigger — noise that buries
-    * real failures in test logs). Existence-check through the
-    * directory's own Hadoop filesystem first, so the listener only
-    * ever sees reads that succeed. */
-  private def readIndexOrEmpty(spark: SparkSession, indexDir: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) spark.read.schema(schema).parquet(indexDir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
-
   def admitNearDupBatch(batch: DataFrame, idCol: String,
       textCol: String, indexDir: String, n: Int, k: Int, bands: Int,
       minJaccard: Double): DataFrame = {

@@ -87,6 +87,30 @@ class BenchPoolSpec extends AnyFunSuite {
     assert(p.path("digest").asText() == "digNew")
   }
 
+  test("ERR: pseudo-digests behave like legacy reps — never match, never own the min") {
+    val dir = Files.createTempDirectory("pool")
+    val out = dir.resolve("pool.json")
+    // two different broken plans that failed fingerprinting the same
+    // way must NOT pool: an ERR: key is not a plan identity
+    Bench.mergeInto(out.toString, "sfX",
+      run("sfX", ("q1", Seq(0.1, 0.15), "ERR:NullPointerException")))
+    Bench.mergeInto(out.toString, "sfX",
+      run("sfX", ("q1", Seq(0.5, 0.6), "ERR:NullPointerException")))
+    val p = read(out).path("queries").path("q1")
+    // no valid digest anywhere -> falls back to min_any_plan, the
+    // legacy-pool behavior (recorded, but flagged by the ERR digest)
+    assert(p.path("min").asDouble() == 0.1)
+    assert(p.path("min_any_plan").asDouble() == 0.1)
+    // once a VALID digest arrives, ERR reps can never own the min
+    Bench.mergeInto(out.toString, "sfX",
+      run("sfX", ("q1", Seq(0.4, 0.7), "digA")))
+    val p2 = read(out).path("queries").path("q1")
+    assert(p2.path("min").asDouble() == 0.4)          // not 0.1
+    assert(p2.path("min_any_plan").asDouble() == 0.1) // diagnostic
+    assert(p2.path("digest").asText() == "digA")
+    assert(p2.path("reps").size() == 6)               // history kept
+  }
+
   test("a different-sf run lands in a side pool, not the existing one") {
     val dir = Files.createTempDirectory("pool")
     val out = dir.resolve("pool.json")

@@ -142,6 +142,85 @@ class PersistedCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gpu.up")
   }
 
+  test("time travel: VERSION AS OF / TIMESTAMP AS OF read the " +
+      "retained snapshot chain, survive a restart, prune loudly") {
+    val dir = Files.createTempDirectory("graft-cat-tt").toString
+    registerCatalog("gtt", dir)
+    spark.sql("CREATE TABLE gtt.tt (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtt.tt VALUES (1, 'a')")      // version 0
+    Thread.sleep(50)
+    spark.sql("INSERT INTO gtt.tt VALUES (2, 'b')")      // version 1
+    Thread.sleep(50)
+    spark.sql("INSERT OVERWRITE gtt.tt VALUES (9, 'z')") // version 2
+
+    def readV(cat: String, v: Long): List[(Long, String)] =
+      spark.sql(s"SELECT * FROM $cat.tt VERSION AS OF $v")
+        .orderBy("id").as[(Long, String)].collect().toList
+    assert(readV("gtt", 0) === List((1L, "a")))
+    assert(readV("gtt", 1) === List((1L, "a"), (2L, "b")))
+    assert(readV("gtt", 2) === List((9L, "z"))) // current == log tail
+    assert(spark.table("gtt.tt").orderBy("id")
+      .as[(Long, String)].collect().toList === List((9L, "z")))
+
+    // TIMESTAMP AS OF: the commit log is the resolution source —
+    // pin the version-1 commit's own wall time
+    val td = tableDir(dir, "tt")
+    val commits = scala.io.Source.fromFile(s"$td/commits.json")
+      .getLines().toSeq
+    assert(commits.size === 3, commits.mkString("; "))
+    val Line = """\{"version":(\d+),"ts_ms":(\d+)\}""".r
+    val tsOf = commits.map { case Line(v, t) => v.toLong -> t.toLong }
+      .toMap
+    val t1 = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(tsOf(1L)),
+      java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+        s"SELECT * FROM gtt.tt TIMESTAMP AS OF '$t1'")
+      .orderBy("id").as[(Long, String)].collect().toList ===
+      List((1L, "a"), (2L, "b")))
+    // before the first commit → loud failure, not an empty table
+    val t00 = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(tsOf(0L) - 5000),
+      java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val early = intercept[Exception](spark.sql(
+      s"SELECT * FROM gtt.tt TIMESTAMP AS OF '$t00'").collect())
+    assert(early.getMessage.contains("no commit"))
+
+    // restart: a FRESH catalog instance resolves history from disk
+    registerCatalog("gtt2", dir)
+    assert(readV("gtt2", 0) === List((1L, "a")))
+    assert(readV("gtt2", 2) === List((9L, "z")))
+
+    // retention (default 3 retired): two more commits retire v2, v3
+    // and prune v0
+    spark.sql("INSERT INTO gtt.tt VALUES (10, 'y')")     // version 3
+    spark.sql("INSERT INTO gtt.tt VALUES (11, 'x')")     // version 4
+    val pruned = intercept[Exception](readV("gtt", 0))
+    assert(pruned.getMessage.contains("not") &&
+      pruned.getMessage.contains("available"),
+      pruned.getMessage)
+    assert(readV("gtt", 1) === List((1L, "a"), (2L, "b")))
+    assert(readV("gtt", 4).toSet ===
+      Set((9L, "z"), (10L, "y"), (11L, "x")))
+
+    // history: every commit logged; v0 pruned-unavailable; the tail
+    // is current; timestamps non-decreasing
+    val hist = graft.sources.GraftCatalog.history(spark, "gtt", "tt")
+      .orderBy("version")
+      .as[(Long, Long, Boolean, Boolean)].collect().toList
+    assert(hist.map(_._1) === List(0L, 1L, 2L, 3L, 4L))
+    assert(hist.map(h => h._3) ===
+      List(false, true, true, true, true))
+    assert(hist.map(h => h._4) ===
+      List(false, false, false, false, true))
+    assert(hist.map(_._2) === hist.map(_._2).sorted)
+    spark.sql("DROP TABLE gtt.tt")
+  }
+
   test("in-memory catalog (no path) behaves as before: q162 surface " +
       "unchanged, RENAME still supported") {
     spark.sql("DROP TABLE IF EXISTS graft.pc_mem")

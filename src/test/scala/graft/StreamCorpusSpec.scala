@@ -69,6 +69,83 @@ class StreamCorpusSpec extends SparkSpec {
     assert(got("en")._1 == 2L) // the duplicate did not double-count
   }
 
+  test("model-gated ingest equals batch scoreDocs gate over the union of micro-batches") {
+    import graft.operators.TextClassifier
+    implicit val sqlCtx = spark.sqlContext
+    val B = 256
+    // offline training (the CCNet shape: train once, publish weights)
+    val labeled = Seq(
+      ("the quick brown fox jumps over the lazy dog", true),
+      ("a clean well formed english sentence appears here", true),
+      ("click here buy now free offer click here buy now", false),
+      ("zzz qqq xxx www spam spam spam link link link", false))
+    val train = labeled.zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "y")
+    val weights = TextClassifier.nbLogOddsWeights(train, "doc_id",
+      "text", "y", B)
+    val wMap = TextClassifier.collectWeights(weights)
+
+    // corpus: english-like docs (model keeps), spam (model drops),
+    // a cross-micro-batch duplicate (dedup drops), a 1-token doc
+    // (no features — no verdict, dropped at the gate)
+    def good(tag: String): String =
+      (s"the quick brown fox jumps over the lazy dog and " +
+        s"a clean well formed english sentence appears here $tag")
+    val spam = "click here buy now free offer spam link " * 4
+    val batch1 = Seq(
+      (ts("2024-01-01 00:00:00"), good("alpha"), "en"),
+      (ts("2024-01-01 00:01:00"), good("beta"), "en"),
+      (ts("2024-01-01 00:02:00"), spam, "en"),
+      (ts("2024-01-01 00:02:30"), "solo", "fr"))
+    val batch2 = Seq(
+      (ts("2024-01-01 00:03:00"), good("alpha"), "en"), // dup
+      (ts("2024-01-01 00:04:00"), good("gamma"), "fr"))
+
+    val in = MemoryStream[(Timestamp, String, String)]
+    val docs = in.toDF().toDF("ts", "text", "lang")
+    val out = StreamOps.corpusIngest(docs, "ts", "text", "lang",
+      watermark = "10 minutes", minQuality = 0.0,
+      modelWeights = Some(wMap), modelBuckets = B)
+    val q = out.writeStream.format("memory").queryName("model_ingest")
+      .outputMode("update").start()
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("model_ingest")
+      .groupBy($"lang")
+      .agg(max(struct($"n_docs", $"sum_tokens", $"sum_qm")).as("m"))
+      .select($"lang", $"m.n_docs", $"m.sum_tokens", $"m.sum_qm")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // batch recompute over the UNION of micro-batches: scoreDocs
+    // keep-gate → exact text dedup → per-lang stats
+    val union = (batch1 ++ batch2).zipWithIndex
+      .map { case ((_, t, l), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val kept = TextClassifier.scoreDocs(union, "doc_id", "text",
+        weights, B)
+      .filter(col("keep")).select(col("doc_id"))
+    val expected = union.join(kept, Seq("doc_id"), "left_semi")
+      .dropDuplicates("text")
+      .withColumn("__q", graft.operators.TextOps
+        .qualityScore($"text", Seq("the", "a")))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.operators.TextOps.tokenCount($"text").cast("long"))
+          .as("t"),
+        sum(floor($"__q" * 1e6 + 0.5)).as("qm"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    assert(got == expected, s"stream $got vs batch $expected")
+    // the gate actually fired: spam and the no-feature doc are gone,
+    // the duplicate counted once
+    assert(got("en")._1 == 2L && got("fr")._1 == 1L)
+  }
+
   test("streaming media ingest: per-format totals equal batch; dups dropped") {
     import graft.operators.Multimodal
     implicit val sqlCtx = spark.sqlContext

@@ -128,6 +128,39 @@ class TextClassifierSpec extends SparkSpec {
     assert(withNull == refWeights(labeled))
   }
 
+  test("llrExpr (aggregation-free streaming form) is bit-equal to scoreDocs") {
+    val train = labeled.zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "y")
+    val w = TextClassifier.nbLogOddsWeights(train, "doc_id", "text",
+      "y", B)
+    val wMap = TextClassifier.collectWeights(w)
+    assert(wMap == w.as[(Int, Long)].collect().toMap)
+    val infer = (labeled.map(_._1) ++
+      Seq(unlabeledJunk, unlabeledGood, "solo"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // per-row expression form, gated the way corpusIngest gates
+    val viaExpr = infer
+      .select(col("doc_id"),
+        TextClassifier.numFeatsExpr(col("text")).as("n_feats"),
+        TextClassifier.llrExpr(col("text"), wMap, B).as("llr_ppm"))
+      .filter(col("n_feats") >= 1L)
+      .withColumn("keep", col("llr_ppm") > 0L)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // relational form (explode + broadcast join + groupBy)
+    val viaAgg = TextClassifier.scoreDocs(infer, "doc_id", "text", w, B)
+      .select(col("doc_id"), col("n_feats"), col("llr_ppm"),
+        col("keep"))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(viaExpr == viaAgg)
+    // the 1-token doc (id 6) is absent from both forms: no
+    // evidence, no verdict
+    val soloId = labeled.size + 2L
+    assert(!viaAgg.exists(_._1 == soloId))
+    assert(viaAgg.size == labeled.size + 2)
+  }
+
   test("composes as the model gate in front of Curate.curate") {
     // classifier keeps → curation pipeline; the junk doc never
     // reaches dedup/quality, the good one survives end to end

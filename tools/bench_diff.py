@@ -40,7 +40,7 @@ def main(argv):
     for q in shared:
         oq, nq = old["queries"][q], new["queries"][q]
         od, nd = oq.get("digest", ""), nq.get("digest", "")
-        if od != nd or not od:
+        if od != nd or not od or od.startswith("ERR:"):
             mixed.append((q, od[:8] or "-", nd[:8] or "-"))
             continue
         om, nm = oq["min"], nq["min"]

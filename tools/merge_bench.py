@@ -47,7 +47,10 @@ def merge(in_paths, out_path):
             cur = r["queries"][q].get("digest", "")
             if cur:
                 break
-        matching = [t for t, d in pairs if d and d == cur]
+        # ERR:<cls> pseudo-digests (fingerprinting failed) are not
+        # plan identities — treat like legacy/empty: never matching.
+        matching = [t for t, d in pairs
+                    if d and not d.startswith("ERR:") and d == cur]
         m = min(matching) if matching else min(t for t, _ in pairs)
         out["queries"][q] = {
             "reps": [t for t, _ in pairs],
