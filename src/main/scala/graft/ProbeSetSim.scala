@@ -53,6 +53,29 @@ object ProbeSetSim {
     time("full pairs")(
       Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 600000L)
         .count())
+    // Harness-delta dissection (r14 VERDICT ask 3): the bench entry
+    // is pairs + orderBy + a noop write — time each terminal form so
+    // a pooled-min vs probe gap decomposes into measured components
+    // (count() lets Catalyst prune the output projection; the noop
+    // write materializes every column; orderBy adds a range
+    // exchange over the tiny result).
+    time("pairs orderBy count")(
+      Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 600000L)
+        .orderBy(col("a"), col("b")).count())
+    time("pairs noop write") {
+      Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 600000L)
+        .write.format("noop").mode("overwrite").save(); 0L
+    }
+    time("pairs orderBy noop write (bench form)") {
+      Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 600000L)
+        .orderBy(col("a"), col("b"))
+        .write.format("noop").mode("overwrite").save(); 0L
+    }
+    time("pairs repartition(1)+sortWithinPartitions noop write") {
+      Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 600000L)
+        .repartition(1).sortWithinPartitions(col("a"), col("b"))
+        .write.format("noop").mode("overwrite").save(); 0L
+    }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       val df = Dedup.prefixFilterPairs(docs, "doc_id", "text", 3,
         600000L)

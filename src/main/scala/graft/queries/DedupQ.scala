@@ -468,13 +468,23 @@ object DedupQ {
     *
     * Scale shape: see the operator — candidates ride rare-shingle
     * posting lists (df-asc prefixes), never all-pairs, never hot
-    * boilerplate shingles. */
+    * boilerplate shingles.
+    *
+    * Terminal form (r14): the deterministic order comes from
+    * `repartition(1) + sortWithinPartitions`, NOT a global
+    * `orderBy` — for a write sink, orderBy's RangePartitioning
+    * samples its UN-materialized child to pick bounds, which
+    * re-executes the expensive join once more (measured: 33-37 s vs
+    * 20-21.5 s at sf1, `ProbeSetSim`; the count() terminal hid it
+    * because the optimizer drops a sort under count). A few-hundred-
+    * row result needs one partition, not range bounds — the same
+    * full ordering at none of the sampling cost. */
   val q203 = Qry(
     "q203_setsim_join",
     (s: SparkSession, d: String) =>
       Dedup.prefixFilterPairs(Tables.documents(s, d), "doc_id", "text",
           n = N, tauPpm = 600000L)
-        .orderBy(col("a"), col("b")),
+        .repartition(1).sortWithinPartitions(col("a"), col("b")),
     Some(s"""
       WITH sh AS (
         SELECT doc_id AS id, ${shinglesSql(N)} AS sh FROM documents),
