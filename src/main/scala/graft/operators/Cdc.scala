@@ -21,6 +21,58 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Keyed diff of two snapshots — the CHANGE FEED between two
+    * versions of a table (Delta's `table_changes` / Iceberg's
+    * incremental-read analogue; q175 inlines the same construction
+    * for its round-trip law). One key-partitioned full-outer join:
+    *
+    *  - key only in `b`          → `insert` (b's row)
+    *  - key only in `a`          → `delete` (a's row)
+    *  - key in both, payload ≠   → `update` (b's row — postimage)
+    *  - key in both, payload =   → no row
+    *
+    * Payload comparison is NULL-SAFE (`<=>` over the non-key struct:
+    * a NULL→value or value→NULL transition is an update, NULL→NULL
+    * is not a change). Both frames must share a schema; (key) must
+    * be unique per snapshot — snapshots, not logs.
+    *
+    * Scale shape: both sides shuffle once on the key; output carries
+    * `_change_type` last so the feed appends onto the source schema.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(a.columns.sameElements(b.columns),
+      s"snapshotDiff: schemas differ (${a.columns.mkString(",")} vs " +
+        s"${b.columns.mkString(",")})")
+    require(keyCols.nonEmpty && keyCols.forall(a.columns.contains),
+      s"snapshotDiff: key columns ${keyCols.mkString(",")} must " +
+        "exist in both snapshots")
+    val payload = a.columns.filterNot(keyCols.contains).toSeq
+    // presence markers rather than key-nullness tests, so a
+    // legitimately NULL key value can't masquerade as side-absence
+    val la = a.select(a.columns.map(c => col(c).as(s"__a_$c")).toSeq
+      :+ lit(true).as("__a_present"): _*)
+    val lb = b.select(b.columns.map(c => col(c).as(s"__b_$c")).toSeq
+      :+ lit(true).as("__b_present"): _*)
+    val keyEq = keyCols.map(k => col(s"__a_$k") <=> col(s"__b_$k"))
+      .reduce(_ && _)
+    def pstruct(p: String) =
+      struct(payload.map(c => col(s"$p$c")): _*)
+    val joined = la.join(lb, keyEq, "full_outer")
+    val changeType =
+      when(col("__a_present").isNull, lit("insert"))
+        .when(col("__b_present").isNull, lit("delete"))
+        .when(if (payload.isEmpty) lit(false)
+          else !(pstruct("__a_") <=> pstruct("__b_")), lit("update"))
+    joined
+      .withColumn("_change_type", changeType)
+      .filter(col("_change_type").isNotNull)
+      .select(a.columns.toSeq.map(c =>
+        when(col("_change_type") === "delete", col(s"__a_$c"))
+          .otherwise(col(s"__b_$c")).as(c)) :+
+        col("_change_type"): _*)
+  }
+
   /** Final snapshot from a change log.
     *
     * @param log    change rows: `keyCols` ++ [[seqCol]] ++ [[opCol]]

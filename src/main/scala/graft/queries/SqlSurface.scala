@@ -337,6 +337,63 @@ object SqlSurface {
       FROM part WHERE p_partkey <= 20
       ORDER BY version"""))
 
+  /** q257 — change feed between two catalog versions
+    * ([[graft.sources.GraftCatalog.tableChanges]] =
+    * time travel × [[graft.operators.Cdc.snapshotDiff]], Delta's
+    * `table_changes` analogue): version 0 holds parts 1..15, an
+    * INSERT OVERWRITE makes version 1 = parts 6..20 with names
+    * upper-cased for keys ≤ 10. The v0→v1 feed must therefore read
+    * exactly: deletes 1..5, updates 6..10 (postimage, upper-cased),
+    * inserts 16..20 — keys 11..15 are untouched and MUST emit
+    * nothing. The oracle recomputes all three classes straight from
+    * the part parquet, so a miscounted side, a lost postimage, or a
+    * spurious no-change row breaks the hash. Same fresh-catalog-per-
+    * invocation contract as q256. */
+  val q257 = Qry(
+    "q257_table_changes",
+    (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val cat = s"g257c${ttRun.incrementAndGet()}"
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-$cat").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.path", dir)
+      s.sql(s"CREATE TABLE $cat.tc (k BIGINT, name STRING)")
+      s.sql(s"INSERT INTO $cat.tc SELECT p_partkey, p_name " +
+        s"FROM parquet.`$d/part.parquet` WHERE p_partkey <= 15")
+      s.sql(s"INSERT OVERWRITE $cat.tc SELECT p_partkey, " +
+        s"CASE WHEN p_partkey <= 10 THEN upper(p_name) ELSE p_name " +
+        s"END FROM parquet.`$d/part.parquet` " +
+        s"WHERE p_partkey > 5 AND p_partkey <= 20")
+      graft.sources.GraftCatalog
+        .tableChanges(s, cat, "tc", Seq("k"), 0L, 1L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          sum(length(col("name")).cast("long")).as("sum_len"),
+          // first-char code sum: upper() changes it, length doesn't —
+          // pins that updates carry the POSTIMAGE, not the old row
+          sum(ascii(col("name")).cast("long")).as("sum_c0"))
+        .orderBy(col("_change_type"))
+    },
+    Some("""
+      SELECT 'delete' AS _change_type, COUNT(*) AS n,
+             CAST(SUM(p_partkey) AS BIGINT) AS sum_k,
+             CAST(SUM(length(p_name)) AS BIGINT) AS sum_len,
+             CAST(SUM(ascii(p_name)) AS BIGINT) AS sum_c0
+      FROM part WHERE p_partkey <= 5
+      UNION ALL
+      SELECT 'insert', COUNT(*), CAST(SUM(p_partkey) AS BIGINT),
+             CAST(SUM(length(p_name)) AS BIGINT),
+             CAST(SUM(ascii(p_name)) AS BIGINT)
+      FROM part WHERE p_partkey > 15 AND p_partkey <= 20
+      UNION ALL
+      SELECT 'update', COUNT(*), CAST(SUM(p_partkey) AS BIGINT),
+             CAST(SUM(length(upper(p_name))) AS BIGINT),
+             CAST(SUM(ascii(upper(p_name))) AS BIGINT)
+      FROM part WHERE p_partkey > 5 AND p_partkey <= 10
+      ORDER BY _change_type"""))
+
   val all: Seq[Qry] =
-    Seq(q45, q46, q73, q110, q207, q237, q248, q256)
+    Seq(q45, q46, q73, q110, q207, q237, q248, q256, q257)
 }

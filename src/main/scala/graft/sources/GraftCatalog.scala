@@ -245,6 +245,24 @@ object GraftCatalog {
         cur.contains(c.version)))
       .toDF("version", "ts_ms", "available", "is_current")
   }
+
+  /** Change feed between two retained versions — Delta's
+    * `table_changes` analogue, composed from the time-travel reads
+    * and [[graft.operators.Cdc.snapshotDiff]]: rows inserted,
+    * deleted, or updated (postimage) going `fromVersion` →
+    * `toVersion`, tagged `_change_type`. Both versions must still be
+    * within the retention horizon; keys must be unique per snapshot.
+    * The incremental-retraining primitive: diff two dataset pins and
+    * feed only the delta downstream. */
+  def tableChanges(spark: org.apache.spark.sql.SparkSession,
+      catalog: String, table: String, keyCols: Seq[String],
+      fromVersion: Long, toVersion: Long)
+      : org.apache.spark.sql.DataFrame = {
+    def at(v: Long) = spark.sql(
+      s"SELECT * FROM $catalog.$table VERSION AS OF $v")
+    graft.operators.Cdc.snapshotDiff(
+      at(fromVersion), at(toVersion), keyCols)
+  }
 }
 
 /** In-memory unpartitioned table: BATCH_READ + BATCH_WRITE (+

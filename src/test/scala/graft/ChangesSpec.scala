@@ -61,6 +61,33 @@ class ChangesSpec extends SparkSpec {
       "event_type", "value", "purchase", Seq("click", "view"),
       lookbackMicros = 100L * 1000000L)
 
+  test("snapshotDiff: insert/delete/update classes; null-safe payload; no-change silence") {
+    val a = Seq((1L, Option("x")), (2L, Option("y")),
+        (3L, Option.empty[String]), (4L, Option("same")))
+      .toDF("k", "v")
+    val b = Seq((2L, Option("Y")), (3L, Option("now")),
+        (4L, Option("same")), (5L, Option.empty[String]))
+      .toDF("k", "v")
+    val got = Cdc.snapshotDiff(a, b, Seq("k"))
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(got === Set(
+      (1L, Some("x"), "delete"),          // only in a — a's row
+      (2L, Some("Y"), "update"),          // payload differs — postimage
+      (3L, Some("now"), "update"),        // NULL -> value IS a change
+      (5L, None, "insert")))              // only in b — b's row
+    // k=4 unchanged: emits nothing (asserted by the exact set above)
+  }
+
+  test("snapshotDiff: NULL -> NULL payload is not a change; schema mismatch rejected") {
+    val a = Seq((1L, Option.empty[String])).toDF("k", "v")
+    val b = Seq((1L, Option.empty[String])).toDF("k", "v")
+    assert(Cdc.snapshotDiff(a, b, Seq("k")).count() === 0L)
+    val bad = Seq((1L, "x")).toDF("k", "w")
+    val e = intercept[IllegalArgumentException](
+      Cdc.snapshotDiff(a, bad, Seq("k")))
+    assert(e.getMessage.contains("schemas differ"))
+  }
+
   test("attribution: first/last/linear split over three touches") {
     // touches at t=10,20,30; purchase 3.33 at t=40 → 333 cents
     val out = credits(ev(
