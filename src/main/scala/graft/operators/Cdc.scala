@@ -47,6 +47,12 @@ object Cdc {
     require(keyCols.nonEmpty && keyCols.forall(a.columns.contains),
       s"snapshotDiff: key columns ${keyCols.mkString(",")} must " +
         "exist in both snapshots")
+    require(!a.columns.contains("_change_type"),
+      "snapshotDiff: column name _change_type is reserved for the " +
+        "feed tag")
+    require(!a.columns.exists(c => c.startsWith("__a_") ||
+        c.startsWith("__b_")),
+      "snapshotDiff: __a_/__b_ column prefixes are reserved")
     val payload = a.columns.filterNot(keyCols.contains).toSeq
     // presence markers rather than key-nullness tests, so a
     // legitimately NULL key value can't masquerade as side-absence
