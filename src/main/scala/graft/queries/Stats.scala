@@ -694,23 +694,28 @@ object Stats {
     * cents are value-interchangeable, so every emitted number is a
     * multiset invariant (tie order can't move the hash).
     *
-    * Scale shape: ONE group-key exchange serves the rank window,
-    * the count window, and the final aggregate (same partitioning);
-    * nothing global, no re-scan for the winsorized leg. */
+    * Scale shape (r14): the per-group rank comes from
+    * [[graft.operators.Ranks.parallelRank]] — a window partitioned
+    * by the 3-value return flag would run the whole rank sort as 3
+    * single-threaded tasks (2M rows each at sf1; a job that never
+    * finishes at 100 TB). The two-phase range-partition + offset
+    * rank does P parallel sorts of n/P rows instead; group counts
+    * ride a 3-row broadcast join rather than a second window pass.
+    * No re-scan for the winsorized leg. */
   val q232 = Qry(
     "q232_trimmed_stats",
     (s: SparkSession, d: String) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_returnflag"))
-      val rn = row_number().over(w.orderBy(col("cents"),
-        col("l_orderkey"), col("l_linenumber")))
-      Tables.lineitem(s, d)
+      import graft.operators.Ranks
+      val base = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_orderkey"),
           col("l_linenumber"),
           floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
             .as("cents"))
-        .withColumn("rn", rn.cast("long"))
-        .withColumn("n", count(lit(1)).over(w))
+      val nPer = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+      Ranks.parallelRank(base, Seq("l_returnflag"),
+          Seq("cents", "l_orderkey", "l_linenumber"), "rn")
+        .join(broadcast(nPer), Seq("l_returnflag"))
         .withColumn("k", expr("n div 10"))
         .groupBy(col("l_returnflag"))
         .agg(
