@@ -54,19 +54,27 @@ object Quality {
       extra: Seq[DataFrame] = Nil): DataFrame =
     extra.foldLeft(rowChecks(df, checks))(_ unionByName _)
 
-  /** Per-column table profile (the ANALYZE/data-catalog pass) in ONE
-    * scan: for every listed column — row count, null count, exact
-    * distinct, an approx-distinct sketch with its within-15%-band
-    * verdict (the q48 flip-proof contract), and min/max for the
-    * numeric columns. The wide aggregate melts to one row per column
-    * via an explode of per-column structs (pure projection — the
-    * only exchange is the aggregate's own partial/final pair).
+  /** Per-column table profile (the ANALYZE/data-catalog pass): for
+    * every listed column — row count, null count, exact distinct, an
+    * approx-distinct sketch with its within-15%-band verdict (the
+    * q48 flip-proof contract), and min/max for the numeric columns.
+    * The sketch/null/min-max metrics come from ONE wide scan melted
+    * to a row per column via an explode of per-column structs (pure
+    * projection — the only exchange is the aggregate's own
+    * partial/final pair).
     *
-    * Scale note: the exact `countDistinct`s exist to VERIFY the
-    * sketches cross-engine; they plan one Expand over the scan (rows
-    * × columns). At 100 TB a profile runs the sketch-only variant
-    * (drop `exact = true`), which is a plain partial+final aggregate
-    * with HLL state per column — no Expand, no second pass. */
+    * Scale note: the exact `countDistinct` verification legs are
+    * SEPARATE per-column single-distinct aggregates over one-column
+    * pruned scans — each plans as a plain two-phase hash aggregate
+    * keyed on its own column, NEVER the multi-distinct Expand (which
+    * replicates every row once per profiled column and carries the
+    * full cross-column key cardinality through one exchange — the
+    * shape that cost 26 s at sf1 and would never finish at 100 TB).
+    * The N-row exact frame then broadcast-joins back into the melted
+    * sketch frame. At 100 TB a profile runs the sketch-only variant
+    * (`exact = false`) — one scan, HLL state per column, no second
+    * pass; the exact legs exist to VERIFY the sketches cross-engine
+    * at verification scale. */
   def profile(df: DataFrame, numericCols: Seq[String],
       otherCols: Seq[String], exact: Boolean = true): DataFrame = {
     val cols = numericCols.map(_ -> true) ++ otherCols.map(_ -> false)
@@ -80,7 +88,6 @@ object Quality {
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nn"),
         approx_count_distinct(col(c), 0.02).as(s"__${c}_ad")) ++
-        (if (exact) Seq(countDistinct(col(c)).as(s"__${c}_nd")) else Nil) ++
         (if (num) Seq(
           min(col(c)).cast("double").as(s"__${c}_mn"),
           max(col(c)).cast("double").as(s"__${c}_mx")) else Nil)
@@ -91,18 +98,30 @@ object Quality {
         lit(c).as("col_name"),
         col("__n").as("n_rows"),
         col(s"__${c}_nn").as("n_null"),
-        (if (exact) col(s"__${c}_nd")
-         else col(s"__${c}_ad")).as("n_distinct"),
-        (if (exact)
-          abs(col(s"__${c}_ad") - col(s"__${c}_nd")) <=
-            lit(0.15) * col(s"__${c}_nd")
-         else lit(true)).as("approx_ok"),
+        col(s"__${c}_ad").as("__n_approx"),
         (if (num) col(s"__${c}_mn")
          else lit(null).cast("double")).as("min_num"),
         (if (num) col(s"__${c}_mx")
          else lit(null).cast("double")).as("max_num"))
     }
-    agged.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+    val melted =
+      agged.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+    if (!exact)
+      melted.select(col("col_name"), col("n_rows"), col("n_null"),
+        col("__n_approx").as("n_distinct"), lit(true).as("approx_ok"),
+        col("min_num"), col("max_num"))
+    else {
+      val exacts = cols.map { case (c, _) =>
+        df.agg(countDistinct(col(c)).as("__nd"))
+          .select(lit(c).as("col_name"), col("__nd"))
+      }.reduce(_ unionByName _)
+      melted.join(broadcast(exacts), Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("__nd").as("n_distinct"),
+          (abs(col("__n_approx") - col("__nd")) <=
+            lit(0.15) * col("__nd")).as("approx_ok"),
+          col("min_num"), col("max_num"))
+    }
   }
 
   /** Equi-depth histogram (the ANALYZE-for-CBO statistic: bucket

@@ -449,8 +449,13 @@ object Pipeline {
   /** Table profiling (the data-catalog/ANALYZE pass a user runs on an
     * unfamiliar table): q75's sibling — per-column null counts, exact
     * distincts verifying the per-column HLL sketches (q48 band
-    * contract), and numeric min/max, all from ONE scan melted to a
-    * row per column. The oracle recomputes every metric directly. */
+    * contract), and numeric min/max. The sketch/null/min-max metrics
+    * come from ONE scan melted to a row per column; the exact
+    * distincts are separate single-distinct two-phase aggregates over
+    * one-column pruned scans broadcast-joined back (NOT the
+    * multi-countDistinct Expand, which replicated every row once per
+    * profiled column — 26 s at sf1 before the r15 rewrite, 100 TB
+    * death). The oracle recomputes every metric directly. */
   val q122 = Qry(
     "q122_table_profile",
     (s: SparkSession, d: String) =>
@@ -603,8 +608,9 @@ object Pipeline {
   /** q134 — the 100 TB headline form of the q122 table profile:
     * sketch-only (`exact = false`), a plain partial+final aggregate
     * with HLL state per column — NO Expand, no exact-countDistinct
-    * second pass through the wide scan (q122 keeps that leg in ONE
-    * Expand because its job is cross-engine sketch VERIFICATION; at
+    * second pass through the wide scan (q122's verification job
+    * carries the exact legs; since r15 those run as the same
+    * per-column single-distinct shape this query pioneered; at
     * scale a profile runs this form). The sketch ESTIMATES are
     * engine-specific, so the hashable contract is the q48/q115
     * in-band projection: hash the cheap exact metrics (n_rows,

@@ -45,7 +45,7 @@ class QualitySpec extends SparkSpec {
     assert(!plan.contains("Union"))
   }
 
-  test("profile: sketch-only variant plans Expand-free; exact variant verifies it") {
+  test("profile: both variants plan Expand-free; exact variant verifies the sketch") {
     val li = Tables.lineitem(spark, sf())
     // 100 TB form: per-column HLL states in a plain partial+final
     // aggregate — the multi-countDistinct Expand must be gone
@@ -53,10 +53,14 @@ class QualitySpec extends SparkSpec {
       Seq("l_quantity"), Seq("l_returnflag"), exact = false)
     assert(!sketchOnly.queryExecution.executedPlan.toString
       .contains("Expand"), "sketch-only profile grew an Expand")
-    // verification form: exact distincts DO cost an Expand (documented)
+    // verification form: the exact distincts run as SEPARATE
+    // single-distinct two-phase aggregates (one-column pruned scans)
+    // joined back broadcast — the multi-countDistinct Expand (which
+    // replicates every row once per column) must never come back
     val exact = Quality.profile(li,
       Seq("l_quantity"), Seq("l_returnflag"))
-    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!exact.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact profile regrew the multi-countDistinct Expand")
     // and the sketch verdicts hold on real data
     val rows = exact.select("col_name", "approx_ok")
       .as[(String, Boolean)].collect().toMap
