@@ -121,6 +121,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tables.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident)
     t.persistSchema()
+    // adopt whatever snapshot is on disk RIGHT NOW as this working
+    // copy's base (legacy-adopt path) — the commit-time OCC check
+    // then aborts only on commits that land AFTER creation
+    t.syncDiskFp()
     t
   }
 
@@ -318,6 +322,10 @@ class GraftMemTable(tableName: String, tableSchema: StructType,
   private[sources] def isStaleOnDisk: Boolean =
     persistDir.isDefined && diskFp != computeDiskFp()
 
+  /** Re-base this working copy on the CURRENT on-disk snapshot
+    * fingerprint (creation-time adopt; see createTable). */
+  private[sources] def syncDiskFp(): Unit = { diskFp = computeDiskFp() }
+
   /** Write `<dir>/schema.json` so [[GraftMemTable.loadPersisted]]
     * can reconstruct the table after a restart. No-op when the
     * catalog has no `path`. */
@@ -354,15 +362,34 @@ class GraftMemTable(tableName: String, tableSchema: StructType,
     * one-commit-stale view); after the swap but before the log
     * append, the log is one entry short and the next commit
     * re-derives the version counter from the `versions/` listing,
-    * so the chain cannot fork. Single-writer contract as before:
-    * ONE writer per path — concurrent writers would race the
-    * retire/swap renames exactly as they would the data swap. */
+    * so the chain cannot fork. Single-writer contract, ENFORCED
+    * since r15 (was prose): commit-time optimistic concurrency —
+    * the data-dir fingerprint this working copy last synced to
+    * (the same machinery [[isStaleOnDisk]] uses on the read path)
+    * is re-checked against the live listing before the distributed
+    * snapshot write AND again immediately before the retire/swap
+    * renames. A second instance that committed in between makes
+    * the loser throw a named ConcurrentModificationException
+    * instead of silently retiring the winner's snapshot; a loser
+    * that slips past both checks (sub-rename window) still dies on
+    * the guarded rename pair. */
   private def persistData(): Unit = persistDir.foreach { dir =>
     val spark = org.apache.spark.sql.SparkSession.active
     import org.apache.hadoop.fs.Path
     val tmp = new Path(dir, "data.tmp")
     val dst = new Path(dir, "data")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def occCheck(): Unit = {
+      val live = computeDiskFp()
+      if (live != diskFp)
+        throw new java.util.ConcurrentModificationException(
+          s"graft catalog: concurrent commit detected at $dir — " +
+            "another catalog instance swapped in a newer snapshot " +
+            "since this working copy last synced (single-writer " +
+            "contract). Reload the table (loadTable re-reads a " +
+            "stale working copy from disk) and re-apply the write.")
+    }
+    occCheck()
     fs.delete(tmp, true)
     fs.delete(new Path(dir, "data.old"), true) // pre-versioning layout
     spark.table(qualifiedName).write
@@ -379,6 +406,7 @@ class GraftMemTable(tableName: String, tableSchema: StructType,
     val newVer = math.max(
       commits.lastOption.map(_.version + 1).getOrElse(0L),
       GraftMemTable.maxRetired(fs, dir).map(_ + 2).getOrElse(0L))
+    occCheck() // re-check after the (slow) distributed write
     if (fs.exists(dst)) {
       val retired = GraftMemTable.versionPath(dir, newVer - 1)
       fs.mkdirs(retired.getParent)
@@ -389,9 +417,21 @@ class GraftMemTable(tableName: String, tableSchema: StructType,
     val log = (commits.filter(_.version < newVer) :+
       GraftMemTable.Commit(newVer, System.currentTimeMillis()))
     GraftMemTable.writeCommits(fs, dir, log)
-    // prune beyond the retention horizon (entries stay in the log)
-    (0L until newVer - retainVersions).foreach { v =>
-      fs.delete(GraftMemTable.versionPath(dir, v), true)
+    // prune beyond the retention horizon (entries stay in the log).
+    // One versions/ listing, deletes only for dirs that exist below
+    // the horizon — NOT a 0..horizon loop, which issues O(total
+    // history) delete RPCs per commit on an ever-growing table,
+    // almost all against already-pruned dirs.
+    val horizon = newVer - retainVersions
+    if (horizon > 0) {
+      val vd = new Path(dir, "versions")
+      if (fs.exists(vd)) fs.listStatus(vd).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v"))
+          n.drop(1).toLongOption.foreach { v =>
+            if (v < horizon) fs.delete(st.getPath, true)
+          }
+      }
     }
     diskFp = computeDiskFp()
   }
@@ -500,9 +540,20 @@ object GraftMemTable {
     if (!fs.exists(schemaPath)) return None
     val commits = readCommits(fs, dir)
     val current = commits.lastOption.map(_.version)
-    val readFrom =
-      if (current.contains(version)) new org.apache.hadoop.fs.Path(dir, "data")
-      else versionPath(dir, version)
+    // Crash window between the data swap and the commit-log append:
+    // the log tail still says k-1 is current while `data` already
+    // holds version k's rows — resolving the tail through `data`
+    // would be a silently WRONG historical read until the next
+    // commit re-derives the counter. But in exactly that window the
+    // retire rename has already landed versions/v<k-1>, so the
+    // retired dir (never present for a healthily-current version)
+    // is the true copy — prefer it.
+    val readFrom = {
+      val retired = versionPath(dir, version)
+      if (current.contains(version) && !fs.exists(retired))
+        new org.apache.hadoop.fs.Path(dir, "data")
+      else retired
+    }
     if (!fs.exists(readFrom)) {
       val have = commits.map(_.version)
         .filter(v => current.contains(v) ||
