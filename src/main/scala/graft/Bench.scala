@@ -211,6 +211,26 @@ object Bench {
           // the pooled min.
           def validDigest(d: String): Boolean =
             d.nonEmpty && !d.startsWith("ERR:")
+          // When the authoritative digest is itself ERR:, keying on
+          // it would match nothing and the min would silently fall
+          // back to min-over-ALL-reps — readmitting stale-plan reps,
+          // the exact flattery digest keying exists to prevent. Key
+          // on the most recent VALID digest instead (run tail first,
+          // then the pool's stored digest, then pool history) and
+          // warn loudly if none exists.
+          val keyDigest =
+            if (validDigest(curDigest)) curDigest
+            else {
+              val hist = new scala.collection.mutable.ArrayBuffer[String]
+              prevQ.map(_.path(name)).filter(_.isObject).foreach {
+                n =>
+                  hist += n.path("digest").asText("")
+                  n.path("digests").forEach(d => hist += d.asText)
+              }
+              if (cur.isObject)
+                cur.path("digests").forEach(d => hist += d.asText)
+              hist.reverseIterator.find(validDigest).getOrElse("")
+            }
           def fold(node: com.fasterxml.jackson.databind.JsonNode)
               : Unit = {
             val ts = new scala.collection.mutable.ArrayBuffer[Double]
@@ -224,14 +244,22 @@ object Bench {
             ts.zip(aligned).foreach { case (t, d) =>
               reps.add(t); digests.add(d)
               mnAny = math.min(mnAny, t)
-              if (validDigest(d) && d == curDigest) mn = math.min(mn, t)
+              if (validDigest(d) && d == keyDigest) mn = math.min(mn, t)
             }
             node.path("loads").forEach(l => loads.add(l.asDouble))
           }
           prevQ.map(_.path(name)).filter(_.isObject).foreach(fold)
           if (cur.isObject) fold(cur)
-          if (mn == Double.MaxValue) mn = mnAny // no digested rep yet
+          if (mn == Double.MaxValue) {
+            mn = mnAny // no digested rep anywhere in the pool
+            if (!validDigest(curDigest)) System.err.println(
+              s"[bench] WARNING: $name: no valid plan digest in the " +
+                s"pool (latest is '$curDigest') — min taken over ALL " +
+                "reps including possibly stale-plan ones")
+          }
           q.put("digest", curDigest)
+          if (keyDigest != curDigest && keyDigest.nonEmpty)
+            q.put("min_keyed_on", keyDigest) // ERR run; see WARNING
           q.put("min", r4(mn))
           q.put("min_any_plan", r4(mnAny))
           total += mn

@@ -23,7 +23,12 @@ import graft.functions.{Hilbert2D, HilbertN, PqAssign, ShingleNGrams,
   * `core_numbers`, `closeness`, the r11 row-pattern matcher
   * `match_recognize` ([[graft.operators.Journeys.matchRecognize]] —
   * the SQL:2016 MATCH_RECOGNIZE shape: contiguous pattern +
-  * quantifiers + gap policy, skip past last row), and the r11
+  * quantifiers + gap policy, skip past last row), the r15 two-phase
+  * rank `parallel_rank(view, group_cols_csv, order_cols_csv[,
+  * out_col])` ([[graft.operators.Ranks.parallelRank]] — the
+  * low-cardinality-group escape hatch from the single-task-per-group
+  * window-rank trap; its guarded offset collect runs at analysis
+  * time like the iterative graph functions), and the r11
   * preference ranker `bradley_terry`
   * ([[graft.operators.Evals.bradleyTerry]] over
   * [[graft.operators.Evals.orientedPairs]])
@@ -488,6 +493,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strConst(children(2), "betweenness: b_col"),
             intConstArg(children(3), "betweenness: pivots"),
             intConstArg(children(4), "betweenness: max_hops"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("parallel_rank"),
+      new ExpressionInfo("graft.operators.Ranks", "parallel_rank"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3 || children.size == 4,
+          "parallel_rank expects (view, group_cols_csv, " +
+            "order_cols_csv[, out_col]), got " +
+            s"${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Ranks.parallelRank(
+            spark.table(strConst(children(0), "parallel_rank: view")),
+            strConst(children(1), "parallel_rank: group_cols_csv")
+              .split(",").map(_.trim).toSeq,
+            strConst(children(2), "parallel_rank: order_cols_csv")
+              .split(",").map(_.trim).toSeq,
+            if (children.size == 4)
+              strConst(children(3), "parallel_rank: out_col")
+            else "rank")
           .queryExecution.analyzed
       }))
     ext.injectFunction((

@@ -38,6 +38,11 @@ import org.apache.spark.sql.functions._
   * the bound — the guard throws past 1M entries); there the plain
   * window is already parallel because the groups themselves spread
   * over the cluster.
+  *
+  * SQL surface: `SELECT * FROM parallel_rank('view',
+  * 'group_cols_csv', 'order_cols_csv'[, 'out_col'])`
+  * ([[graft.GraftExtensions]]) — so SQL users don't fall back into
+  * the low-cardinality window trap this operator exists to fix.
   */
 object Ranks {
 
@@ -53,6 +58,16 @@ object Ranks {
       "parallelRank: group and order columns required")
     require(!df.columns.contains(out),
       s"parallelRank: output column $out already exists")
+    // reserved internals (mirrors Cdc.snapshotDiff's prefix guard):
+    // an input already carrying one of these would be silently
+    // overwritten by withColumn and dropped on the way out
+    val reserved = Set("__pid", "__opid", "__off", "__cnt") ++
+      groupCols.map(c => s"__og_$c")
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"parallelRank: input columns ${clash.mkString(", ")} collide " +
+        "with reserved internal names (__pid/__opid/__off/__cnt/" +
+        "__og_*) — rename them first")
     val spark = df.sparkSession
     val p =
       if (numPartitions > 0) numPartitions

@@ -283,6 +283,31 @@ object SqlSurface {
 
   private val ttRun = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Seal a fresh-catalog query's tiny result: eagerly collect the
+    * aggregate (both queries are driver-bounded by design — ≤20-row
+    * tables, ≤3-row results), then unset the two session catalog
+    * confs and recursively delete the temp dir BEFORE returning, so
+    * a long bench session (warmup + reps + the plan-digest pass all
+    * invoke fn) accumulates neither conf entries nor disk. The
+    * session's CatalogManager still caches one tiny unreachable
+    * instance per invocation — unavoidable (no public eviction API)
+    * and a few hundred bytes each; the confs/disk were the leak. */
+  private def sealFreshCatalog(s: SparkSession, cat: String,
+      dir: String)(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = df.collectAsList()
+    val schema = df.schema
+    s.conf.unset(s"spark.sql.catalog.$cat")
+    s.conf.unset(s"spark.sql.catalog.$cat.path")
+    val root = java.nio.file.Paths.get(dir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder())
+      .iterator().asScala
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    s.createDataFrame(rows, schema)
+  }
+
   /** q256 — ANSI time travel over the persisted v2 catalog
     * ([[graft.sources.GraftCatalog]]): a table is committed twice
     * (version 0 = parts with p_partkey ≤ 10; version 1 appends
@@ -318,12 +343,13 @@ object SqlSurface {
         .withColumn("version", lit(0L))
       val v1 = s.sql(s"SELECT * FROM $cat.tt VERSION AS OF 1")
         .withColumn("version", lit(1L))
-      v0.unionByName(v1)
-        .groupBy(col("version"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("k")).as("sum_k"),
-          sum(length(col("name")).cast("long")).as("sum_len"))
-        .orderBy(col("version"))
+      sealFreshCatalog(s, cat, dir)(
+        v0.unionByName(v1)
+          .groupBy(col("version"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            sum(length(col("name")).cast("long")).as("sum_len"))
+          .orderBy(col("version")))
     },
     Some("""
       SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n,
@@ -366,15 +392,17 @@ object SqlSurface {
         s"CASE WHEN p_partkey <= 10 THEN upper(p_name) ELSE p_name " +
         s"END FROM parquet.`$d/part.parquet` " +
         s"WHERE p_partkey > 5 AND p_partkey <= 20")
-      graft.sources.GraftCatalog
-        .tableChanges(s, cat, "tc", Seq("k"), 0L, 1L)
-        .groupBy(col("_change_type"))
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
-          sum(length(col("name")).cast("long")).as("sum_len"),
-          // first-char code sum: upper() changes it, length doesn't —
-          // pins that updates carry the POSTIMAGE, not the old row
-          sum(ascii(col("name")).cast("long")).as("sum_c0"))
-        .orderBy(col("_change_type"))
+      sealFreshCatalog(s, cat, dir)(
+        graft.sources.GraftCatalog
+          .tableChanges(s, cat, "tc", Seq("k"), 0L, 1L)
+          .groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            sum(length(col("name")).cast("long")).as("sum_len"),
+            // first-char code sum: upper() changes it, length
+            // doesn't — pins that updates carry the POSTIMAGE, not
+            // the old row
+            sum(ascii(col("name")).cast("long")).as("sum_c0"))
+          .orderBy(col("_change_type")))
     },
     Some("""
       SELECT 'delete' AS _change_type, COUNT(*) AS n,

@@ -111,6 +111,25 @@ class BenchPoolSpec extends AnyFunSuite {
     assert(p2.path("reps").size() == 6)               // history kept
   }
 
+  test("an ERR run arriving AFTER a valid pool keys the min on the " +
+      "most recent valid digest — no silent min_any fallback") {
+    val dir = Files.createTempDirectory("pool")
+    val out = dir.resolve("pool.json")
+    Bench.mergeInto(out.toString, "sfX",
+      run("sfX", ("q1", Seq(0.4, 0.7), "digA")))
+    // fingerprinting breaks on the next run; its fast reps came from
+    // who-knows-what plan and must NOT own the pooled min
+    Bench.mergeInto(out.toString, "sfX",
+      run("sfX", ("q1", Seq(0.1, 0.15), "ERR:NullPointerException")))
+    val p = read(out).path("queries").path("q1")
+    assert(p.path("min").asDouble() == 0.4)           // digA-keyed
+    assert(p.path("min_any_plan").asDouble() == 0.1)  // diagnostic
+    // the ERR digest stays visible (the detection signal), and the
+    // keying digest is recorded next to it
+    assert(p.path("digest").asText().startsWith("ERR:"))
+    assert(p.path("min_keyed_on").asText() == "digA")
+  }
+
   test("a different-sf run lands in a side pool, not the existing one") {
     val dir = Files.createTempDirectory("pool")
     val out = dir.resolve("pool.json")

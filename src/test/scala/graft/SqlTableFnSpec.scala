@@ -388,4 +388,34 @@ class SqlTableFnSpec extends SparkSpec {
     assert(viaSql === viaApi)
     assert(viaSql.size === 3)
   }
+
+  test("parallel_rank from SQL equals the API result and composes " +
+      "with a WHERE over the rank") {
+    val rows = (1L to 200L).map(i =>
+      (if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+        i % 7, i))
+    rows.toDF("grp", "score", "id")
+      .createOrReplaceTempView("pr_sql")
+    val viaSql = spark.sql(
+        "SELECT * FROM parallel_rank('pr_sql', 'grp', 'score, id')")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val viaApi = graft.operators.Ranks.parallelRank(
+        spark.table("pr_sql"), Seq("grp"), Seq("score", "id"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(viaSql === viaApi)
+    // rank semantics: dense 1..n per group, ordered by (score, id)
+    val perGroup = viaSql.groupBy(_._1)
+    perGroup.foreach { case (_, rs) =>
+      assert(rs.map(_._4).toSeq.sorted === (1L to rs.size).toSeq)
+      val byRank = rs.toSeq.sortBy(_._4).map(r => (r._2, r._3))
+      assert(byRank === byRank.sorted)
+    }
+    // custom out column + composition: top-2 per group via WHERE
+    val top2 = spark.sql(
+        "SELECT grp, id FROM parallel_rank('pr_sql', 'grp', " +
+          "'score, id', 'r') WHERE r <= 2 ORDER BY grp, id")
+      .as[(String, Long)].collect()
+    assert(top2.length === 6)
+    assert(top2.map(_._1).toSeq === Seq("a", "a", "b", "b", "c", "c"))
+  }
 }

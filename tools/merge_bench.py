@@ -41,17 +41,30 @@ def merge(in_paths, out_path):
     for q in sorted(names):
         pairs = [td for r in runs for td in _aligned_digests(
             r["queries"][q])]
-        # the last input's digest is authoritative (current tree)
+        # the last input's digest is authoritative (current tree) —
+        # but an ERR:<cls> pseudo-digest (fingerprinting failed) is
+        # not a plan identity: falling straight through to
+        # min-over-all-reps would readmit stale-plan reps, the exact
+        # flattery digest keying exists to prevent. Prefer the most
+        # recent VALID digest instead, and warn loudly when the
+        # min had to be taken over unkeyed reps.
         cur = ""
         for r in reversed(runs):
             cur = r["queries"][q].get("digest", "")
-            if cur:
+            if cur and not cur.startswith("ERR:"):
                 break
-        # ERR:<cls> pseudo-digests (fingerprinting failed) are not
-        # plan identities — treat like legacy/empty: never matching.
+        if cur.startswith("ERR:"):
+            cur = ""
         matching = [t for t, d in pairs
                     if d and not d.startswith("ERR:") and d == cur]
-        m = min(matching) if matching else min(t for t, _ in pairs)
+        if matching:
+            m = min(matching)
+        else:
+            m = min(t for t, _ in pairs)
+            print(f"WARNING: {q}: no valid current-plan digest "
+                  f"(latest digest is ERR:/absent) — min taken over "
+                  f"ALL {len(pairs)} reps including possibly "
+                  f"stale-plan ones", file=sys.stderr)
         out["queries"][q] = {
             "reps": [t for t, _ in pairs],
             "digests": [d for _, d in pairs],
