@@ -50,12 +50,31 @@ import org.apache.spark.sql.functions._
   *    Per-part co-purchase degree stays constant, so a mult× run
   *    must cost ~mult× on a linear engine — the ladder that isolates
   *    the engine exponent (matching GraphScale's constant-density
-  *    generator, but over the real fixture tables).
+  *    generator, but over the real fixture tables). The same
+  *    constant-density contract extends to the non-basket facts:
+  *    events replicate into a REPLICA user space (user_id strided,
+  *    so per-user activity — the unit every sessionize/funnel/
+  *    attribution pairing is quadratic in — stays constant), and
+  *    each document replica's tokens carry a replica tag (vocab
+  *    grows with the corpus, so shingle document-frequency — the
+  *    unit set-similarity candidate generation is quadratic in —
+  *    stays constant). Under densify those two stay fixed-universe
+  *    by design: 100× events over 1,500 users or 100× docs over one
+  *    vocabulary measure the fixture's densification, not the
+  *    engine.
+  *
+  * Embedding replicas are rotations of the source vectors; once the
+  * replica index reaches the vector dimension the rotation cycles, so
+  * replicas i and i+dim would be coincident duplicates — replicas
+  * past the first cycle are additionally negated (norm- and
+  * pairwise-angle-preserving), keeping all replicas distinct up to
+  * mult = 2·dim (guarded).
   */
 object ScaleUp {
   private val KeyOff = 100000000L // fact-key replica stride
   private val DocOff = 10000000L  // doc/vec replica stride
   private val PartOff = 10000000L // part-key replica stride (constparts)
+  private val UserOff = 1000000L  // events.user_id replica stride (constparts)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -121,6 +140,7 @@ object ScaleUp {
     if (mode == "constparts") {
       guardStride("part", "p_partkey", PartOff)
       guardStride("lineitem", "l_partkey", PartOff)
+      guardStride("events", "user_id", UserOff)
     }
 
     Seq("region", "nation", "customer", "supplier")
@@ -140,11 +160,27 @@ object ScaleUp {
           col("l_partkey") + lit(i * PartOff))
       else keyed
     })
-    replicate("events", (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * KeyOff)))
+    replicate("events", (df, i) => {
+      val keyed =
+        df.withColumn("event_id", col("event_id") + lit(i * KeyOff))
+      if (mode == "constparts")
+        keyed.withColumn("user_id", col("user_id") + lit(i * UserOff))
+      else keyed
+    })
 
     replicate("documents", (df, i) =>
       if (i == 0) df
+      else if (mode == "constparts")
+        // replica-tagged vocabulary: every replica's tokens are
+        // disjoint from every other replica's, so shingle df — and
+        // with it set-sim candidate counts — grow linearly with the
+        // corpus (length/zipf SHAPE preserved; the tag suffix shifts
+        // absolute char counts, acceptable on the perf ladder)
+        df.withColumn("doc_id", col("doc_id") + lit(i * DocOff))
+          .withColumn("text", array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit(s"~$i"))),
+            " "))
       else df
         .withColumn("doc_id", col("doc_id") + lit(i * DocOff))
         .withColumn("text", array_join(
@@ -167,18 +203,29 @@ object ScaleUp {
         operators.Planted.vectors(spark, nClusters = 1000,
           perCluster = 100 * mult, dim = 64))
 
+    if (want("embeddings")) {
+      val dim = raw("embeddings")
+        .agg(max(size(col("embedding")))).head.getInt(0)
+      require(mult <= 2 * dim, s"ScaleUp: mult=$mult exceeds 2*dim=" +
+        s"${2 * dim} — rotation+negation can no longer keep embedding " +
+        "replicas distinct; coincident duplicates would corrupt " +
+        "near-dup/ANN ladders")
+    }
     replicate("embeddings", (df, i) =>
       if (i == 0) df
       else {
-        // rotate by i mod dim (replica index exceeds the vector
-        // dimension at high multipliers)
+        // rotate by i mod dim; past the first full rotation cycle the
+        // replica repeats an earlier rotation, so negate it (distinct,
+        // norm-preserving) — guarded to mult <= 2*dim above
         val rot = pmod(lit(i), size(col("embedding")))
+        val rotated = concat(
+          slice(col("embedding"), rot + lit(1),
+            size(col("embedding")) - rot),
+          slice(col("embedding"), lit(1), rot))
         df.withColumn("vec_id", col("vec_id") + lit(i * DocOff))
           .withColumn("embedding",
-            concat(
-              slice(col("embedding"), rot + lit(1),
-                size(col("embedding")) - rot),
-              slice(col("embedding"), lit(1), rot)))
+            when(lit(i) < size(col("embedding")), rotated)
+              .otherwise(transform(rotated, x => -x)))
       })
 
     spark.stop()
