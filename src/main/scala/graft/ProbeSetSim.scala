@@ -11,17 +11,26 @@ import graft.operators.Dedup
   * filter changes can be attributed to enumeration vs verification.
   *
   * Usage: runMain graft.ProbeSetSim [sfDir] [reps] [maxCandidates]
+  *          [stages]
   * `maxCandidates` (optional) is an IN-RUN tripwire: the probe
   * FAILS if the candidate frame exceeds it — wired to the committed
   * sf1 artifact so a change that silently blows the prefix filter's
   * candidate bound past the measured regime (26.0M at sf1) breaks
   * the probe instead of just slowing it.
+  * `stages` (optional, default `all`): `candidates` stops after the
+  * candidate count, `pairs` adds the full join, `all` adds the
+  * write-terminal dissection — so a fixture-density attribution run
+  * (candidate counts across scale dirs) doesn't pay the ~14 min/rep
+  * full-pairs stage it isn't measuring.
   */
 object ProbeSetSim {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val maxCandidates = args.lift(2).map(_.toLong)
+    val stages = args.lift(3).getOrElse("all")
+    require(Set("candidates", "pairs", "all")(stages),
+      s"ProbeSetSim: unknown stages '$stages' (candidates | pairs | all)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,9 +59,12 @@ object ProbeSetSim {
         s"candidate blow-up: $cand > bound $mx at $sfDir"))
       cand
     }
+    if (stages != "candidates") {
     time("full pairs")(
       Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 600000L)
         .count())
+    }
+    if (stages == "all") {
     // Harness-delta dissection (r14 VERDICT ask 3): the bench entry
     // is pairs + orderBy + a noop write — time each terminal form so
     // a pooled-min vs probe gap decomposes into measured components
@@ -75,6 +87,7 @@ object ProbeSetSim {
       Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 600000L)
         .repartition(1).sortWithinPartitions(col("a"), col("b"))
         .write.format("noop").mode("overwrite").save(); 0L
+    }
     }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       val df = Dedup.prefixFilterPairs(docs, "doc_id", "text", 3,
