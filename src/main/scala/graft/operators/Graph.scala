@@ -51,6 +51,35 @@ object Graph {
       .agg(collect_set(col("i")).as("ps"))
       .filter(size(col("ps")) > 1)
 
+  /** Both directions of every edge from ONE pass over the input — a
+    * map-side explode of a two-struct array — instead of the
+    * union-of-two-scans idiom `e.union(e.flip)`. The union form
+    * plants the input subtree TWICE in the physical plan, so when the
+    * input is an unmaterialized expansion (the basket co-occurrence
+    * build), it executes twice — measured as the repeated
+    * ~0.4 MB-shuffle stage dominating every graph query at sf0.1.
+    * Same multiset as the union form; callers' `.distinct()` dedupes
+    * arbitrary inputs exactly as before. */
+  private[graft] def bothDirections(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame =
+    edges
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
+  /** [[bothDirections]] carrying a per-edge weight column. */
+  private[graft] def bothDirectionsW(edges: DataFrame, aCol: String,
+      bCol: String, wCol: String): DataFrame =
+    edges
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst"),
+          col(wCol).as("w")),
+        struct(col(bCol).as("src"), col(aCol).as("dst"),
+          col(wCol).as("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.w").as("w"))
+
   /** Bounded multi-source WEIGHTED shortest paths: min path cost
     * from any source using at most `maxEdges` edges — distributed
     * Bellman-Ford relaxation, the weighted upgrade of [[bfsHops]]
@@ -86,11 +115,7 @@ object Graph {
       bCol: String, wCol: String, sources: DataFrame, srcCol: String,
       maxEdges: Int): (DataFrame, Int) = {
     require(maxEdges >= 0, s"maxEdges must be >= 0: $maxEdges")
-    val sym = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"),
-        col(wCol).as("w"))
-      .unionByName(edges.select(col(bCol).as("src"),
-        col(aCol).as("dst"), col(wCol).as("w")))
+    val sym = bothDirectionsW(edges, aCol, bCol, wCol)
       .distinct()
       .transform(Ckpt.cut)
     var dist = sources.select(col(srcCol).as("id")).distinct()
@@ -162,10 +187,7 @@ object Graph {
     // Every edge decrements exactly once, when its other endpoint
     // drops while this one is alive, so the maintained degrees ARE
     // the current-subgraph degrees — the peeling invariant.
-    val sym = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"),
-        col(aCol).as("dst")))
+    val sym = bothDirections(edges, aCol, bCol)
       .distinct()
       .transform(Ckpt.cut)
     // symmetric + distinct ⇒ out-degree == undirected degree
@@ -176,8 +198,10 @@ object Graph {
     var done = false
     while (round < maxRounds && !done) {
       round += 1
+      // a lazy filter over the CHECKPOINTED degree table: cheap to
+      // evaluate twice (emptiness probe + dec build side), so no
+      // materialization job per round for the frontier itself
       val dropped = degs.filter(col("deg") < k).select(col("id"))
-        .transform(Ckpt.cut)
       if (dropped.isEmpty) done = true
       else {
         // edges INTO the frontier, counted per surviving source;
@@ -202,15 +226,13 @@ object Graph {
 
   /** Full core-number decomposition (graph degeneracy, capped at
     * `maxK`): every vertex's core number — the largest k such that
-    * it survives in the k-core. ONE incremental pass, not maxK
-    * independent peels: the threshold rises 2..maxK over a SHARED
-    * decremental degree table (the (k+1)-core lives inside the
-    * k-core, so peeling continues where the previous level stopped);
-    * a vertex dropped while peeling at threshold k has core number
-    * k − 1, and whatever survives the final threshold is capped at
-    * maxK. Same scale shape as [[kCore]]: the edge relation
-    * materializes once, each round is a frontier-broadcast scan plus
-    * a vertex-sized update.
+    * it survives in the k-core — via the capped h-index fixpoint
+    * (details inline). Scale shape: the edge relation materializes
+    * once; each round is one edges⋈state equi-join feeding a
+    * partial-aggregable bounded-width count vector plus a
+    * vertex-sized update — no per-wave frontier, rounds bounded by
+    * the graph's h-index convergence depth (a handful on small-world
+    * graphs) instead of the peel's wave count.
     *
     * @return (id, core) for every non-isolated vertex, 1 ≤ core ≤
     *         maxK
@@ -219,46 +241,75 @@ object Graph {
       maxK: Int, maxRounds: Int): DataFrame = {
     require(maxK >= 1, s"maxK must be >= 1: $maxK")
     require(maxRounds >= 0, s"maxRounds must be >= 0: $maxRounds")
-    val sym = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"),
-        col(aCol).as("dst")))
+    val sym = bothDirections(edges, aCol, bCol)
       .distinct()
       .transform(Ckpt.cut)
-    var degs = sym.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg"))
+    // CAPPED H-INDEX ITERATION (Lü et al. 2016, "The H-index of a
+    // network node and its relation to degree and coreness"): start
+    // every vertex at c₀ = min(degree, maxK) and repeatedly replace c
+    // with min(c, H) where H is the h-index of its neighbours'
+    // current values — the largest h such that ≥ h neighbours hold
+    // c ≥ h. The iterates decrease monotonically to the greatest
+    // fixpoint ≤ c₀, which is exactly min(coreness, maxK): capping
+    // preserves the fixpoint because "≥ h neighbours with value ≥ h"
+    // only ever tests h ≤ maxK (the standard locality proof goes
+    // through unchanged — any S = {v : c(v) ≥ h} at a fixpoint
+    // induces a subgraph of min-degree ≥ h, hence S ⊆ h-core).
+    //
+    // Why not the wave-by-wave peel the r14 form used: peeling runs
+    // one synchronous round per WAVE per threshold (~40 rounds on the
+    // sf0.1 basket graph, each a checkpoint + frontier probe + AQE
+    // stage group ⇒ 226 driver jobs, measured 10.4 s of which only
+    // ~5 s was executor time). The h-index form converges in a
+    // handful of rounds on small-world graphs — same fixpoint, an
+    // order of magnitude fewer driver round-trips — and each round is
+    // the same partial-aggregable neighbour pass the peel's dec join
+    // already paid. Since c only decreases, the vertex-sum of c is a
+    // complete convergence signature (unchanged sum ⇔ no vertex
+    // changed), one cheap aggregate over the checkpointed state.
+    //
+    // maxRounds bounds the loop exactly as before (the cap is a
+    // safety net — convergence is data-bounded and fast; stopping
+    // early leaves upper-bound estimates, same contract as a
+    // truncated peel).
+    var state = sym.groupBy(col("src").as("id"))
+      .agg(least(count(lit(1)), lit(maxK.toLong)).cast("int").as("c"))
       .transform(Ckpt.cut)
-    var assigned: Option[DataFrame] = None
-    var k = 2
-    while (k <= maxK) {
-      var done = false
-      var round = 0
-      while (round < maxRounds && !done) {
-        round += 1
-        val dropped = degs.filter(col("deg") < k).select(col("id"))
-          .transform(Ckpt.cut)
-        if (dropped.isEmpty) done = true
-        else {
-          val lab = dropped.withColumn("core", lit(k - 1))
-          assigned = Some(assigned.fold(lab)(_.unionByName(lab)))
-          val dec = sym
-            .join(dropped.select(col("id").as("dst")), Seq("dst"))
-            .groupBy(col("src").as("id"))
-            .agg(count(lit(1)).as("dec"))
-          // survivors = deg >= k — the same set an anti-join against
-          // `dropped` selects, minus one vertex-sized join per round
-          degs = degs
-            .filter(col("deg") >= k)
-            .join(dec, Seq("id"), "left")
-            .select(col("id"),
-              (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
-            .transform(Ckpt.cut)
-        }
+    if (maxK > 1) {
+      def sig(): Long = {
+        val r = state.agg(sum(col("c"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
       }
-      k += 1
+      var last = sig()
+      var round = 0
+      var converged = last == 0L // empty graph: nothing to iterate
+      while (round < maxRounds && !converged) {
+        round += 1
+        // counts of neighbours at-or-above each candidate level;
+        // maxK is a small constant (bounded aggregate width)
+        val cnts = (2 to maxK).map(j =>
+          sum(when(col("c") >= j, 1L).otherwise(0L)).as(s"c$j"))
+        val nbr = sym
+          .join(state.select(col("id").as("src"), col("c")),
+            Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(cnts.head, cnts.tail: _*)
+        // H = largest j in [1, maxK] with cnt_j >= j (every vertex in
+        // sym has >= 1 neighbour, so H >= 1 unconditionally)
+        val h = (2 to maxK)
+            .foldLeft(lit(1): org.apache.spark.sql.Column) { (acc, j) =>
+          when(col(s"c$j") >= j, j).otherwise(acc)
+        }
+        state = state
+          .join(nbr, Seq("id"))
+          .select(col("id"), least(col("c"), h).as("c"))
+          .transform(Ckpt.cut)
+        val cur = sig()
+        converged = cur == last
+        last = cur
+      }
     }
-    val rest = degs.select(col("id")).withColumn("core", lit(maxK))
-    assigned.fold(rest)(_.unionByName(rest))
+    state.select(col("id"), col("c").as("core"))
   }
 
   /** Synchronous label-propagation community detection, `rounds`
@@ -283,10 +334,7 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
     import org.apache.spark.sql.expressions.Window
-    val sym = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"),
-        col(aCol).as("dst")))
+    val sym = bothDirections(edges, aCol, bCol)
       .distinct()
       .transform(Ckpt.cut)
     var labels = sym.select(col("src").as("id")).distinct()
@@ -334,10 +382,7 @@ object Graph {
   def bfsHops(edges: DataFrame, aCol: String, bCol: String,
       sources: DataFrame, srcCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
-    val sym = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"),
-        col(aCol).as("dst")))
+    val sym = bothDirections(edges, aCol, bCol)
       .distinct()
       .transform(Ckpt.cut)
     var frontier = sources.select(col(srcCol).as("id")).distinct()
@@ -381,10 +426,7 @@ object Graph {
   def perSourceHops(edges: DataFrame, aCol: String, bCol: String,
       sources: DataFrame, srcCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
-    val sym = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"),
-        col(aCol).as("dst")))
+    val sym = bothDirections(edges, aCol, bCol)
       .distinct()
       .transform(Ckpt.cut)
     var frontier = sources.select(col(srcCol).as("root")).distinct()
@@ -443,10 +485,7 @@ object Graph {
     require(walksPerNode >= 1 && steps >= 0,
       s"need walksPerNode >= 1 and steps >= 0, got " +
         s"($walksPerNode, $steps)")
-    val sym = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"),
-        col(aCol).as("dst")))
+    val sym = bothDirections(edges, aCol, bCol)
       .distinct()
     val adj = sym
       .withColumn("rnk", row_number().over(
@@ -1050,10 +1089,7 @@ object Graph {
       pivots: Int, maxHops: Int): DataFrame = {
     require(pivots >= 1, s"pivots must be >= 1: $pivots")
     require(maxHops >= 2, s"maxHops must be >= 2: $maxHops")
-    val sym = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"),
-        col(aCol).as("dst")))
+    val sym = bothDirections(edges, aCol, bCol)
       .distinct()
       .filter(col("src") =!= col("dst"))
       .transform(Ckpt.cut)
@@ -1150,10 +1186,7 @@ object Graph {
     *         ordered by nothing (caller sorts) */
   def modularity(edges: DataFrame, aCol: String, bCol: String,
       labels: DataFrame): DataFrame = {
-    val e = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"),
-        col(aCol).as("dst")))
+    val e = bothDirections(edges, aCol, bCol)
       .distinct()
       .filter(col("src") =!= col("dst"))
     val lab = labels.select(col("id"), col("label"))

@@ -20,12 +20,20 @@ object Splits {
   private def nibble(h: Column, i: Int): Column =
     instr(lit(HexDict), substring(h, i, 1)) - 1
 
-  /** Percent bucket 0-99 from the first 16 bits of md5(id). */
-  def hashBucket(id: Column): Column = {
-    val h = md5(id.cast("string"))
-    ((nibble(h, 1) * 4096 + nibble(h, 2) * 256 +
-      nibble(h, 3) * 16 + nibble(h, 4)) % 100).cast("int")
-  }
+  /** Percent bucket 0-99 from the first 16 bits of md5(id).
+    *
+    * Implementation note (r15): the first 4 hex nibbles weighted
+    * 4096/256/16/1 ARE the first 4 hex digits read as one base-16
+    * number, so parse them with a single substring + conv instead of
+    * four nibble extractions — the nibble form replanted the md5
+    * subexpression four times and measured ~2.3 µs/row on the
+    * hot map-side filters (basket-graph bucket cuts evaluate it per
+    * fact row at every scale). Bit-identical value: md5() emits
+    * lowercase hex, conv(_, 16, 10) parses it case-insensitively,
+    * and 4 nibbles ≤ 0xffff never overflow. */
+  def hashBucket(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100).cast("int")
 
   /** Rendezvous (highest-random-weight) shard assignment — the
     * data-placement scheme whose defining property is MINIMAL

@@ -515,15 +515,19 @@ object ComponentsQ {
       val li = Tables.lineitem(s, d)
         .filter(Splits.hashBucket(col("l_orderkey")) < 15 &&
           col("l_linenumber") <= 3)
+      // materialized once: referenced by the BFS kernel AND the
+      // vertex-universe frame below — without the cut each reference
+      // re-runs the basket expansion
       val edges = Graph.coOccurrencePairs(li, "l_orderkey",
           "l_partkey")
         .select(col("src"), col("dst")).distinct()
+        .transform(graft.operators.Ckpt.cut)
       val sources = Tables.part(s, d)
         .filter(col("p_partkey") < 5).select(col("p_partkey"))
       val hops = Graph.bfsHops(edges, "src", "dst",
         sources, "p_partkey", maxHops = 4)
-      val nodes = edges.select(col("src").as("id"))
-        .unionByName(edges.select(col("dst").as("id")))
+      val nodes = edges
+        .select(explode(array(col("src"), col("dst"))).as("id"))
         .unionByName(sources.select(col("p_partkey").as("id")))
         .distinct()
       nodes.join(hops, Seq("id"), "left")
@@ -637,12 +641,20 @@ object ComponentsQ {
   /** Spark side of [[basketGraphSql]]: the same sparse co-purchase
     * edge set (one direction; the graph operators symmetrize). */
   private def basketEdges(s: SparkSession, d: String) = {
-    import graft.operators.Splits
+    import graft.operators.{Ckpt, Splits}
     val li = Tables.lineitem(s, d)
       .filter(Splits.hashBucket(col("l_orderkey")) < 15 &&
         col("l_linenumber") <= 3)
+    // materialized ONCE per invocation: every consumer references the
+    // edge frame several times (the kernel's symmetric build, vertex
+    // frames, |V| counts, walk starts), and without the cut each
+    // reference re-runs the full collect_set + explode expansion —
+    // measured as 4-6 repeats of the same 0.4 MB-shuffle stage per
+    // graph query at sf0.1. Edge-sized, the same footprint the
+    // kernels' own sym checkpoint already accepts.
     Graph.coOccurrencePairs(li, "l_orderkey", "l_partkey")
       .select(col("src"), col("dst")).distinct()
+      .transform(Ckpt.cut)
   }
 
   /** q182 — k-core decomposition ([[Graph.kCore]]): peel the sparse
@@ -1480,19 +1492,26 @@ object ComponentsQ {
   val q216 = Qry(
     "q216_assortativity",
     (s: SparkSession, d: String) => {
+      // materialized once: the degree build and the two degree joins
+      // below otherwise re-run the full basket expansion per
+      // reference; the endpoint stream is exploded map-side from one
+      // pass instead of a union of two scans
       val pairs = Graph.coOccurrencePairs(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey")
         .distinct()
-      val deg = pairs.select(col("src").as("x"))
-        .unionAll(pairs.select(col("dst").as("x")))
+        .transform(graft.operators.Ckpt.cut)
+      val deg = pairs
+        .select(explode(array(col("src"), col("dst"))).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
       val m = pairs
         .join(deg.select(col("x").as("src"), col("d").as("dx")),
           Seq("src"))
         .join(deg.select(col("x").as("dst"), col("d").as("dy")),
           Seq("dst"))
-      val sym = m.select(col("dx").as("x"), col("dy").as("y"))
-        .unionAll(m.select(col("dy").as("x"), col("dx").as("y")))
+      val sym = m.select(explode(array(
+          struct(col("dx").as("x"), col("dy").as("y")),
+          struct(col("dy").as("x"), col("dx").as("y")))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
       sym.agg(count(lit(1)).as("n_dir"),
           sum(col("x") * col("y")).as("s_xy"),
           sum(col("x")).as("s_x"),

@@ -478,11 +478,17 @@ object Stats {
       val pairs = Graph.coOccurrencePairs(
           li, "ok", "pk")
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c_ab"))
-      val rules = pairs.select(col("src").as("a"), col("dst").as("b"),
-          col("c_ab"))
-        .unionByName(pairs.select(col("dst").as("a"),
-          col("src").as("b"), col("c_ab")))
-        .filter(col("c_ab") >= 2)
+      // symmetrize map-side from ONE aggregated-pairs subtree: the
+      // union-of-flip form plants the whole basket expansion twice in
+      // the physical plan and executes it twice (filter pushdown into
+      // the legs defeats exchange reuse)
+      val rules = pairs.filter(col("c_ab") >= 2)
+        .select(explode(array(
+          struct(col("src").as("a"), col("dst").as("b"), col("c_ab")),
+          struct(col("dst").as("a"), col("src").as("b"),
+            col("c_ab")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"),
+          col("e.c_ab").as("c_ab"))
       rules
         .join(items.select(col("pk").as("a"), col("c").as("c_a")),
           Seq("a"))
@@ -553,21 +559,29 @@ object Stats {
       val pairs = graft.operators.Graph.coOccurrencePairs(
           li, "ok", "pk")
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c_ab"))
-      val sym = pairs.select(col("src").as("a"), col("dst").as("b"),
-          col("c_ab"))
-        .unionByName(pairs.select(col("dst").as("a"),
-          col("src").as("b"), col("c_ab")))
+      // symmetrize map-side from ONE aggregated-pairs subtree (the
+      // union-of-flip form executed the whole basket expansion once
+      // per leg — the per-leg filter pushdown defeats exchange reuse)
+      val sym = pairs.select(explode(array(
+          struct(col("src").as("a"), col("dst").as("b"), col("c_ab")),
+          struct(col("dst").as("a"), col("src").as("b"),
+            col("c_ab")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"),
+          col("e.c_ab").as("c_ab"))
       val w = Window.partitionBy(col("a"))
         .orderBy(col("sim").desc, col("b"))
+      // support + md5-bucket predicates evaluated per ITEM on the
+      // vertex-sized count relation, not per pair row — the md5
+      // bucket is ~4 string ops per evaluation, and the old shape
+      // ran it on every one of the millions of symmetric pair rows
+      val qualB = items.filter(col("c") >= 8)
+      val qualA = qualB
+        .filter(graft.operators.Splits.hashBucket(col("pk")) < 5)
       sym
-        .join(items.select(col("pk").as("a"), col("c").as("c_a")),
+        .join(qualA.select(col("pk").as("a"), col("c").as("c_a")),
           Seq("a"))
-        .join(items.select(col("pk").as("b"), col("c").as("c_b")),
+        .join(qualB.select(col("pk").as("b"), col("c").as("c_b")),
           Seq("b"))
-        .filter(col("c_a") >= 8 && col("c_b") >= 8)
-        // deterministic 5% md5 bucket of source items keeps the
-        // neighbor listing digest-sized at any sf
-        .filter(graft.operators.Splits.hashBucket(col("a")) < 5)
         .withColumn("sim",
           r6(col("c_ab").cast("double") /
             (sqrt(col("c_a").cast("double")) *
