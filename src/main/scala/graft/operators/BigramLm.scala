@@ -53,7 +53,13 @@ object BigramLm {
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val pairs = docs
+    // fanOut BEFORE tokenizing (r15, guide §2.5 input skew / §6 split
+    // size): a single-row-group parquet corpus scans as ONE task, and
+    // the tokenize+gram explode — the most expensive per-row work in
+    // the text family — serializes on it; identity at scale, where
+    // the corpus always scans wide
+    val pairs = graft.Tables
+      .fanOut(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(TextOps.grams(toks, 2)).as("g"))
       .select(col(idCol),
         substring_index(col("g"), US, 1).as("w1"),
@@ -114,7 +120,9 @@ object BigramLm {
   def docGrams(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    docs.select(col(idCol), explode(TextOps.grams(toks, 2)).as("g"))
+    // fanOut before the tokenize+explode — see [[scoreDocs]]
+    graft.Tables.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextOps.grams(toks, 2)).as("g"))
       .select(col(idCol),
         substring_index(col("g"), US, 1).as("w1"),
         substring_index(col("g"), US, -1).as("w2"))

@@ -333,15 +333,12 @@ object Graph {
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
-    import org.apache.spark.sql.expressions.Window
     val sym = bothDirections(edges, aCol, bCol)
       .distinct()
       .transform(Ckpt.cut)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .transform(Ckpt.cut)
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("c").desc, col("label"))
     var r = 0
     while (r < rounds) {
       r += 1
@@ -352,10 +349,17 @@ object Graph {
         .unionByName(labels) // self-vote
         .groupBy(col("id"), col("label"))
         .agg(count(lit(1)).as("c"))
+      // arg-max as a HASH aggregate instead of a row_number window
+      // (r15): min of struct(-c, label) picks the largest count,
+      // ties to the SMALLEST label — the identical deterministic
+      // vote rule — while partial-aggregating map-side and skipping
+      // the window's per-round full sort. -c never overflows (c is
+      // a positive count bounded by |V|+1).
       labels = votes
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("label"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("c")).as("nc"),
+          col("label").as("label"))).as("m"))
+        .select(col("id"), col("m.label").as("label"))
         .transform(Ckpt.cut)
     }
     labels
@@ -600,10 +604,27 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .transform(Ckpt.cut)
+    // The two bounded BFS loops are INDEPENDENT (both read only the
+    // checkpointed edge frame) but each is a chain of per-level
+    // driver actions — run them on two driver threads so the level
+    // jobs interleave and the tail of one search back-fills the
+    // executors the other leaves idle (Spark schedules concurrent
+    // jobs FIFO; actions are only sequential because a single driver
+    // thread calls them sequentially). Results are deterministic:
+    // no shared mutable state, and each loop's output is the same
+    // frame it computed single-threaded.
+    var bwdRes: DataFrame = null
+    var bwdErr: Throwable = null
+    val t = new Thread(() => {
+      try bwdRes = directedHops(e, "dst", "src", pivot, maxHops)
+      catch { case x: Throwable => bwdErr = x }
+    }, "graft-scc-bwd")
+    t.start()
     val fwd = directedHops(e, "src", "dst", pivot, maxHops)
       .select(col("id"), col("hop").as("fwd_hop"))
-    val bwd = directedHops(e, "dst", "src", pivot, maxHops)
-      .select(col("id"), col("hop").as("bwd_hop"))
+    t.join()
+    if (bwdErr != null) throw bwdErr
+    val bwd = bwdRes.select(col("id"), col("hop").as("bwd_hop"))
     fwd.join(bwd, Seq("id"), "full_outer")
   }
 
@@ -938,7 +959,7 @@ object Graph {
     * Scale shape: every step is an equi-join / semi-join / partial
     * min-aggregate on vertex- or frontier-sized frames with
     * checkpointed lineage; nothing all-pairs, nothing driver-sized
-    * (the driver sees only isEmpty flags). Round counts are
+    * (the driver sees only per-round row counts). Round counts are
     * data-bounded: trim by tail length, coloring by active diameter,
     * sweep by SCC diameter, outer by SCC-DAG depth — the same
     * latency profile as the repo's other fixpoint kernels (k-core,
@@ -960,6 +981,12 @@ object Graph {
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
       .transform(Ckpt.cut)
+    // |v| tracked on the driver: every loop below already pays one
+    // action per round to materialize its round frame — carrying the
+    // count alongside turns each "did anything change" probe into
+    // driver arithmetic instead of an extra isEmpty job (r15: the
+    // query was driver-round bound, ~60 rounds × 4-5 jobs each).
+    var nV = v.count()
     val settled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var budget = maxRounds
     def spend(): Unit = {
@@ -967,10 +994,10 @@ object Graph {
       if (budget < 0) throw new IllegalStateException(
         s"sccLabels exceeded $maxRounds rounds before settling")
     }
-    while (!v.isEmpty) {
+    while (nV > 0) {
       // 1. TRIM singleton SCCs
       var trimming = true
-      while (trimming && !v.isEmpty) {
+      while (trimming && nV > 0) {
         spend()
         val keep = v
           .join(e.select(col("src").as("id")).distinct(), Seq("id"),
@@ -978,12 +1005,16 @@ object Graph {
           .join(e.select(col("dst").as("id")).distinct(), Seq("id"),
             "left_semi")
           .transform(Ckpt.cut)
-        val drop = v.join(keep, Seq("id"), "left_anti")
-          .transform(Ckpt.cut)
-        if (drop.isEmpty) trimming = false
+        val nKeep = keep.count()
+        if (nKeep == nV) trimming = false
         else {
-          settled += drop.select(col("id"), col("id").as("scc"))
+          // dropped vertices stay a LAZY anti-join of two
+          // checkpointed frames — evaluated once, in the final
+          // settled union — instead of a per-round materialization
+          settled += v.join(keep, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc"))
           v = keep
+          nV = nKeep
           e = e.join(v.select(col("id").as("src")), Seq("src"),
               "left_semi")
             .join(v.select(col("id").as("dst")), Seq("dst"),
@@ -991,35 +1022,41 @@ object Graph {
             .transform(Ckpt.cut)
         }
       }
-      if (!v.isEmpty) {
+      if (nV > 0) {
         // 2. COLOR: forward min-label fixpoint, FRONTIER-RESTRICTED
         // (the r11 earliestArrival argument, r12'd here): each round
         // propagates only from vertices whose color IMPROVED last
         // round — an unchanged vertex's relaxations were all emitted
         // the round after it last improved, and re-emitting into a
         // MIN changes nothing — so the edge join rides the shrinking
-        // frontier instead of the whole vertex set, and the improved
-        // frame doubles as the convergence test (no separate
-        // changed-compare join).
+        // frontier instead of the whole vertex set. The previous
+        // color is FUSED into the round aggregate as a second
+        // min(c0) column (only the carry row has c0 non-null, and
+        // every active vertex has a carry row), so the improved set
+        // is a filter of the round frame — no separate changed-
+        // compare join, no second materialization, and the round's
+        // one count action doubles as the convergence test.
         var color = v.select(col("id"), col("id").as("c"))
           .transform(Ckpt.cut)
         var improved = color
-        while (!improved.isEmpty) {
+        var nImp = nV
+        while (nImp > 0) {
           spend()
           val prop = e
             .join(improved.select(col("id").as("src"), col("c")),
               Seq("src"))
-            .select(col("dst").as("id"), col("c"))
-          val upd = color.unionByName(prop)
-            .groupBy(col("id")).agg(min(col("c")).as("c"))
+            .select(col("dst").as("id"), col("c"),
+              lit(null).cast("long").as("c0"))
+          val upd = color
+            .select(col("id"), col("c"), col("c").as("c0"))
+            .unionByName(prop)
+            .groupBy(col("id"))
+            .agg(min(col("c")).as("c"), min(col("c0")).as("c0"))
             .transform(Ckpt.cut)
-          improved = upd
-            .join(color.select(col("id"), col("c").as("c0")),
-              Seq("id"))
-            .filter(col("c") < col("c0"))
+          improved = upd.filter(col("c") < col("c0"))
             .select(col("id"), col("c"))
-            .transform(Ckpt.cut)
-          color = upd
+          nImp = improved.count()
+          color = upd.select(col("id"), col("c"))
         }
         // 3. SWEEP: backward BFS from every root inside its class
         var frontier = color.filter(col("id") === col("c"))
@@ -1043,6 +1080,7 @@ object Graph {
         settled += reached.select(col("id"), col("c").as("scc"))
         v = v.join(reached.select(col("id")), Seq("id"), "left_anti")
           .transform(Ckpt.cut)
+        nV = v.count()
         e = e.join(v.select(col("id").as("src")), Seq("src"),
             "left_semi")
           .join(v.select(col("id").as("dst")), Seq("dst"),

@@ -26,7 +26,11 @@ object Postings {
     * @return (idCol, pos, tok) with pos 1-based */
   def positional(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame =
-    docs.select(col(idCol),
+    // fanOut before the tokenize+posexplode (r15): a single-row-group
+    // corpus scans as one task and serializes the tokenization;
+    // identity at scale where the scan is already wide
+    graft.Tables.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "tok")))
       .select(col(idCol), (col("p0") + 1).cast("long").as("pos"),
         col("tok"))
@@ -37,13 +41,26 @@ object Postings {
     * @return (idCol, pos) of each phrase start */
   def phraseHits(postings: DataFrame, idCol: String,
       phrase: DataFrame, w1Col: String, w2Col: String): DataFrame = {
-    // p2's columns are renamed so the positional intersection below is
-    // an unambiguous equi-join (p1/p2 share the postings lineage)
-    val p1 = postings.join(broadcast(phrase),
-      postings("tok") === phrase(w1Col))
+    // ONE pass over the postings relation (r15): the old two-leg
+    // form joined `postings` against the phrase twice, planting the
+    // postings subtree — typically an unmaterialized tokenize+
+    // posexplode of the whole corpus — twice in the physical plan
+    // and executing it twice. Filter both terms in a single
+    // broadcast join, materialize the (tiny, two-term) match set,
+    // and derive each leg as a filter of it: identical rows (the
+    // phrase frame is one row, so the disjunctive join emits each
+    // matching posting exactly once).
+    val f = postings.join(broadcast(phrase),
+        postings("tok") === phrase(w1Col) ||
+          postings("tok") === phrase(w2Col))
+      .select(col(idCol), col("pos"), col("tok"),
+        col(w1Col).as("__w1"), col(w2Col).as("__w2"))
+      .transform(graft.operators.Ckpt.cut)
+    val p1 = f.filter(col("tok") === col("__w1"))
       .select(col(idCol), col("pos"))
-    val p2 = postings.join(broadcast(phrase),
-      postings("tok") === phrase(w2Col))
+    // p2's columns are renamed so the positional intersection below
+    // is an unambiguous equi-join (p1/p2 share the match lineage)
+    val p2 = f.filter(col("tok") === col("__w2"))
       .select(col(idCol).as("__id2"), col("pos").as("__pos2"))
     p1.join(p2, col("__id2") === col(idCol) &&
         col("__pos2") === col("pos") + 1)
@@ -76,7 +93,8 @@ object Postings {
     * deterministic tiebreak by gram text. */
   def topBigram(docs: DataFrame, textCol: String): DataFrame = {
     val us = "\u001f"
-    docs.select(explode(
+    graft.Tables.fanOut(docs.select(col(textCol)))
+      .select(explode(
         TextOps.grams(TextOps.tokens(col(textCol)), 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("g"))

@@ -2,7 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.{Model, Qry}
+import org.apache.spark.sql.functions.col
+
+import graft.{Model, Qry, Tables}
 
 /** SQL front-end surface: the engine's tables exposed as views and
   * queried through `spark.sql`, proving the declarative path
@@ -204,11 +206,17 @@ object SqlSurface {
     "q237_recursive_cte",
     (s: SparkSession, d: String) => {
       Model.registerViews(s, d)
-      s.sql("""
-          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-          FROM lineitem a JOIN lineitem b
-            ON a.l_orderkey = b.l_orderkey
-           AND a.l_partkey <> b.l_partkey""")
+      // r15: the same DISTINCT directed pair set the declarative
+      // self-join produces, built as one collect_set aggregate + pair
+      // explode instead of a sort-merge self-join — within-order
+      // duplicate partkeys collapse BEFORE the pair blowup, so the
+      // distinct sees itemset-sized input, not row-pair-sized (the
+      // self-join's 38-59 s of task time was this blowup). The
+      // oracle keeps the self-join form, so equality is re-proven on
+      // every verify run.
+      graft.operators.Graph.coOccurrenceEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+        .select(col("src"), col("dst")).distinct()
         .localCheckpoint(true)
         .createOrReplaceTempView("q237_edges")
       s.sql(s"""
