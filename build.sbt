@@ -45,4 +45,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-XX:ReservedCodeCacheSize=${
     sys.env.getOrElse("SPARK_CODE_CACHE", codeCache)}",
   "-XX:+UseCodeCacheFlushing",
+  // Spark's ContextCleaner frees dead checkpoint/broadcast/shuffle
+  // blocks via weak references, and spark.cleaner.periodicGC.interval
+  // (set in Tables.configure) calls System.gc() to bound the backlog;
+  // make that trigger a CONCURRENT G1 cycle instead of a
+  // stop-the-world full collection so the hygiene never pauses a
+  // running query.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

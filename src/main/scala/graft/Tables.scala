@@ -28,6 +28,22 @@ object Tables {
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    // Storage hygiene for long sessions (r16): localCheckpoint blocks,
+    // broadcast pieces and shuffle state are only released when the
+    // ContextCleaner processes the owning object's weak reference —
+    // which needs a GC to run. A large-heap driver that executes
+    // hundreds of short queries (the bench, any interactive session)
+    // can go many minutes without an old-gen collection, so dead
+    // checkpoint/broadcast blocks pile up in the block manager and
+    // execution memory pays eviction storms when a heavy query
+    // arrives (measured: driver r15 bench hit 57 s on a 3 s query
+    // mid-suite with load 2.7 — stalled, not computing). The default
+    // periodicGC interval is 30 MINUTES — longer than the whole run.
+    // 90 s bounds the dead-block backlog; with
+    // -XX:+ExplicitGCInvokesConcurrent (build.sbt / spark-submit
+    // --conf spark.driver.extraJavaOptions) the trigger is a cheap
+    // concurrent cycle, not a stop-the-world full GC.
+    .config("spark.cleaner.periodicGC.interval", "90s")
 
   /** Decouple CPU parallelism from scan splits: a NARROW source (a
     * single-row-group parquet file reads as ONE task regardless of
@@ -40,38 +56,70 @@ object Tables {
     * the local shuffle carries only the columns the consumer needs.
     *
     * Width is estimated from the FILE INDEX on the (eagerly-built)
-    * analyzed plan — file count and total bytes over the row-group-
-    * scale split size — never from `df.rdd`, which forces a full
-    * physical planning pass outside the AQE-managed path on every
-    * call. Byte-range splits below row-group size don't parallelize
-    * parquet anyway, so files-and-bytes is the honest effective-task
-    * bound. Non-file sources (in-memory test frames) carry no width
-    * signal and pass through untouched.
+    * analyzed plan — Spark's own open-cost split packing over file
+    * count and total bytes — never from `df.rdd`, which forces a
+    * full physical planning pass outside the AQE-managed path on
+    * every call. Non-file sources (in-memory test frames) carry no
+    * width signal and pass through untouched.
+    *
+    * Width is additionally bounded by input SIZE (r16): a fan target
+    * of `defaultParallelism` is only right when every task gets a
+    * meaningful slice of input. On a tiny source (the sf0.1 bench
+    * corpus is ~0.6 MB) repartitioning to 32 puts ~20 KB per task —
+    * 32 concurrent explode/hash-agg states in one fixed local heap
+    * for no compute worth spreading, the exact shape behind the r15
+    * driver-bench q136/q219 32-core pathology. Each fanned task must
+    * carry at least `spark.graft.fanout.minBytesPerTask` (default
+    * 64 KB of source bytes ≈ a few hundred KB of decoded text);
+    * above `cores × minBytesPerTask` of input — always, at any real
+    * scale — the bound is inert and the target is the full session
+    * parallelism.
     *
     * @param hintSplits caller-known effective source parallelism
     *        (e.g. a custom source's partition count); skips the
     *        file-index estimate entirely. */
   def fanOut(df: DataFrame, hintSplits: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
-    val est: Option[Long] = hintSplits.map(_.toLong).orElse {
+    val minTaskBytes = spark.conf
+      .getOption("spark.graft.fanout.minBytesPerTask")
+      .map(_.toLong).getOrElse(65536L)
+    // (effective source splits, byte-budget task bound); a hint
+    // carries no byte signal — the caller asserts the width, so only
+    // the parallelism ceiling applies to it
+    val est: Option[(Long, Long)] =
+      hintSplits.map(n => (n.toLong, Long.MaxValue)).orElse {
       val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      val openCost = spark.sessionState.conf.filesOpenCostInBytes
       val perScan = df.queryExecution.analyzed.collectLeaves().flatMap {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           lr.relation match {
             case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
               val files = fs.location.inputFiles.length.toLong
               val bytes = fs.location.sizeInBytes
-              Some(math.max(math.max(1L, files),
-                (bytes + splitBytes - 1) / splitBytes))
+              // effective scan tasks ≈ Spark's own split packing:
+              // each file is charged openCostInBytes, splits close at
+              // maxPartitionBytes — so MANY SMALL FILES pack into few
+              // tasks (r16: 100 × 0.4 MB files = ~4 tasks, not 100;
+              // the old max(files, bytes/split) estimate read that
+              // source as 100-wide and skipped the fan).
+              val est = math.max(1L,
+                (bytes + files * openCost + splitBytes - 1)
+                  / splitBytes)
+              Some((est, bytes))
             case _ => None
           }
         case _ => None
       }
-      if (perScan.isEmpty) None else Some(perScan.sum)
+      if (perScan.isEmpty) None
+      else Some((perScan.map(_._1).sum,
+        math.max(1L, (perScan.map(_._2).sum + minTaskBytes - 1)
+          / minTaskBytes)))
     }
+    val cores = spark.sparkContext.defaultParallelism.toLong
     est match {
-      case Some(n) if n < target => df.repartition(target)
+      case Some((splits, byTaskBudget))
+          if splits < math.min(cores, byTaskBudget) =>
+        df.repartition(math.min(cores, byTaskBudget).toInt)
       case _ => df
     }
   }

@@ -18,11 +18,12 @@ import org.apache.spark.sql.functions._
   * so the one rule covers both cases. Any SQL engine replays the
   * full learning trajectory bit-for-bit.
   *
-  * Scale shape: pair counting is a partial-aggregated groupBy over
-  * the (doc, pos)-partitioned token relation; the arg-max is a
-  * 1-row driver collect; application is a per-doc window + two
-  * self-equi-joins, checkpointed per round (O(1) plan depth). State
-  * on the driver: the merge table (rounds × 2 strings).
+  * Scale shape: the token relation carries its right neighbour, so
+  * pair counting is a JOIN-FREE partial-aggregated groupBy; the
+  * arg-max is a 1-row driver collect; application + re-index + the
+  * next round's neighbour evaluate in one per-doc window chain over
+  * a single exchange, checkpointed per round (O(1) plan depth).
+  * State on the driver: the merge table (rounds × 2 strings).
   */
 object BpeTrain {
 
@@ -53,23 +54,45 @@ object BpeTrain {
   /** Learn `rounds` merges over a (doc, pos, tok) relation; returns
     * the merge table and the final token relation (positions
     * re-indexed 1..n per doc each round). Stops early when no
-    * adjacent pair remains. */
+    * adjacent pair remains.
+    *
+    * r16 round shape (guide §2.4/§1.2 — the r15 form paid a full
+    * (doc,pos) self-join for pair counting, two more joins to apply
+    * the winning merge, and a final full-relation re-index window
+    * per round): the working relation CARRIES its right neighbour
+    * (`tok_b` = lead(tok), maintained at checkpoint time), so pair
+    * counting is a map-side partial aggregate with NO join, and the
+    * merge application + greedy parity rule + position re-index +
+    * next-round neighbour all evaluate in ONE window chain over one
+    * exchange (partitionBy doc, orderBy pos; the filter between the
+    * two window blocks preserves the sort, so the second block adds
+    * no exchange and no sort). Positions are contiguous 1..n per doc
+    * (re-indexed every round), which is what lets run-membership and
+    * the consumed-by-left rule read off lag/max-preceding instead of
+    * the old per-run row_number sub-window.
+    *
+    * Greedy rule, relationally (unchanged semantics): occurrences of
+    * the winning pair at consecutive positions form runs; within a
+    * run only EVEN offsets merge. With contiguous positions the
+    * offset of an occ row at p is p − (last non-occ position before
+    * p) − 1 — identical to the old pos − row_number gap grouping. */
   def learnMerges(tokens: DataFrame, rounds: Int)
       : (Seq[Merge], DataFrame) = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
     var toks = tokens.select(col("doc"), col("pos"), col("tok"))
+      .withColumn("tok_b", lead(col("tok"), 1).over(w))
       .transform(Ckpt.cut)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 0
     var exhausted = false
     while (r < rounds && !exhausted) {
       r += 1
-      val right = toks.select(col("doc"), (col("pos") - 1L).as("pos"),
-        col("tok").as("tok_b"))
-      val pairs = toks.join(right, Seq("doc", "pos"))
+      val top = toks.filter(col("tok_b").isNotNull)
         .groupBy(col("tok").as("a"), col("tok_b").as("b"))
         .agg(count(lit(1)).as("n"))
-      val top = pairs
         .orderBy(col("n").desc, col("a"), col("b")).limit(1)
         .collect()
       if (top.isEmpty) exhausted = true
@@ -77,38 +100,34 @@ object BpeTrain {
         val (a, b, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(r, a, b, n)
-        val occ = toks.filter(col("tok") === a)
-          .join(right.filter(col("tok_b") === b)
-            .select(col("doc"), col("pos")), Seq("doc", "pos"))
-          .select(col("doc"), col("pos"))
-        val wRun = Window.partitionBy(col("doc"))
-          .orderBy(col("pos"))
-        val sel = occ
-          .withColumn("runid", col("pos") - row_number().over(wRun))
-          .withColumn("idx", row_number().over(
-            Window.partitionBy(col("doc"), col("runid"))
-              .orderBy(col("pos"))) - 1)
-          .filter(col("idx") % 2 === 0)
-          .select(col("doc"), col("pos"))
-        val merged = toks
-          .join(sel.withColumn("m", lit(1)), Seq("doc", "pos"),
-            "left")
-          .join(sel.select(col("doc"), (col("pos") + 1L).as("pos"),
-            lit(1).as("dropRight")), Seq("doc", "pos"), "left")
-          // a row is consumed by a merge on its LEFT unless it is
-          // itself a merge start (impossible by the parity rule,
-          // kept explicit for clarity)
-          .filter(col("dropRight").isNull || col("m").isNotNull)
+        toks = toks
+          .withColumn("occ", col("tok") === a && col("tok_b") === b)
+          // last non-occurrence position at or before this row; for
+          // an occ row every position in (run_start, p] is occ, so
+          // this is run_start − 1 (0 when the run starts the doc)
+          .withColumn("nocc",
+            coalesce(max(when(!col("occ"), col("pos"))).over(wRun),
+              lit(0L)))
+          .withColumn("sel",
+            col("occ") && (col("pos") - col("nocc") - 1L) % 2 === 0)
+          // a row is consumed by a merge starting on its LEFT; by
+          // the parity rule a sel row's left neighbour is never sel
+          .withColumn("consumed",
+            coalesce(lag(col("sel"), 1).over(w), lit(false)))
+          .filter(!col("consumed"))
           .select(col("doc"), col("pos"),
-            when(col("m").isNotNull, lit(a + b))
-              .otherwise(col("tok")).as("tok"))
-        toks = merged
-          .withColumn("pos",
-            row_number().over(Window.partitionBy(col("doc"))
-              .orderBy(col("pos"))).cast("long"))
+            when(col("sel"), lit(a + b)).otherwise(col("tok"))
+              .as("tok"))
+          // both expressions ride ONE window block over the old pos
+          // order (survivor order == new order), so the re-index
+          // costs no extra sort
+          .withColumn("tok_b", lead(col("tok"), 1).over(w))
+          .withColumn("pos2", row_number().over(w).cast("long"))
+          .select(col("doc"), col("pos2").as("pos"), col("tok"),
+            col("tok_b"))
           .transform(Ckpt.cut)
       }
     }
-    (merges.toSeq, toks)
+    (merges.toSeq, toks.select(col("doc"), col("pos"), col("tok")))
   }
 }

@@ -118,14 +118,18 @@ object Graph {
     val sym = bothDirectionsW(edges, aCol, bCol, wCol)
       .distinct()
       .transform(Ckpt.cut)
-    var dist = sources.select(col(srcCol).as("id")).distinct()
-      .withColumn("d", lit(0L))
-      .transform(Ckpt.cut)
-    def signature(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(col("id")), sum(col("d"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // the (count, Σd) convergence signature is OBSERVED during each
+    // round's checkpoint job (Ckpt.cutCounted, r16) instead of being
+    // a separate aggregate action — the relaxation loop is
+    // driver-round bound at bench scale, so one action per round
+    val sigCols = Seq(count(col("id")), sum(col("d")))
+    var (dist, sig) = {
+      val (c, ns) = Ckpt.cutCounted(
+        sources.select(col(srcCol).as("id")).distinct()
+          .withColumn("d", lit(0L)),
+        sigCols: _*)
+      (c, ns)
     }
-    var sig = signature(dist)
     var round = 0
     var converged = false
     while (round < maxEdges && !converged) {
@@ -133,10 +137,11 @@ object Graph {
       val relaxed = sym
         .join(dist.select(col("id").as("src"), col("d")), Seq("src"))
         .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("id")).agg(min(col("d")).as("d"))
-        .transform(Ckpt.cut)
-      val next = signature(dist)
+      val (d2, next) = Ckpt.cutCounted(
+        dist.unionByName(relaxed)
+          .groupBy(col("id")).agg(min(col("d")).as("d")),
+        sigCols: _*)
+      dist = d2
       converged = next == sig
       sig = next
     }
@@ -190,19 +195,27 @@ object Graph {
     val sym = bothDirections(edges, aCol, bCol)
       .distinct()
       .transform(Ckpt.cut)
-    // symmetric + distinct ⇒ out-degree == undirected degree
-    var degs = sym.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg"))
-      .transform(Ckpt.cut)
+    // symmetric + distinct ⇒ out-degree == undirected degree.
+    // The under-k frontier COUNT is observed during each round's
+    // checkpoint (Ckpt.cutCounted, r16), so the peel's emptiness
+    // probe costs no extra driver action.
+    val underK = count(when(col("deg") < k, lit(1)))
+    var (degs, nDrop) = {
+      val (c, ns) = Ckpt.cutCounted(
+        sym.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("deg")),
+        underK)
+      (c, ns.head)
+    }
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
       round += 1
       // a lazy filter over the CHECKPOINTED degree table: cheap to
-      // evaluate twice (emptiness probe + dec build side), so no
+      // evaluate twice (dec build side + survivor filter), so no
       // materialization job per round for the frontier itself
       val dropped = degs.filter(col("deg") < k).select(col("id"))
-      if (dropped.isEmpty) done = true
+      if (nDrop == 0) done = true
       else {
         // edges INTO the frontier, counted per surviving source;
         // sources already dropped in earlier rounds simply miss in
@@ -213,12 +226,15 @@ object Graph {
           .agg(count(lit(1)).as("dec"))
         // survivors = deg >= k (same set as anti-joining `dropped`,
         // one vertex-sized join cheaper per round)
-        degs = degs
-          .filter(col("deg") >= k)
-          .join(dec, Seq("id"), "left")
-          .select(col("id"),
-            (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
-          .transform(Ckpt.cut)
+        val (d2, ns) = Ckpt.cutCounted(
+          degs
+            .filter(col("deg") >= k)
+            .join(dec, Seq("id"), "left")
+            .select(col("id"),
+              (col("deg") - coalesce(col("dec"), lit(0L))).as("deg")),
+          underK)
+        degs = d2
+        nDrop = ns.head
       }
     }
     (degs, round)
@@ -272,15 +288,18 @@ object Graph {
     // safety net — convergence is data-bounded and fast; stopping
     // early leaves upper-bound estimates, same contract as a
     // truncated peel).
-    var state = sym.groupBy(col("src").as("id"))
-      .agg(least(count(lit(1)), lit(maxK.toLong)).cast("int").as("c"))
-      .transform(Ckpt.cut)
+    // the Σc convergence signature is observed during each round's
+    // checkpoint job (Ckpt.cutCounted, r16) — no separate aggregate
+    // action per round
+    var (state, last) = {
+      val (c, ns) = Ckpt.cutCounted(
+        sym.groupBy(col("src").as("id"))
+          .agg(least(count(lit(1)), lit(maxK.toLong)).cast("int")
+            .as("c")),
+        sum(col("c")))
+      (c, ns.head)
+    }
     if (maxK > 1) {
-      def sig(): Long = {
-        val r = state.agg(sum(col("c"))).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-      }
-      var last = sig()
       var round = 0
       var converged = last == 0L // empty graph: nothing to iterate
       while (round < maxRounds && !converged) {
@@ -300,14 +319,26 @@ object Graph {
             .foldLeft(lit(1): org.apache.spark.sql.Column) { (acc, j) =>
           when(col(s"c$j") >= j, j).otherwise(acc)
         }
-        state = state
-          .join(nbr, Seq("id"))
-          .select(col("id"), least(col("c"), h).as("c"))
-          .transform(Ckpt.cut)
-        val cur = sig()
+        val (s2, ns) = Ckpt.cutCounted(
+          state
+            .join(nbr, Seq("id"))
+            .select(col("id"), least(col("c"), h).as("c")),
+          sum(col("c")))
+        state = s2
+        val cur = ns.head
         converged = cur == last
         last = cur
       }
+      // loud truncation (the SCC kernels' pattern, advisory form):
+      // hitting the round cap before the fixpoint leaves
+      // OVERESTIMATED core numbers — h-index convergence is
+      // O(diameter)-ish on path-like graphs, so a caller that lowers
+      // maxRounds must see the truncation, not silently read upper
+      // bounds as coreness
+      if (!converged) System.err.println(
+        s"[graft] WARNING: coreNumbers stopped at maxRounds=" +
+          s"$maxRounds before the h-index fixpoint — returned " +
+          "values are upper bounds, not exact core numbers")
     }
     state.select(col("id"), col("c").as("core"))
   }
@@ -389,19 +420,28 @@ object Graph {
     val sym = bothDirections(edges, aCol, bCol)
       .distinct()
       .transform(Ckpt.cut)
-    var frontier = sources.select(col(srcCol).as("id")).distinct()
-      .withColumn("hop", lit(0))
-      .transform(Ckpt.cut)
+    // the level loop's emptiness probe rides the frontier checkpoint
+    // (Ckpt.cutCounted, r16) — one driver action per level, not two
+    var (frontier, nF) = {
+      val (c, ns) = Ckpt.cutCounted(
+        sources.select(col(srcCol).as("id")).distinct()
+          .withColumn("hop", lit(0)),
+        count(lit(1)))
+      (c, ns.head)
+    }
     var visited = frontier
     var h = 0
-    while (h < maxHops && !frontier.isEmpty) {
+    while (h < maxHops && nF > 0) {
       h += 1
-      frontier = sym
-        .join(frontier.select(col("id").as("src")), Seq("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(visited.select(col("id")), Seq("id"), "left_anti")
-        .withColumn("hop", lit(h))
-        .transform(Ckpt.cut)
+      val (f, ns) = Ckpt.cutCounted(
+        sym
+          .join(frontier.select(col("id").as("src")), Seq("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(visited.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("hop", lit(h)),
+        count(lit(1)))
+      frontier = f
+      nF = ns.head
       // visited stays a lazy union of the CHECKPOINTED frontiers —
       // every leg is already materialized, so no recomputation and
       // no extra materialization job per level (lineage depth is
@@ -433,21 +473,29 @@ object Graph {
     val sym = bothDirections(edges, aCol, bCol)
       .distinct()
       .transform(Ckpt.cut)
-    var frontier = sources.select(col(srcCol).as("root")).distinct()
-      .select(col("root"), col("root").as("id"), lit(0).as("hop"))
-      .transform(Ckpt.cut)
+    // emptiness probe fused into the level checkpoint (r16)
+    var (frontier, nF) = {
+      val (c, ns) = Ckpt.cutCounted(
+        sources.select(col(srcCol).as("root")).distinct()
+          .select(col("root"), col("root").as("id"), lit(0).as("hop")),
+        count(lit(1)))
+      (c, ns.head)
+    }
     var visited = frontier
     var h = 0
-    while (h < maxHops && !frontier.isEmpty) {
+    while (h < maxHops && nF > 0) {
       h += 1
-      frontier = sym
-        .join(frontier.select(col("root"), col("id").as("src")),
-          Seq("src"))
-        .select(col("root"), col("dst").as("id")).distinct()
-        .join(visited.select(col("root"), col("id")),
-          Seq("root", "id"), "left_anti")
-        .withColumn("hop", lit(h))
-        .transform(Ckpt.cut)
+      val (f, ns) = Ckpt.cutCounted(
+        sym
+          .join(frontier.select(col("root"), col("id").as("src")),
+            Seq("src"))
+          .select(col("root"), col("dst").as("id")).distinct()
+          .join(visited.select(col("root"), col("id")),
+            Seq("root", "id"), "left_anti")
+          .withColumn("hop", lit(h)),
+        count(lit(1)))
+      frontier = f
+      nF = ns.head
       visited = visited.unionByName(frontier)
     }
     visited
@@ -561,14 +609,19 @@ object Graph {
       .transform(Ckpt.cut)
     var visited = frontier
     var h = 0
-    while (h < maxHops && !frontier.isEmpty) {
+    var nF = 1L
+    while (h < maxHops && nF > 0) {
       h += 1
-      frontier = e
-        .join(frontier.select(col("id").as("src")), Seq("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(visited.select(col("id")), Seq("id"), "left_anti")
-        .withColumn("hop", lit(h))
-        .transform(Ckpt.cut)
+      // emptiness probe fused into the level checkpoint (r16)
+      val (f, ns) = Ckpt.cutCounted(
+        e
+          .join(frontier.select(col("id").as("src")), Seq("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(visited.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("hop", lit(h)),
+        count(lit(1)))
+      frontier = f
+      nF = ns.head
       visited = visited.unionByName(frontier)
     }
     visited
@@ -619,10 +672,15 @@ object Graph {
       try bwdRes = directedHops(e, "dst", "src", pivot, maxHops)
       catch { case x: Throwable => bwdErr = x }
     }, "graft-scc-bwd")
+    t.setDaemon(true) // never outlive the app if the join is skipped
     t.start()
-    val fwd = directedHops(e, "src", "dst", pivot, maxHops)
-      .select(col("id"), col("hop").as("fwd_hop"))
-    t.join()
+    // join in a finally: if the foreground BFS throws, the background
+    // thread must not keep submitting jobs against a session the
+    // caller may be tearing down
+    val fwd =
+      try directedHops(e, "src", "dst", pivot, maxHops)
+        .select(col("id"), col("hop").as("fwd_hop"))
+      finally t.join()
     if (bwdErr != null) throw bwdErr
     val bwd = bwdRes.select(col("id"), col("hop").as("bwd_hop"))
     fwd.join(bwd, Seq("id"), "full_outer")
@@ -977,16 +1035,19 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .transform(Ckpt.cut)
-    var v = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
-      .distinct()
-      .transform(Ckpt.cut)
-    // |v| tracked on the driver: every loop below already pays one
-    // action per round to materialize its round frame — carrying the
-    // count alongside turns each "did anything change" probe into
-    // driver arithmetic instead of an extra isEmpty job (r15: the
-    // query was driver-round bound, ~60 rounds × 4-5 jobs each).
-    var nV = v.count()
+    // |v| (and every convergence probe below) is OBSERVED during the
+    // checkpoint job itself (Ckpt.cutCounted, r16): the query is
+    // driver-round bound — ~0.5 s of task time under 270+ driver jobs
+    // at bench scale — so each probe that stops being its own action
+    // is a round-trip saved every iteration.
+    var (v, nV) = {
+      val (c, ns) = Ckpt.cutCounted(
+        e.select(col("src").as("id"))
+          .unionByName(e.select(col("dst").as("id")))
+          .distinct(),
+        count(lit(1)))
+      (c, ns.head)
+    }
     val settled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var budget = maxRounds
     def spend(): Unit = {
@@ -994,32 +1055,56 @@ object Graph {
       if (budget < 0) throw new IllegalStateException(
         s"sccLabels exceeded $maxRounds rounds before settling")
     }
+    // Active-subgraph restriction of e to the current v — both semi
+    // joins reference the SAME projected frame so the planner can
+    // reuse one broadcast exchange for the two probes.
+    def restrict(edges0: DataFrame, vcur: DataFrame): DataFrame = {
+      val va = vcur.select(col("id").as("__vid"))
+      edges0
+        .join(va, col("src") === col("__vid"), "left_semi")
+        .join(va, col("dst") === col("__vid"), "left_semi")
+        .transform(Ckpt.cut)
+    }
     while (nV > 0) {
-      // 1. TRIM singleton SCCs
+      // 1. TRIM singleton SCCs. One flagged, MATERIALIZED frame per
+      // round (r16): the r15 form left each round's dropped set as a
+      // lazy anti-join evaluated only in the final settled union —
+      // which stacked one two-input join per trim round into the
+      // final plan and measured consistently slower (driver bench
+      // 6.4 → 8.0-20.9 s). The keep flag now comes from ONE
+      // aggregated endpoint frame (has-out/has-in per vertex — a
+      // single broadcast instead of two distinct-projection joins),
+      // and keep, drop and the settled leg are cheap filters of the
+      // one checkpointed flag frame; the convergence count rides the
+      // checkpoint job (Ckpt.cutCounted).
       var trimming = true
       while (trimming && nV > 0) {
         spend()
-        val keep = v
-          .join(e.select(col("src").as("id")).distinct(), Seq("id"),
-            "left_semi")
-          .join(e.select(col("dst").as("id")).distinct(), Seq("id"),
-            "left_semi")
-          .transform(Ckpt.cut)
-        val nKeep = keep.count()
+        // endpoint flags via ONE partial-aggregable exchange (no
+        // broadcast build, no join): v rows carry the membership
+        // marker, e contributes has-out/has-in votes per endpoint
+        val (m, nKeeps) = Ckpt.cutCounted(
+          v.select(col("id"), lit(1).as("isv"),
+              lit(0).as("ho"), lit(0).as("hi"))
+            .unionByName(e.select(col("src").as("id"), lit(0).as("isv"),
+              lit(1).as("ho"), lit(0).as("hi")))
+            .unionByName(e.select(col("dst").as("id"), lit(0).as("isv"),
+              lit(0).as("ho"), lit(1).as("hi")))
+            .groupBy(col("id"))
+            .agg(max(col("isv")).as("isv"), max(col("ho")).as("ho"),
+              max(col("hi")).as("hi"))
+            .filter(col("isv") === 1)
+            .select(col("id"),
+              (col("ho") === 1 && col("hi") === 1).as("keep")),
+          count(when(col("keep"), lit(1))))
+        val nKeep = nKeeps.head
         if (nKeep == nV) trimming = false
         else {
-          // dropped vertices stay a LAZY anti-join of two
-          // checkpointed frames — evaluated once, in the final
-          // settled union — instead of a per-round materialization
-          settled += v.join(keep, Seq("id"), "left_anti")
+          settled += m.filter(!col("keep"))
             .select(col("id"), col("id").as("scc"))
-          v = keep
+          v = m.filter(col("keep")).select(col("id"))
           nV = nKeep
-          e = e.join(v.select(col("id").as("src")), Seq("src"),
-              "left_semi")
-            .join(v.select(col("id").as("dst")), Seq("dst"),
-              "left_semi")
-            .transform(Ckpt.cut)
+          e = restrict(e, v)
         }
       }
       if (nV > 0) {
@@ -1047,45 +1132,68 @@ object Graph {
               Seq("src"))
             .select(col("dst").as("id"), col("c"),
               lit(null).cast("long").as("c0"))
-          val upd = color
-            .select(col("id"), col("c"), col("c").as("c0"))
-            .unionByName(prop)
-            .groupBy(col("id"))
-            .agg(min(col("c")).as("c"), min(col("c0")).as("c0"))
-            .transform(Ckpt.cut)
+          val (upd, nImps) = Ckpt.cutCounted(
+            color
+              .select(col("id"), col("c"), col("c").as("c0"))
+              .unionByName(prop)
+              .groupBy(col("id"))
+              .agg(min(col("c")).as("c"), min(col("c0")).as("c0")),
+            count(when(col("c") < col("c0"), lit(1))))
           improved = upd.filter(col("c") < col("c0"))
             .select(col("id"), col("c"))
-          nImp = improved.count()
+          nImp = nImps.head
           color = upd.select(col("id"), col("c"))
         }
-        // 3. SWEEP: backward BFS from every root inside its class
+        // 3. SWEEP: backward BFS from every root inside its class,
+        // tracked on a REMAINING frame (r16): remaining = active
+        // vertices not yet reached (roots excluded at init), and each
+        // round joins the candidate set (e ⋈ frontier, deduped)
+        // against it with a hit flag — one flagged checkpoint per
+        // round replaces the old color-check join + reached anti-join
+        // + separate frontier cut. The class restriction is the join
+        // on (id, c) itself: remaining carries each vertex's color.
+        // When the frontier dries up, remaining IS the next outer
+        // round's vertex set (v ∖ reached) — already materialized,
+        // already counted; no post-sweep anti-join.
         var frontier = color.filter(col("id") === col("c"))
-          .transform(Ckpt.cut)
-        var reached = frontier
-        while (!frontier.isEmpty) {
+        settled += frontier.select(col("id"), col("c").as("scc"))
+        var remaining = color.filter(col("id") =!= col("c"))
+        var nF = -1L
+        while (nF != 0L) {
           spend()
-          frontier = e
+          // candidate votes meet remaining membership in ONE hash
+          // aggregate (no broadcast of the candidate set, no distinct
+          // pre-pass — the agg dedups): a row survives iff it is
+          // still remaining; hit=1 iff some frontier predecessor
+          // proposed it within its own class (the join key is (id,c):
+          // remaining carries each vertex's color, so the class
+          // restriction is the grouping itself)
+          val cand = e
             .join(frontier.select(col("id").as("dst"), col("c")),
               Seq("dst"))
             .select(col("src").as("id"), col("c"))
-            .join(color.select(col("id"), col("c").as("vc")),
-              Seq("id"))
-            .filter(col("c") === col("vc"))
+          val (m, ns) = Ckpt.cutCounted(
+            remaining.select(col("id"), col("c"),
+                lit(1).as("rem"), lit(0).as("hit"))
+              .unionByName(cand.select(col("id"), col("c"),
+                lit(0).as("rem"), lit(1).as("hit")))
+              .groupBy(col("id"), col("c"))
+              .agg(max(col("rem")).as("rem"), max(col("hit")).as("hit"))
+              .filter(col("rem") === 1)
+              .select(col("id"), col("c"), col("hit")),
+            count(when(col("hit") === 1, lit(1))),
+            count(when(col("hit") === 0, lit(1))))
+          frontier = m.filter(col("hit") === 1)
             .select(col("id"), col("c"))
-            .distinct()
-            .join(reached.select(col("id")), Seq("id"), "left_anti")
-            .transform(Ckpt.cut)
-          reached = reached.unionByName(frontier)
+          if (ns.head > 0) settled +=
+            frontier.select(col("id"), col("c").as("scc"))
+          remaining = m.filter(col("hit") === 0)
+            .select(col("id"), col("c"))
+          nF = ns.head
+          nV = ns(1)
         }
-        settled += reached.select(col("id"), col("c").as("scc"))
-        v = v.join(reached.select(col("id")), Seq("id"), "left_anti")
-          .transform(Ckpt.cut)
-        nV = v.count()
-        e = e.join(v.select(col("id").as("src")), Seq("src"),
-            "left_semi")
-          .join(v.select(col("id").as("dst")), Seq("dst"),
-            "left_semi")
-          .transform(Ckpt.cut)
+        v = remaining.select(col("id"))
+        if (nV > 0) e = restrict(e, v)
       }
     }
     settled.reduceOption(_ unionByName _)

@@ -367,15 +367,21 @@ object PageRank {
       e.select(col("src")).distinct().count() <= BroadcastVertexCap)
     def bcast(df: DataFrame) = if (bc) broadcast(df) else df
     val trace = Seq.newBuilder[(String, DataFrame)]
-    // (score·1e6) div max — integer max-normalization; the 1-row max
-    // is a broadcast cross join, so the rescale is map-side. The
-    // multiply runs on the decimal(38,0) sum; div returns long back
-    // in [0, 1e6].
+    // (score·1e6) div max — integer max-normalization. The 1-row max
+    // is OBSERVED during the half-round's checkpoint job
+    // (Ckpt.cutCounted, r16) and re-enters the plan as a literal, so
+    // the rescale is map-side with no per-half-round broadcast-build
+    // job (the old form cross-joined a 1-row max aggregate — one
+    // extra driver job per half-round). The multiply runs on the
+    // decimal(38,0) sum; div returns long back in [0, 1e6]. The max
+    // of rescaled inputs is ≤ 1e6·|V|, in long range for any real
+    // |V| (longValueExact throws loudly far before the decimal
+    // overflow witness would).
     def rescale(raw: DataFrame, stage: String): DataFrame = {
-      val r = raw.transform(Ckpt.cut)
+      val (r, ns) = Ckpt.cutCounted(raw, max(col("v")))
       trace += (s"${stage}r" -> r)
-      val out = r.crossJoin(broadcast(r.agg(max(col("v")).as("mx"))))
-        .select(col("id"), expr("(v * 1000000L) div mx").as("v"))
+      val out = r.select(col("id"),
+        expr(s"(v * 1000000L) div ${ns.head}L").as("v"))
       trace += (stage -> out)
       out
     }

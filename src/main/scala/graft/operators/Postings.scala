@@ -38,6 +38,17 @@ object Postings {
   /** All occurrences of the two-token phrase (w1Col, w2Col) — passed
     * as a ONE-ROW DataFrame so data-derived phrases stay inside the
     * plan (broadcast, no driver round-trip).
+    *
+    * MATERIALIZATION CONTRACT (r16, ADVICE): the two-term match set
+    * is eagerly checkpointed below. Its size is the two terms'
+    * combined posting lists — for stop-word-frequency terms on a
+    * huge corpus that is a corpus-fraction-sized frame pinned to
+    * executor memory/disk, so at scale feed this method a
+    * TERM-PRUNED postings relation ([[prunedForPhrase]] over a
+    * term-bucketed layout), where the match set is exactly the
+    * pruned input. The checkpoint is what keeps the two positional
+    * legs below from re-running the corpus tokenization twice (the
+    * r15 win: q138 3.2-4.0 → ~1 s).
     * @return (idCol, pos) of each phrase start */
   def phraseHits(postings: DataFrame, idCol: String,
       phrase: DataFrame, w1Col: String, w2Col: String): DataFrame = {

@@ -27,7 +27,17 @@ object Repetition {
 
   /** Run-length statistics of a gram array via one sorted fold:
     * @return struct(mx = longest run = top-gram occurrence count,
-    *         dup = Σ length of runs ≥ 2 = duplicated occurrences). */
+    *         dup = Σ length of runs ≥ 2 = duplicated occurrences).
+    *
+    * Kept as a single `aggregate` fold deliberately (r16): an
+    * attempted rewrite to filter/zip_with array primitives measured
+    * 300× SLOWER — a lambda that references a derived array (e.g.
+    * `element_at(sort_array(g), i)`) re-evaluates that whole subtree
+    * PER ELEMENT in interpreted HOF evaluation, turning the pass
+    * quadratic. The fold walks the sorted array once with one
+    * accumulator; the interpreted per-element cost is real but
+    * linear, and the operator's scale lever is scan parallelism
+    * ([[signals]] fans the corpus out), not this expression. */
   private def runStats(grams: Column): Column = {
     def closeMx(acc: Column) =
       greatest(acc.getField("mx"), acc.getField("run"))
@@ -63,6 +73,14 @@ object Repetition {
     *         Each ratio is a single IEEE double division of exact
     *         counts — deterministic across engines. */
   def signals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // Deliberately NOT fanned out (r16, measured): the fold is
+    // ALLOCATION-bound (one interpreted struct per gram), so fanning
+    // the 43 MB sf10 corpus from its ~4 packed scan tasks to 32
+    // in-JVM tasks measured 9.0 → 13-19 s — 32 concurrent
+    // interpreted folds thrash the shared heap faster than they
+    // compute. On a real cluster the same width lands on separate
+    // executor heaps, where the scan's own split width already
+    // provides it.
     docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).cast("long").as("n_toks"),

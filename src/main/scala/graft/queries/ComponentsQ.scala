@@ -1492,26 +1492,28 @@ object ComponentsQ {
   val q216 = Qry(
     "q216_assortativity",
     (s: SparkSession, d: String) => {
-      // materialized once: the degree build and the two degree joins
-      // below otherwise re-run the full basket expansion per
-      // reference; the endpoint stream is exploded map-side from one
-      // pass instead of a union of two scans
+      // FULLY REVERTED to the pre-r15 form (r16): both r15 edits —
+      // Ckpt.cut of the pair frame AND the map-side explode
+      // symmetrization — measured slower here than this union-flip
+      // shape at the scored sf (driver r15: 1.84 → 3.40 s; r16
+      // ProbeRevert/bench A/Bs: ckpt 2.3–2.8 s, explode-sym lazy
+      // 2.8–3.6 s). Unlike the iterative kernels, every repeated
+      // subtree here is the SAME aggregated exchange, so reuse
+      // makes the union legs nearly free, and the single terminal
+      // aggregate never re-executes the expansion.
       val pairs = Graph.coOccurrencePairs(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey")
         .distinct()
-        .transform(graft.operators.Ckpt.cut)
-      val deg = pairs
-        .select(explode(array(col("src"), col("dst"))).as("x"))
+      val deg = pairs.select(col("src").as("x"))
+        .unionAll(pairs.select(col("dst").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
       val m = pairs
         .join(deg.select(col("x").as("src"), col("d").as("dx")),
           Seq("src"))
         .join(deg.select(col("x").as("dst"), col("d").as("dy")),
           Seq("dst"))
-      val sym = m.select(explode(array(
-          struct(col("dx").as("x"), col("dy").as("y")),
-          struct(col("dy").as("x"), col("dx").as("y")))).as("e"))
-        .select(col("e.x").as("x"), col("e.y").as("y"))
+      val sym = m.select(col("dx").as("x"), col("dy").as("y"))
+        .unionAll(m.select(col("dy").as("x"), col("dx").as("y")))
       sym.agg(count(lit(1)).as("n_dir"),
           sum(col("x") * col("y")).as("s_xy"),
           sum(col("x")).as("s_x"),

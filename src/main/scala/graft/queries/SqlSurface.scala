@@ -206,17 +206,17 @@ object SqlSurface {
     "q237_recursive_cte",
     (s: SparkSession, d: String) => {
       Model.registerViews(s, d)
-      // r15: the same DISTINCT directed pair set the declarative
-      // self-join produces, built as one collect_set aggregate + pair
-      // explode instead of a sort-merge self-join — within-order
-      // duplicate partkeys collapse BEFORE the pair blowup, so the
-      // distinct sees itemset-sized input, not row-pair-sized (the
-      // self-join's 38-59 s of task time was this blowup). The
-      // oracle keeps the self-join form, so equality is re-proven on
-      // every verify run.
-      graft.operators.Graph.coOccurrenceEdges(
-          Tables.lineitem(s, d), "l_orderkey", "l_partkey")
-        .select(col("src"), col("dst")).distinct()
+      // r16: REVERTED to the declarative self-join (the r15
+      // collect_set+pair-explode rewrite measured slower at BOTH
+      // probed scales — sf0.1 13.8-17.0 s vs 7.1-8.5 s, sf1 min 11.3
+      // vs 8.2 s, ProbeRevert same-JVM A/B: the itemset aggregate
+      // serializes whole baskets through collect_set while the
+      // self-join's pair blowup partial-distincts map-side).
+      s.sql("""
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey""")
         .localCheckpoint(true)
         .createOrReplaceTempView("q237_edges")
       s.sql(s"""

@@ -708,37 +708,46 @@ object Stats {
     * cents are value-interchangeable, so every emitted number is a
     * multiset invariant (tie order can't move the hash).
     *
-    * Scale shape (r14): the per-group rank comes from
-    * [[graft.operators.Ranks.parallelRank]] — a window partitioned
-    * by the 3-value return flag would run the whole rank sort as 3
-    * single-threaded tasks (2M rows each at sf1; a job that never
-    * finishes at 100 TB). The two-phase range-partition + offset
-    * rank does P parallel sorts of n/P rows instead; group counts
-    * ride a 3-row broadcast join rather than a second window pass.
-    * No re-scan for the winsorized leg. */
+    * Scale shape (r16, replacing the r14 parallelRank form): the
+    * ranks themselves are never needed — every output is a function
+    * of the per-group (cents → count) HISTOGRAM and its running
+    * prefix (the q245 bounded-domain window contract). A value v
+    * with count c and cum-below cb occupies ranks (cb, cb+c], so
+    * lo = min v with cb+c > k, hi = max v with cb < n−k, and the
+    * trimmed sum is Σ v·(min(cb+c, n−k) − max(cb, k))⁺ — exact
+    * integers, identical to the ranked form under value-
+    * interchangeable ties. Cost: ONE partial-aggregable shuffle of
+    * (flag, cents) pairs + a per-flag window over DISTINCT values
+    * (bounded by the cents domain, not the row count — the r14 form
+    * range-sorted every row). */
   val q232 = Qry(
     "q232_trimmed_stats",
     (s: SparkSession, d: String) => {
-      import graft.operators.Ranks
+      import org.apache.spark.sql.expressions.Window
       val base = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_orderkey"),
-          col("l_linenumber"),
+        .select(col("l_returnflag"),
           floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
             .as("cents"))
-      val nPer = base.groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"))
-      Ranks.parallelRank(base, Seq("l_returnflag"),
-          Seq("cents", "l_orderkey", "l_linenumber"), "rn")
+      val h = base.groupBy(col("l_returnflag"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val nPer = h.groupBy(col("l_returnflag"))
+        .agg(sum(col("c")).as("n"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
         .join(broadcast(nPer), Seq("l_returnflag"))
         .withColumn("k", expr("n div 10"))
         .groupBy(col("l_returnflag"))
         .agg(
           max(col("n")).as("n"), max(col("k")).as("k"),
-          min(when(col("rn") > col("k"), col("cents"))).as("lo_cents"),
-          max(when(col("rn") <= col("n") - col("k"), col("cents")))
+          min(when(col("cb") + col("c") > col("k"), col("cents")))
+            .as("lo_cents"),
+          max(when(col("cb") < col("n") - col("k"), col("cents")))
             .as("hi_cents"),
-          sum(when(col("rn") > col("k") &&
-            col("rn") <= col("n") - col("k"), col("cents")))
+          sum(col("cents") * greatest(lit(0L),
+            least(col("cb") + col("c"), col("n") - col("k")) -
+              greatest(col("cb"), col("k"))))
             .as("trimmed_sum"))
         .select(col("l_returnflag"), col("n"), col("k"),
           col("lo_cents"), col("hi_cents"),
