@@ -88,16 +88,25 @@ object Ckpt {
     *
     * @return the cut frame plus one Long per metric, in order */
   def cutCounted(df: DataFrame, metrics: Column*): (DataFrame, Seq[Long]) = {
+    val (cutDf, got) = cutObserved(df, metrics: _*)
+    (cutDf, got.map {
+      case null => 0L
+      case l: java.lang.Long => l.longValue()
+      case d: java.math.BigDecimal => d.longValueExact()
+      case other => other.toString.toLong
+    })
+  }
+
+  /** [[cutCounted]] with the raw observed values (null for an
+    * aggregate over zero rows, java.math.BigDecimal for decimal
+    * sums) — for fixpoint signatures that must stay exact past
+    * int64 (the connected-components label sums). */
+  def cutObserved(df: DataFrame, metrics: Column*): (DataFrame, Seq[Any]) = {
     val obs = new org.apache.spark.sql.Observation(
       s"graft_cut_${obsId.incrementAndGet()}")
     val named = metrics.zipWithIndex.map { case (m, i) => m.as(s"m$i") }
     val cutDf = cut(df.observe(obs, named.head, named.tail: _*))
     val got = obs.get
-    (cutDf, metrics.indices.map(i => got(s"m$i") match {
-      case null => 0L
-      case l: java.lang.Long => l.longValue()
-      case d: java.math.BigDecimal => d.longValueExact()
-      case other => other.toString.toLong
-    }))
+    (cutDf, metrics.indices.map(i => got(s"m$i")))
   }
 }

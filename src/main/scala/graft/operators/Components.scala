@@ -73,30 +73,35 @@ object Components {
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .transform(Ckpt.cut)
-    var labels = nodes.select(col(idCol).as("id")).distinct()
-      .withColumn("component", col("id"))
-      .transform(Ckpt.cut)
     // Per-node labels only ever DECREASE, so the label sum strictly
     // decreases until fixpoint — an unchanged sum IS convergence.
-    // This replaces a join-based changed-row check with one cheap
-    // aggregate over the (already checkpointed) label frame.
-    // decimal(38,0) so huge id spaces can't overflow-collide.
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      // sum over zero rows is NULL — an empty node set must read as
-      // an (immediately converged) zero, not an NPE
-      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
-        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    // The sum is OBSERVED during each round's checkpoint job
+    // (Ckpt.cutObserved, r16) instead of being a second aggregate
+    // action; decimal(38,0) so huge id spaces can't
+    // overflow-collide, null (zero rows) reads as zero.
+    val sumCol = sum(col("component").cast("decimal(38,0)"))
+    def asDec(v: Any): java.math.BigDecimal = v match {
+      case null => java.math.BigDecimal.ZERO
+      case d: java.math.BigDecimal => d
+    }
+    var (labels, prevSum) = {
+      val (c, vs) = Ckpt.cutObserved(
+        nodes.select(col(idCol).as("id")).distinct()
+          .withColumn("component", col("id")),
+        sumCol)
+      (c, asDec(vs.head))
+    }
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
       val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
         .select(col("src").as("id"), col("component"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
-        .transform(Ckpt.cut)
-      val nextSum = labelSum(next)
+      val (next, vs) = Ckpt.cutObserved(
+        labels.unionByName(viaNeighbor)
+          .groupBy(col("id"))
+          .agg(min(col("component")).as("component")),
+        sumCol)
+      val nextSum = asDec(vs.head)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
@@ -153,14 +158,18 @@ object Components {
       maxIters: Int = 20): DataFrame = {
     // (count, Σ endpoints) as the fixpoint signature: both phases
     // only move endpoints DOWN, so an unchanged (count, sum) pair
-    // means no edge moved — deterministic, one aggregate, no join.
-    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)),
-        sum(col("u").cast("decimal(38,0)") +
-          col("v").cast("decimal(38,0)"))).head
-      (r.getLong(0),
-        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
-    }
+    // means no edge moved — deterministic, observed during each
+    // round's checkpoint job (Ckpt.cutObserved, r16), no extra
+    // action, no join.
+    val sigCols = Seq(count(lit(1)),
+      sum(col("u").cast("decimal(38,0)") +
+        col("v").cast("decimal(38,0)")))
+    def asSig(vs: Seq[Any]): (Long, java.math.BigDecimal) =
+      (vs.head.asInstanceOf[Long],
+        vs(1) match {
+          case null => java.math.BigDecimal.ZERO
+          case d: java.math.BigDecimal => d
+        })
     // large-star: symmetrize so every node sees its full
     // neighborhood; m(u) = min over N(u) ∪ {u}; emit (v, m(u)) for
     // v > u. Self-loops (v == m) drop; duplicates collapse in the
@@ -190,17 +199,22 @@ object Components {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
-    var cur = edges
-      .select(col(aCol).as("u"), col(bCol).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .transform(Ckpt.cut)
-    var prevSig = sig(cur)
+    var (cur, prevSig) = {
+      val (c, vs) = Ckpt.cutObserved(
+        edges
+          .select(col(aCol).as("u"), col(bCol).as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct(),
+        sigCols: _*)
+      (c, asSig(vs))
+    }
     var it = 0
     var converged = prevSig._1 == 0L // edge-free graph: already done
     while (it < maxIters && !converged) {
-      cur = smallStar(largeStar(cur)).transform(Ckpt.cut)
-      val s = sig(cur)
+      val (c, vs) = Ckpt.cutObserved(
+        smallStar(largeStar(cur)), sigCols: _*)
+      cur = c
+      val s = asSig(vs)
       converged = s == prevSig
       prevSig = s
       it += 1
